@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tumbling event-time window aggregation with distinct counts and the
+ * guarded CTR ratio (SURVEY §2.4 A1-A5, §2.2 P2/P4/P5).
+ *
+ * Reference, Q1 (flink/flink_job.sql:76-98):
+ *   GROUP BY TUMBLE(i.event_time, INTERVAL '1' MINUTE), i.campaign_id
+ *   COUNT(DISTINCT i.impression_id), COUNT(DISTINCT c.click_id),
+ *   ctr = CASE WHEN imp > 0 THEN CAST(clk AS DOUBLE)/imp ELSE 0.0 END
+ * Q2 (flink/flink_job.sql:100-118): same counts grouped by raw
+ * i.device_type, projected as COALESCE(device_type, 'Unknown').
+ *
+ * `COUNT(DISTINCT)` is the reference's deliberate defense against
+ * LEFT-join fan-out (README.md:127 documents the COUNT(*) bug it fixes);
+ * windows are 1-minute aligned on the **impression** event time — click
+ * time never shifts window assignment.
+ *
+ * Scale note: two exact distinct aggregates in one GROUP BY trigger
+ * Catalyst's Expand-based rewrite (rows ×3 pre-shuffle). That is exact and
+ * fine into the TB range because partial aggregation still applies; the
+ * sketch path for wider plans is approx_count_distinct (HLL). Streaming
+ * mode cannot use exact distinct at all — see
+ * [[graft.streaming.StreamingPipelines]] for the dedup-then-count rewrite.
+ */
+object WindowedCounts {
+
+  /** P2+P4: NULL-safe ratio `CAST(clk AS DOUBLE)/imp`, 0.0 when imp = 0. */
+  def guardedRatio(numerator: Column, denominator: Column): Column =
+    when(denominator > 0, numerator.cast("double") / denominator.cast("double"))
+      .otherwise(0.0)
+
+  /**
+   * A1-A4: tumble + two distinct counts + ctr. `groupKey` is the raw
+   * grouping expression; `keyOut` the projected name.
+   */
+  def ctrAgg(joined: DataFrame, groupKey: Column, keyOut: String,
+             timeCol: Column, windowLength: String,
+             distinctA: Column, distinctB: Column,
+             withRatio: Boolean): DataFrame = {
+    val agg = joined
+      .groupBy(window(timeCol, windowLength), groupKey.as("__key"))
+      .agg(
+        count_distinct(distinctA).as("impression_count"),
+        count_distinct(distinctB).as("click_count"))
+    val base = agg.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("__key").as(keyOut),
+      col("impression_count"),
+      col("click_count"))
+    if (withRatio)
+      base.withColumn("ctr", guardedRatio(col("click_count"), col("impression_count")))
+    else base
+  }
+}

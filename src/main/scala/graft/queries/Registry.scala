@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * A driver-checkable query: a Spark builder plus (when SQL-expressible) a
+ * semantically identical DuckDB oracle over the same parquet tables. The
+ * driver hash-compares both results with columns sorted by name, so every
+ * computed column is aliased identically on both sides.
+ */
+final case class NamedQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Read one driver-provided testdata table (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * `events` with `ts` normalized to epoch-millisecond precision — the same
+   * grain as the reference's BIGINT epoch-ms inputs (flink/flink_job.sql:12,
+   * 14). The driver's parquet stores TIMESTAMP(NANOS), which Spark only
+   * reads via the legacy nanos-as-long mode; oracle side uses
+   * `make_timestamp(epoch_ms(ts)*1000)` for the identical truncation.
+   */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      // nanos-as-long: integer-divide (not double-divide — 2024 epoch-ns
+      // exceeds double's 53-bit exact range) down to millis.
+      case LongType => df.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", date_trunc("millisecond", col("ts")))
+      case other => df
+    }
+  }
+}
