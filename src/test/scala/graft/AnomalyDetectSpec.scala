@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.AnomalyDetect
+
+import java.sql.Timestamp
+
+/**
+ * FIXTURES.md §3 LAG-chain fixture + the reference's exact guard semantics
+ * (flink/anomaly_job.sql:62-84): SPIKE needs previous_ctr > 0; DROP does
+ * not; first row per campaign never alerts.
+ */
+class AnomalyDetectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ctrFrame(series: Seq[(String, Long, Double)]) =
+    series.map { case (camp, minute, ctr) =>
+      (new Timestamp(minute * 60000L), new Timestamp((minute + 1) * 60000L),
+        camp, 100L, (ctr * 100).toLong, ctr)
+    }.toDF("window_start", "window_end", "campaign_id",
+      "impression_count", "click_count", "ctr")
+
+  test("LAG chain [0.10, 0.10, 0.04, 0.40, 0.10] → [none, none, DROP, SPIKE, DROP]") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.10), ("camp-1", 2, 0.04),
+      ("camp-1", 3, 0.40), ("camp-1", 4, 0.10))))
+      .orderBy("alert_time").collect()
+    assert(alerts.map(_.getAs[String]("alert_type")).toSeq ==
+      Seq("DROP", "SPIKE", "DROP"))
+    assert(alerts.map(_.getAs[Timestamp]("alert_time").getTime / 60000L).toSeq ==
+      Seq(3L, 4L, 5L)) // alert_time = window_end of windows 2, 3, 4
+  }
+
+  test("first row per campaign never alerts (LAG NULL filtered)") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.90), ("camp-2", 0, 0.0)))).collect()
+    assert(alerts.isEmpty)
+  }
+
+  test("0 → positive is NOT a spike (previous_ctr > 0 guard)") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.0), ("camp-1", 1, 0.5)))).collect()
+    assert(alerts.isEmpty)
+  }
+
+  test("positive → 0 IS a drop (no guard on the DROP arm)") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.2), ("camp-1", 1, 0.0)))).collect()
+    assert(alerts.map(_.getAs[String]("alert_type")).toSeq == Seq("DROP"))
+  }
+
+  test("exact 2x is not a spike; exact 0.5x is not a drop (strict inequalities)") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.20), ("camp-1", 2, 0.10)))).collect()
+    assert(alerts.isEmpty)
+  }
+
+  test("partitions are independent per campaign") {
+    val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-2", 1, 0.50), ("camp-1", 2, 0.10)))).collect()
+    assert(alerts.isEmpty) // camp-2's 0.50 must not read camp-1's 0.10 as prev
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.EventTime
+import graft.pipelines.AdPipelines
+import graft.schema.AdModel.{Click, Impression}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * FIXTURES.md §3 aggregation micro-fixtures over the real Q1/Q2 pipelines:
+ * distinct-count fan-out defense (README.md:127), zero-click CTR guard
+ * (flink/flink_job.sql:87-90), NULL device → 'Unknown' (flink_job.sql:106),
+ * 60 s window alignment.
+ */
+class WindowedCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def imp(id: String, ts: Long, device: String = "mobile") =
+    Impression(id, "user-1", "camp-1", "ad-1", device, "chrome", ts,
+      new java.math.BigDecimal("0.10"))
+
+  private def run(imps: Seq[Impression], clks: Seq[Click]): (DataFrame, DataFrame) = {
+    val i = EventTime.withEventTime(imps.toDF())
+    val c = EventTime.withEventTime(clks.toDF())
+    val j = AdPipelines.joined(i, c)
+    (AdPipelines.ctrByCampaign(j), AdPipelines.engagementByDevice(j))
+  }
+
+  test("fan-out: 1 impression, 3 click rows of which 2 share click_id → counts (1, 2)") {
+    val (ctr, _) = run(Seq(imp("a", 60000L)),
+      Seq(Click("c1", "a", "user-1", 61000L),
+        Click("c1", "a", "user-1", 62000L), // duplicate click_id
+        Click("c2", "a", "user-1", 63000L)))
+    val r = ctr.collect().head
+    assert(r.getAs[Long]("impression_count") == 1L)
+    assert(r.getAs[Long]("click_count") == 2L)
+    assert(r.getAs[Double]("ctr") == 2.0)
+  }
+
+  test("zero-click window → click_count 0, ctr 0.0 via CASE guard") {
+    val (ctr, _) = run(Seq(imp("a", 60000L), imp("b", 61000L)), Seq.empty)
+    val r = ctr.collect().head
+    assert(r.getAs[Long]("impression_count") == 2L)
+    assert(r.getAs[Long]("click_count") == 0L)
+    assert(r.getAs[Double]("ctr") == 0.0)
+  }
+
+  test("windows are 60 s epoch-aligned, half-open, keyed by impression time") {
+    // impressions at 59_999 and 60_000 land in different windows; the click
+    // at 125_000 (window 2 by its own time) counts toward window 1's
+    // impression because window assignment uses impression event time.
+    val (ctr, _) = run(Seq(imp("a", 59999L), imp("b", 60000L)),
+      Seq(Click("c1", "b", "user-1", 125000L)))
+    val rows = ctr.collect()
+    assert(rows.length == 2)
+    val byStart = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("window_start").getTime -> r).toMap
+    assert(byStart.keySet == Set(0L, 60000L))
+    assert(byStart(60000L).getAs[Long]("click_count") == 1L)
+    rows.foreach { r =>
+      val s = r.getAs[java.sql.Timestamp]("window_start").getTime
+      val e = r.getAs[java.sql.Timestamp]("window_end").getTime
+      assert(s % 60000L == 0 && e == s + 60000L)
+    }
+  }
+
+  test("NULL device_type groups under 'Unknown'") {
+    val (_, eng) = run(
+      Seq(imp("a", 1000L, device = null), imp("b", 2000L, device = "mobile")),
+      Seq.empty)
+    val devices = eng.collect().map(_.getAs[String]("device_type")).toSet
+    assert(devices == Set("Unknown", "mobile"))
+  }
+
+  test("engagement output has no ctr column (flink_job.sql:59-71)") {
+    val (_, eng) = run(Seq(imp("a", 1000L)), Seq.empty)
+    assert(!eng.columns.contains("ctr"))
+    assert(eng.columns.toSeq == Seq("window_start", "window_end",
+      "device_type", "impression_count", "click_count"))
+  }
+}
