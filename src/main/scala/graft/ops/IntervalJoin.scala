@@ -48,4 +48,43 @@ object IntervalJoin {
         col(s"$rightAlias.$rightTime") <= col(s"$leftAlias.$leftTime") + expr(interval)
     l.join(r, cond, "left_outer")
   }
+
+  /**
+   * Bucketed variant of [[leftOuterWithin]] for NON-unique equi keys.
+   *
+   * With a unique key (the reference's `impression_id`) the plain
+   * SortMergeJoin is optimal. With a hot key (e.g. `user_id`, up to
+   * thousands of events per user at 100 TB) SMJ first emits ALL per-key
+   * pairs and only then applies the time range — per-key work grows
+   * quadratically with scale. The standard fix: fold the coarse time
+   * bucket into the equi key. Left rows keep their own bucket
+   * `floor(t / interval)`; each right row is duplicated into its own
+   * bucket and the previous one, which together cover every left row whose
+   * `[t, t+interval]` window can contain it. Buckets are disjoint, so no
+   * pair is produced twice; the exact `BETWEEN` stays as the residual
+   * filter. Cost: 2x the right-side shuffle volume — linear, not
+   * quadratic. Same semantics as [[leftOuterWithin]], bit-for-bit.
+   *
+   * @param intervalMs window length in milliseconds; also the bucket width
+   */
+  def leftOuterWithinBucketed(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              leftTime: String, rightTime: String,
+                              intervalMs: Long,
+                              leftAlias: String = "i", rightAlias: String = "c"): DataFrame = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    def bucket(t: Column): Column = floor(unix_millis(t) / lit(intervalMs))
+    val l = left.withColumn("__ibucket", bucket(col(leftTime))).alias(leftAlias)
+    val r = right
+      .withColumn("__cbucket",
+        explode(array(bucket(col(rightTime)), bucket(col(rightTime)) - 1)))
+      .alias(rightAlias)
+    val cond: Column =
+      col(s"$leftAlias.$leftKey") === col(s"$rightAlias.$rightKey") &&
+        col(s"$leftAlias.__ibucket") === col(s"$rightAlias.__cbucket") &&
+        col(s"$rightAlias.$rightTime") >= col(s"$leftAlias.$leftTime") &&
+        col(s"$rightAlias.$rightTime") <=
+          col(s"$leftAlias.$leftTime") + expr(s"INTERVAL $intervalMs MILLISECONDS")
+    l.join(r, cond, "left_outer").drop("__ibucket", "__cbucket")
+  }
 }

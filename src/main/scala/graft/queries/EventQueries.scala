@@ -3,6 +3,7 @@ package graft.queries
 import graft.ops.{AnomalyDetect, IntervalJoin, WindowedCounts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * The reference's ad-analytics pipelines (flink/flink_job.sql,
@@ -26,6 +27,24 @@ import org.apache.spark.sql.functions._
  * counts use Catalyst's exact expand-based path in batch.
  */
 object EventQueries {
+
+  /**
+   * Per-(session, sfDir) memo of shared intermediate frames, persisted
+   * MEMORY_AND_DISK. This is the batch analogue of the reference's two
+   * sharing edges: the STATEMENT SET's shared scan+join feeding both
+   * INSERTs (flink/flink_job.sql:74-120, T4) and the `ctr_results` Kafka
+   * topic feeding the anomaly job (flink/anomaly_job.sql:21, T5). Without
+   * it each registry query re-ran the full scan+join+agg — at 100 TB that
+   * doubles the most expensive job. Keyed by session so a restarted
+   * session rebuilds cleanly.
+   */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def memo(spark: SparkSession, sfDir: String, tag: String)
+                  (build: => DataFrame): DataFrame =
+    shared.computeIfAbsent((spark, sfDir, tag),
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
 
   private def deviceExpr = when(col("value") < 50, "mobile")
     .when(col("value") < 100, "desktop")
@@ -52,22 +71,37 @@ object EventQueries {
         col("user_id"),
         col("ts").as("event_time"))
 
-  /** J1 on the events mapping: LEFT interval join, click within 10 min. */
+  /**
+   * J1 on the events mapping: LEFT interval join, click within 10 min.
+   * `user_id` is a hot key (~100 events/user at sf0.1, growing with
+   * scale), so this uses the bucketed interval join — equi key
+   * (user_id, 10-min bucket) — instead of plain SMJ-with-residual, and
+   * the frame is persisted once per (session, sfDir) since both Q1 and
+   * Q2 consume it (the reference's shared STATEMENT SET scan).
+   */
   def joined(spark: SparkSession, sfDir: String): DataFrame =
-    IntervalJoin.leftOuterWithin(
-      impressions(spark, sfDir), clicks(spark, sfDir),
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "event_time", rightTime = "event_time",
-      interval = "INTERVAL 10 MINUTES")
+    memo(spark, sfDir, "joined") {
+      IntervalJoin.leftOuterWithinBucketed(
+        impressions(spark, sfDir), clicks(spark, sfDir),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "event_time", rightTime = "event_time",
+        intervalMs = 10L * 60 * 1000)
+    }
 
-  /** Q1 flagship: ctr per (1-min window, campaign) — flink_job.sql:76-98. */
+  /**
+   * Q1 flagship: ctr per (1-min window, campaign) — flink_job.sql:76-98.
+   * Persisted: `anomalyAlerts` chains off this frame (the reference's
+   * `ctr_results` topic edge), and recomputing it would double the most
+   * expensive job. No output sort — the driver compare sorts rows itself.
+   */
   def ctrByCampaign(spark: SparkSession, sfDir: String): DataFrame =
-    WindowedCounts.ctrAgg(joined(spark, sfDir),
-      groupKey = col("i.campaign_id"), keyOut = "campaign_id",
-      timeCol = col("i.event_time"), windowLength = "1 minute",
-      distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
-      withRatio = true)
-      .orderBy(col("window_start"), col("campaign_id"))
+    memo(spark, sfDir, "ctr") {
+      WindowedCounts.ctrAgg(joined(spark, sfDir),
+        groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+        timeCol = col("i.event_time"), windowLength = "1 minute",
+        distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+        withRatio = true)
+    }
 
   /** Q2: engagement per (window, device) — flink_job.sql:100-118. */
   def engagementByDevice(spark: SparkSession, sfDir: String): DataFrame =
@@ -77,12 +111,11 @@ object EventQueries {
       distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
       withRatio = false)
       .withColumn("device_type", coalesce(col("device_type"), lit("Unknown")))
-      .orderBy(col("window_start"), col("device_type"))
 
-  /** P2: spike/drop alerts chained off Q1 — anomaly_job.sql:45-84. */
+  /** P2: spike/drop alerts chained off Q1's persisted frame —
+    * anomaly_job.sql:45-84. */
   def anomalyAlerts(spark: SparkSession, sfDir: String): DataFrame =
     AnomalyDetect.alerts(ctrByCampaign(spark, sfDir))
-      .orderBy(col("alert_time"), col("campaign_id"))
 
   // ---------------------------------------------------------------- oracle
 

@@ -33,7 +33,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except duckdb.Error as e:
+            print(f"[warn] view {t} unavailable: {e}", file=sys.stderr)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracles.items()):
