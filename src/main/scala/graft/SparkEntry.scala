@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, NamedQuery}
+import graft.queries.{DataPipelineQueries, EventQueries, NamedQuery}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All registered queries, each with its DuckDB oracle when expressible. */
   private def registry: Seq[NamedQuery] =
-    EventQueries.all
+    EventQueries.all ++ DataPipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q1 of the reference (flink/flink_job.sql:76-98): LEFT interval join +

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Registry of the training-data-pipeline operators (dedup, similarity
+ * search, text analysis, multimodal) over the driver's `documents`,
+ * `embeddings`, and `events` tables, each with a DuckDB oracle that
+ * replicates the exact same algorithm — including the salted-md5 MinHash
+ * family and the LSH banding — so even the sketch-based operators get
+ * full value-level correctness checks. Only `similarity_ann` is
+ * oracle-free (it is deliberately approximate; its recall is pinned by
+ * `SimilaritySpec` against the brute-force baseline instead).
+ */
+object DataPipelineQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "embeddings")
+
+  // ------------------------------------------------------------- builders
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docs(spark, sfDir))
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupMinhashLsh(docs(spark, sfDir))
+
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsExact(docs(spark, sfDir))
+
+  def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.simhash(docs(spark, sfDir))
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.stats(docs(spark, sfDir))
+
+  def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(docs(spark, sfDir))
+
+  def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+
+  def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaSummary(docs(spark, sfDir))
+
+  def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.propsAgg(Tables.events(spark, sfDir))
+
+  // -------------------------------------------------------------- oracles
+
+  /** Distinct (doc_id, shingle) word-3-gram CTE shared by the dedup oracles. */
+  private val shingleCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 2), i ->
+      |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+      |  FROM t WHERE len(toks) >= 3),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+
+  val dedupExactOracle: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint,
+      |       count(*) AS group_size
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  val dedupMinhashOracle: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:'||shingle)) h$i").mkString(",\n  ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id,
+       |  $mins
+       |  FROM shd GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) i
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.da
+       |  JOIN shd sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+       |  GROUP BY c.da, c.db)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       round(CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.da
+       |JOIN sizes zb ON zb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
+  }
+
+  val dedupJaccardOracle: String =
+    s"""$shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT sa.doc_id da, sb.doc_id db, count(*) i
+       |  FROM shd sa JOIN shd sb
+       |    ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       round(CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.da
+       |JOIN sizes zb ON zb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
+
+  val textSimhashOracle: String = {
+    val sums = (1 to 32).map(p =>
+      s"sum(CASE WHEN substr(h, $p, 1) >= '8' THEN 1 ELSE -1 END) s$p")
+      .mkString(",\n  ")
+    val bits = (1 to 32).map(p => s"(CASE WHEN s$p > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) h FROM t),
+       |s AS (SELECT doc_id,
+       |  $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+  }
+
+  val textStatsOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)
+      |SELECT doc_id,
+      |  length(text) AS n_chars_utf8,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_unique_tokens,
+      |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |        / len(toks), 6) AS mean_token_len,
+      |  round(CAST(len(list_filter(toks, t ->
+      |          list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+      |        / len(toks), 6) AS stopword_ratio,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      |FROM t""".stripMargin
+
+  val langIdOracle: String = {
+    val sets = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "es" -> Seq("el", "los", "y", "que", "una"))
+    val scores = sets.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = sets.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN score_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |  FROM t)
+       |SELECT doc_id, score_en, score_de, score_fr, score_es,
+       |  CASE $cases
+       |    ELSE 'und' END AS predicted_lang
+       |FROM s""".stripMargin
+  }
+
+  val similarityTopKOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id neighbor_id,
+      |    list_sum(list_transform(range(64), i -> qv[i+1] * v[i+1])) dot,
+      |    sqrt(list_sum(list_transform(qv, x -> x*x))) nq,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) nv
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  round(dot/(nq*nv), 6) cosine FROM pairs),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) rank FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  val mediaFeaturesOracle: String =
+    """SELECT doc_id, 'text/plain' AS media_type,
+      |  octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS checksum,
+      |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
+      |  lang AS meta_lang, n_chars AS meta_n_chars
+      |FROM documents""".stripMargin
+
+  val eventsPropsOracle: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) k FROM events)
+      |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+      |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+      |FROM e GROUP BY event_type""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
+    NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
+    NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
+    NamedQuery("text_stats", textStats, Some(textStatsOracle)),
+    NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
+    NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
+    NamedQuery("similarity_ann", similarityAnn, None),
+    NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
+    NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)))
+}

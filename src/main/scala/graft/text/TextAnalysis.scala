@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-document text analysis for training-data curation: SimHash
+ * fingerprints, quality/shape statistics, and a stopword-overlap language
+ * identifier. Everything is narrow per-row Catalyst expressions (or one
+ * explode+groupBy for SimHash) — embarrassingly parallel, no skew, scales
+ * by partition count alone.
+ */
+object TextAnalysis {
+
+  /**
+   * 32-bit SimHash over the token multiset. Bit p (p = 1..32) is the sign
+   * of Σ_tokens (+1 if the p-th nibble of md5(token) has its high bit set,
+   * else -1) — i.e. each md5 hex position contributes one independent hash
+   * bit (`digit >= '8'` over lowercase hex is exactly "top bit set").
+   * Output is the 32-char '0'/'1' string; near-duplicate documents land
+   * within small Hamming distance. Deterministic and engine-portable —
+   * the DuckDB oracle computes the identical 32 signed sums.
+   */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (1 to 32).map(p =>
+      sum(when(substring(col("h"), p, 1) >= "8", 1).otherwise(-1)).as(s"s$p"))
+    val bits = (1 to 32).map(p => when(col(s"s$p") > 0, "1").otherwise("0"))
+    toks.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings (as columns). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /**
+   * Document shape/quality statistics: token counts, type-token ratio
+   * inputs, mean token length, stopword ratio, and a BPE-ish regex token
+   * count (`[a-z]+|[0-9]+|[^a-z0-9 ]` — letter runs, digit runs, single
+   * symbols; the pattern is deliberately restricted to constructs with
+   * identical semantics in Java regex and RE2 so the oracle matches).
+   */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_utf8"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      round(aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / size(toks), 6).as("mean_token_len"),
+      round(size(filter(toks, t => array_contains(stopArr, t)))
+        .cast("double") / size(toks), 6).as("stopword_ratio"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"))
+  }
+
+  /**
+   * Stopword-overlap language ID. Scores each document against a small
+   * marker-word set per language (total occurrences, not distinct) and
+   * predicts the highest-scoring language with a fixed precedence order
+   * for ties; all-zero scores → 'und'. A real pipeline would swap in
+   * fastText or a char-n-gram model — the operator shape (N parallel
+   * per-row scores + argmax) is what matters at scale, and it is fully
+   * expression-based.
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "es" -> Seq("el", "los", "y", "que", "una"))
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: markers.map { case (l, ws) =>
+        val arr = array(ws.map(lit): _*)
+        size(filter(toks, t => array_contains(arr, t))).as(s"score_$l")
+      }): _*)
+    // argmax with precedence = declaration order (en beats de on ties, ...)
+    val langs = markers.map(_._1)
+    val best = langs.foldRight(lit("und")) { (l, alt) =>
+      val c = col(s"score_$l")
+      val beatsAll = langs.filter(_ != l)
+        .map(o => c >= col(s"score_$o")).reduce(_ && _)
+      when(c > 0 && beatsAll, lit(l)).otherwise(alt)
+    }
+    scored.select(
+      (col("doc_id") +: langs.map(l => col(s"score_$l"))) :+ best.as("predicted_lang"): _*)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.collect().map(_.getAs[Double]("c")).toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("brute-force top-k: planted nearest neighbor ranks first, self excluded") {
+    // vec 0 is the query; vec 5 is a scaled copy (cosine 1), others orthogonal
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f), 0),
+      (5L, Array(3f, 0f, 0f, 0f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(df, nQueries = 1, k = 2).collect()
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("neighbor_id") == 5L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("LSH ANN: recall@5 >= 0.8 vs brute force on sf0.001 embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = keys(Similarity.bruteForceTopK(embs, nQueries = 8, k = 5))
+    val approx = keys(Similarity.lshTopK(embs, nQueries = 8, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall, missed ${exact -- approx}")
+  }
+
+  test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()
+    assert(out.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    assert(out.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0))
+    // ranks are dense from 1 within each query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+    }
+  }
+}

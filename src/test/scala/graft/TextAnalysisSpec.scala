@@ -1,0 +1,65 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("simhash: identical docs get identical 32-bit signatures") {
+    val out = TextAnalysis.simhash(docsDF(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L).length == 32 && out(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("simhash: near-dup docs are closer in Hamming space than random docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "changed")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = TextAnalysis.simhash(docsDF(1L -> base, 2L -> near, 3L -> far))
+    val sig = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("hammingDistance column helper agrees with scala impl") {
+    val df = Seq(("1010", "1001"), ("1111", "1111")).toDF("a", "b")
+      .select(TextAnalysis.hammingDistance(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getAs[Int]("d")).toSeq == Seq(2, 0))
+  }
+
+  test("stats: counts, mean token length and stopword ratio on a known doc") {
+    val r = TextAnalysis.stats(docsDF(1L -> "the cat the hat is big")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_unique_tokens") == 5)
+    // tokens: the(3) cat(3) the(3) hat(3) is(2) big(3) → 17/6
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 17.0 / 6) < 1e-6)
+    // stopwords: the, the, is → 3/6
+    assert(r.getAs[Double]("stopword_ratio") == 0.5)
+  }
+
+  test("bpe-ish token count splits letter runs, digit runs and symbols") {
+    val r = TextAnalysis.stats(docsDF(1L -> "abc123 def!")).collect().head
+    // abc | 123 | def | !  → 4
+    assert(r.getAs[Int]("n_bpe_tokens") == 4)
+  }
+
+  test("langId: marker words pick the language; no markers → und; ties → precedence") {
+    val out = TextAnalysis.langId(docsDF(
+      1L -> "the cat and the dog",
+      2L -> "der hund und die katze ist",
+      3L -> "le chat et les chiens des",
+      4L -> "xyzzy plugh quux",
+      5L -> "the der"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "und")
+    assert(out(5L) == "en") // 1-1 tie: declaration order wins
+  }
+}
