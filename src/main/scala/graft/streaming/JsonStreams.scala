@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Kafka-envelope JSON sources and sinks (SURVEY §2.1 S1-S4, S7-S9).
+ *
+ * The reference declares its tables over Kafka topics with
+ * `'format' = 'json'` and `'json.ignore-parse-errors' = 'true'`
+ * (flink/flink_job.sql:5-24,26-41,44-71; flink/anomaly_job.sql:8-28,31-43).
+ * A Kafka record reaches Spark as a `value: binary` column; this object
+ * implements the decode/encode halves independently of the transport so the
+ * same code serves `spark.readStream.format("kafka")` (when the connector
+ * jar is on the classpath), a file-backed topic directory (used by the
+ * tests and local runners — this container has no Kafka), or a
+ * `MemoryStream[String]` renamed to `value`.
+ */
+object JsonStreams {
+
+  /**
+   * S4: decode a Kafka-shaped frame (`value` string/binary) into typed rows.
+   *
+   * Parse-error skip: Flink's `json.ignore-parse-errors` silently drops
+   * records that are not valid JSON but keeps valid records with missing
+   * fields (as NULLs). Spark's `from_json` in PERMISSIVE mode never returns
+   * a NULL struct — malformed input yields an all-NULL row — so the exact
+   * analogue is to drop rows where every decoded field is NULL (a valid
+   * record with SOME fields survives, as in Flink).
+   */
+  def decode(raw: DataFrame, schema: StructType): DataFrame = {
+    val decoded = raw.select(from_json(col("value").cast("string"), schema).as("e"))
+    val anyFieldSet = schema.fieldNames
+      .map(f => col("e").getField(f).isNotNull)
+      .reduce(_ || _)
+    decoded.filter(anyFieldSet).select("e.*")
+  }
+
+  /**
+   * S7-S9: encode all columns into a single JSON `value` column — the shape
+   * every reference sink writes (`flink/flink_job.sql:44-71`,
+   * `flink/anomaly_job.sql:31-43`). No `key` column ⇒ round-robin
+   * partitioning, matching `'sink.partitioner' = 'round-robin'`
+   * (flink/flink_job.sql:56).
+   */
+  def encode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /**
+   * File-backed topic sink: append-mode JSON-lines with a checkpoint (T6 —
+   * the analogue of the reference's RocksDB checkpoint volume,
+   * docker-compose.yml:76-78; Spark persists source offsets + operator
+   * state under `checkpointLocation` and recovers exactly-once on restart).
+   * Returns the started query; caller awaits/stops it.
+   */
+  def writeTopic(df: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("json")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /**
+   * File-backed sink for an [[encode]]d single-`value` frame, written with
+   * the `text` format so each line is exactly the Kafka message payload —
+   * symmetric with reading a topic via `spark.readStream.text(dir)`.
+   */
+  def writeValueTopic(value: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    value.writeStream
+      .format("text")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** File-backed topic source with the declared (not inferred) schema. */
+  def readTopic(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.fixtures.AdEventGenerator
+import graft.ops.EventTime
+import graft.pipelines.AdPipelines
+import graft.schema.AdModel
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/**
+ * End-to-end runtime topology over file-backed topics — the full analogue
+ * of the reference's deployment (docker-compose.yml): generator → topics →
+ * main job (shared join materialized once, fan-out to ctr_results +
+ * engagement_results; T4) → anomaly job chained off the ctr topic (T5) →
+ * anomaly_alerts, all checkpointed (T6). Events arrive in time-ordered
+ * waves so watermarks advance batch-over-batch; far-future sentinel waves
+ * flush the final windows. Every output is compared row-identical to the
+ * batch pipelines.
+ */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeWave(dir: Path, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+  }
+
+  private def jsonLines(df: DataFrame): Seq[String] = df.toJSON.collect().toIndexedSeq
+
+  test("two chained jobs over file topics reproduce the batch results") {
+    val root = Files.createTempDirectory("graft-stream-jobs")
+    val imprTopic = root.resolve("impressions")
+    val clickTopic = root.resolve("clicks")
+    val work = root.resolve("work").toString
+
+    val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 8,
+      impressionsPerMinutePerCampaign = 30, campaigns = 3, nullDeviceEvery = 5)
+    val cutMs = 3600000L + 4 * 60000L
+    // sentinels advance the watermark GRADUALLY (5-minute steps): across
+    // the materialized-topic boundary a single huge watermark jump would
+    // make the join's late-evicted unmatched rows arrive behind the
+    // downstream watermark (see runMainJob's chainedWatermarkDelay doc) —
+    // exactly what a real deployment's smoothly-advancing event time never
+    // does. End of real data is 01:08; sentinels walk 01:10 → 01:40.
+    val sentinelBase = 3600000L + 10 * 60000L
+
+    def sentinelImpr(off: Long) =
+      s"""{"impression_id":"imp-s-$off","user_id":"user-1","campaign_id":"camp-sentinel","ad_id":"ad-1","device_type":"sentinel","browser":"chrome","event_timestamp":${sentinelBase + off},"cost":0.25}"""
+    def sentinelClick(off: Long) =
+      s"""{"click_id":"clk-s-$off","impression_id":"imp-s-$off","user_id":"user-1","event_timestamp":${sentinelBase + off}}"""
+
+    val sentinelWaves = (0 to 6).map { k =>
+      (Seq(sentinelImpr(k * 5 * 60000L)), Seq(sentinelClick(k * 5 * 60000L)))
+    }
+    val waves: Seq[(Seq[String], Seq[String])] = Seq(
+      (jsonLines(ev.impressions.filter(_.event_timestamp < cutMs).toDF()),
+        jsonLines(ev.clicks.filter(_.event_timestamp < cutMs).toDF())),
+      (jsonLines(ev.impressions.filter(_.event_timestamp >= cutMs).toDF()),
+        jsonLines(ev.clicks.filter(_.event_timestamp >= cutMs).toDF()))) ++ sentinelWaves
+
+    // main job must be running before the first wave lands so each wave is
+    // its own micro-batch (watermark advances between waves)
+    writeWave(imprTopic, "wave0.json", waves.head._1)
+    writeWave(clickTopic, "wave0.json", waves.head._2)
+    // chained delay ≥ join bound (10m) + source delay (2s) + sentinel step (5m)
+    val mainQueries = StreamingJobs.runMainJob(
+      spark, imprTopic.toString, clickTopic.toString, work,
+      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes")
+    try {
+      def stepAll(): Unit = mainQueries.foreach(_.processAllAvailable())
+      stepAll()
+      waves.tail.zipWithIndex.foreach { case ((im, cl), k) =>
+        writeWave(imprTopic, s"wave${k + 1}.json", im)
+        writeWave(clickTopic, s"wave${k + 1}.json", cl)
+        stepAll()
+      }
+    } finally mainQueries.foreach(_.stop())
+
+    // batch twins on the same real events
+    val iBatch = EventTime.withEventTime(ev.impressions.toDF())
+    val cBatch = EventTime.withEventTime(ev.clicks.toDF())
+    val jBatch = AdPipelines.joined(iBatch, cBatch)
+
+    val gotCtr = spark.read.schema(AdModel.ctrResultSchema)
+      .json(s"$work/ctr_results")
+      .filter($"campaign_id" =!= "camp-sentinel")
+    val wantCtr = AdPipelines.ctrByCampaign(jBatch)
+    assert(gotCtr.count() > 0, "ctr topic is empty")
+    assert(gotCtr.collect().map(_.toSeq).toSet ==
+      wantCtr.collect().map(_.toSeq).toSet, "ctr topic != batch ctr")
+
+    val gotEng = spark.read.schema(AdModel.engagementResultSchema)
+      .json(s"$work/engagement_results")
+      .filter($"device_type" =!= "sentinel")
+    val wantEng = AdPipelines.engagementByDevice(jBatch)
+    assert(gotEng.collect().map(_.toSeq).toSet ==
+      wantEng.collect().map(_.toSeq).toSet, "engagement topic != batch engagement")
+
+    // chained anomaly job consumes the ctr topic it did not produce itself
+    val anomalyQ = StreamingJobs.runAnomalyJob(spark, s"$work/ctr_results", work)
+    try anomalyQ.processAllAvailable() finally anomalyQ.stop()
+
+    val gotAlerts = spark.read.schema(AdModel.anomalyAlertSchema)
+      .json(s"$work/anomaly_alerts")
+      .filter($"campaign_id" =!= "camp-sentinel")
+    val wantAlerts = AdPipelines.anomalyAlerts(wantCtr)
+    assert(gotAlerts.collect().map(_.toSeq).toSet ==
+      wantAlerts.collect().map(_.toSeq).toSet, "alerts topic != batch alerts")
+  }
+}
