@@ -114,6 +114,31 @@ object Multimodal {
         max(col("k")).as("max_k"),
         round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
 
+  /**
+   * Frame sampling over the opaque payload — the video/audio "take every
+   * Nth frame" pattern: the payload splits into fixed-length frames, every
+   * `stride`-th frame is kept, and each sampled frame carries its index,
+   * length, and checksum (a real pipeline would decode/resize the frame
+   * bytes here — see [[decodeStub]]'s swap-in note). Pure per-row
+   * explode+substring expressions: narrow, codegen'd, no shuffle; output
+   * size is corpus_bytes / (frameLen · stride) rows regardless of scale.
+   * The text column stands in for the payload bytes so the slicing is
+   * DuckDB-expressible and the whole operator stays oracle-checked.
+   */
+  def frameSample(documents: DataFrame, frameLen: Int = 64, stride: Int = 2): DataFrame =
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ceil(length(col("text")) / lit(frameLen.toDouble)).cast("int") - 1))
+          .as("frame_no"))
+      .filter(col("frame_no") % stride === 0)
+      .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+        col("text").substr(col("frame_no") * frameLen + 1, lit(frameLen)).as("frame"))
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).cast("bigint").as("frame_len"),
+        md5(col("frame")).as("checksum"))
+
   /** Convenience: full stub pipeline as a DataFrame for ad-hoc use. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(assets(documents)).toDF()

@@ -49,6 +49,15 @@ object DataPipelineQueries {
   def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.signLshNearDupPairs(embs(spark, sfDir), threshold = 0.42)
+
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.winnowingFingerprint(docs(spark, sfDir))
+
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.frameSample(docs(spark, sfDir))
+
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.mediaSummary(docs(spark, sfDir))
 
@@ -182,6 +191,55 @@ object DataPipelineQueries {
       |    ORDER BY cosine DESC, neighbor_id) AS INT) rank FROM scored)
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Same coordinate-sign buckets as `Similarity.signLshNearDupPairs`. */
+  val dedupEmbeddingOracle: String = {
+    val tables = (0 until 8).map { t =>
+      val bitExpr = (0 until 8).map(i =>
+        s"(CASE WHEN v[${t * 8 + i + 1}] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"SELECT vec_id, $t AS tbl, $bitExpr AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |bk AS (
+       |  $tables),
+       |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+       |  FROM bk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (SELECT va AS vec_a, vb AS vec_b,
+       |  round(list_sum(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]))
+       |    / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+       |       * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cosine
+       |  FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb)
+       |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.42""".stripMargin
+  }
+
+  val textWinnowOracle: String =
+    s"""$shingleCtes,
+       |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2), i ->
+       |    struct_pack(pos := i,
+       |      h := md5('0:' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))) u
+       |  FROM t WHERE len(toks) >= 3) q),
+       |w AS (SELECT doc_id, pos,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin,
+       |  count(*) OVER (PARTITION BY doc_id) m FROM ph),
+       |fp AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= m - 4)
+       |SELECT doc_id, count(*) AS n_fingerprints,
+       |  md5(string_agg(wmin, '' ORDER BY wmin)) AS fingerprint
+       |FROM fp GROUP BY doc_id""".stripMargin
+
+  val mediaFramesOracle: String =
+    """WITH fr AS (SELECT doc_id,
+      |  unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS frame_no,
+      |  text FROM documents WHERE length(text) > 0),
+      |s AS (SELECT doc_id, frame_no,
+      |  substr(text, CAST(frame_no * 64 + 1 AS INT), 64) AS frame
+      |  FROM fr WHERE frame_no % 2 = 0)
+      |SELECT doc_id, frame_no, length(frame) AS frame_len,
+      |  md5(frame) AS checksum FROM s""".stripMargin
+
   val mediaFeaturesOracle: String =
     """SELECT doc_id, 'text/plain' AS media_type,
       |  octet_length(encode(text)) AS byte_len,
@@ -205,6 +263,9 @@ object DataPipelineQueries {
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
+    NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
+    NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
     NamedQuery("similarity_ann", similarityAnn, None),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),

@@ -39,6 +39,41 @@ object TextAnalysis {
       zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, x) => acc + x)
 
+  /**
+   * Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's rolling
+   * window-min over k-gram hashes — the MOSS scheme): hash every
+   * `shingleWidth`-gram, slide a `window`-wide frame over the hash
+   * sequence, keep each frame's minimum, and the distinct picked hashes
+   * are the document's fingerprint set. Guarantees every match of length
+   * ≥ window+shingleWidth−1 tokens shares a fingerprint, with ~2/(window+1)
+   * of positions sampled. Emitted per document as (count, md5 over the
+   * sorted fingerprint set) — two docs share the digest iff they share the
+   * exact fingerprint set. All window-function + built-in expressions (one
+   * shuffle on doc_id); documents shorter than shingleWidth+window−1
+   * tokens have no complete frame and are absent.
+   */
+  def winnowingFingerprint(docs: DataFrame, shingleWidth: Int = 3,
+                           window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)))
+      .withColumnRenamed("pos", "pos")
+      .withColumn("h", TextOps.saltedHash(0, col("col")))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    sh
+      .withColumn("m", count(lit(1)).over(perDoc))
+      .withColumn("wmin", min(col("h")).over(frame))
+      .filter(col("pos") <= col("m") - window)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        md5(concat_ws("", array_sort(collect_list(col("wmin"))))).as("fingerprint"))
+  }
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /**

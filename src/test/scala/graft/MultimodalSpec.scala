@@ -42,4 +42,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out("click").getAs[Long]("n_with_k") == 1)
     assert(out("click").getAs[Long]("sum_k") == 5)
   }
+
+  test("frameSample: fixed frames, stride sampling, short tail frame") {
+    // 150 chars → frames 0,1,2 (64+64+22); stride 2 keeps 0 and 2
+    val text = "ab" * 75
+    val docs = Seq((1L, text, "en", 150L), (2L, "", "en", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Multimodal.frameSample(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")) ->
+        r.getAs[Long]("frame_len")).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 2L))) // empty doc absent; frame 1 skipped
+    assert(out((1L, 0L)) == 64L)
+    assert(out((1L, 2L)) == 22L)
+  }
 }

