@@ -7,11 +7,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); set at build time so no query
+      // mutates session state mid-run (Tables.events also sets it
+      // defensively for sessions not built here)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: first-action JVM/codegen/parquet-footer overhead is
+    // a per-process constant (~seconds) that would otherwise be billed to
+    // whichever query happens to run first.
+    spark.range(1000).selectExpr("sum(id)").count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // Failures are reported as an "errors" map, never as fake timings.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Insertion order = pipeline order (SparkEntry.queries is a ListMap).
+    val timed = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).count(); None }

@@ -16,9 +16,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventQueries.ctrByCampaign(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Insertion-
+    * ordered (ListMap) so iteration follows pipeline order — e.g. the
+    * anomaly query runs after the ctr query whose shared frame it chains
+    * off, exactly like the reference's job order (main job feeds the
+    * anomaly job through the ctr_results topic). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    scala.collection.immutable.ListMap(registry.map(q => q.name -> q.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
