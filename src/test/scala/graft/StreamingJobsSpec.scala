@@ -110,4 +110,61 @@ class StreamingJobsSpec extends SparkSpec {
     assert(gotAlerts.collect().map(_.toSeq).toSet ==
       wantAlerts.collect().map(_.toSeq).toSet, "alerts topic != batch alerts")
   }
+
+  test("checkpoint recovery: restart mid-stream resumes exactly-once (T6)") {
+    val root = Files.createTempDirectory("graft-stream-recovery")
+    val imprTopic = root.resolve("impressions")
+    val clickTopic = root.resolve("clicks")
+    val work = root.resolve("work").toString
+
+    val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 6,
+      impressionsPerMinutePerCampaign = 20, campaigns = 2)
+    val cutMs = 3600000L + 3 * 60000L
+    val sentinelBase = 3600000L + 8 * 60000L
+    def sentinelImpr(off: Long) =
+      s"""{"impression_id":"imp-s-$off","user_id":"user-1","campaign_id":"camp-sentinel","ad_id":"ad-1","device_type":"sentinel","browser":"chrome","event_timestamp":${sentinelBase + off},"cost":0.25}"""
+    def sentinelClick(off: Long) =
+      s"""{"click_id":"clk-s-$off","impression_id":"imp-s-$off","user_id":"user-1","event_timestamp":${sentinelBase + off}}"""
+
+    def launch() = StreamingJobs.runMainJob(
+      spark, imprTopic.toString, clickTopic.toString, work,
+      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes")
+
+    // phase 1: first half of the events, then STOP all queries —
+    // dedup/join/agg state at this point lives only in the checkpoints
+    writeWave(imprTopic, "w0.json",
+      jsonLines(ev.impressions.filter(_.event_timestamp < cutMs).toDF()))
+    writeWave(clickTopic, "w0.json",
+      jsonLines(ev.clicks.filter(_.event_timestamp < cutMs).toDF()))
+    val phase1 = launch()
+    try phase1.foreach(_.processAllAvailable()) finally phase1.foreach(_.stop())
+
+    // phase 2: a fresh set of queries over the same checkpoints picks up
+    // the offsets and operator state and continues
+    writeWave(imprTopic, "w1.json",
+      jsonLines(ev.impressions.filter(_.event_timestamp >= cutMs).toDF()))
+    writeWave(clickTopic, "w1.json",
+      jsonLines(ev.clicks.filter(_.event_timestamp >= cutMs).toDF()))
+    val phase2 = launch()
+    try {
+      def stepAll(): Unit = phase2.foreach(_.processAllAvailable())
+      stepAll()
+      (0 to 6).foreach { k =>
+        writeWave(imprTopic, s"s$k.json", Seq(sentinelImpr(k * 5 * 60000L)))
+        writeWave(clickTopic, s"s$k.json", Seq(sentinelClick(k * 5 * 60000L)))
+        stepAll()
+      }
+    } finally phase2.foreach(_.stop())
+
+    val iBatch = EventTime.withEventTime(ev.impressions.toDF())
+    val cBatch = EventTime.withEventTime(ev.clicks.toDF())
+    val wantCtr = AdPipelines.ctrByCampaign(AdPipelines.joined(iBatch, cBatch))
+    val gotCtr = spark.read.schema(AdModel.ctrResultSchema)
+      .json(s"$work/ctr_results")
+      .filter($"campaign_id" =!= "camp-sentinel")
+    // exactly-once across the restart: no lost windows, no duplicates
+    assert(gotCtr.collect().map(_.toSeq).toSet ==
+      wantCtr.collect().map(_.toSeq).toSet, "post-recovery ctr != batch ctr")
+    assert(gotCtr.count() == gotCtr.dropDuplicates().count())
+  }
 }
