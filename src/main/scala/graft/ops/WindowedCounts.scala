@@ -56,4 +56,35 @@ object WindowedCounts {
       base.withColumn("ctr", guardedRatio(col("click_count"), col("impression_count")))
     else base
   }
+
+  /**
+   * Sketch twin of [[ctrAgg]]: HLL++ `approx_count_distinct` instead of
+   * the exact Expand-based rewrite. The exact path triples rows before the
+   * shuffle (one Expand branch per distinct aggregate + one for plain
+   * aggs); at 100 TB with wide plans that is the dominant shuffle cost,
+   * while HLL sketches merge map-side in constant space per group. `rsd`
+   * trades sketch size for error (HLL++ is exact below its sparse-mode
+   * threshold, so small groups pay no accuracy at all). Batch gates use
+   * [[ctrAgg]] (oracle-identical); this is the declared escape hatch for
+   * scale, verified within tolerance in WindowedCountsSpec.
+   */
+  def ctrAggApprox(joined: DataFrame, groupKey: Column, keyOut: String,
+                   timeCol: Column, windowLength: String,
+                   distinctA: Column, distinctB: Column,
+                   withRatio: Boolean, rsd: Double = 0.01): DataFrame = {
+    val agg = joined
+      .groupBy(window(timeCol, windowLength), groupKey.as("__key"))
+      .agg(
+        approx_count_distinct(distinctA, rsd).as("impression_count"),
+        approx_count_distinct(distinctB, rsd).as("click_count"))
+    val base = agg.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("__key").as(keyOut),
+      col("impression_count"),
+      col("click_count"))
+    if (withRatio)
+      base.withColumn("ctr", guardedRatio(col("click_count"), col("impression_count")))
+    else base
+  }
 }

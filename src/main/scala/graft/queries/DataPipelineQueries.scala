@@ -49,6 +49,9 @@ object DataPipelineQueries {
   def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
+  def similarityIvf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.signLshNearDupPairs(embs(spark, sfDir), threshold = 0.42)
 
@@ -268,6 +271,7 @@ object DataPipelineQueries {
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
     NamedQuery("similarity_ann", similarityAnn, None),
+    NamedQuery("similarity_ivf", similarityIvf, None),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)))
 }

@@ -41,6 +41,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall, missed ${exact -- approx}")
   }
 
+  test("IVF ANN: recall@5 >= 0.6 vs brute force; probes only nProbe cells") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = keys(Similarity.bruteForceTopK(embs, nQueries = 8, k = 5))
+    val ivf = keys(Similarity.ivfTopK(embs, nQueries = 8, k = 5,
+      nCells = 8, nProbe = 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall, missed ${exact -- ivf}")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("sign-LSH near-dup: finds planted near-duplicates, never false-positives") {
     // two planted near-dup pairs (scaled + tiny same-sign noise → cosine ≈ 1,
     // identical sign patterns) among sign-diverse fillers

@@ -77,4 +77,37 @@ class WindowedCountsSpec extends SparkSpec {
     assert(eng.columns.toSeq == Seq("window_start", "window_end",
       "device_type", "impression_count", "click_count"))
   }
+
+  test("HLL approx twin matches exact counts on the golden scenario") {
+    import graft.fixtures.AdEventGenerator
+    import graft.ops.{EventTime, WindowedCounts}
+    import graft.pipelines.AdPipelines
+    import org.apache.spark.sql.functions.col
+    val ev = AdEventGenerator.generate(startMs = 0L, minutes = 10,
+      impressionsPerMinutePerCampaign = 60, campaigns = 3)
+    val j = AdPipelines.joined(
+      EventTime.withEventTime(ev.impressions.toDF()),
+      EventTime.withEventTime(ev.clicks.toDF()))
+    val exact = AdPipelines.ctrByCampaign(j).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("campaign_id")) ->
+        (r.getAs[Long]("impression_count"), r.getAs[Long]("click_count"))).toMap
+    val approx = WindowedCounts.ctrAggApprox(j,
+      groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+      timeCol = col("i.event_time"), windowLength = "1 minute",
+      distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+      withRatio = true).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val key = (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("campaign_id"))
+      val (ei, ec) = exact(key)
+      val (ai, ac) = (r.getAs[Long]("impression_count"), r.getAs[Long]("click_count"))
+      // rsd=0.01 with per-window cardinalities ≤ 60: HLL++ sparse mode is
+      // exact here; allow a 5% slack so the test documents the contract,
+      // not the implementation detail
+      assert(math.abs(ai - ei) <= math.max(1L, (ei * 0.05).toLong), s"$key impressions $ai vs $ei")
+      assert(math.abs(ac - ec) <= math.max(1L, (ec * 0.05).toLong), s"$key clicks $ac vs $ec")
+    }
+  }
 }
