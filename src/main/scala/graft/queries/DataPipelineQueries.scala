@@ -83,7 +83,9 @@ object DataPipelineQueries {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   val dedupMinhashOracle: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i:'||shingle)) h$i").mkString(",\n  ")
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:'||shingle), ${1 + 8 * (i % 4)}, 8)) h$i")
+      .mkString(",\n  ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
       .mkString("\n  UNION ALL ")

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Document deduplication operators over a `documents(doc_id, text, ...)`
@@ -43,16 +44,24 @@ object Dedup {
       .distinct()
 
   /**
-   * k lexicographic-min salted-md5 MinHashes per document, columns
-   * h0..h{k-1}. One shuffle (the groupBy); the k mins combine map-side.
+   * k lexicographic-min MinHashes per document, columns h0..h{k-1}. Hash
+   * family: each salted md5 yields FOUR independent 32-bit lanes (disjoint
+   * 8-hex-char slices), so k lanes cost only ⌈k/4⌉ md5 evaluations per
+   * shingle — md5 is the per-row CPU cost of the whole signature pass, and
+   * the slicing is portable (DuckDB `substr(md5(...))` is byte-identical).
+   * The bases are projected once before the aggregation so each md5 is
+   * computed exactly once per row. One shuffle; the k mins combine
+   * map-side.
    */
-  def minhashSignature(shingles: DataFrame, k: Int): DataFrame =
-    shingles
-      .groupBy(col("doc_id"))
-      .agg(
-        min(TextOps.saltedHash(0, col("shingle"))).as("h0"),
-        (1 until k).map(i =>
-          min(TextOps.saltedHash(i, col("shingle"))).as(s"h$i")): _*)
+  def minhashSignature(shingles: DataFrame, k: Int): DataFrame = {
+    val nBase = (k + 3) / 4
+    val withBases = shingles.select(
+      col("doc_id") +:
+        (0 until nBase).map(b => TextOps.saltedHash(b, col("shingle")).as(s"__b$b")): _*)
+    val aggs = (0 until k).map(i =>
+      min(substring(col(s"__b${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i"))
+    withBases.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * Banded LSH candidate pairs (doc_a < doc_b): documents agreeing on all
@@ -110,7 +119,11 @@ object Dedup {
   def nearDupMinhashLsh(docs: DataFrame, shingleWidth: Int = 3, k: Int = 8,
                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible into $bands bands")
-    val shd = shingleSet(docs, shingleWidth)
+    // The shingle index feeds four consumers (signature, both intersection
+    // sides, sizes); without persistence each one re-tokenizes the whole
+    // corpus — at 100 TB the dominant cost. Caller-scoped cache (LRU-evicted
+    // with the session); a production pipeline would write it to a table.
+    val shd = shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(minhashSignature(shd, k), bands, k / bands)
     jaccardForPairs(cand, shd)
       .filter(col("jaccard") >= threshold)
@@ -124,7 +137,7 @@ object Dedup {
    */
   def jaccardPairsExact(docs: DataFrame, shingleWidth: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val shd = shingleSet(docs, shingleWidth)
+    val shd = shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sa = shd.alias("sa")
     val sb = shd.alias("sb")
