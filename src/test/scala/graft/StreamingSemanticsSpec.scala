@@ -1,0 +1,106 @@
+package graft
+
+import graft.fixtures.AdEventGenerator
+import graft.streaming.{JsonStreams, StreamingPipelines}
+import graft.schema.AdModel
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming-only semantics the batch twin cannot show:
+ *
+ *  - T3 late-data drop: a row older than the watermark is discarded by the
+ *    stateful operators instead of mutating an already-emitted window —
+ *    Flink's bounded-out-of-orderness behavior (flink/flink_job.sql:15,32).
+ *  - Throughput envelope: the reference generator sustains ≈55 ev/s
+ *    (EVENT_RATE=50 + ~10% clicks, docker-compose.yml:121); the streaming
+ *    pipeline must clear that by a wide margin on one node.
+ */
+class StreamingSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("late impression behind the watermark is dropped, on-time one is counted (T3)") {
+    val imprStream = MemoryStream[String](spark)
+    val clickStream = MemoryStream[String](spark)
+    def impr(id: String, ts: Long) =
+      s"""{"impression_id":"$id","user_id":"u","campaign_id":"camp-1","ad_id":"ad-1","device_type":"mobile","browser":"chrome","event_timestamp":$ts,"cost":0.1}"""
+    // the global watermark is the min across BOTH sources — the click
+    // stream must advance too or nothing ever finalizes
+    def clk(id: String, ts: Long) =
+      s"""{"click_id":"$id","impression_id":"none-$id","user_id":"u","event_timestamp":$ts}"""
+
+    val joined = StreamingPipelines.joinedStream(
+      JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
+      JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
+      watermarkDelay = "2 seconds")
+    val q = StreamingPipelines.ctrByCampaign(joined)
+      .writeStream.format("memory").queryName("late_ctr")
+      .outputMode("append").start()
+    try {
+      val h = 3600000L
+      // batch 1: two impressions in minute 0 and minute 2
+      imprStream.addData(impr("a", h), impr("b", h + 120000L))
+      clickStream.addData(clk("k1", h + 120000L))
+      q.processAllAvailable()
+      // batch 2: impression in minute 0 again — now ~2 min behind the
+      // watermark (b - 2 s), far beyond the 2 s bound → must be dropped;
+      // plus one on-time impression in minute 3
+      imprStream.addData(impr("late", h + 1000L), impr("c", h + 180000L))
+      clickStream.addData(clk("k2", h + 180000L))
+      q.processAllAvailable()
+      // flush every window
+      (1 to 3).foreach { s =>
+        imprStream.addData(impr(s"s$s", h + s * 86400000L))
+        clickStream.addData(clk(s"ks$s", h + s * 86400000L))
+        q.processAllAvailable()
+      }
+
+      val counts = spark.table("late_ctr")
+        .filter(col("window_start") < to_timestamp(lit("1970-01-02")))
+        .collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime ->
+          r.getAs[Long]("impression_count")).toMap
+      assert(counts == Map(h -> 1L, (h + 120000L) -> 1L, (h + 180000L) -> 1L),
+        s"late row not dropped (or on-time rows lost): $counts")
+    } finally q.stop()
+  }
+
+  test("streaming pipeline clears the reference's ~55 ev/s envelope") {
+    // 20 minutes × 5 campaigns × 60 impressions (+clicks) ≈ 6.6k events
+    val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 20,
+      impressionsPerMinutePerCampaign = 60, campaigns = 5)
+    // pre-serialize all waves (time-ordered arrival) outside the timed region
+    val cuts = Seq(Long.MinValue) ++ (1 to 3).map(i => 3600000L + i * 5 * 60000L) :+ Long.MaxValue
+    val imprWaves = cuts.sliding(2).map { case Seq(lo, hi) =>
+      ev.impressions.filter(e => e.event_timestamp >= lo && e.event_timestamp < hi)
+        .toDF().toJSON.collect().toIndexedSeq
+    }.toIndexedSeq
+    val clickWaves = cuts.sliding(2).map { case Seq(lo, hi) =>
+      ev.clicks.filter(e => e.event_timestamp >= lo && e.event_timestamp < hi)
+        .toDF().toJSON.collect().toIndexedSeq
+    }.toIndexedSeq
+    val nEvents = imprWaves.map(_.length).sum + clickWaves.map(_.length).sum
+
+    val imprStream = MemoryStream[String](spark)
+    val clickStream = MemoryStream[String](spark)
+    val joined = StreamingPipelines.joinedStream(
+      JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
+      JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
+      watermarkDelay = "2 seconds")
+    val q = StreamingPipelines.ctrByCampaign(joined)
+      .writeStream.format("memory").queryName("throughput_ctr")
+      .outputMode("append").start()
+    try {
+      val t0 = System.nanoTime()
+      imprWaves.zip(clickWaves).foreach { case (iw, cw) =>
+        imprStream.addData(iw)
+        clickStream.addData(cw)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = nEvents / secs
+      info(f"$nEvents events in $secs%.1f s = $rate%.0f ev/s")
+      assert(rate >= 55.0, f"throughput $rate%.1f ev/s below the reference envelope")
+    } finally q.stop()
+  }
+}
