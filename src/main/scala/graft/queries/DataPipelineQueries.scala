@@ -151,6 +151,8 @@ object DataPipelineQueries {
       |  round(CAST(len(list_filter(toks, t ->
       |          list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
       |        / len(toks), 6) AS stopword_ratio,
+      |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |        / length(text), 6) AS punct_ratio,
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
       |FROM t""".stripMargin
 

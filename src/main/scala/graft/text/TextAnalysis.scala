@@ -95,6 +95,8 @@ object TextAnalysis {
         .cast("double") / size(toks), 6).as("mean_token_len"),
       round(size(filter(toks, t => array_contains(stopArr, t)))
         .cast("double") / size(toks), 6).as("stopword_ratio"),
+      round(size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+        .cast("double") / length(col("text")), 6).as("punct_ratio"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("n_bpe_tokens"))
   }
