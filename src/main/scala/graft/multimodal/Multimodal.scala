@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** An opaque media payload with typed metadata — the multimodal column
@@ -140,6 +140,6 @@ object Multimodal {
         md5(col("frame")).as("checksum"))
 
   /** Convenience: full stub pipeline as a DataFrame for ad-hoc use. */
-  def features(spark: SparkSession, documents: DataFrame): DataFrame =
+  def features(documents: DataFrame): DataFrame =
     extractFeatures(assets(documents)).toDF()
 }

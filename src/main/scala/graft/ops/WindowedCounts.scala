@@ -33,19 +33,15 @@ object WindowedCounts {
     when(denominator > 0, numerator.cast("double") / denominator.cast("double"))
       .otherwise(0.0)
 
-  /**
-   * A1-A4: tumble + two distinct counts + ctr. `groupKey` is the raw
-   * grouping expression; `keyOut` the projected name.
-   */
-  def ctrAgg(joined: DataFrame, groupKey: Column, keyOut: String,
-             timeCol: Column, windowLength: String,
-             distinctA: Column, distinctB: Column,
-             withRatio: Boolean): DataFrame = {
+  /** Shared scaffolding of the exact and sketch variants: tumble + two
+    * count aggregates + window-bound projection + optional ctr. */
+  private def windowedAgg(joined: DataFrame, groupKey: Column, keyOut: String,
+                          timeCol: Column, windowLength: String,
+                          countA: Column, countB: Column,
+                          withRatio: Boolean): DataFrame = {
     val agg = joined
       .groupBy(window(timeCol, windowLength), groupKey.as("__key"))
-      .agg(
-        count_distinct(distinctA).as("impression_count"),
-        count_distinct(distinctB).as("click_count"))
+      .agg(countA.as("impression_count"), countB.as("click_count"))
     val base = agg.select(
       col("window.start").as("window_start"),
       col("window.end").as("window_end"),
@@ -56,6 +52,17 @@ object WindowedCounts {
       base.withColumn("ctr", guardedRatio(col("click_count"), col("impression_count")))
     else base
   }
+
+  /**
+   * A1-A4: tumble + two distinct counts + ctr. `groupKey` is the raw
+   * grouping expression; `keyOut` the projected name.
+   */
+  def ctrAgg(joined: DataFrame, groupKey: Column, keyOut: String,
+             timeCol: Column, windowLength: String,
+             distinctA: Column, distinctB: Column,
+             withRatio: Boolean): DataFrame =
+    windowedAgg(joined, groupKey, keyOut, timeCol, windowLength,
+      count_distinct(distinctA), count_distinct(distinctB), withRatio)
 
   /**
    * Sketch twin of [[ctrAgg]]: HLL++ `approx_count_distinct` instead of
@@ -71,20 +78,8 @@ object WindowedCounts {
   def ctrAggApprox(joined: DataFrame, groupKey: Column, keyOut: String,
                    timeCol: Column, windowLength: String,
                    distinctA: Column, distinctB: Column,
-                   withRatio: Boolean, rsd: Double = 0.01): DataFrame = {
-    val agg = joined
-      .groupBy(window(timeCol, windowLength), groupKey.as("__key"))
-      .agg(
-        approx_count_distinct(distinctA, rsd).as("impression_count"),
-        approx_count_distinct(distinctB, rsd).as("click_count"))
-    val base = agg.select(
-      col("window.start").as("window_start"),
-      col("window.end").as("window_end"),
-      col("__key").as(keyOut),
-      col("impression_count"),
-      col("click_count"))
-    if (withRatio)
-      base.withColumn("ctr", guardedRatio(col("click_count"), col("impression_count")))
-    else base
-  }
+                   withRatio: Boolean, rsd: Double = 0.01): DataFrame =
+    windowedAgg(joined, groupKey, keyOut, timeCol, windowLength,
+      approx_count_distinct(distinctA, rsd), approx_count_distinct(distinctB, rsd),
+      withRatio)
 }

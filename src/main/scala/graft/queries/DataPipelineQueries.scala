@@ -28,11 +28,20 @@ object DataPipelineQueries {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(docs(spark, sfDir))
 
+  /** One persisted word-3-gram shingle index per (session, sfDir), shared
+    * by the MinHash and exact-Jaccard dedup queries — both would otherwise
+    * tokenize the whole corpus independently. */
+  private def sharedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "shingles3")(
+      Dedup.shingleSet(docs(spark, sfDir), n = 3))
+
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.nearDupMinhashLsh(docs(spark, sfDir))
+    Dedup.nearDupMinhashLsh(docs(spark, sfDir),
+      sharedShingles = Some(sharedShingles(spark, sfDir)))
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairsExact(docs(spark, sfDir))
+    Dedup.jaccardPairsExact(docs(spark, sfDir),
+      sharedShingles = Some(sharedShingles(spark, sfDir)))
 
   def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.simhash(docs(spark, sfDir))

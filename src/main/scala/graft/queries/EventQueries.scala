@@ -3,7 +3,6 @@ package graft.queries
 import graft.ops.{AnomalyDetect, IntervalJoin, WindowedCounts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * The reference's ad-analytics pipelines (flink/flink_job.sql,
@@ -29,22 +28,16 @@ import org.apache.spark.storage.StorageLevel
 object EventQueries {
 
   /**
-   * Per-(session, sfDir) memo of shared intermediate frames, persisted
-   * MEMORY_AND_DISK. This is the batch analogue of the reference's two
-   * sharing edges: the STATEMENT SET's shared scan+join feeding both
-   * INSERTs (flink/flink_job.sql:74-120, T4) and the `ctr_results` Kafka
-   * topic feeding the anomaly job (flink/anomaly_job.sql:21, T5). Without
-   * it each registry query re-ran the full scan+join+agg — at 100 TB that
-   * doubles the most expensive job. Keyed by session so a restarted
-   * session rebuilds cleanly.
+   * Shared intermediate frames (see [[SharedFrames]]): the batch analogue
+   * of the reference's two sharing edges — the STATEMENT SET's shared
+   * scan+join feeding both INSERTs (flink/flink_job.sql:74-120, T4) and
+   * the `ctr_results` Kafka topic feeding the anomaly job
+   * (flink/anomaly_job.sql:21, T5). Without it each registry query re-ran
+   * the full scan+join+agg — at 100 TB that doubles the most expensive job.
    */
-  private val shared =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
   private def memo(spark: SparkSession, sfDir: String, tag: String)
                   (build: => DataFrame): DataFrame =
-    shared.computeIfAbsent((spark, sfDir, tag),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    SharedFrames.memo(spark, sfDir, tag)(build)
 
   private def deviceExpr = when(col("value") < 50, "mobile")
     .when(col("value") < 100, "desktop")

@@ -24,17 +24,22 @@ object JsonStreams {
    *
    * Parse-error skip: Flink's `json.ignore-parse-errors` silently drops
    * records that are not valid JSON but keeps valid records with missing
-   * fields (as NULLs). Spark's `from_json` in PERMISSIVE mode never returns
-   * a NULL struct — malformed input yields an all-NULL row — so the exact
-   * analogue is to drop rows where every decoded field is NULL (a valid
-   * record with SOME fields survives, as in Flink).
+   * fields (as NULLs). `from_json` in PERMISSIVE mode yields an all-NULL
+   * row for malformed input — indistinguishable from the valid record
+   * `{}` — so the schema carries a corrupt-record column: it is non-NULL
+   * exactly for unparseable lines, which are dropped; every valid record,
+   * including all-NULL ones, survives. Exactly Flink's semantics.
    */
   def decode(raw: DataFrame, schema: StructType): DataFrame = {
-    val decoded = raw.select(from_json(col("value").cast("string"), schema).as("e"))
-    val anyFieldSet = schema.fieldNames
-      .map(f => col("e").getField(f).isNotNull)
-      .reduce(_ || _)
-    decoded.filter(anyFieldSet).select("e.*")
+    val corrupt = "__corrupt_record"
+    val withCorrupt = StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        corrupt, org.apache.spark.sql.types.StringType))
+    raw
+      .select(from_json(col("value").cast("string"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)).as("e"))
+      .filter(col("e").getField(corrupt).isNull)
+      .select(schema.fieldNames.map(f => col("e").getField(f).as(f)).toIndexedSeq: _*)
   }
 
   /**

@@ -59,17 +59,24 @@ object StreamingJobs {
    *   This is inherent to chaining event-time jobs through a topic (the
    *   reference has the same property across its Kafka hop); the default
    *   covers the 10-minute join bound plus a minute of batch advance.
+   * @param maxFilesPerTrigger caps per-batch source ingestion. The
+   *   chained-delay bound above only holds if no single batch advances
+   *   the watermark too far; an unthrottled catch-up after an outage
+   *   would ingest hours of backlog in one batch and silently drop every
+   *   late-evicted outer-join row downstream. Topic files are appended in
+   *   rough time order, so bounding files-per-trigger bounds the advance.
    */
   def runMainJob(spark: SparkSession, imprTopic: String, clickTopic: String,
                  workDir: String,
                  watermarkDelay: String = "5 seconds",
                  joinInterval: String = "INTERVAL 10 MINUTES",
                  windowLength: String = "1 minute",
-                 chainedWatermarkDelay: String = "11 minutes"): Seq[StreamingQuery] = {
-    val impressions =
-      JsonStreams.decode(spark.readStream.text(imprTopic), AdModel.impressionSchema)
-    val clicks =
-      JsonStreams.decode(spark.readStream.text(clickTopic), AdModel.clickSchema)
+                 chainedWatermarkDelay: String = "11 minutes",
+                 maxFilesPerTrigger: Int = 8): Seq[StreamingQuery] = {
+    def readValues(topic: String) = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).text(topic)
+    val impressions = JsonStreams.decode(readValues(imprTopic), AdModel.impressionSchema)
+    val clicks = JsonStreams.decode(readValues(clickTopic), AdModel.clickSchema)
 
     val joined = StreamingPipelines.joinedStream(
       impressions, clicks, joinInterval, watermarkDelay)

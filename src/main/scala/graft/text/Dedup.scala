@@ -117,13 +117,16 @@ object Dedup {
    * engine-portable comparison.
    */
   def nearDupMinhashLsh(docs: DataFrame, shingleWidth: Int = 3, k: Int = 8,
-                        bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                        bands: Int = 4, threshold: Double = 0.5,
+                        sharedShingles: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible into $bands bands")
     // The shingle index feeds four consumers (signature, both intersection
     // sides, sizes); without persistence each one re-tokenizes the whole
-    // corpus — at 100 TB the dominant cost. Caller-scoped cache (LRU-evicted
-    // with the session); a production pipeline would write it to a table.
-    val shd = shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK)
+    // corpus — at 100 TB the dominant cost. Callers running several dedup
+    // operators pass one shared (already-persisted) index via
+    // `sharedShingles`; a production pipeline would write it to a table.
+    val shd = sharedShingles.getOrElse(
+      shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
     val cand = lshCandidates(minhashSignature(shd, k), bands, k / bands)
     jaccardForPairs(cand, shd)
       .filter(col("jaccard") >= threshold)
@@ -136,8 +139,10 @@ object Dedup {
    * jaccard is 0 and can't pass a positive threshold).
    */
   def jaccardPairsExact(docs: DataFrame, shingleWidth: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    val shd = shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK)
+                        threshold: Double = 0.5,
+                        sharedShingles: Option[DataFrame] = None): DataFrame = {
+    val shd = sharedShingles.getOrElse(
+      shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sa = shd.alias("sa")
     val sb = shd.alias("sb")

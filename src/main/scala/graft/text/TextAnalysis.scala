@@ -58,7 +58,6 @@ object TextAnalysis {
     val sh = docs
       .select(col("doc_id"),
         posexplode(TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)))
-      .withColumnRenamed("pos", "pos")
       .withColumn("h", TextOps.saltedHash(0, col("col")))
     val perDoc = Window.partitionBy(col("doc_id"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
