@@ -217,8 +217,11 @@ object DataPipelineQueries {
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-       |bk AS (
+       |bk0 AS (
        |  $tables),
+       |bk AS (SELECT * FROM (SELECT vec_id, tbl, bucket,
+       |    count(*) OVER (PARTITION BY tbl, bucket) n FROM bk0)
+       |  WHERE n <= 1000),
        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
        |  FROM bk a JOIN bk b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
