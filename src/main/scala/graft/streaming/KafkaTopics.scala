@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/**
+ * Real Kafka transport for the pipelines (SURVEY §2.1 S1-S3, S7-S9) —
+ * the production twin of the file-backed topics in [[JsonStreams]].
+ *
+ * Requires the `spark-sql-kafka-0-10` connector on the classpath (not
+ * present in this container, which is why every test runs over file/
+ * memory transports — the decode/encode halves are transport-agnostic and
+ * fully tested there). With the connector present, swapping a file topic
+ * for Kafka is exactly these helpers: same [[JsonStreams.decode]] /
+ * [[JsonStreams.encode]] on either side.
+ *
+ * Reference mappings:
+ *  - `scan.startup.mode = earliest-offset` (flink/flink_job.sql:20) →
+ *    `startingOffsets = earliest`
+ *  - `scan.startup.mode = latest-offset` (flink/anomaly_job.sql:24) →
+ *    `startingOffsets = latest`
+ *  - `sink.partitioner = round-robin` (flink/flink_job.sql:56) → Spark's
+ *    default partitioning when no `key` column is attached
+ */
+object KafkaTopics {
+
+  /** S1-S3: subscribe + declared-schema JSON decode with parse-error skip. */
+  def readTopic(spark: SparkSession, bootstrapServers: String, topic: String,
+                schema: StructType,
+                startingOffsets: String = "earliest"): DataFrame =
+    JsonStreams.decode(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load()
+        .select("value"),
+      schema)
+
+  /** S7-S9: JSON-encode all columns into `value` and write to a topic. */
+  def writeTopic(df: DataFrame, bootstrapServers: String, topic: String,
+                 checkpoint: String): StreamingQuery = {
+    val writer: DataStreamWriter[Row] = JsonStreams.encode(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    writer.start()
+  }
+}

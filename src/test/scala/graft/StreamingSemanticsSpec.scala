@@ -65,6 +65,46 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-phase distinct rewrite is exact under join fan-out (3 clicks, 1 impression)") {
+    // the generator emits <= 1 click per impression, so the golden parity
+    // test never exercises fan-out; here one impression matches three
+    // distinct clicks inside the bound and a single count(*) over joined
+    // rows would report 3 impressions — the two-phase form must say (1, 3)
+    val imprStream = MemoryStream[String](spark)
+    val clickStream = MemoryStream[String](spark)
+    val h = 3600000L
+    def impr(id: String, ts: Long) =
+      s"""{"impression_id":"$id","user_id":"u","campaign_id":"camp-1","ad_id":"ad-1","device_type":"mobile","browser":"chrome","event_timestamp":$ts,"cost":0.1}"""
+    def clkFor(id: String, imprId: String, ts: Long) =
+      s"""{"click_id":"$id","impression_id":"$imprId","user_id":"u","event_timestamp":$ts}"""
+
+    val joined = StreamingPipelines.joinedStream(
+      JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
+      JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
+      watermarkDelay = "2 seconds")
+    val q = StreamingPipelines.ctrByCampaign(joined)
+      .writeStream.format("memory").queryName("fanout_ctr")
+      .outputMode("append").start()
+    try {
+      imprStream.addData(impr("a", h), impr("b", h + 5000L))
+      clickStream.addData(
+        clkFor("k1", "a", h + 1000L), clkFor("k2", "a", h + 2000L),
+        clkFor("k3", "a", h + 3000L))
+      q.processAllAvailable()
+      (1 to 3).foreach { s =>
+        imprStream.addData(impr(s"s$s", h + s * 86400000L))
+        clickStream.addData(clkFor(s"ks$s", "none", h + s * 86400000L))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("fanout_ctr")
+        .filter(col("window_start") < to_timestamp(lit("1970-01-02"))).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("impression_count") == 2L) // a and b, not 4
+      assert(rows.head.getAs[Long]("click_count") == 3L)
+      assert(rows.head.getAs[Double]("ctr") == 1.5)
+    } finally q.stop()
+  }
+
   test("streaming pipeline clears the reference's ~55 ev/s envelope") {
     // 20 minutes × 5 campaigns × 60 impressions (+clicks) ≈ 6.6k events
     val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 20,
