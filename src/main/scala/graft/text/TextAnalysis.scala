@@ -53,7 +53,18 @@ object TextAnalysis {
    * tokens have no complete frame and are absent.
    */
   def winnowingFingerprint(docs: DataFrame, shingleWidth: Int = 3,
-                           window: Int = 4): DataFrame = {
+                           window: Int = 4): DataFrame =
+    winnowingPicks(docs, shingleWidth, window)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        md5(concat_ws("", array_sort(collect_list(col("wmin"))))).as("fingerprint"))
+
+  /** The distinct picked window-min hashes per document — the raw
+    * fingerprint SET behind [[winnowingFingerprint]]; two documents
+    * sharing any ≥ window+shingleWidth−1-token run share a pick. */
+  def winnowingPicks(docs: DataFrame, shingleWidth: Int = 3,
+                     window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col("doc_id"),
@@ -67,10 +78,6 @@ object TextAnalysis {
       .withColumn("wmin", min(col("h")).over(frame))
       .filter(col("pos") <= col("m") - window)
       .select(col("doc_id"), col("wmin")).distinct()
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_fingerprints"),
-        md5(concat_ws("", array_sort(collect_list(col("wmin"))))).as("fingerprint"))
   }
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")

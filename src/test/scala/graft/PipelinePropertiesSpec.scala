@@ -36,6 +36,32 @@ class PipelinePropertiesSpec extends SparkSpec {
       imp.event_timestamp + delay))
   } yield (imps, clicks)
 
+  test("winnowing guarantee: docs sharing a long run always share a pick") {
+    // MOSS guarantee: any common run of >= window + shingleWidth - 1 = 6
+    // tokens forces at least one common window-min hash
+    import graft.text.TextAnalysis
+    val word = Gen.choose('a', 'z').map(c => s"w$c")
+    val docPair = for {
+      shared <- Gen.listOfN(8, word) // 8-token shared run > 6 guarantee bound
+      pre1 <- Gen.listOfN(5, word)
+      post1 <- Gen.listOfN(5, word)
+      pre2 <- Gen.listOfN(7, word)
+      post2 <- Gen.listOfN(3, word)
+    } yield (
+      (pre1 ++ shared ++ post1).mkString(" "),
+      (pre2 ++ shared ++ post2).mkString(" "))
+    (1 to 8).foreach { i =>
+      val (t1, t2) = docPair(Gen.Parameters.default, Seed(7L * i))
+        .getOrElse(fail(s"no sample for seed ${7 * i}"))
+      val picks = TextAnalysis.winnowingPicks(
+        Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"))
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(_.getAs[String]("wmin")).toSet).toMap
+      assert((picks(1L) & picks(2L)).nonEmpty,
+        s"no shared pick for seed ${7 * i}: '$t1' vs '$t2'")
+    }
+  }
+
   test("invariants hold for arbitrary event sets") {
     (1 to 10).foreach { i =>
       val (imps, clicks) = eventSetGen(Gen.Parameters.default, Seed(42L + i))
