@@ -51,25 +51,33 @@ object StreamingEventGenerator {
              clickRatio: Double = 0.1, ctrCap: Double = 0.6,
              simMsPerRow: Long = 0L)
       : (DataFrame, DataFrame) = {
-    val msPerRow = if (simMsPerRow > 0) simMsPerRow else 1000L / rowsPerSecond
+    // double-based pacing: integer 1000/rate would be 0 above 1000 rows/s
+    // (frozen event time, watermark never advances) and ~2x off for 501-999
+    val msPerRowExpr =
+      if (simMsPerRow > 0) col("idx") * simMsPerRow
+      else (col("idx") * (1000.0 / rowsPerSecond)).cast("long")
+    // independent per-attribute draws (distinct salts) — raw idx moduli
+    // would arithmetically correlate campaign/device/user the way the
+    // reference's independent random.choice calls never do
+    def pick(salt: Int, n: Int) = pmod(xxhash64(col("idx"), lit(salt)), lit(n)) + 1
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond)
       .load()
       .select(col("value").as("idx"))
-      .withColumn("event_timestamp", lit(startMs) + col("idx") * msPerRow)
+      .withColumn("event_timestamp", lit(startMs) + msPerRowExpr)
       .withColumn("minute", ((col("event_timestamp") - startMs) / 60000L).cast("long"))
       .withColumn("campaign_id",
-        concat(lit("camp-"), (pmod(col("idx"), lit(campaigns)) + 1).cast("string")))
+        concat(lit("camp-"), pick(10, campaigns).cast("string")))
 
     val impressions = base.select(
       concat(lit("imp-"), col("idx")).as("impression_id"),
-      concat(lit("user-"), pmod(col("idx"), lit(10000)) + 1).as("user_id"),
+      concat(lit("user-"), pick(11, 10000)).as("user_id"),
       col("campaign_id"),
-      concat(lit("ad-"), pmod(col("idx"), lit(100)) + 1).as("ad_id"),
+      concat(lit("ad-"), pick(12, 100)).as("ad_id"),
       element_at(array(lit("mobile"), lit("desktop"), lit("tablet")),
-        (pmod(col("idx"), lit(3)) + 1).cast("int")).as("device_type"),
+        pick(13, 3).cast("int")).as("device_type"),
       element_at(array(lit("chrome"), lit("safari"), lit("firefox"), lit("edge")),
-        (pmod(col("idx"), lit(4)) + 1).cast("int")).as("browser"),
+        pick(14, 4).cast("int")).as("browser"),
       col("event_timestamp"),
       lit(new java.math.BigDecimal("0.25")).as("cost"))
 
@@ -79,7 +87,9 @@ object StreamingEventGenerator {
       .select(
         concat(lit("clk-"), col("idx")).as("click_id"),
         concat(lit("imp-"), col("idx")).as("impression_id"),
-        concat(lit("user-"), pmod(col("idx"), lit(10000)) + 1).as("user_id"),
+        // same salt as the impression side: the click copies the
+        // impression's user (generate_events.py:149)
+        concat(lit("user-"), pick(11, 10000)).as("user_id"),
         (col("event_timestamp") + 500L +
           pmod(xxhash64(col("idx"), lit(2)), lit(9500L))).as("event_timestamp"))
 

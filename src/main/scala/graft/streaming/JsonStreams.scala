@@ -22,24 +22,41 @@ object JsonStreams {
   /**
    * S4: decode a Kafka-shaped frame (`value` string/binary) into typed rows.
    *
-   * Parse-error skip: Flink's `json.ignore-parse-errors` silently drops
-   * records that are not valid JSON but keeps valid records with missing
-   * fields (as NULLs). `from_json` in PERMISSIVE mode yields an all-NULL
-   * row for malformed input — indistinguishable from the valid record
-   * `{}` — so the schema carries a corrupt-record column: it is non-NULL
-   * exactly for unparseable lines, which are dropped; every valid record,
-   * including all-NULL ones, survives. Exactly Flink's semantics.
+   * Parse-error skip, matching Flink's `json.ignore-parse-errors` class by
+   * class:
+   *  - NULL values (Kafka tombstones) → dropped;
+   *  - unparseable lines → dropped;
+   *  - valid JSON with missing fields → kept, missing fields NULL;
+   *  - valid JSON with a wrong-typed field → kept, only that field NULL
+   *    (Flink nulls the bad field; Spark's PERMISSIVE `from_json` corrupts
+   *    the whole row, so corrupt rows are salvaged per-field via
+   *    `get_json_object` + cast, which nulls only what doesn't convert).
+   *
+   * The corrupt-record column distinguishes "malformed" from "valid but
+   * all fields NULL" ({} survives, garbage doesn't); `get_json_object
+   * (value, '$')` distinguishes salvageable valid-JSON rows from truly
+   * unparseable ones.
    */
   def decode(raw: DataFrame, schema: StructType): DataFrame = {
     val corrupt = "__corrupt_record"
     val withCorrupt = StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
         corrupt, org.apache.spark.sql.types.StringType))
-    raw
-      .select(from_json(col("value").cast("string"), withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)).as("e"))
-      .filter(col("e").getField(corrupt).isNull)
-      .select(schema.fieldNames.map(f => col("e").getField(f).as(f)).toIndexedSeq: _*)
+    val parsed = raw
+      .filter(col("value").isNotNull)
+      .select(col("value").cast("string").as("__v"))
+      .withColumn("e", from_json(col("__v"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+    val clean = col("e").getField(corrupt).isNull
+    parsed
+      .filter(clean || get_json_object(col("__v"), "$").isNotNull)
+      .select(schema.fields.map { f =>
+        when(clean, col("e").getField(f.name))
+          // try_cast: an unconvertible field nulls out instead of failing
+          // the query under ANSI mode — that IS the Flink behavior
+          .otherwise(get_json_object(col("__v"), s"$$.${f.name}").try_cast(f.dataType))
+          .as(f.name)
+      }.toIndexedSeq: _*)
   }
 
   /**

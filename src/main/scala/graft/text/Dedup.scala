@@ -36,6 +36,19 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("fingerprint"), col("group_size"))
 
+  /** A caller-supplied shared shingle index must match the requested
+    * width, or jaccard values would silently be computed over the wrong
+    * n-grams — checked against the first row's token count. */
+  private def requireWidth(shingles: DataFrame, n: Int): DataFrame = {
+    val sample = shingles
+      .select(size(split(col("shingle"), " ", -1)).as("w")).limit(1).collect()
+    sample.headOption.foreach { r =>
+      require(r.getInt(0) == n,
+        s"shared shingle index has width ${r.getInt(0)}, expected $n")
+    }
+    shingles
+  }
+
   /** Distinct (doc_id, shingle) pairs for word n-gram shingles. */
   def shingleSet(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -125,7 +138,7 @@ object Dedup {
     // corpus — at 100 TB the dominant cost. Callers running several dedup
     // operators pass one shared (already-persisted) index via
     // `sharedShingles`; a production pipeline would write it to a table.
-    val shd = sharedShingles.getOrElse(
+    val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
       shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
     val cand = lshCandidates(minhashSignature(shd, k), bands, k / bands)
     jaccardForPairs(cand, shd)
@@ -141,7 +154,7 @@ object Dedup {
   def jaccardPairsExact(docs: DataFrame, shingleWidth: Int = 3,
                         threshold: Double = 0.5,
                         sharedShingles: Option[DataFrame] = None): DataFrame = {
-    val shd = sharedShingles.getOrElse(
+    val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
       shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sa = shd.alias("sa")

@@ -117,12 +117,19 @@ class StreamingParitySpec extends SparkSpec {
     val raw = Seq(
       """{"impression_id":"a","user_id":"u","campaign_id":"c1","ad_id":"ad","device_type":"mobile","browser":"chrome","event_timestamp":1000,"cost":0.1}""",
       """not json at all{{{""",
-      """{"impression_id":"b","campaign_id":"c2"}""" // valid, missing fields
+      """{"impression_id":"b","campaign_id":"c2"}""", // valid, missing fields
+      """{"impression_id":"c","event_timestamp":"oops"}""", // wrong-typed field
+      """{}""", // valid and empty → kept as all-NULL (Flink does too)
+      null // Kafka tombstone → dropped
     ).toDF("value")
     val got = JsonStreams.decode(raw, AdModel.impressionSchema)
-    assert(got.count() == 2)
+    assert(got.count() == 4)
     val b = got.filter(col("impression_id") === "b").collect().head
     assert(b.getAs[String]("campaign_id") == "c2" && b.isNullAt(b.fieldIndex("user_id")))
+    // Flink's json.ignore-parse-errors nulls just the unconvertible field
+    val c = got.filter(col("impression_id") === "c").collect().head
+    assert(c.isNullAt(c.fieldIndex("event_timestamp")))
+    assert(got.filter(col("impression_id").isNull).count() == 1) // the {} row
   }
 
   test("encode wraps every column into a single JSON value column (S7-S9)") {
