@@ -25,12 +25,10 @@ object EventTime {
                     eventTimeCol: String = "event_time"): DataFrame =
     df.withColumn(eventTimeCol, timestamp_millis(col(millisCol)))
 
-  /** S6: alias an existing timestamp column as the event-time column. */
-  def eventTimeFrom(df: DataFrame, sourceCol: String,
-                    eventTimeCol: String = "event_time"): DataFrame =
-    df.withColumn(eventTimeCol, col(sourceCol))
-
-  /** T1: watermark for streaming inputs; identity for batch DataFrames. */
+  /** T1: watermark for streaming inputs; identity for batch DataFrames.
+    * S6 (`event_time AS window_end`, flink/anomaly_job.sql:16) is
+    * expressed by watermarking that column directly — see
+    * [[graft.streaming.StreamingAnomaly.alerts]]. */
   def watermarked(df: DataFrame, delay: String,
                   eventTimeCol: String = "event_time"): DataFrame =
     if (df.isStreaming) df.withWatermark(eventTimeCol, delay) else df

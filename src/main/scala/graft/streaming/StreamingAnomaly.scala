@@ -82,8 +82,9 @@ object StreamingAnomaly {
   def alerts(ctr: DataFrame, watermarkDelay: String = "5 seconds"): Dataset[AnomalyAlert] = {
     val spark = ctr.sparkSession
     import spark.implicits._
-    val timed =
-      if (ctr.isStreaming) ctr.withWatermark("window_end", watermarkDelay) else ctr
+    // S6: event time IS window_end (flink/anomaly_job.sql:16) — watermark
+    // directly on it; no-op in batch
+    val timed = graft.ops.EventTime.watermarked(ctr, watermarkDelay, "window_end")
     timed
       .select("window_start", "window_end", "campaign_id",
         "impression_count", "click_count", "ctr")
