@@ -95,9 +95,14 @@ object DataPipelineQueries {
     val mins = (0 until 8).map(i =>
       s"min(substr(md5('${i / 4}:'||shingle), ${1 + 8 * (i % 4)}, 8)) h$i")
       .mkString(",\n  ")
-    val bands = (0 until 4).map(b =>
+    val bands0 = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
       .mkString("\n  UNION ALL ")
+    val bands =
+      s"""SELECT doc_id, band, bkey FROM (SELECT doc_id, band, bkey,
+         |    count(*) OVER (PARTITION BY band, bkey) n FROM (
+         |  $bands0))
+         |  WHERE n <= 1000""".stripMargin
     s"""$shingleCtes,
        |mh AS (SELECT doc_id,
        |  $mins

@@ -82,8 +82,15 @@ object Dedup {
    * must equal the signature width. The self-join shuffles on (band,
    * band-key) — identical signatures land in the same bucket; random
    * pairs collide with probability ~jaccard^rowsPerBand per band.
+   *
+   * Skew defense (same trade as the sign-LSH cap): a mass-duplicate class
+   * — millions of copies of one boilerplate text at 100 TB — puts one
+   * signature in one bucket and makes the pair join quadratic in class
+   * size. Buckets over `maxBucketSize` are dropped; collapse exact
+   * duplicates first (see [[exact]]) when mass duplication is expected.
    */
-  def lshCandidates(signature: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signature: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 1000): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
@@ -91,6 +98,11 @@ object Dedup {
     val banded = signature
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
