@@ -95,6 +95,9 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
     }
+    // persisted: both sides of the self-join consume this frame — without
+    // the cache the signature expansion AND the bucket-size window run
+    // twice (one row per (doc, band): tiny relative to the shingle index)
     val banded = signature
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -103,6 +106,7 @@ object Dedup {
           .partitionBy(col("band"), col("bkey"))))
       .filter(col("__n") <= maxBucketSize)
       .drop("__n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
