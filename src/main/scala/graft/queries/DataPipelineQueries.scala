@@ -28,12 +28,23 @@ object DataPipelineQueries {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(docs(spark, sfDir))
 
-  /** One persisted word-3-gram shingle index per (session, sfDir), shared
-    * by the MinHash and exact-Jaccard dedup queries — both would otherwise
-    * tokenize the whole corpus independently. */
+  /** One persisted word-3-gram per-doc shingle-array frame per (session,
+    * sfDir), shared by the MinHash and exact-Jaccard dedup queries — both
+    * would otherwise tokenize the whole corpus independently, and the
+    * exact-Jaccard self-join NEEDS a materialized input (recomputing the
+    * explode on both sides mis-plans and double-scans). The build is
+    * spread to full parallelism first: a small single-row-group parquet
+    * arrives as ONE scan split, which would otherwise serialize the
+    * tokenize+cache work on one core; at real scale the scan already
+    * yields >= defaultParallelism splits and the repartition short-circuits
+    * to a no-op. */
   private def sharedShingles(spark: SparkSession, sfDir: String): DataFrame =
-    SharedFrames.memo(spark, sfDir, "shingles3")(
-      Dedup.shingleSet(docs(spark, sfDir), n = 3))
+    SharedFrames.memo(spark, sfDir, "shingleArrays3") {
+      val d = docs(spark, sfDir)
+      val par = spark.sparkContext.defaultParallelism
+      val spread = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+      Dedup.shingleArrays(spread, n = 3)
+    }
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.nearDupMinhashLsh(docs(spark, sfDir),
@@ -276,7 +287,7 @@ object DataPipelineQueries {
     """WITH e AS (SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS INT) k FROM events)
       |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
-      |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
       |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
       |FROM e GROUP BY event_type""".stripMargin
 

@@ -11,13 +11,17 @@ import org.apache.spark.storage.StorageLevel
  *  - [[exact]]: hash-groupBy exact dedup (one shuffle on the content
  *    fingerprint, map-side partial aggregation).
  *  - [[nearDupMinhashLsh]]: MinHash + banded LSH near-dup detection.
- *    Shuffles on band keys only — candidate generation never compares
- *    all pairs, so cost is linear in corpus size plus the (data-bounded)
- *    within-bucket pair count. This is THE scale path.
+ *    The per-document shingle SET is kept as an array column, so the
+ *    whole signature pass is map-side (array_min over the array — no
+ *    explode, no shuffle); only the band-bucket join shuffles, and it
+ *    never compares all pairs. Candidate verification fetches the two
+ *    shingle arrays by doc_id and intersects them per-row. This is THE
+ *    scale path: corpus-linear, one narrow scan + small-key shuffles.
  *  - [[jaccardPairsExact]]: exact n-gram Jaccard via a shingle inverted
- *    index. Ground truth for LSH recall tests and for small/medium
- *    corpora; at 100 TB the hot-shingle join term makes LSH the right
- *    tool (or pre-filter stop-shingles by document frequency).
+ *    index (explode of the same arrays). Ground truth for LSH recall
+ *    tests and for small/medium corpora; at 100 TB the hot-shingle join
+ *    term makes LSH the right tool (or pre-filter stop-shingles by
+ *    document frequency).
  *
  * Every step is Catalyst built-ins over the portable hash family
  * ([[TextOps.saltedHash]]), so the full pipelines — including MinHash
@@ -36,44 +40,60 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("fingerprint"), col("group_size"))
 
+  /**
+   * (doc_id, sh) with sh the DISTINCT word n-gram shingle set as an array
+   * column — pure narrow projection, no shuffle. This is the shared
+   * upstream of both near-dup operators; callers running several dedup
+   * passes persist it once (a production pipeline would write it to a
+   * table). Documents with no complete shingle keep an empty array.
+   */
+  def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)).as("sh"))
+
+  /** Distinct (doc_id, shingle) pairs — the exploded inverted-index view
+    * of [[shingleArrays]] (rows already distinct: the arrays are sets). */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    explodeShingles(shingleArrays(docs, n))
+
+  private def explodeShingles(docShingles: DataFrame): DataFrame =
+    docShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+
   /** A caller-supplied shared shingle index must match the requested
     * width, or jaccard values would silently be computed over the wrong
-    * n-grams — checked against the first row's token count. */
-  private def requireWidth(shingles: DataFrame, n: Int): DataFrame = {
-    val sample = shingles
-      .select(size(split(col("shingle"), " ", -1)).as("w")).limit(1).collect()
+    * n-grams — checked against the first non-empty row's token count. */
+  private def requireWidth(docShingles: DataFrame, n: Int): DataFrame = {
+    val sample = docShingles.filter(size(col("sh")) > 0)
+      .select(size(split(element_at(col("sh"), 1), " ", -1)).as("w"))
+      .limit(1).collect()
     sample.headOption.foreach { r =>
       require(r.getInt(0) == n,
         s"shared shingle index has width ${r.getInt(0)}, expected $n")
     }
-    shingles
+    docShingles
   }
 
-  /** Distinct (doc_id, shingle) pairs for word n-gram shingles. */
-  def shingleSet(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
-      .distinct()
-
   /**
-   * k lexicographic-min MinHashes per document, columns h0..h{k-1}. Hash
-   * family: each salted md5 yields FOUR independent 32-bit lanes (disjoint
-   * 8-hex-char slices), so k lanes cost only ⌈k/4⌉ md5 evaluations per
-   * shingle — md5 is the per-row CPU cost of the whole signature pass, and
-   * the slicing is portable (DuckDB `substr(md5(...))` is byte-identical).
-   * The bases are projected once before the aggregation so each md5 is
-   * computed exactly once per row. One shuffle; the k mins combine
-   * map-side.
+   * k lexicographic-min MinHashes per document, columns h0..h{k-1},
+   * computed map-side from the shingle array (array_min over a transform)
+   * — no explode, no aggregation shuffle. Hash family: each salted md5
+   * yields FOUR independent 32-bit lanes (disjoint 8-hex-char slices), so
+   * k lanes cost only ⌈k/4⌉ md5 evaluations per shingle — md5 is the
+   * per-row CPU cost of the whole signature pass, and the slicing is
+   * portable (DuckDB `substr(md5(...))` is byte-identical). Documents
+   * with an empty shingle set are excluded (they have no signature),
+   * matching the oracle's `WHERE len(toks) >= n`.
    */
-  def minhashSignature(shingles: DataFrame, k: Int): DataFrame = {
+  def minhashSignature(docShingles: DataFrame, k: Int): DataFrame = {
     val nBase = (k + 3) / 4
-    val withBases = shingles.select(
+    val withBases = docShingles.filter(size(col("sh")) > 0).select(
       col("doc_id") +:
-        (0 until nBase).map(b => TextOps.saltedHash(b, col("shingle")).as(s"__b$b")): _*)
-    val aggs = (0 until k).map(i =>
-      min(substring(col(s"__b${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i"))
-    withBases.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        (0 until nBase).map(b =>
+          transform(col("sh"), s => TextOps.saltedHash(b, s)).as(s"__b$b")): _*)
+    val mins = (0 until k).map(i =>
+      array_min(transform(col(s"__b${i / 4}"),
+        h => substring(h, 1 + 8 * (i % 4), 8))).as(s"h$i"))
+    withBases.select(col("doc_id") +: mins: _*)
   }
 
   /**
@@ -97,7 +117,7 @@ object Dedup {
     }
     // persisted: both sides of the self-join consume this frame — without
     // the cache the signature expansion AND the bucket-size window run
-    // twice (one row per (doc, band): tiny relative to the shingle index)
+    // twice (one row per (doc, band): tiny relative to the corpus)
     val banded = signature
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -117,45 +137,41 @@ object Dedup {
   }
 
   /**
-   * Exact Jaccard for the given candidate pairs, computed from the
-   * shingle sets: |A ∩ B| via a semi-structured double join (candidates
-   * are few; shingle sets are the big side), |A ∪ B| = |A| + |B| - |A ∩ B|.
+   * Exact Jaccard for the given candidate pairs, from the shingle ARRAYS:
+   * two doc_id equi-joins fetch each side's set, then |A ∩ B| is a
+   * per-row array_intersect — no re-shuffle of the corpus-wide inverted
+   * index. Candidates are few (post-LSH), so the optimizer broadcasts
+   * them against the array frame; at scale both joins stay linear.
    */
-  def jaccardForPairs(candidates: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sa = shingles.alias("sa")
-    val sb = shingles.alias("sb")
-    val inter = candidates.alias("cand")
-      .join(sa, col("sa.doc_id") === col("cand.doc_a"))
-      .join(sb, col("sb.doc_id") === col("cand.doc_b") &&
-        col("sb.shingle") === col("sa.shingle"))
-      .groupBy(col("cand.doc_a").as("doc_a"), col("cand.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.alias("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.alias("zb"), col("zb.doc_id") === col("doc_b"))
+  def jaccardForPairs(candidates: DataFrame, docShingles: DataFrame): DataFrame = {
+    val sa = docShingles.select(col("doc_id").as("__ida"), col("sh").as("__sha"))
+    val sb = docShingles.select(col("doc_id").as("__idb"), col("sh").as("__shb"))
+    candidates
+      .join(sa, col("__ida") === col("doc_a"))
+      .join(sb, col("__idb") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
+        size(array_intersect(col("__sha"), col("__shb"))).as("__i"),
+        size(col("__sha")).as("__na"), size(col("__shb")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
   }
 
   /**
-   * Full MinHash-LSH near-dup pipeline: shingle → signature → banded
-   * candidates → exact-Jaccard verify → threshold. Output
-   * (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp for
+   * Full MinHash-LSH near-dup pipeline: shingle arrays → map-side
+   * signature → banded candidates → exact-Jaccard verify → threshold.
+   * Output (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp for
    * engine-portable comparison.
    */
   def nearDupMinhashLsh(docs: DataFrame, shingleWidth: Int = 3, k: Int = 8,
                         bands: Int = 4, threshold: Double = 0.5,
                         sharedShingles: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible into $bands bands")
-    // The shingle index feeds four consumers (signature, both intersection
-    // sides, sizes); without persistence each one re-tokenizes the whole
-    // corpus — at 100 TB the dominant cost. Callers running several dedup
-    // operators pass one shared (already-persisted) index via
-    // `sharedShingles`; a production pipeline would write it to a table.
+    // The array frame feeds the signature pass and both verify sides;
+    // callers running several dedup operators pass one shared
+    // (already-persisted) frame via `sharedShingles`.
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
-      shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
+      shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
     val cand = lshCandidates(minhashSignature(shd, k), bands, k / bands)
     jaccardForPairs(cand, shd)
       .filter(col("jaccard") >= threshold)
@@ -165,16 +181,18 @@ object Dedup {
   /**
    * Exact all-pairs n-gram Jaccard >= threshold via the shingle inverted
    * index (pairs sharing zero shingles are never materialized — their
-   * jaccard is 0 and can't pass a positive threshold).
+   * jaccard is 0 and can't pass a positive threshold). Set sizes come
+   * from the array column directly — no counting aggregation.
    */
   def jaccardPairsExact(docs: DataFrame, shingleWidth: Int = 3,
                         threshold: Double = 0.5,
                         sharedShingles: Option[DataFrame] = None): DataFrame = {
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
-      shingleSet(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sa = shd.alias("sa")
-    val sb = shd.alias("sb")
+      shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
+    val inv = explodeShingles(shd)
+    val sizes = shd.select(col("doc_id"), size(col("sh")).as("n"))
+    val sa = inv.alias("sa")
+    val sb = inv.alias("sb")
     val inter = sa
       .join(sb, col("sb.shingle") === col("sa.shingle") &&
         col("sa.doc_id") < col("sb.doc_id"))

@@ -20,24 +20,9 @@ object ProfileMinhash {
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup")(docs.count())
-    time("shingleSet no persist")(Dedup.shingleSet(docs, 3).count())
-    time("shingleSet no persist 2nd")(Dedup.shingleSet(docs, 3).count())
-    locally {
-      import org.apache.spark.sql.functions._
-      import graft.text.TextOps
-      val toks = TextOps.tokens(col("text"))
-      val alt = docs.select(col("doc_id"),
-        explode(when(size(toks) >= 3,
-          transform(sequence(lit(0), size(toks) - 3),
-            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-              element_at(toks, i + 3))))
-          .otherwise(lit(Array.empty[String]))).as("shingle"))
-        .distinct()
-      time("shingleSet element_at variant")(alt.count())
-      time("shingleSet element_at variant 2nd")(alt.count())
-    }
-    val shd = time("shingleSet build+persist") {
-      val s = Dedup.shingleSet(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    time("shingleArrays no persist")(Dedup.shingleArrays(docs, 3).count())
+    val shd = time("shingleArrays build+persist") {
+      val s = Dedup.shingleArrays(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
       s.count(); s
     }
     val sig = time("minhashSignature") {
@@ -49,6 +34,10 @@ object ProfileMinhash {
     time("jaccardForPairs")(Dedup.jaccardForPairs(cand, shd).count())
     time("full pipeline (shared shingles)")(
       Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(shd)).count())
+    time("full pipeline 2nd (shared shingles)")(
+      Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(shd)).count())
+    time("jaccardPairsExact (shared shingles)")(
+      Dedup.jaccardPairsExact(docs, sharedShingles = Some(shd)).count())
     spark.stop()
   }
 }

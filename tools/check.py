@@ -46,6 +46,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             s, d = normalize(spark_df), normalize(duck_df)
             rows_ok = len(s) == len(d)
             cols_ok = list(s.columns) == list(d.columns)
+            # The driver's hash is value-repr sensitive: an int64 Spark column
+            # vs a float64 oracle column (e.g. DuckDB HUGEINT sum() -> float)
+            # hash-mismatches even when numerically equal. Mirror that here.
+            if cols_ok:
+                for c in s.columns:
+                    sk = "f" if str(s[c].dtype).startswith("float") else "o"
+                    dk = "f" if str(d[c].dtype).startswith("float") else "o"
+                    if sk != dk:
+                        cols_ok = False
+                        print(f"    dtype class mismatch on {c}: "
+                              f"spark={s[c].dtype} duck={d[c].dtype}")
             vals_ok = False
             if rows_ok and cols_ok:
                 try:
