@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct}
+
+/**
+ * Column-level entry points for graft's native vector expressions (see
+ * [[org.apache.spark.sql.graftshim.DotProduct]] for why these are custom
+ * codegen'd Catalyst expressions rather than higher-order functions).
+ */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ over two `ARRAY<DOUBLE>` columns — whole-stage-codegen'd. */
+  def dotp(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

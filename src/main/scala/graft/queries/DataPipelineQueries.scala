@@ -18,10 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DataPipelineQueries {
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "documents")
+    Tables.spread(spark, sfDir, "documents")
 
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "embeddings")
+    Tables.spread(spark, sfDir, "embeddings")
 
   // ------------------------------------------------------------- builders
 
@@ -32,19 +32,10 @@ object DataPipelineQueries {
     * sfDir), shared by the MinHash and exact-Jaccard dedup queries — both
     * would otherwise tokenize the whole corpus independently, and the
     * exact-Jaccard self-join NEEDS a materialized input (recomputing the
-    * explode on both sides mis-plans and double-scans). The build is
-    * spread to full parallelism first: a small single-row-group parquet
-    * arrives as ONE scan split, which would otherwise serialize the
-    * tokenize+cache work on one core; at real scale the scan already
-    * yields >= defaultParallelism splits and the repartition short-circuits
-    * to a no-op. */
+    * explode on both sides mis-plans and double-scans). */
   private def sharedShingles(spark: SparkSession, sfDir: String): DataFrame =
-    SharedFrames.memo(spark, sfDir, "shingleArrays3") {
-      val d = docs(spark, sfDir)
-      val par = spark.sparkContext.defaultParallelism
-      val spread = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
-      Dedup.shingleArrays(spread, n = 3)
-    }
+    SharedFrames.memo(spark, sfDir, "shingleArrays3")(
+      Dedup.shingleArrays(docs(spark, sfDir), n = 3))
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.nearDupMinhashLsh(docs(spark, sfDir),
@@ -85,7 +76,7 @@ object DataPipelineQueries {
     Multimodal.mediaSummary(docs(spark, sfDir))
 
   def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.propsAgg(Tables.events(spark, sfDir))
+    Multimodal.propsAgg(Tables.eventsSpread(spark, sfDir))
 
   // -------------------------------------------------------------- oracles
 

@@ -46,7 +46,7 @@ object EventQueries {
 
   /** impressions-like frame from `events`. */
   def impressions(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    Tables.eventsSpread(spark, sfDir)
       .filter(col("event_type") === "view")
       .select(
         col("event_id").as("impression_id"),
@@ -57,7 +57,7 @@ object EventQueries {
 
   /** clicks-like frame from `events`. */
   def clicks(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    Tables.eventsSpread(spark, sfDir)
       .filter(col("event_type") === "click")
       .select(
         col("event_id").as("click_id"),

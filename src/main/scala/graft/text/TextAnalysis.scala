@@ -54,30 +54,44 @@ object TextAnalysis {
    */
   def winnowingFingerprint(docs: DataFrame, shingleWidth: Int = 3,
                            window: Int = 4): DataFrame =
-    winnowingPicks(docs, shingleWidth, window)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_fingerprints"),
-        md5(concat_ws("", array_sort(collect_list(col("wmin"))))).as("fingerprint"))
+    winnowingPickArrays(docs, shingleWidth, window)
+      .filter(size(col("wmins")) > 0)
+      .select(col("doc_id"),
+        size(col("wmins")).cast("bigint").as("n_fingerprints"),
+        md5(concat_ws("", array_sort(col("wmins")))).as("fingerprint"))
 
   /** The distinct picked window-min hashes per document — the raw
     * fingerprint SET behind [[winnowingFingerprint]]; two documents
     * sharing any ≥ window+shingleWidth−1-token run share a pick. */
   def winnowingPicks(docs: DataFrame, shingleWidth: Int = 3,
-                     window: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)))
-      .withColumn("h", TextOps.saltedHash(0, col("col")))
-    val perDoc = Window.partitionBy(col("doc_id"))
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, window - 1)
-    sh
-      .withColumn("m", count(lit(1)).over(perDoc))
-      .withColumn("wmin", min(col("h")).over(frame))
-      .filter(col("pos") <= col("m") - window)
-      .select(col("doc_id"), col("wmin")).distinct()
+                     window: Int = 4): DataFrame =
+    winnowingPickArrays(docs, shingleWidth, window)
+      .select(col("doc_id"), explode(col("wmins")).as("wmin"))
+
+  /** (doc_id, wmins): the distinct window-min hash set per document as an
+    * array column, computed entirely map-side — hash the positional
+    * shingle sequence (transform), slide the `window`-wide frame with a
+    * slice+array_min per position, distinct the picks. No shuffle
+    * anywhere: per-document work is O(tokens · window) inside one row,
+    * so the operator scales by partition count alone. Documents with
+    * fewer than `window` shingles have no complete frame → empty set.
+    *
+    * The hash array is bound as a lambda variable (`transform` over a
+    * single-element array) — a named projection column would be INLINED
+    * by projection collapse into every one of the O(tokens) frame
+    * references, re-hashing the whole document per position. */
+  def winnowingPickArrays(docs: DataFrame, shingleWidth: Int = 3,
+                          window: Int = 4): DataFrame = {
+    val hashes = transform(
+      TextOps.shingles(TextOps.tokens(col("text")), shingleWidth),
+      s => TextOps.saltedHash(0, s))
+    val wmins = element_at(
+      transform(array(hashes), h =>
+        when(size(h) >= window,
+          array_distinct(transform(sequence(lit(0), size(h) - window),
+            j => array_min(slice(h, j + 1, lit(window))))))
+          .otherwise(array().cast("array<string>"))), 1)
+    docs.select(col("doc_id"), wmins.as("wmins"))
   }
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
