@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `embeddings`, and `events` tables, each with a DuckDB oracle that
  * replicates the exact same algorithm — including the salted-md5 MinHash
  * family and the LSH banding — so even the sketch-based operators get
- * full value-level correctness checks. Only `similarity_ann` is
- * oracle-free (it is deliberately approximate; its recall is pinned by
- * `SimilaritySpec` against the brute-force baseline instead).
+ * full value-level correctness checks — including the random-hyperplane
+ * ANN (`similarity_ann`), whose fixed-seed planes are embedded in its
+ * generated oracle SQL as literal coefficients. Only `similarity_ivf`
+ * is oracle-free (its k-means centroids are learned, not
+ * SQL-expressible; recall is pinned by `SimilaritySpec` against the
+ * brute-force baseline instead).
  */
 object DataPipelineQueries {
 
@@ -293,7 +296,7 @@ object DataPipelineQueries {
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
-    NamedQuery("similarity_ann", similarityAnn, None),
+    NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, None),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.VectorFunctions.dotp
+import org.apache.spark.sql.functions._
+
+/** The codegen'd DotProduct expression: agreement with the interpreted
+  * higher-order-function fold it replaced (bit-equality matters — the
+  * DuckDB oracles replicate the fold's accumulation order), null
+  * propagation, and length handling. */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def foldDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("dotp is bit-equal to the aggregate(zip_with) fold on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)(
+      (Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian())))
+    val out = rows.toDF("a", "b")
+      .select(dotp(col("a"), col("b")).as("d"), foldDot(col("a"), col("b")).as("f"))
+      .collect()
+    out.foreach { r =>
+      // bit-equality, not tolerance: identical accumulation order
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("d")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("f")))
+    }
+  }
+
+  test("dotp: null input → null; empty arrays → 0.0") {
+    val out = Seq(
+      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+      .select(dotp(col("a"), col("b")).as("d"))
+      .collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getAs[Double]("d") == 0.0)
+  }
+
+  test("dotp accumulates over the shorter prefix on length mismatch") {
+    val out = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
+      .toDF("a", "b").select(dotp(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getAs[Double]("d") == 50.0)
+  }
+
+  test("dotp survives both codegen and interpreted evaluation paths") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    // whole-stage codegen path (projection)
+    assert(df.select(dotp(col("a"), col("b"))).head().getDouble(0) == 11.0)
+    // interpreted path: evaluation inside a filter over a literal
+    assert(df.filter(dotp(col("a"), col("b")) === 11.0).count() == 1)
+  }
+}
