@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan audit: prints the formatted physical plan of every registered
   * query at the given sf dir. Used to verify scan pruning/pushdown, join
-  * strategies (SMJ/broadcast — never BNLJ/cartesian on the hot path), and
-  * whole-stage-codegen coverage while iterating on operators.
+  * strategies, and whole-stage-codegen coverage while iterating on
+  * operators. Expected join shapes: equi-keyed SMJ/ShuffledHash/Broadcast
+  * everywhere EXCEPT two intentional tiny-broadcast BNLJs — the
+  * brute-force top-k baseline (corpus × broadcast query set, nQueries
+  * rows) and the IVF probe selection (query set × broadcast centroids,
+  * nCells rows); both broadcast sides are bounded by construction, so
+  * the scan side streams linearly at any corpus size.
   *
   * Usage: sbt "runMain graft.Explain /root/testdata/sf0.01 [queryName]" */
 object Explain {
