@@ -29,11 +29,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     Seq("region", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // (skipped when benching the warmup dir itself — the SharedFrames
+    // memos are keyed by sfDir, so warming the same dir would turn the
+    // timed loop into a cache-hit measurement)
     val warmDir = new java.io.File("/root/testdata/sf0.001")
-    if (warmDir.isDirectory) {
+    if (warmDir.isDirectory &&
+        warmDir.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count()
-        catch { case _: Throwable => () } // failures re-surface in the timed loop
+        catch { // non-fatal failures re-surface in the timed loop
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
     }
     // Failures are reported as an "errors" map, never as fake timings.

@@ -60,8 +60,11 @@ object DataPipelineQueries {
   def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
-  def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+  def similarityAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = Similarity.annDefaults
+    Similarity.lshTopK(embs(spark, sfDir), nQueries = cfg.nQueries, k = cfg.k,
+      bits = cfg.bits, tables = cfg.tables, seed = cfg.seed)
+  }
 
   def similarityIvf(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(embs(spark, sfDir), nQueries = 8, k = 5)

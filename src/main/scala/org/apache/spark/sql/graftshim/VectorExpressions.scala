@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
  * the fold the DuckDB oracles replicate (`list_sum(list_transform(...))`).
  *
  * Semantics: null input → null (BinaryExpression's null-safe contract);
- * mismatched lengths accumulate over the shorter prefix; inputs are dense
- * `ARRAY<DOUBLE>` vectors with no null elements (embedding columns).
+ * a null ELEMENT in either array → null, exactly like the fold (where
+ * the null product poisoned the sum) — a silent 0.0 would instead let a
+ * wrong-but-finite cosine pass threshold filters; mismatched lengths
+ * accumulate over the shorter prefix.
  *
  * Lives in the `org.apache.spark.sql` namespace because the
  * `ExpectsInputTypes` signature names `private[sql]` types; the
@@ -36,6 +38,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even when both children are non-nullable: a null ELEMENT
+  // yields null, and codegen must keep ev.isNull assignable (a
+  // non-nullable expression folds it to a constant)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,6 +52,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -60,6 +68,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

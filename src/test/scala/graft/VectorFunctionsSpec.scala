@@ -44,11 +44,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("d") == 50.0)
   }
 
+  test("null ELEMENT yields null, matching the fold's poisoned sum") {
+    val out = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+      .select(dotp(col("a"), col("b")).as("d"), foldDot(col("a"), col("b")).as("f"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+  }
+
   test("dotp survives both codegen and interpreted evaluation paths") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.DotProduct
+    // whole-stage codegen path (projection over a DataFrame)
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
-    // whole-stage codegen path (projection)
     assert(df.select(dotp(col("a"), col("b"))).head().getDouble(0) == 11.0)
-    // interpreted path: evaluation inside a filter over a literal
-    assert(df.filter(dotp(col("a"), col("b")) === 11.0).count() == 1)
+    // interpreted path: direct expression eval (the codegen-failure
+    // fallback) — a DataFrame filter would still compile to codegen
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = ArrayType(DoubleType)
+    val expr = DotProduct(
+      Literal.create(Seq(1.0, 2.0), arr), Literal.create(Seq(3.0, 4.0), arr))
+    assert(expr.eval(InternalRow.empty) == 11.0)
+    val withNullElem = DotProduct(
+      Literal.create(Seq[java.lang.Double](1.0, null), arr),
+      Literal.create(Seq(3.0, 4.0), arr))
+    assert(withNullElem.eval(InternalRow.empty) == null)
   }
 }

@@ -51,8 +51,9 @@ def main(out_dir: str, sf_dir: str) -> int:
             # hash-mismatches even when numerically equal. Mirror that here.
             if cols_ok:
                 for c in s.columns:
-                    sk = "f" if str(s[c].dtype).startswith("float") else "o"
-                    dk = "f" if str(d[c].dtype).startswith("float") else "o"
+                    # lower(): nullable extension dtypes spell it 'Float64'
+                    sk = "f" if str(s[c].dtype).lower().startswith("float") else "o"
+                    dk = "f" if str(d[c].dtype).lower().startswith("float") else "o"
                     if sk != dk:
                         cols_ok = False
                         print(f"    dtype class mismatch on {c}: "
