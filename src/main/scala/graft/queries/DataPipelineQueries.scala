@@ -75,6 +75,11 @@ object DataPipelineQueries {
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.winnowingFingerprint(docs(spark, sfDir))
 
+  /** Pseudo-benchmark split: every 43rd doc plays the eval set. */
+  def dedupDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.decontaminate(docs(spark, sfDir),
+      isBenchmark = org.apache.spark.sql.functions.col("doc_id") % 43 === 0)
+
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.frameSample(docs(spark, sfDir))
 
@@ -246,6 +251,22 @@ object DataPipelineQueries {
        |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.42""".stripMargin
   }
 
+  /** Same word-5-gram split/shingle pipeline as `Dedup.decontaminate`. */
+  val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i ->
+      |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+      |  toks[i+4] || ' ' || toks[i+5])) AS shingle
+      |  FROM t WHERE len(toks) >= 5),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |bench AS (SELECT shingle, min(doc_id) AS bid FROM shd
+      |  WHERE doc_id % 43 = 0 GROUP BY shingle),
+      |train AS (SELECT doc_id, shingle FROM shd WHERE doc_id % 43 <> 0)
+      |SELECT tr.doc_id AS doc_id, count(*) AS n_shared,
+      |       min(b.bid) AS contaminant_id
+      |FROM train tr JOIN bench b ON b.shingle = tr.shingle
+      |GROUP BY tr.doc_id""".stripMargin
+
   val textWinnowOracle: String =
     s"""$shingleCtes,
        |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
@@ -296,6 +317,7 @@ object DataPipelineQueries {
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),

@@ -179,6 +179,38 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination — the GPT-3/Pile-style n-gram overlap
+   * check a training pipeline runs before every release: flag each
+   * training document that shares at least one word n-gram with any
+   * document of a (small) benchmark/eval set. Output one row per
+   * contaminated training doc: (doc_id, n_shared — distinct shingles
+   * hit, contaminant_id — smallest overlapping benchmark doc).
+   *
+   * Scale shape: the benchmark side is orders of magnitude smaller than
+   * the corpus, so its distinct (shingle → min doc) index is BROADCAST
+   * and the corpus side streams map-side through the join — no corpus
+   * shuffle at all until the tiny per-doc aggregation. The big side is
+   * never exploded into a shuffled inverted index (contrast
+   * [[jaccardPairsExact]], which must pair docs within the corpus).
+   *
+   * @param isBenchmark predicate splitting `docs` into benchmark rows
+   *                    (true) and training rows (false)
+   */
+  def decontaminate(docs: DataFrame, isBenchmark: org.apache.spark.sql.Column,
+                    shingleWidth: Int = 5): DataFrame = {
+    val sh = shingleArrays(docs, shingleWidth)
+    val bench = sh.filter(isBenchmark)
+      .select(explode(col("sh")).as("shingle"), col("doc_id"))
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("__bid"))
+    val train = sh.filter(!isBenchmark)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    train
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("__bid")).as("contaminant_id"))
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard >= threshold via the shingle inverted
    * index (pairs sharing zero shingles are never materialized — their
    * jaccard is 0 and can't pass a positive threshold). Set sizes come

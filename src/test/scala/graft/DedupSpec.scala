@@ -47,6 +47,22 @@ class DedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with the benchmark") {
+    // doc 0 is the benchmark; doc 1 copies a 5-token run from it, doc 2
+    // shares only shorter runs, doc 3 is disjoint
+    val out = Dedup.decontaminate(docsDF(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "x alpha beta gamma delta epsilon y",
+      2L -> "alpha beta gamma q delta epsilon zeta w",
+      3L -> "one two three four five six"),
+      isBenchmark = col("doc_id") === 0L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // "alpha beta gamma delta epsilon" is the one shared 5-gram
+    assert(out.head.getAs[Long]("n_shared") == 1L)
+    assert(out.head.getAs[Long]("contaminant_id") == 0L)
+  }
+
   test("LSH recall on sf0.001 documents: finds every exact pair >= 0.5") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) =
