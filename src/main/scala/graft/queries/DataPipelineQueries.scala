@@ -54,6 +54,9 @@ object DataPipelineQueries {
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stats(docs(spark, sfDir))
 
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.corpusStats(docs(spark, sfDir))
+
   def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(docs(spark, sfDir))
 
@@ -182,6 +185,15 @@ object DataPipelineQueries {
       |        / length(text), 6) AS punct_ratio,
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
       |FROM t""".stripMargin
+
+  val corpusStatsOracle: String =
+    """WITH t AS (SELECT lang, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  round(avg(n_chars), 6) AS mean_chars,
+      |  round(median(n_chars), 6) AS median_chars
+      |FROM t GROUP BY ROLLUP(lang)""".stripMargin
 
   val langIdOracle: String = {
     val sets = Seq(
@@ -315,6 +327,7 @@ object DataPipelineQueries {
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
+    NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),

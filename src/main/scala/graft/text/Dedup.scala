@@ -215,28 +215,60 @@ object Dedup {
    * index (pairs sharing zero shingles are never materialized — their
    * jaccard is 0 and can't pass a positive threshold). Set sizes come
    * from the array column directly — no counting aggregation.
+   *
+   * Skew defense: the join's per-shingle cost is quadratic in document
+   * frequency, so one boilerplate shingle appearing in 10^6 documents
+   * produces 10^12 pairs. `maxShingleDf` drops shingles above the given
+   * document frequency from the PAIRING side only (stop-shingle pruning,
+   * the standard trade: a shingle in half the corpus identifies nothing).
+   * Sizes and candidate jaccards still use the full sets, so reported
+   * values stay exact; only pairs whose EVERY common shingle is a
+   * stop-shingle can be missed. Off by default — the oracle replicates
+   * the unpruned join.
    */
   def jaccardPairsExact(docs: DataFrame, shingleWidth: Int = 3,
                         threshold: Double = 0.5,
-                        sharedShingles: Option[DataFrame] = None): DataFrame = {
+                        sharedShingles: Option[DataFrame] = None,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
       shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
-    val inv = explodeShingles(shd)
-    val sizes = shd.select(col("doc_id"), size(col("sh")).as("n"))
-    val sa = inv.alias("sa")
-    val sb = inv.alias("sb")
-    val inter = sa
-      .join(sb, col("sb.shingle") === col("sa.shingle") &&
-        col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.alias("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.alias("zb"), col("zb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter"))).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+    val invAll = explodeShingles(shd)
+    maxShingleDf match {
+      case None =>
+        // unpruned: count common shingles directly in the pairing join
+        val sizes = shd.select(col("doc_id"), size(col("sh")).as("n"))
+        val sa = invAll.alias("sa")
+        val sb = invAll.alias("sb")
+        val inter = sa
+          .join(sb, col("sb.shingle") === col("sa.shingle") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+          .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.alias("za"), col("za.doc_id") === col("doc_a"))
+          .join(sizes.alias("zb"), col("zb.doc_id") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("za.n") + col("zb.n") - col("inter"))).as("j"))
+          .filter(col("j") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      case Some(cap) =>
+        // pruned: stop-shingles only leave candidate GENERATION — the
+        // jaccard of every surviving pair is recomputed from the full
+        // arrays, so reported values stay exact
+        val inv = invAll
+          .withColumn("__df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+        val cand = inv.alias("sa")
+          .join(inv.alias("sb"), col("sb.shingle") === col("sa.shingle") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+          .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+          .distinct()
+        jaccardForPairs(cand, shd)
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 }

@@ -94,6 +94,26 @@ object TextAnalysis {
     docs.select(col("doc_id"), wmins.as("wmins"))
   }
 
+  /**
+   * Corpus-level shape statistics with a per-language ROLLUP (the
+   * grouping-sets pattern: per-lang rows plus a grand-total row with
+   * NULL lang): doc counts, token volume, mean and exact median doc
+   * length. One shuffle on the tiny lang key; the median uses Spark's
+   * exact `percentile` (linear-interpolated, same definition as DuckDB's
+   * `median`/`quantile_cont`) — at 100 TB swap in `percentile_approx`
+   * and drop the oracle to a tolerance check.
+   */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("__toks"))
+      .rollup(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("median_chars"))
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /**

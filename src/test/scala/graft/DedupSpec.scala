@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("contaminant_id") == 0L)
   }
 
+  test("maxShingleDf prunes pairs linked only by a stop-shingle; survivors stay exact") {
+    // "lorem ipsum dolor" appears in all four docs (df=4); docs 1/2 are
+    // true near-dups sharing rare shingles too, docs 3/4 share ONLY the
+    // boilerplate shingle
+    val docs = docsDF(
+      1L -> "lorem ipsum dolor alpha beta gamma delta",
+      2L -> "lorem ipsum dolor alpha beta gamma zeta",
+      3L -> "lorem ipsum dolor one two three",
+      4L -> "other words lorem ipsum dolor nine ten")
+    val unpruned = Dedup.jaccardPairsExact(docs, threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val pruned = Dedup.jaccardPairsExact(docs, threshold = 0.1, maxShingleDf = Some(3))
+    val prunedPairs = pruned.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(unpruned.contains((3L, 4L)))
+    assert(!prunedPairs.contains((3L, 4L)), "stop-shingle-only pair must be pruned")
+    assert(prunedPairs.contains((1L, 2L)))
+    // surviving pair's jaccard is computed from the FULL sets (5 shingles
+    // each, 4 shared incl. the stop-shingle: 4/6)
+    val j = pruned.collect().find(r => r.getAs[Long]("doc_a") == 1L).get
+      .getAs[Double]("jaccard")
+    assert(math.abs(j - 4.0 / 6.0) < 1e-6, s"got $j")
+  }
+
   test("LSH recall on sf0.001 documents: finds every exact pair >= 0.5") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) =

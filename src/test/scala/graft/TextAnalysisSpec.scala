@@ -68,6 +68,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(picks.count() == 2)
   }
 
+  test("corpusStats: per-lang rows plus a NULL-lang grand total; exact median") {
+    val docs = Seq(
+      (1L, "a b", "en", 10L),
+      (2L, "c d e", "en", 20L),
+      (3L, "f", "de", 7L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.corpusStats(docs).collect()
+      .map(r => Option(r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("median_chars")))).toMap
+    assert(out(Some("en")) == ((2L, 5L, 15.0)))   // median of 10,20 interpolates
+    assert(out(Some("de")) == ((1L, 1L, 7.0)))
+    assert(out(None) == ((3L, 6L, 10.0)))         // grand total over all docs
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
