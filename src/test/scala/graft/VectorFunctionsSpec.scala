@@ -52,6 +52,13 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0) && out(0).isNullAt(1))
   }
 
+  test("graft_dot is callable from SQL once registered") {
+    org.apache.spark.sql.graftshim.GraftFunctionRegistry.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("dotp survives both codegen and interpreted evaluation paths") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
