@@ -53,9 +53,6 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — the exploded inverted-index view
     * of [[shingleArrays]] (rows already distinct: the arrays are sets). */
-  def shingleSet(docs: DataFrame, n: Int): DataFrame =
-    explodeShingles(shingleArrays(docs, n))
-
   private def explodeShingles(docShingles: DataFrame): DataFrame =
     docShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
