@@ -21,26 +21,31 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Memoized base table, spread to full parallelism and persisted: a
-    * small single-row-group parquet arrives as ONE scan split, which
-    * would otherwise run every narrow phase of every consumer query on
-    * one core; the repartition costs one tiny shuffle, the cache build
+  /** Memoized base table, spread to full parallelism: a small
+    * single-row-group parquet arrives as ONE scan split, which would
+    * otherwise run every narrow phase of every consumer query on one
+    * core; the repartition costs one tiny shuffle, the cache build
     * parallelizes, and all registry queries over the table share one
-    * scan (what a production pipeline does with a staging table). At
-    * real scale the scan already yields >= defaultParallelism splits and
-    * the repartition short-circuits to a no-op. */
+    * scan (what a production pipeline does with a staging table).
+    * Persistence follows the same test: ONLY the repartitioned
+    * small-input frame is cached — at real scale the scan already yields
+    * >= defaultParallelism splits, the repartition short-circuits, and
+    * the frame stays uncached so each consumer keeps per-query parquet
+    * pushdown/pruning instead of pinning the corpus in executor
+    * storage. */
   def spread(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    SharedFrames.memo(spark, sfDir, s"$name-spread")(
-      spreadDf(table(spark, sfDir, name)))
+    spreadMemo(spark, sfDir, s"$name-spread", table(spark, sfDir, name))
 
   /** `events` (ts-normalized, see [[events]]) spread the same way. */
   def eventsSpread(spark: SparkSession, sfDir: String): DataFrame =
-    SharedFrames.memo(spark, sfDir, "events-spread")(
-      spreadDf(events(spark, sfDir)))
+    spreadMemo(spark, sfDir, "events-spread", events(spark, sfDir))
 
-  private def spreadDf(d: DataFrame): DataFrame = {
-    val par = d.sparkSession.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  private def spreadMemo(spark: SparkSession, sfDir: String, tag: String,
+                         d: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val needsSpread = d.rdd.getNumPartitions < par
+    SharedFrames.memo(spark, sfDir, tag, persist = needsSpread)(
+      if (needsSpread) d.repartition(par) else d)
   }
 
   /**

@@ -24,13 +24,14 @@ object SharedFrames {
   private val frames =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
-  def memo(spark: SparkSession, sfDir: String, tag: String)
+  def memo(spark: SparkSession, sfDir: String, tag: String,
+           persist: Boolean = true)
           (build: => DataFrame): DataFrame = synchronized {
     frames.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     frames.get((spark, sfDir, tag)) match {
       case Some(df) => df
       case None =>
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        val df = if (persist) build.persist(StorageLevel.MEMORY_AND_DISK) else build
         frames.put((spark, sfDir, tag), df)
         df
     }
