@@ -41,12 +41,18 @@ object Tables {
     spreadMemo(spark, sfDir, "events-spread", events(spark, sfDir))
 
   private def spreadMemo(spark: SparkSession, sfDir: String, tag: String,
-                         d: DataFrame): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val needsSpread = d.rdd.getNumPartitions < par
-    SharedFrames.memo(spark, sfDir, tag, persist = needsSpread)(
-      if (needsSpread) d.repartition(par) else d)
-  }
+                         d: => DataFrame): DataFrame =
+    // the whole decision lives inside the by-name build so the parquet
+    // read and the physical-planning probe run once per (session, sfDir,
+    // tag), not on every registry call
+    SharedFrames.memo(spark, sfDir, tag, persist = false) {
+      val frame = d
+      val par = spark.sparkContext.defaultParallelism
+      if (frame.rdd.getNumPartitions < par)
+        frame.repartition(par)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else frame
+    }
 
   /**
    * `events` with `ts` normalized to epoch-millisecond precision — the same

@@ -196,11 +196,9 @@ object Dedup {
   def decontaminate(docs: DataFrame, isBenchmark: org.apache.spark.sql.Column,
                     shingleWidth: Int = 5): DataFrame = {
     val sh = shingleArrays(docs, shingleWidth)
-    val bench = sh.filter(isBenchmark)
-      .select(explode(col("sh")).as("shingle"), col("doc_id"))
+    val bench = explodeShingles(sh.filter(isBenchmark))
       .groupBy(col("shingle")).agg(min(col("doc_id")).as("__bid"))
-    val train = sh.filter(!isBenchmark)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val train = explodeShingles(sh.filter(!isBenchmark))
     train
       .join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
@@ -253,11 +251,16 @@ object Dedup {
         // pruned: stop-shingles only leave candidate GENERATION — the
         // jaccard of every surviving pair is recomputed from the full
         // arrays, so reported values stay exact
+        // persisted: both self-join sides consume the window-filtered
+        // index — without the cache the explode AND the corpus-wide
+        // per-shingle DF window shuffle run twice (same pattern as
+        // lshCandidates' banded frame)
         val inv = invAll
           .withColumn("__df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= cap)
           .drop("__df")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val cand = inv.alias("sa")
           .join(inv.alias("sb"), col("sb.shingle") === col("sa.shingle") &&
             col("sa.doc_id") < col("sb.doc_id"))

@@ -17,7 +17,10 @@ class PlanShapeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def finalPlan(df: DataFrame): String = {
-    df.count() // executes, so AQE's FINAL plan (not the initial guess) is inspected
+    // collect() executes df's OWN QueryExecution (count() would build and
+    // run a different one), finalizing the AdaptiveSparkPlanExec in place
+    // so the string below is AQE's FINAL plan, not the initial guess
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
