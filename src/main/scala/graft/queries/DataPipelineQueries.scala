@@ -57,6 +57,9 @@ object DataPipelineQueries {
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.corpusStats(docs(spark, sfDir))
 
+  def docSplit(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.splitSummary(docs(spark, sfDir))
+
   def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(docs(spark, sfDir))
 
@@ -195,6 +198,18 @@ object DataPipelineQueries {
       |  round(median(n_chars), 6) AS median_chars
       |FROM t GROUP BY ROLLUP(lang)""".stripMargin
 
+  /** Same md5-prefix thresholds as `TextAnalysis.hashSplit`. */
+  val docSplitOracle: String =
+    """WITH s AS (SELECT doc_id, n_chars,
+      |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |  min(doc_id) AS min_doc_id
+      |FROM s GROUP BY split""".stripMargin
+
   val langIdOracle: String = {
     val sets = Seq(
       "en" -> Seq("the", "a", "and", "of", "to"),
@@ -328,6 +343,7 @@ object DataPipelineQueries {
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
+    NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),

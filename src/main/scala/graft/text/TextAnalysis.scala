@@ -114,6 +114,31 @@ object TextAnalysis {
         round(avg(col("n_chars")), 6).as("mean_chars"),
         round(percentile(col("n_chars"), lit(0.5)), 6).as("median_chars"))
 
+  /**
+   * Deterministic train/val/test assignment — the split a training
+   * pipeline must reproduce run-over-run and engine-over-engine: the
+   * first two hex chars of md5(content) are uniform over 256 values, so
+   * LEXICOGRAPHIC thresholds give stable fractions ('cd' → 205/256 ≈ 80%,
+   * 'e6' → 25/256 ≈ 10%, rest ≈ 10%) with no float math, no RNG state,
+   * and identical semantics in any engine that can md5 and compare
+   * strings. Content-keyed (not id-keyed) so exact duplicates land in
+   * the same split — the split itself can't leak a duplicated document
+   * across the train/eval boundary. Pure per-row projection; no shuffle.
+   */
+  def hashSplit(docs: DataFrame, key: Column = col("text")): DataFrame = {
+    val h2 = substring(md5(key), 1, 2)
+    docs.withColumn("split",
+      when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
+  }
+
+  /** Corpus-level split summary (one shuffle on the 3-value key). */
+  def splitSummary(docs: DataFrame): DataFrame =
+    hashSplit(docs)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("doc_id")).as("min_doc_id"))
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /**

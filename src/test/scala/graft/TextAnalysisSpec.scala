@@ -83,6 +83,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((3L, 6L, 10.0)))         // grand total over all docs
   }
 
+  test("hashSplit: content-keyed (dups co-split), deterministic, ~80/10/10") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = TextAnalysis.hashSplit(docs)
+    // exact duplicates always share a split — no leak across the boundary
+    val leaky = TextAnalysis.hashSplit(
+      Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text"))
+      .select("split").distinct().count()
+    assert(leaky == 1)
+    // stable across evaluations
+    val a = assigned.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.hashSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // fractions near 80/10/10 (binomial tolerance on 500 docs)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.80) < 0.08, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.10) < 0.06, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06, frac.toString)
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
