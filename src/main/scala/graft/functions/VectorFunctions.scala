@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct}
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -13,4 +13,9 @@ object VectorFunctions {
   /** Σ aᵢ·bᵢ over two `ARRAY<DOUBLE>` columns — whole-stage-codegen'd. */
   def dotp(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Byte-wise Hamming distance of two (ASCII sketch) strings —
+    * whole-stage-codegen'd. */
+  def hamming(a: Column, b: Column): Column =
+    ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -51,6 +51,9 @@ object DataPipelineQueries {
   def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.simhash(docs(spark, sfDir))
 
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.simhashNearDupPairs(docs(spark, sfDir))
+
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stats(docs(spark, sfDir))
 
@@ -159,7 +162,9 @@ object DataPipelineQueries {
        |JOIN sizes zb ON zb.doc_id = i.db
        |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
 
-  val textSimhashOracle: String = {
+  /** Per-doc 32-bit simhash CTE (ends with `sim(doc_id, simhash)`),
+    * shared by the fingerprint and near-dup-pair oracles. */
+  private val simhashCtes: String = {
     val sums = (1 to 32).map(p =>
       s"sum(CASE WHEN substr(h, $p, 1) >= '8' THEN 1 ELSE -1 END) s$p")
       .mkString(",\n  ")
@@ -167,10 +172,41 @@ object DataPipelineQueries {
       .mkString(" || ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
        |h AS (SELECT doc_id, md5(tok) h FROM t),
-       |s AS (SELECT doc_id,
+       |ss AS (SELECT doc_id,
        |  $sums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bits AS simhash FROM ss)""".stripMargin
+  }
+
+  val textSimhashOracle: String =
+    s"$simhashCtes\nSELECT doc_id, simhash FROM sim"
+
+  /** Same banding + Hamming verify as `TextAnalysis.simhashNearDupPairs`
+    * (2 bands of 16 bits, maxHamming 1). */
+  val simhashPairsOracle: String = {
+    val bands = (0 until 2).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${1 + b * 16}, 16) AS bkey FROM sim")
+      .mkString("\n  UNION ALL ")
+    val equals = (1 to 32).map(p =>
+      s"(CASE WHEN substr(sa.simhash, $p, 1) = substr(sb.simhash, $p, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$simhashCtes,
+       |bands AS (
+       |  $bands),
+       |capped AS (SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      count(*) OVER (PARTITION BY band, bkey) n FROM bands)
+       |  WHERE n <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (SELECT da, db,
+       |  CAST(32 - ($equals) AS INT) AS hamming
+       |  FROM cand
+       |  JOIN sim sa ON sa.doc_id = da
+       |  JOIN sim sb ON sb.doc_id = db)
+       |SELECT da AS doc_a, db AS doc_b, hamming FROM scored
+       |WHERE hamming <= 1""".stripMargin
   }
 
   val textStatsOracle: String =
@@ -341,6 +377,7 @@ object DataPipelineQueries {
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
+    NamedQuery("text_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),

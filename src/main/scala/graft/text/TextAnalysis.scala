@@ -33,11 +33,61 @@ object TextAnalysis {
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
-  /** Hamming distance between two equal-length bit strings (as columns). */
+  /** Hamming distance between two equal-length bit strings — the
+    * codegen'd [[org.apache.spark.sql.graftshim.HammingDistance]]
+    * expression (byte loop; bytes == chars for the ASCII sketches). */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
-      lit(0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.hamming(a, b)
+
+  /**
+   * SimHash near-duplicate pairs — banded candidate generation over the
+   * 32-bit fingerprints, Hamming-verified: two documents within
+   * `maxHamming` bit flips have, by pigeonhole, at least one of the
+   * `bands` bands identical whenever maxHamming < bands, so an equi-join
+   * on (band, band key) finds every such pair without all-pairs work
+   * (same blocking scheme as MinHash-LSH, but over the similarity-
+   * preserving SimHash — near-dups differ in FEW bits, random docs in
+   * ~16). Band width tunes candidate volume: short texts share most
+   * vocabulary, so their simhashes correlate heavily and narrow (8-bit)
+   * keys collide corpus-wide; the 16-bit default keeps candidate volume
+   * near the true near-dup count. Buckets over `maxBucketSize` are
+   * dropped (skew cap, identical trade to the other LSH operators).
+   * Output (doc_a, doc_b, hamming) for pairs with hamming <= maxHamming.
+   */
+  def simhashNearDupPairs(docs: DataFrame, bands: Int = 2, maxHamming: Int = 1,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    require(32 % bands == 0, s"32 bits must split evenly into $bands bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = 32 / bands
+    val s = simhash(docs)
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), 1 + b * width, width).as("bkey")))
+    val banded = s
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = s.select(col("doc_id").as("__ida"), col("simhash").as("__sha"))
+    val sb = s.select(col("doc_id").as("__idb"), col("simhash").as("__shb"))
+    cand
+      .join(sa, col("__ida") === col("doc_a"))
+      .join(sb, col("__idb") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDistance(col("__sha"), col("__shb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /**
    * Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's rolling

@@ -79,3 +79,59 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Byte-wise Hamming distance between two strings — the verify scalar of
+ * sketch-based near-dup detection (SimHash bit strings, hex digests).
+ * Counts positions with differing bytes over the common prefix plus the
+ * length difference (equal-length inputs — the only case the operators
+ * produce — reduce to the classic definition). ASCII-only semantics by
+ * design: the sketches are '0'/'1'/hex strings, so bytes == characters.
+ * Same codegen rationale as [[DotProduct]]: the interpreted
+ * `aggregate(zip_with(split(...)))` form allocates two char arrays and
+ * walks a lambda interpreter per pair; this is a tight byte loop inside
+ * whole-stage codegen.
+ */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val n = math.min(x.numBytes(), y.numBytes())
+    var d = math.abs(x.numBytes() - y.numBytes())
+    var i = 0
+    while (i < n) {
+      if (x.getByte(i) != y.getByte(i)) d += 1
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+         |int $d = java.lang.Math.abs($a.numBytes() - $b.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -83,6 +83,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(None) == ((3L, 6L, 10.0)))         // grand total over all docs
   }
 
+  test("simhashNearDupPairs: identical docs pair at hamming 0; disjoint docs don't pair") {
+    val out = TextAnalysis.simhashNearDupPairs(docsDF(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven eight",
+      3L -> "totally different vocabulary everywhere here now yes indeed"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_a") == 1L && out.head.getAs[Long]("doc_b") == 2L)
+    assert(out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("hammingDistance: codegen'd expression counts differing positions") {
+    val out = Seq(("0110", "0111"), ("0000", "0000"), ("1111", "0000"))
+      .toDF("a", "b")
+      .select(TextAnalysis.hammingDistance(col("a"), col("b")).as("d"))
+      .collect().map(_.getAs[Int]("d")).toSeq
+    assert(out == Seq(1, 0, 4))
+  }
+
   test("hashSplit: content-keyed (dups co-split), deterministic, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val assigned = TextAnalysis.hashSplit(docs)
