@@ -48,11 +48,19 @@ object DataPipelineQueries {
     Dedup.jaccardPairsExact(docs(spark, sfDir),
       sharedShingles = Some(sharedShingles(spark, sfDir)))
 
+  /** One persisted 32-bit simhash frame per (session, sfDir): the
+    * fingerprint query and the near-dup-pair query both consume it, and
+    * the pair query reads it three times (banding + both verify sides) —
+    * without sharing, each re-runs the token explode + 32-sum groupBy. */
+  private def sharedSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "simhash32")(
+      TextAnalysis.simhash(docs(spark, sfDir)))
+
   def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.simhash(docs(spark, sfDir))
+    sharedSimhash(spark, sfDir)
 
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.simhashNearDupPairs(docs(spark, sfDir))
+    TextAnalysis.simhashNearDupPairsFrom(sharedSimhash(spark, sfDir))
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stats(docs(spark, sfDir))

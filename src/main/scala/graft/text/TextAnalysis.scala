@@ -55,12 +55,18 @@ object TextAnalysis {
    * Output (doc_a, doc_b, hamming) for pairs with hamming <= maxHamming.
    */
   def simhashNearDupPairs(docs: DataFrame, bands: Int = 2, maxHamming: Int = 1,
-                          maxBucketSize: Int = 1000): DataFrame = {
+                          maxBucketSize: Int = 1000): DataFrame =
+    simhashNearDupPairsFrom(simhash(docs), bands, maxHamming, maxBucketSize)
+
+  /** [[simhashNearDupPairs]] over an already-computed (possibly shared/
+    * persisted) `(doc_id, simhash)` frame — it is read three times
+    * (banding + both verify sides). */
+  def simhashNearDupPairsFrom(s: DataFrame, bands: Int = 2, maxHamming: Int = 1,
+                              maxBucketSize: Int = 1000): DataFrame = {
     require(32 % bands == 0, s"32 bits must split evenly into $bands bands")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
     val width = 32 / bands
-    val s = simhash(docs)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), 1 + b * width, width).as("bkey")))
