@@ -71,6 +71,14 @@ class StreamingParitySpec extends SparkSpec {
     val joined = StreamingPipelines.joinedStream(
       impressions, clicks, watermarkDelay = "2 seconds")
 
+    // batch A lands BEFORE the queries start: a watermark operator that
+    // has never seen data is absent from the min-policy map, so a
+    // microbatch racing between the two addData calls would compute the
+    // global watermark from the impression side alone and the next batch
+    // would drop every batch-A click as late. With both sides in batch 0
+    // the operators register together and the min policy holds after.
+    imprStream.addData(imprA); clickStream.addData(clickA)
+
     val ctrQ = StreamingPipelines.ctrByCampaign(joined)
       .writeStream.format("memory").queryName("parity_ctr")
       .outputMode("append").start()
@@ -82,7 +90,7 @@ class StreamingParitySpec extends SparkSpec {
       // two real batches (cross-batch join + dedup state), then two
       // sentinel batches to push the watermark past every real window
       def step(): Unit = { ctrQ.processAllAvailable(); engQ.processAllAvailable() }
-      imprStream.addData(imprA); clickStream.addData(clickA); step()
+      step() // batch A was added before start
       imprStream.addData(imprB); clickStream.addData(clickB); step()
       imprStream.addData(sentinelImpression(0)); clickStream.addData(sentinelClick(0)); step()
       imprStream.addData(sentinelImpression(3600000L)); clickStream.addData(sentinelClick(3600000L)); step()

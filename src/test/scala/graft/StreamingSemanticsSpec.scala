@@ -33,14 +33,18 @@ class StreamingSemanticsSpec extends SparkSpec {
       JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
       JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
       watermarkDelay = "2 seconds")
+    val h = 3600000L
+    // batch 1 lands BEFORE start: a watermark operator that has never
+    // seen data is absent from the min-policy map, so a microbatch racing
+    // between the two addData calls would take the watermark from one
+    // side alone and drop the other side's batch as late (see
+    // StreamingParitySpec for the full account)
+    imprStream.addData(impr("a", h), impr("b", h + 120000L))
+    clickStream.addData(clk("k1", h + 120000L))
     val q = StreamingPipelines.ctrByCampaign(joined)
       .writeStream.format("memory").queryName("late_ctr")
       .outputMode("append").start()
     try {
-      val h = 3600000L
-      // batch 1: two impressions in minute 0 and minute 2
-      imprStream.addData(impr("a", h), impr("b", h + 120000L))
-      clickStream.addData(clk("k1", h + 120000L))
       q.processAllAvailable()
       // batch 2: impression in minute 0 again — now ~2 min behind the
       // watermark (b - 2 s), far beyond the 2 s bound → must be dropped;
@@ -82,14 +86,16 @@ class StreamingSemanticsSpec extends SparkSpec {
       JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
       JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
       watermarkDelay = "2 seconds")
+    // batch 1 before start — same watermark-registration race defense as
+    // the late-drop test above
+    imprStream.addData(impr("a", h), impr("b", h + 5000L))
+    clickStream.addData(
+      clkFor("k1", "a", h + 1000L), clkFor("k2", "a", h + 2000L),
+      clkFor("k3", "a", h + 3000L))
     val q = StreamingPipelines.ctrByCampaign(joined)
       .writeStream.format("memory").queryName("fanout_ctr")
       .outputMode("append").start()
     try {
-      imprStream.addData(impr("a", h), impr("b", h + 5000L))
-      clickStream.addData(
-        clkFor("k1", "a", h + 1000L), clkFor("k2", "a", h + 2000L),
-        clkFor("k3", "a", h + 3000L))
       q.processAllAvailable()
       (1 to 3).foreach { s =>
         imprStream.addData(impr(s"s$s", h + s * 86400000L))
@@ -127,12 +133,18 @@ class StreamingSemanticsSpec extends SparkSpec {
       JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
       JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
       watermarkDelay = "2 seconds")
+    // first wave before start — watermark-registration race defense; the
+    // timed region covers its processing (processAllAvailable), so no
+    // events escape the throughput measurement
+    imprStream.addData(imprWaves.head)
+    clickStream.addData(clickWaves.head)
     val q = StreamingPipelines.ctrByCampaign(joined)
       .writeStream.format("memory").queryName("throughput_ctr")
       .outputMode("append").start()
     try {
       val t0 = System.nanoTime()
-      imprWaves.zip(clickWaves).foreach { case (iw, cw) =>
+      q.processAllAvailable()
+      imprWaves.tail.zip(clickWaves.tail).foreach { case (iw, cw) =>
         imprStream.addData(iw)
         clickStream.addData(cw)
         q.processAllAvailable()
