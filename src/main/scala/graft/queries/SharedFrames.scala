@@ -36,4 +36,16 @@ object SharedFrames {
         df
     }
   }
+
+  /** Drop every memo for `spark`, unpersisting the memoized frames.
+    * Frames a builder persisted INSIDE a memoized plan (LSH band indexes
+    * etc.) are not tracked here — follow with
+    * `spark.catalog.clearCache()` to drop those too. Used by Bench
+    * between the warmup pass and the timed loop so warm-dir caches don't
+    * occupy executor storage while the timed dir is measured. */
+  def clear(spark: SparkSession): Unit = synchronized {
+    frames.filterInPlace { case ((s, _, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true
+    }
+  }
 }
