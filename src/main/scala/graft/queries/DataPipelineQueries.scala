@@ -121,6 +121,21 @@ object DataPipelineQueries {
     Dedup.decontaminate(docs(spark, sfDir),
       isBenchmark = org.apache.spark.sql.functions.col("doc_id") % 43 === 0)
 
+  /** Near-dup clusters over the MinHash pair graph (the memoized
+    * dedup_minhash result is the edge input, so the pair pipeline runs
+    * once for both queries). The propagation loop runs actions at build
+    * time — memoized for the same reason as the other heavy builders. */
+  val dedupClusters: (SparkSession, String) => DataFrame =
+    memoized("dedupClusters") { (spark, sfDir) =>
+      Dedup.clusters(dedupMinhash(spark, sfDir))
+    }
+
+  def vocabTopKQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabTopK(docs(spark, sfDir))
+
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.labelCentroids(embs(spark, sfDir))
+
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.frameSample(docs(spark, sfDir))
 
@@ -362,6 +377,47 @@ object DataPipelineQueries {
       |FROM train tr JOIN bench b ON b.shingle = tr.shingle
       |GROUP BY tr.doc_id""".stripMargin
 
+  /** Connected components over the minhash pair graph via a recursive
+    * CTE (transitive label closure — fine at oracle scale; the Spark side
+    * is the iterative distributed propagation). */
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE mhpairs AS (SELECT doc_a, doc_b FROM (
+       |$dedupMinhashOracle
+       |) mh),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+       |          UNION SELECT doc_b, doc_a FROM mhpairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+       |          GROUP BY cluster_id)
+       |SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+       |       s.cluster_size AS cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id""".stripMargin
+
+  val vocabTopKOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token)
+      |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+      |       count(*) AS doc_freq
+      |FROM tf GROUP BY token
+      |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin
+
+  val embeddingCentroidsOracle: String =
+    """WITH e AS (SELECT label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT label, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |x AS (SELECT label, nrm,
+      |  CAST(unnest(range(len(v))) AS INT) AS dim, unnest(v) AS x FROM n)
+      |SELECT label, dim, count(*) AS n_vectors,
+      |       round(avg(x), 6) AS centroid, round(avg(nrm), 6) AS mean_norm
+      |FROM x GROUP BY label, dim""".stripMargin
+
   val textWinnowOracle: String =
     s"""$shingleCtes,
        |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
@@ -416,6 +472,9 @@ object DataPipelineQueries {
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
+    NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
+    NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),

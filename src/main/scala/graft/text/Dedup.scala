@@ -206,6 +206,74 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTER resolution — the dedup endgame: pairwise
+   * near-dup evidence (from any of the pair operators) is only half the
+   * job; a pipeline must then group transitively-connected documents and
+   * pick ONE canonical representative per group to keep. This computes
+   * connected components over the pair graph by distributed min-label
+   * propagation: every clustered doc gets `cluster_id` = the smallest
+   * doc_id reachable through near-dup edges, plus the cluster size and an
+   * `is_canonical` flag (the doc a dedup pass would keep). Documents with
+   * no near-dup edge are singletons and are not emitted.
+   *
+   * Scale shape: each round is one equi-join of the edge list against the
+   * current labels plus a min-aggregation — all hash shuffles on doc_id,
+   * never anything pairwise — and rounds needed = graph diameter. Near-dup
+   * graphs are dense little cliques (LSH links most members directly), so
+   * diameter is small; the driver loop carries only the per-round changed
+   * COUNT, never data. For adversarial long-chain graphs at 100 TB, swap
+   * the propagation step for the large-star/small-star rewrite (Kiveris et
+   * al., "Connected Components in MapReduce"), which converges in
+   * O(log n) rounds with the same join-shape per round.
+   *
+   * @param pairs near-dup pairs (doc_a, doc_b); doc_a < doc_b not required
+   */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b"): DataFrame = {
+    // symmetrized edge list; tiny relative to the corpus (post-LSH pairs),
+    // persisted because every propagation round re-joins it
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round MUST truncate lineage, not just cache: `labels` feeds
+    // both the neighbor join and the unchanged-label carry-through, so
+    // the logical plan doubles per round — persist alone keeps the full
+    // tree and Catalyst chokes (exponential plan, OOM on stringification)
+    // long before the data does. Eager localCheckpoint materializes the
+    // round and resets the plan to a leaf; ContextCleaner drops
+    // unreferenced round blocks. A long-running cluster job would use
+    // reliable checkpointing (executor loss kills localCheckpoint RDDs).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "__nid"),
+          col("dst") === col("__nid"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbl"))
+      val next = labels
+        .join(viaNeighbors, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("__nbl"), col("cluster_id")))
+            .as("__next"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__next") < col("cluster_id")).count()
+      labels = next.select(col("doc_id"), col("__next").as("cluster_id"))
+    }
+    edges.unpersist()
+    // the final checkpoint backs the returned (lazy) frame — it is read
+    // twice below (membership + sizes); the registry memoizes this
+    // builder so repeated invocations share it
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard >= threshold via the shingle inverted
    * index (pairs sharing zero shingles are never materialized — their
    * jaccard is 0 and can't pass a positive threshold). Set sizes come

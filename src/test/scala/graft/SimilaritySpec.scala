@@ -74,6 +74,23 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_.getAs[Double]("cosine") >= 0.99))
   }
 
+  test("labelCentroids: per-(label, dim) means, counts and mean norm") {
+    val rows = Seq(
+      (0L, Array(1f, 3f), 7),
+      (1L, Array(3f, 5f), 7),
+      (2L, Array(0f, 4f), 9))
+    val out = Similarity.labelCentroids(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("centroid"),
+          r.getAs[Double]("mean_norm"))).toMap
+    assert(out.keySet == Set((7, 0), (7, 1), (9, 0), (9, 1)))
+    assert(out((7, 0)) == ((2L, 2.0, // mean norms: (sqrt(10)+sqrt(34))/2
+      math.rint((math.sqrt(10.0) + math.sqrt(34.0)) / 2 * 1e6) / 1e6)))
+    assert(out((7, 1))._2 == 4.0)
+    assert(out((9, 0)) == ((1L, 0.0, 4.0)))
+    assert(out((9, 1))._2 == 4.0)
+  }
+
   test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()

@@ -32,6 +32,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Int]("d")).toSeq == Seq(2, 0))
   }
 
+  test("vocabTopK: term + doc frequency with deterministic tie order and cutoff") {
+    val out = TextAnalysis.vocabTopK(docsDF(
+      1L -> "b a b c", 2L -> "a b z", 3L -> "a"), k = 3).collect()
+      .map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("doc_freq")))
+    // a: 3 occ / 3 docs; b: 3 occ / 2 docs — tie on count broken by token
+    // order; c and z (1 occ each) tie → 'c' wins the last slot
+    assert(out.toSeq == Seq(("a", 3L, 3L), ("b", 3L, 2L), ("c", 1L, 1L)))
+  }
+
   test("stats: counts, mean token length and stopword ratio on a known doc") {
     val r = TextAnalysis.stats(docsDF(1L -> "the cat the hat is big")).collect().head
     assert(r.getAs[Int]("n_tokens") == 6)
