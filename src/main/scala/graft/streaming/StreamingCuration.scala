@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming twins of the curation operators — the form a training-data
+ * pipeline runs while INGESTING a corpus, rather than over a landed one
+ * (same relationship as [[StreamingPipelines]] to the batch ad queries).
+ *
+ * Both operators are built from the bounded-state primitives the ad
+ * pipeline already exercises: `dropDuplicatesWithinWatermark` (state GC'd
+ * once the watermark passes, the only viable dedup form at 100 TB — a
+ * plain `dropDuplicates` pins every fingerprint ever seen) and
+ * stream-static joins (the static side is planned per microbatch as an
+ * ordinary broadcast — no streaming state at all).
+ */
+object StreamingCuration {
+
+  /**
+   * Streaming exact dedup: first arrival of each content fingerprint
+   * passes, later copies are dropped — as long as they arrive within the
+   * watermark horizon. Duplicates farther apart than the horizon
+   * re-emit (their state was GC'd); that is the explicit trade for
+   * bounded state, and the horizon is the knob. Downstream consumers
+   * that need global exactness run the batch [[graft.text.Dedup.exact]]
+   * over the landed output (the standard lambda split); the streaming
+   * pass removes the overwhelmingly-common near-in-time duplicates
+   * (retries, crawler revisits, mirror bursts) before storage is paid.
+   *
+   * Output: the surviving document rows plus their `fingerprint`.
+   */
+  def exactDedup(docs: DataFrame, timeCol: String = "ingest_time",
+                 watermarkDelay: String = "10 seconds"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /**
+   * Streaming benchmark decontamination: flag each arriving training
+   * document sharing any word `shingleWidth`-gram with the (static,
+   * small) benchmark set. The benchmark index is a plain batch frame —
+   * Spark broadcasts it into every microbatch (stream-static inner
+   * join, stateless); the only streaming state is the per-doc_id dedup
+   * that collapses multiple shingle hits to one flag row, bounded by
+   * the watermark like everything else.
+   *
+   * Output: one (doc_id, `timeCol`) row per flagged document. The
+   * per-doc hit COUNT of the batch twin ([[Dedup.decontaminate]]) is
+   * deliberately not computed here — it would need a windowed
+   * aggregation delaying emission until window close, and the flag is
+   * what gates ingestion; run the batch twin for the audit report.
+   */
+  def decontaminateFlags(docStream: DataFrame, benchDocs: DataFrame,
+                         shingleWidth: Int = 5,
+                         timeCol: String = "ingest_time",
+                         watermarkDelay: String = "10 seconds"): DataFrame = {
+    val benchIndex = Dedup.shingleArrays(benchDocs, shingleWidth)
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+    docStream
+      .select(col("doc_id"), col(timeCol),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)))
+          .as("shingle"))
+      .join(broadcast(benchIndex), "shingle")
+      .select(col("doc_id"), col(timeCol))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+  }
+}

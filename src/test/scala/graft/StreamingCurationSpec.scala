@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingCuration
+import graft.text.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming curation vs batch parity, plus the bounded-state semantics
+ * the batch oracle cannot see: within-watermark duplicates collapse to
+ * one survivor; beyond-horizon duplicates re-emit because their state
+ * was (correctly) GC'd.
+ */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("streaming exact dedup matches batch fingerprints within the watermark") {
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.exactDedup(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"))
+    // dups within and across microbatches, all inside the horizon
+    stream.addData((1L, "a b c", ts(100)), (2L, "a b c", ts(101)), (3L, "x y", ts(102)))
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((4L, "x y", ts(103)), (5L, "q r", ts(104)))
+      q.processAllAvailable()
+      // flush: watermark must pass every event for append-mode emission
+      stream.addData((99L, "sentinel", ts(10000)))
+      q.processAllAvailable()
+
+      val got = spark.table("sdedup").filter(col("doc_id") =!= 99L)
+      val batch = Dedup.exact(
+        Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "x y"), (5L, "q r"))
+          .toDF("doc_id", "text"))
+      // one survivor per distinct text, same fingerprint set as batch
+      assert(got.count() == batch.count())
+      assert(got.select("fingerprint").collect().map(_.getString(0)).toSet ==
+        batch.select("fingerprint").collect().map(_.getString(0)).toSet)
+    } finally q.stop()
+  }
+
+  test("duplicates beyond the watermark horizon re-emit (state was GC'd)") {
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.exactDedup(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"),
+      watermarkDelay = "10 seconds")
+    stream.addData((1L, "dup text", ts(100)))
+    val q = out.writeStream.format("memory").queryName("sdedup_gc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past 100s + 10s → doc 1's state expires
+      stream.addData((50L, "advance", ts(5000)))
+      q.processAllAvailable()
+      // same text again, event-time after the watermark → accepted, and
+      // with no surviving state it re-emits — the documented horizon trade
+      stream.addData((2L, "dup text", ts(4995)))
+      q.processAllAvailable()
+      stream.addData((99L, "sentinel", ts(100000)))
+      q.processAllAvailable()
+
+      val dups = spark.table("sdedup_gc")
+        .filter(col("text") === "dup text").collect().map(_.getAs[Long]("doc_id"))
+      assert(dups.sorted.toSeq == Seq(1L, 2L),
+        s"expected both horizon-separated copies to emit, got ${dups.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming decontamination flags the same docs as the batch twin") {
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // doc 1 copies a 5-gram from the benchmark; docs 2/3 don't; doc 1's
+    // second shingle hit must NOT produce a second flag row
+    val trainRows = Seq(
+      (1L, "x alpha beta gamma delta epsilon zeta y"),
+      (2L, "alpha beta gamma q delta epsilon zeta w"),
+      (3L, "one two three four five six"))
+
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.decontaminateFlags(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"), bench)
+    stream.addData(trainRows.zipWithIndex.map {
+      case ((id, text), i) => (id, text, ts(100 + i)) }: _*)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((99L, "sentinel words only", ts(10000)))
+      q.processAllAvailable()
+
+      val got = spark.table("sdecon").collect().map(_.getAs[Long]("doc_id")).toSeq
+      val want = Dedup.decontaminate(
+        (bench.as[(Long, String)].collect().toSeq ++ trainRows).toDF("doc_id", "text"),
+        isBenchmark = col("doc_id") === 0L)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      assert(got.sorted == want.sorted,
+        s"streaming flags $got != batch flags $want")
+    } finally q.stop()
+  }
+}
