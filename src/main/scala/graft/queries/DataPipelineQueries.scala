@@ -89,6 +89,9 @@ object DataPipelineQueries {
   def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(docs(spark, sfDir))
 
+  def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityGate(docs(spark, sfDir))
+
   def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
@@ -318,6 +321,37 @@ object DataPipelineQueries {
        |FROM s""".stripMargin
   }
 
+  /** Same signals, thresholds, and rule order as
+    * `TextAnalysis.qualityGate`'s defaults; gates compare the unrounded
+    * doubles (identical IEEE divisions on both engines). */
+  val qualityGateOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |    / len(toks) AS mtl,
+      |  CAST(len(list_filter(toks, t ->
+      |      list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+      |    / len(toks) AS stop,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 2),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE)
+      |      / (len(toks) - 2)
+      |  ELSE 0.0 END AS rep
+      |  FROM t),
+      |g AS (SELECT doc_id, n_tokens, mtl, stop, rep,
+      |  CASE WHEN n_tokens < 30 THEN 'too_short'
+      |       WHEN n_tokens > 5000 THEN 'too_long'
+      |       WHEN mtl < 2.0 OR mtl > 12.0 THEN 'bad_token_len'
+      |       WHEN stop < 0.02 THEN 'low_stopword'
+      |       WHEN rep > 0.05 THEN 'repetitive'
+      |       ELSE 'pass' END AS reason
+      |  FROM m)
+      |SELECT doc_id, n_tokens, round(mtl, 6) AS mean_token_len,
+      |       round(stop, 6) AS stopword_ratio, round(rep, 6) AS rep_ratio,
+      |       reason, reason = 'pass' AS keep
+      |FROM g""".stripMargin
+
   val similarityTopKOracle: String =
     """WITH e AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
@@ -470,6 +504,7 @@ object DataPipelineQueries {
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
+    NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

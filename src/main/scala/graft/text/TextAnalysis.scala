@@ -246,6 +246,55 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style quality gate — the rule filter a curation pipeline runs
+   * to drop junk before training: per-document shape signals (token
+   * count, mean token length, stopword ratio, duplicate-3-gram
+   * repetition ratio) each checked against a threshold, with the FIRST
+   * failing rule reported as the drop reason ('pass' otherwise, `keep` =
+   * no rule failed). Defaults sit inside the driver corpus's observed
+   * ranges so both outcomes occur; a real pipeline tunes them per source.
+   *
+   * Purely narrow per-row expressions — no shuffle, scales by partition
+   * count. Gate comparisons run on the UNROUNDED doubles: both engines
+   * compute them from the same integers with correctly-rounded IEEE
+   * division, so the decisions are bit-identical; the emitted ratios are
+   * rounded to 6 dp for the driver compare.
+   */
+  def qualityGate(docs: DataFrame,
+                  minTokens: Int = 30, maxTokens: Int = 5000,
+                  minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+                  minStopwordRatio: Double = 0.02,
+                  maxRepetitionRatio: Double = 0.05): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(toks, 3)
+    val stopArr = array(stopwords.map(lit): _*)
+    val metered = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / size(toks)).as("__mtl"),
+      (size(filter(toks, t => array_contains(stopArr, t)))
+        .cast("double") / size(toks)).as("__stop"),
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(0.0).as("__rep"))
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("__mtl") < minMeanTokenLen || col("__mtl") > maxMeanTokenLen,
+        "bad_token_len")
+      .when(col("__stop") < minStopwordRatio, "low_stopword")
+      .when(col("__rep") > maxRepetitionRatio, "repetitive")
+      .otherwise("pass")
+    metered.select(
+      col("doc_id"), col("n_tokens"),
+      round(col("__mtl"), 6).as("mean_token_len"),
+      round(col("__stop"), 6).as("stopword_ratio"),
+      round(col("__rep"), 6).as("rep_ratio"),
+      reason.as("reason"),
+      (reason === "pass").as("keep"))
+  }
+
+  /**
    * Stopword-overlap language ID. Scores each document against a small
    * marker-word set per language (total occurrences, not distinct) and
    * predicts the highest-scoring language with a fixed precedence order

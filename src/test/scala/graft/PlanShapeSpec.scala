@@ -44,5 +44,43 @@ class PlanShapeSpec extends SparkSpec {
     assertNoCartesian("dedup_embedding", DataPipelineQueries.dedupEmbedding(spark, sf))
     assertNoCartesian("dedup_decontaminate", DataPipelineQueries.dedupDecontaminate(spark, sf))
     assertNoCartesian("similarity_ann", DataPipelineQueries.similarityAnn(spark, sf))
+    assertNoCartesian("dedup_clusters", DataPipelineQueries.dedupClusters(spark, sf))
+  }
+
+  test("vocab top-k plans as TakeOrdered, never a global sort") {
+    val plan = finalPlan(DataPipelineQueries.vocabTopKQ(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrdered plan:\n$plan")
+    // a Sort node would mean the full vocabulary is globally sorted just
+    // to keep k rows — the exact shape the operator exists to avoid
+    assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
+  }
+
+  test("label centroids shuffle once on the (label, dim) key") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = DataPipelineQueries.embeddingCentroids(spark, sf)
+    df.collect()
+    // walk AQE's FINAL plan tree (the toString would double-count: it
+    // appends the initial plan as text). Query stages are LEAF nodes
+    // wrapping their real plan, so the walk must recurse through
+    // QueryStageExec.plan by hand; cache-build plans (InMemoryTableScan)
+    // stay excluded — only this query's own shuffles are counted.
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(walk)
+    }
+    val hashShuffles = walk(df.queryExecution.executedPlan).count {
+      case e: ShuffleExchangeLike => e.outputPartitioning.isInstanceOf[HashPartitioning]
+      case _ => false
+    }
+    assert(hashShuffles == 1,
+      s"expected exactly 1 hash shuffle (the (label, dim) agg), got $hashShuffles")
   }
 }

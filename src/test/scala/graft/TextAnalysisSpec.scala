@@ -32,6 +32,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Int]("d")).toSeq == Seq(2, 0))
   }
 
+  test("qualityGate: each rule fires in order, clean docs pass") {
+    val fillers = (1 to 40).map(i => s"word$i")
+    val clean = (fillers.take(35) :+ "the" :+ "of" :+ "and").mkString(" ")
+    val short = "just a few tokens here"
+    val longTok = (1 to 35).map(i => s"exceptionallylongtoken$i").mkString(" ")
+    val noStop = fillers.mkString(" ")
+    val repetitive = (("the of" +: Seq.fill(20)("dup gram dup gram")).mkString(" "))
+    val out = TextAnalysis.qualityGate(docsDF(
+      1L -> clean, 2L -> short, 3L -> longTok, 4L -> noStop, 5L -> repetitive))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (("pass", true)))
+    assert(out(2L) == (("too_short", false)))
+    assert(out(3L) == (("bad_token_len", false)))
+    assert(out(4L) == (("low_stopword", false)))
+    assert(out(5L) == (("repetitive", false)))
+  }
+
   test("vocabTopK: term + doc frequency with deterministic tie order and cutoff") {
     val out = TextAnalysis.vocabTopK(docsDF(
       1L -> "b a b c", 2L -> "a b z", 3L -> "a"), k = 3).collect()
