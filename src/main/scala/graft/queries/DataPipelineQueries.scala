@@ -92,6 +92,12 @@ object DataPipelineQueries {
   def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityGate(docs(spark, sfDir))
 
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(spark, sfDir))
+
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenChunks(docs(spark, sfDir))
+
   def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
@@ -352,6 +358,26 @@ object DataPipelineQueries {
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
 
+  /** Same salt, thresholds and lang precedence as
+    * `TextAnalysis.stratifiedSample`'s defaults. */
+  val sampleStratifiedOracle: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |  substr(md5('sample:' || text), 1, 4) AS sample_key FROM documents)
+      |SELECT doc_id, lang, sample_key FROM s
+      |WHERE sample_key < CASE WHEN lang = 'en' THEN '8000'
+      |                        WHEN lang = 'de' THEN '4000'
+      |                        ELSE '1999' END""".stripMargin
+
+  val docChunksOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) > 0),
+      |c AS (SELECT doc_id, toks,
+      |  unnest(range(CAST(ceil(len(toks) / 32.0) AS INT))) AS i FROM t),
+      |s AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
+      |  toks[i*32+1 : least((i+1)*32, len(toks))] AS chunk FROM c)
+      |SELECT doc_id, chunk_no, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+      |       md5(array_to_string(chunk, ' ')) AS checksum FROM s""".stripMargin
+
   val similarityTopKOracle: String =
     """WITH e AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
@@ -505,6 +531,8 @@ object DataPipelineQueries {
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
+    NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
+    NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

@@ -218,6 +218,60 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /**
+   * Deterministic stratified sampling — the data-mixing primitive: keep
+   * each document with a per-language rate, decided by a salted content
+   * hash instead of an RNG so the sample is reproducible run-over-run,
+   * engine-over-engine, and under retries (the properties a training-mix
+   * recipe must have; same hash-threshold idiom as [[hashSplit]]).
+   * Rates are expressed as 4-hex-digit thresholds (granularity 1/65536):
+   * '8000' ≈ 50%, '4000' ≈ 25%, '1999' ≈ 10%. Content-keyed, so exact
+   * duplicates sample identically. Pure per-row filter; no shuffle.
+   */
+  def stratifiedSample(docs: DataFrame,
+                       thresholds: Seq[(String, String)] =
+                         Seq("en" -> "8000", "de" -> "4000"),
+                       defaultThreshold: String = "1999",
+                       salt: String = "sample"): DataFrame = {
+    val h4 = substring(md5(concat(lit(salt + ":"), col("text"))), 1, 4)
+    val thr = thresholds.foldRight(lit(defaultThreshold)) { case ((l, t), alt) =>
+      when(col("lang") === l, lit(t)).otherwise(alt)
+    }
+    docs.filter(h4 < thr)
+      .select(col("doc_id"), col("lang"), h4.as("sample_key"))
+  }
+
+  /**
+   * Fixed-size token-window chunking — context-length packing's first
+   * half: split each document into consecutive `chunkSize`-token chunks
+   * (last one short), emitting per chunk its index, token count, and
+   * content digest (the digest, not the text — at 100 TB the chunk text
+   * stays in the data plane; downstream packing joins back by
+   * (doc_id, chunk_no)). Narrow per-row explode, no shuffle.
+   *
+   * The token array is bound as a lambda variable (`transform` over a
+   * single-element array) — the [[winnowingPickArrays]] lesson: a named
+   * projection column would be inlined by projection collapse into every
+   * slice reference, re-splitting the document O(chunks) times.
+   */
+  def tokenChunks(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
+    val cs = chunkSize
+    val chunks = element_at(
+      transform(array(TextOps.tokens(col("text"))), ts =>
+        transform(
+          sequence(lit(0), ceil(size(ts).cast("double") / cs).cast("int") - 1),
+          i => struct(
+            i.as("chunk_no"),
+            size(slice(ts, i * cs + 1, lit(cs))).as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(ts, i * cs + 1, lit(cs)))).as("checksum")))), 1)
+    docs
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_no").as("chunk_no"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.checksum").as("checksum"))
+  }
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /**

@@ -32,6 +32,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Int]("d")).toSeq == Seq(2, 0))
   }
 
+  test("tokenChunks: full + tail chunks with exact sizes and digests") {
+    val text70 = (1 to 70).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.tokenChunks(
+      Seq((1L, text70), (2L, "a b")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_no")) ->
+        r.getAs[Int]("n_chunk_tokens")).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(out((1L, 0)) == 32 && out((1L, 1)) == 32 && out((1L, 2)) == 6)
+    assert(out((2L, 0)) == 2)
+    // tail-chunk digest covers exactly tokens 65..70
+    val tail = TextAnalysis.tokenChunks(Seq((1L, text70)).toDF("doc_id", "text"))
+      .filter(col("chunk_no") === 2).collect().head.getAs[String]("checksum")
+    val want = TextAnalysis.tokenChunks(
+      Seq((9L, (65 to 70).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"))
+      .collect().head.getAs[String]("checksum")
+    assert(tail == want)
+  }
+
+  test("stratifiedSample: deterministic, content-keyed, rate-ordered by lang") {
+    val docs = (1 to 400).map(i => (i.toLong, s"doc body number $i",
+      if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "text", "lang")
+    val a = TextAnalysis.stratifiedSample(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val b = TextAnalysis.stratifiedSample(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b, "sampling must be deterministic")
+    val perLang = TextAnalysis.stratifiedSample(docs).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // en keeps ~50% of 200, default ~10% of 200 — wide tolerance, the
+    // point is the ordering and that both strata are non-empty
+    assert(perLang.getOrElse("en", 0) > perLang.getOrElse("zz", 0))
+    assert(perLang.getOrElse("en", 0) > 60 && perLang.getOrElse("en", 0) < 140)
+    assert(perLang.getOrElse("zz", 0) > 4 && perLang.getOrElse("zz", 0) < 50)
+  }
+
   test("qualityGate: each rule fires in order, clean docs pass") {
     val fillers = (1 to 40).map(i => s"word$i")
     val clean = (fillers.take(35) :+ "the" :+ "of" :+ "and").mkString(" ")
