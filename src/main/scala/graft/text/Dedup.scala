@@ -244,8 +244,15 @@ object Dedup {
     // round and resets the plan to a leaf; ContextCleaner drops
     // unreferenced round blocks. A long-running cluster job would use
     // reliable checkpointing (executor loss kills localCheckpoint RDDs).
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // initialization folds in the first propagation round: label₀ =
+    // min(self, direct neighbors) — min-label converges from any
+    // per-node value ≥ the component minimum, and LSH near-dup
+    // components are mostly direct cliques, so this usually leaves just
+    // the one confirming round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("__mn")).as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
