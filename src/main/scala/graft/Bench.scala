@@ -42,11 +42,15 @@ object Bench {
           case scala.util.control.NonFatal(_) => ()
         }
       }
-      // drop the warm-dir memos + every persist their plans created: the
-      // warmup exists to compile codegen classes, not to occupy executor
-      // storage while the timed dir is measured
+      // drop the warm-dir memos and cached plans: the warmup exists to
+      // compile codegen classes, not to occupy executor storage while the
+      // timed dir is measured. localCheckpoint blocks (the cluster
+      // propagation rounds) are NOT in the cache manager — they free only
+      // when ContextCleaner collects their RDDs, so nudge a GC cycle
+      // rather than carry them nondeterministically into the timed loop.
       graft.queries.SharedFrames.clear(spark)
       spark.catalog.clearCache()
+      System.gc()
     }
     // Failures are reported as an "errors" map, never as fake timings.
     // Insertion order = pipeline order (SparkEntry.queries is a ListMap).

@@ -265,21 +265,29 @@ object DataPipelineQueries {
        |WHERE hamming <= 1""".stripMargin
   }
 
+  /** Mean-token-length / stopword-ratio SQL over a `toks` list column —
+    * ONE definition spliced into both textStatsOracle and
+    * qualityGateOracle, mirroring the shared Scala helpers in
+    * TextAnalysis (divergent copies would silently split the engines on
+    * hash-compared columns). */
+  private val mtlSql =
+    "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)"
+  private val stopRatioSql =
+    "CAST(len(list_filter(toks, t -> " +
+      "list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE) / len(toks)"
+
   val textStatsOracle: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)
-      |SELECT doc_id,
-      |  length(text) AS n_chars_utf8,
-      |  len(toks) AS n_tokens,
-      |  len(list_distinct(toks)) AS n_unique_tokens,
-      |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-      |        / len(toks), 6) AS mean_token_len,
-      |  round(CAST(len(list_filter(toks, t ->
-      |          list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
-      |        / len(toks), 6) AS stopword_ratio,
-      |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-      |        / length(text), 6) AS punct_ratio,
-      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
-      |FROM t""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)
+       |SELECT doc_id,
+       |  length(text) AS n_chars_utf8,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_unique_tokens,
+       |  round($mtlSql, 6) AS mean_token_len,
+       |  round($stopRatioSql, 6) AS stopword_ratio,
+       |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |        / length(text), 6) AS punct_ratio,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+       |FROM t""".stripMargin
 
   val corpusStatsOracle: String =
     """WITH t AS (SELECT lang, n_chars,
@@ -331,14 +339,11 @@ object DataPipelineQueries {
     * `TextAnalysis.qualityGate`'s defaults; gates compare the unrounded
     * doubles (identical IEEE divisions on both engines). */
   val qualityGateOracle: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       |m AS (SELECT doc_id,
       |  CAST(len(toks) AS INT) AS n_tokens,
-      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-      |    / len(toks) AS mtl,
-      |  CAST(len(list_filter(toks, t ->
-      |      list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
-      |    / len(toks) AS stop,
+      |  $mtlSql AS mtl,
+      |  $stopRatioSql AS stop,
       |  CASE WHEN len(toks) >= 3 THEN
       |    1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 2),
       |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE)

@@ -57,17 +57,25 @@ object StreamingCuration {
                          shingleWidth: Int = 5,
                          timeCol: String = "ingest_time",
                          watermarkDelay: String = "10 seconds"): DataFrame = {
+    // persisted: the index is static by construction, but an unpersisted
+    // plan would re-tokenize and re-aggregate the benchmark corpus in
+    // EVERY microbatch of the stream-static join
     val benchIndex = Dedup.shingleArrays(benchDocs, shingleWidth)
       .select(explode(col("sh")).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // watermark BEFORE the shingle join: docs matching no benchmark
+    // shingle emit zero join rows, so a post-join watermark would never
+    // advance on a clean stream and the per-doc dedup state would grow
+    // forever — the watermark must see every arriving document
     docStream
+      .withWatermark(timeCol, watermarkDelay)
       .select(col("doc_id"), col(timeCol),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)))
           .as("shingle"))
       .join(broadcast(benchIndex), "shingle")
       .select(col("doc_id"), col(timeCol))
-      .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
   }
 }

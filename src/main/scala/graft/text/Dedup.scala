@@ -260,11 +260,12 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "__nid"),
           col("dst") === col("__nid"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbl"))
+      // inner join: every labeled node appears as src in the symmetrized
+      // edge list, so viaNeighbors covers the whole key set by invariant
       val next = labels
-        .join(viaNeighbors, col("doc_id") === col("src"), "left")
+        .join(viaNeighbors, col("doc_id") === col("src"))
         .select(col("doc_id"), col("cluster_id"),
-          least(col("cluster_id"), coalesce(col("__nbl"), col("cluster_id")))
-            .as("__next"))
+          least(col("cluster_id"), col("__nbl")).as("__next"))
         .localCheckpoint(true)
       changed = next.filter(col("__next") < col("cluster_id")).count()
       labels = next.select(col("doc_id"), col("__next").as("cluster_id"))

@@ -237,8 +237,12 @@ object TextAnalysis {
     val thr = thresholds.foldRight(lit(defaultThreshold)) { case ((l, t), alt) =>
       when(col("lang") === l, lit(t)).otherwise(alt)
     }
-    docs.filter(h4 < thr)
-      .select(col("doc_id"), col("lang"), h4.as("sample_key"))
+    // project the key before filtering: Filter and Project are separate
+    // operators with no cross-operator subexpression sharing, so a filter
+    // on the raw hash expression would md5 the document twice
+    docs.select(col("doc_id"), col("lang"), h4.as("sample_key"), thr.as("__thr"))
+      .filter(col("sample_key") < col("__thr"))
+      .drop("__thr")
   }
 
   /**
@@ -264,8 +268,11 @@ object TextAnalysis {
             i.as("chunk_no"),
             size(slice(ts, i * cs + 1, lit(cs))).as("n_chunk_tokens"),
             md5(concat_ws(" ", slice(ts, i * cs + 1, lit(cs)))).as("checksum")))), 1)
+    // split(text) never yields an empty array for non-null text (minimum
+    // [""]), so null-exclusion is the whole row predicate — checking
+    // size(tokens) > 0 would tokenize every document a second time
     docs
-      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_no").as("chunk_no"),
         col("c.n_chunk_tokens").as("n_chunk_tokens"),
@@ -273,6 +280,19 @@ object TextAnalysis {
   }
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Mean token length — ONE definition shared by [[stats]] and
+    * [[qualityGate]] (the driver hash-compares both against oracles that
+    * splice the equivalent shared SQL snippet; divergent copies would
+    * silently split the engines). */
+  private def meanTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(toks)
+
+  /** Stopword-occurrence ratio — shared by [[stats]] and [[qualityGate]]. */
+  private def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+      .cast("double") / size(toks)
 
   /**
    * Document shape/quality statistics: token counts, type-token ratio
@@ -283,16 +303,13 @@ object TextAnalysis {
    */
   def stats(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val stopArr = array(stopwords.map(lit): _*)
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_utf8"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_unique_tokens"),
-      round(aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
-        .cast("double") / size(toks), 6).as("mean_token_len"),
-      round(size(filter(toks, t => array_contains(stopArr, t)))
-        .cast("double") / size(toks), 6).as("stopword_ratio"),
+      round(meanTokenLen(toks), 6).as("mean_token_len"),
+      round(stopwordRatio(toks), 6).as("stopword_ratio"),
       round(size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
         .cast("double") / length(col("text")), 6).as("punct_ratio"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
@@ -321,14 +338,11 @@ object TextAnalysis {
                   maxRepetitionRatio: Double = 0.05): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val sh = TextOps.shingles(toks, 3)
-    val stopArr = array(stopwords.map(lit): _*)
     val metered = docs.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
-      (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
-        .cast("double") / size(toks)).as("__mtl"),
-      (size(filter(toks, t => array_contains(stopArr, t)))
-        .cast("double") / size(toks)).as("__stop"),
+      meanTokenLen(toks).as("__mtl"),
+      stopwordRatio(toks).as("__stop"),
       when(size(sh) > 0,
         lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
         .otherwise(0.0).as("__rep"))
