@@ -72,6 +72,29 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation ops (quality gate) run on a stream unchanged") {
+    // qualityGate is pure per-row projection — the SAME function applies
+    // to a streaming frame with no rewrite, watermark, or state; this
+    // pins that property (a regression to e.g. a window or groupBy in the
+    // gate would break streaming ingest pipelines that compose it)
+    import graft.text.TextAnalysis
+    val rows = Seq(
+      (1L, ((1 to 35).map(i => s"w$i") :+ "the").mkString(" ")),
+      (2L, "too short"))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = TextAnalysis.qualityGate(stream.toDF().toDF("doc_id", "text"))
+    stream.addData(rows: _*)
+    val q = out.writeStream.format("memory").queryName("sgate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sgate").collect().map(_.toSeq).toSet
+      val want = TextAnalysis.qualityGate(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags the same docs as the batch twin") {
     val bench = Seq(
       (0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
