@@ -114,6 +114,34 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_canonical")) == 1)
   }
 
+  test("clusters matches a union-find reference on seeded random graphs") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize every member to its component MINIMUM
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.valuesIterator.flatMap(ms => ms.map(_ -> ms.min)).toMap
+    }
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = Dedup.clusters(pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == unionFind(pairs), s"seed $seed mismatch")
+    }
+  }
+
   test("clusters: empty pair input yields an empty frame with the output schema") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.clusters(empty)
