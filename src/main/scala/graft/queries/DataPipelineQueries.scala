@@ -145,6 +145,33 @@ object DataPipelineQueries {
   def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.labelCentroids(embs(spark, sfDir))
 
+  /**
+   * End-to-end corpus curation — the whole pipeline as ONE declarative
+   * plan: keep a document iff it (1) passes the quality gate, (2) is the
+   * canonical copy of its exact-duplicate group, (3) is not a
+   * non-canonical member of a MinHash near-dup cluster, (4) is not
+   * benchmark-contaminated, and (5) is not itself a benchmark/eval doc.
+   * Every stage is the already-verified operator (shared/memoized
+   * frames, so the pair pipeline and cluster propagation run once per
+   * session); the id-joins are all equi-joins on unique keys — semi/anti
+   * shapes Catalyst plans as broadcast/hash joins, no fan-out.
+   */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val d = docs(spark, sfDir)
+    val pass = TextAnalysis.qualityGate(d).filter(col("keep")).select("doc_id")
+    val exactKeep = Dedup.exact(d).select("doc_id")
+    val contaminated = dedupDecontaminate(spark, sfDir).select("doc_id")
+    val nonCanonical = dedupClusters(spark, sfDir)
+      .filter(not(col("is_canonical"))).select("doc_id")
+    d.join(exactKeep, "doc_id")
+      .join(pass, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 43 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.frameSample(docs(spark, sfDir))
 
@@ -499,6 +526,19 @@ object DataPipelineQueries {
        |  md5(string_agg(wmin, '' ORDER BY wmin)) AS fingerprint
        |FROM fp GROUP BY doc_id""".stripMargin
 
+  /** The curation conjunction, composed by NESTING the already-verified
+    * oracle queries as subqueries — each stage's SQL is the single
+    * definition used by its own green CORRECTNESS row. */
+  val curateCorpusOracle: String =
+    s"""SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+       |FROM documents d
+       |JOIN (SELECT doc_id FROM ($dedupExactOracle) e) ek USING (doc_id)
+       |JOIN (SELECT doc_id FROM ($qualityGateOracle) q WHERE keep) g USING (doc_id)
+       |WHERE d.doc_id % 43 <> 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM ($decontaminateOracle) c)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM ($dedupClustersOracle) k
+       |                       WHERE NOT is_canonical)""".stripMargin
+
   val mediaFramesOracle: String =
     """WITH fr AS (SELECT doc_id,
       |  unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS frame_no,
@@ -538,6 +578,7 @@ object DataPipelineQueries {
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
+    NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

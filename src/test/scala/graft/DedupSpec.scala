@@ -150,6 +150,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("curate_corpus is exactly the set algebra of its verified stages") {
+    // guards the JOIN GLUE (semi/anti shapes, no fan-out, benchmark
+    // exclusion) — each stage's own values are oracle-checked separately
+    import graft.queries.DataPipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val want =
+      (ids(graft.text.TextAnalysis.qualityGate(d).filter(col("keep"))) &
+        ids(Dedup.exact(d))) --
+        ids(DedupSpec.contaminated(spark, sf)) --
+        ids(DedupSpec.nonCanonical(spark, sf)) --
+        d.filter(col("doc_id") % 43 === 0).collect().map(_.getAs[Long]("doc_id"))
+    val got = ids(DataPipelineQueries.curateCorpus(spark, sf))
+    assert(got == want, s"only-got=${got -- want}, only-want=${want -- got}")
+    // no duplicate rows from the id joins
+    assert(DataPipelineQueries.curateCorpus(spark, sf).count() == got.size)
+  }
+
   test("LSH recall on sf0.001 documents: finds every exact pair >= 0.5") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def key(r: org.apache.spark.sql.Row) =
@@ -163,4 +183,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
+}
+
+object DedupSpec {
+  import graft.queries.DataPipelineQueries
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def contaminated(spark: SparkSession, sf: String): DataFrame =
+    DataPipelineQueries.dedupDecontaminate(spark, sf)
+
+  def nonCanonical(spark: SparkSession, sf: String): DataFrame =
+    DataPipelineQueries.dedupClusters(spark, sf)
+      .filter(!org.apache.spark.sql.functions.col("is_canonical"))
 }
