@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DataPipelineQueries, EventQueries}
+import graft.queries.DataPipelineQueries
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -32,19 +32,17 @@ class PlanShapeSpec extends SparkSpec {
       s"$name plan contains a BroadcastNestedLoopJoin:\n$plan")
   }
 
-  test("event pipeline joins stay equi-keyed (no cartesian-class join)") {
-    assertNoCartesian("ctr_by_campaign", EventQueries.ctrByCampaign(spark, sf))
-    assertNoCartesian("engagement_by_device", EventQueries.engagementByDevice(spark, sf))
-    assertNoCartesian("anomaly_alerts", EventQueries.anomalyAlerts(spark, sf))
-  }
+  /** The two queries whose broadcast nested-loop joins are the DESIGN
+    * (brute-force top-k broadcasts the query set against everything;
+    * IVF broadcasts the centroid probe set). */
+  private val intentionalBnlj = Set("similarity_topk", "similarity_ivf")
 
-  test("dedup/similarity candidate joins stay equi-keyed (no cartesian-class join)") {
-    assertNoCartesian("dedup_minhash", DataPipelineQueries.dedupMinhash(spark, sf))
-    assertNoCartesian("dedup_jaccard", DataPipelineQueries.dedupJaccard(spark, sf))
-    assertNoCartesian("dedup_embedding", DataPipelineQueries.dedupEmbedding(spark, sf))
-    assertNoCartesian("dedup_decontaminate", DataPipelineQueries.dedupDecontaminate(spark, sf))
-    assertNoCartesian("similarity_ann", DataPipelineQueries.similarityAnn(spark, sf))
-    assertNoCartesian("dedup_clusters", DataPipelineQueries.dedupClusters(spark, sf))
+  test("EVERY registered query stays cartesian-free (whitelist: brute-force/IVF)") {
+    // sweep the whole registry so new queries are audited automatically —
+    // a forgotten equi conjunct or non-deterministic bucket key degrades
+    // to a cartesian-class join silently otherwise
+    for ((name, fn) <- SparkEntry.queries if !intentionalBnlj(name))
+      assertNoCartesian(name, fn(spark, sf))
   }
 
   test("vocab top-k plans as TakeOrdered, never a global sort") {
