@@ -1,0 +1,85 @@
+package graft
+
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-trend smoke harness: amplifies the `documents` corpus K× with
+ * MUTATED copies (each copy appends a distinct tag token, so copies are
+ * not near-duplicates and the duplicate structure per copy is preserved)
+ * and times the heavy curation operators at each K. The point is the
+ * TREND — a quadratic term shows up as super-linear growth long before
+ * 100 TB does — not absolute numbers. Usage:
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleSmoke 1 2 4 8"
+ *
+ * Prints one JSON line per K with per-operator seconds.
+ */
+object ScaleSmoke {
+
+  /** K mutated copies: every TOKEN gets a per-copy suffix, so copies
+    * share no shingles — the duplicate/near-dup structure per copy is
+    * preserved while cross-copy pairs are impossible. (A single appended
+    * tag token is NOT enough: copies would still share almost all
+    * shingles and form K-sized near-dup classes — quadratic pair growth
+    * that measures output size, not operator scaling.) */
+  private def amplify(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"c$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // K=0 pass warms codegen so the first measured K isn't billed for it
+    val warm = amplify(base, 1).limit(200)
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.nearDupMinhashLsh(warm).count()
+    TextAnalysis.vocabTopK(warm).count()
+    TextAnalysis.qualityGate(warm).count()
+    warm.unpersist()
+
+    for (k <- ks) {
+      val docs = amplify(base, k)
+        .repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      val sh = Dedup.shingleArrays(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tMinhash, pairs) = timed {
+        Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh)).count()
+      }
+      val (tClusters, members) = timed {
+        Dedup.clusters(Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh))).count()
+      }
+      val (tVocab, vocabRows) = timed { TextAnalysis.vocabTopK(docs).count() }
+      val (tGate, gateRows) = timed { TextAnalysis.qualityGate(docs).count() }
+      println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +
+        s""""clusters_sec":$tClusters,"members":$members,""" +
+        s""""vocab_sec":$tVocab,"gate_sec":$tGate}""")
+      sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
