@@ -39,6 +39,37 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 
   /**
+   * Streaming token-frequency analysis — the windowed twin of
+   * [[graft.text.TextAnalysis.vocabTopK]]: per tumbling window, the
+   * occurrence count and document frequency of every token, emitted
+   * append-mode on window close (trending-terms / drift monitoring over
+   * an ingest stream). Two chained windowed aggregations — (window,
+   * token, doc) pre-aggregation, then (window, token) — the same
+   * exact-distinct-under-fan-out rewrite as the ad pipeline's two-phase
+   * ctr (SURVEY §7.4); watermark bounds the state of both.
+   * Top-k selection stays downstream (per-microbatch sort of a tiny
+   * keyspace, or the batch operator over the landed output).
+   */
+  def windowedTokenCounts(docStream: DataFrame,
+                          windowLength: String = "1 minute",
+                          timeCol: String = "ingest_time",
+                          watermarkDelay: String = "10 seconds"): DataFrame = {
+    val perDoc = docStream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col("doc_id"), col(timeCol),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(window(col(timeCol), windowLength), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+    perDoc
+      .groupBy(window(col("window"), windowLength), col("token"))
+      .agg(sum(col("__tf")).as("n_occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("token"), col("n_occurrences"), col("doc_freq"))
+  }
+
+  /**
    * Streaming benchmark decontamination: flag each arriving training
    * document sharing any word `shingleWidth`-gram with the (static,
    * small) benchmark set. The benchmark index is a plain batch frame —

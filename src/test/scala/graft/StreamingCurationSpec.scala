@@ -95,6 +95,36 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed token counts match the batch vocabulary per window") {
+    import graft.streaming.StreamingCuration
+    // two 60s windows of docs, split across microbatches
+    val w1 = Seq((1L, "a b a", ts(10)), (2L, "b c", ts(30)))
+    val w2 = Seq((3L, "a a", ts(70)), (4L, "c", ts(95)))
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.windowedTokenCounts(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"))
+    stream.addData(w1: _*)
+    val q = out.writeStream.format("memory").queryName("svocab")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(w2: _*); q.processAllAvailable()
+      stream.addData((99L, "sentinel", ts(10000))); q.processAllAvailable()
+
+      val got = spark.table("svocab")
+        .filter(col("token") =!= "sentinel")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 1000,
+          r.getAs[String]("token")) ->
+          (r.getAs[Long]("n_occurrences"), r.getAs[Long]("doc_freq"))).toMap
+      // window [0,60): a ×3 in 2... a appears 2× in doc 1 only; b in docs
+      // 1 and 2; window [60,120): a ×2 in doc 3, c ×1 in doc 4
+      assert(got == Map(
+        (0L, "a") -> ((2L, 1L)), (0L, "b") -> ((2L, 2L)), (0L, "c") -> ((1L, 1L)),
+        (60L, "a") -> ((2L, 1L)), (60L, "c") -> ((1L, 1L))))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags the same docs as the batch twin") {
     val bench = Seq(
       (0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
