@@ -117,6 +117,12 @@ object DataPipelineQueries {
       Similarity.ivfTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
+  /** Memoized: the per-dim range aggregation runs at build time. */
+  val embeddingQuantize: (SparkSession, String) => DataFrame =
+    memoized("embeddingQuantize") { (spark, sfDir) =>
+      Similarity.scalarQuantize(embs(spark, sfDir))
+    }
+
   val dedupEmbedding: (SparkSession, String) => DataFrame =
     memoized("dedupEmbedding") { (spark, sfDir) =>
       Similarity.signLshNearDupPairs(embs(spark, sfDir), threshold = 0.42)
@@ -459,6 +465,33 @@ object DataPipelineQueries {
        |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.42""".stripMargin
   }
 
+  /** Same algebraic shapes as `Similarity.scalarQuantize` (division/
+    * multiplication order, round on positives, left-assoc error fold via
+    * list_sum) so codes and 6-dp errors are value-identical. */
+  val embeddingQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |dx AS (SELECT unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+      |p AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dx GROUP BY dim),
+      |pl AS (SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl,
+      |       CAST(count(*) AS INT) AS d FROM p),
+      |q AS (SELECT vec_id, d,
+      |  list_transform(range(d), i ->
+      |    CASE WHEN mxl[i+1] > mnl[i+1]
+      |      THEN CAST(round((v[i+1] - mnl[i+1]) / (mxl[i+1] - mnl[i+1]) * 255) AS INT)
+      |      ELSE 0 END) AS qv,
+      |  list_transform(range(d), i ->
+      |    CASE WHEN mxl[i+1] > mnl[i+1]
+      |      THEN abs(v[i+1] - (mnl[i+1]
+      |        + round((v[i+1] - mnl[i+1]) / (mxl[i+1] - mnl[i+1]) * 255)
+      |          * (mxl[i+1] - mnl[i+1]) / 255))
+      |      ELSE abs(v[i+1] - mnl[i+1]) END) AS ev
+      |  FROM e CROSS JOIN pl)
+      |SELECT vec_id,
+      |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS checksum,
+      |  round(list_sum(ev) / d, 6) AS mean_abs_err
+      |FROM q""".stripMargin
+
   /** Same word-5-gram split/shingle pipeline as `Dedup.decontaminate`. */
   val decontaminateOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
@@ -585,6 +618,7 @@ object DataPipelineQueries {
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     // after its stages (gate, exact, decontaminate, clusters): insertion

@@ -91,6 +91,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out((9, 1))._2 == 4.0)
   }
 
+  test("scalarQuantize: error bounded by half a step; equal vectors share codes") {
+    val rows = Seq(
+      (0L, Array(0f, 10f, 5f), 1),
+      (1L, Array(1f, 20f, 5f), 1),   // dim 2 constant → quantizes error-free
+      (2L, Array(0f, 10f, 5f), 1))   // identical to vec 0
+    val out = Similarity.scalarQuantize(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("checksum"), r.getAs[Double]("mean_abs_err"))).toMap
+    assert(out(0L)._1 == out(2L)._1, "identical vectors must share codes")
+    assert(out(0L)._1 != out(1L)._1)
+    // per-dim max error is (mx-mn)/2/255; dims here span 1 and 10 → the
+    // mean over 3 dims is far under 0.02; endpoints quantize exactly
+    assert(out.values.forall(_._2 <= 0.02), s"errors too large: $out")
+    assert(out(0L)._2 == 0.0, "range endpoints must reconstruct exactly")
+  }
+
   test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()
