@@ -40,6 +40,49 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("a slow memo build does not block other SharedFrames keys") {
+    // round-6 fix: the global monitor guards only the map; builds run in
+    // per-key cells. Deterministic via latches — thread A parks inside
+    // its builder, the main thread must still memo a different key.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.queries.SharedFrames
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slow = new Thread(() =>
+      SharedFrames.memo(spark, "/tmp/does-not-matter", "slow-key",
+        persist = false) {
+        entered.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        spark.range(1).toDF()
+      })
+    slow.start()
+    try {
+      assert(entered.await(30, TimeUnit.SECONDS), "slow build never started")
+      // must return while the slow build is still parked
+      val fast = SharedFrames.memo(spark, "/tmp/does-not-matter", "fast-key",
+        persist = false)(spark.range(2).toDF())
+      assert(fast.count() == 2)
+    } finally {
+      release.countDown()
+      slow.join(30000)
+    }
+  }
+
+  test("similarity_ann fails loudly when the corpus dim drifts from the oracle's") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val narrow = Seq((0L, Array(1f, 2f), 0), (1L, Array(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(narrow, nQueries = 1, k = 1, expectedDim = Some(64))
+        .collect()
+    }
+    assert(e.getMessage.contains("regenerate"),
+      s"dim-drift error should point at the oracle: ${e.getMessage}")
+  }
+
   test("raw parquet scans push filters down (events by event_type)") {
     // the registry serves cached spread frames; the RAW path — what a
     // 100 TB deployment reads — must push the predicate into the scan
