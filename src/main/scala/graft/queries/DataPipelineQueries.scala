@@ -92,6 +92,9 @@ object DataPipelineQueries {
   def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityGate(docs(spark, sfDir))
 
+  def docLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(spark, sfDir))
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -402,6 +405,17 @@ object DataPipelineQueries {
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
 
+  val docLogprobOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+      |tot AS (SELECT count(*) AS total FROM t),
+      |lp AS (SELECT doc_id, ln(CAST(tf AS DOUBLE) / total) AS l
+      |       FROM t JOIN f USING (token) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) AS avg_logprob,
+      |       round(exp(-avg(l)), 6) AS perplexity
+      |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Same salt, thresholds and lang precedence as
     * `TextAnalysis.stratifiedSample`'s defaults. */
   val sampleStratifiedOracle: String =
@@ -615,6 +629,7 @@ object DataPipelineQueries {
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
+    NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -317,6 +317,40 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram log-probability scoring — the perplexity-proxy quality
+   * signal (the cheap stand-in for a KenLM filter): each document's mean
+   * token log-probability under the corpus's own unigram distribution,
+   * plus the corresponding perplexity. Outlier documents (gibberish,
+   * wrong-language, boilerplate) sit far from the corpus mode and a
+   * curation pipeline drops the tails.
+   *
+   * Scale shape: one token-count aggregation (map-side partial absorbs
+   * hot tokens) into a PERSISTED frequency table — vocab is orders of
+   * magnitude smaller than the corpus — whose total lands on the driver
+   * as ONE scalar (folded into the plan as a literal: a scalar
+   * cross-join would plan as a nested-loop join, the shape the plan
+   * guard bans); then the exploded corpus joins the frequency table
+   * (broadcast when it fits, hash otherwise) and aggregates per doc.
+   * The engines' float sums differ in the last ulp, so both score
+   * columns round to 6 dp.
+   */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freqs.agg(sum(col("__tf"))).first().getLong(0)
+    toks
+      .join(freqs, "token")
+      .select(col("doc_id"),
+        log(col("__tf").cast("double") / lit(total).cast("double")).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+  }
+
+  /**
    * Gopher-style quality gate — the rule filter a curation pipeline runs
    * to drop junk before training: per-document shape signals (token
    * count, mean token length, stopword ratio, duplicate-3-gram

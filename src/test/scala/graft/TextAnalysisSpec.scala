@@ -32,6 +32,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Int]("d")).toSeq == Seq(2, 0))
   }
 
+  test("unigramLogProb: hand-computed scores on a tiny corpus") {
+    // corpus: a a b (total 3) → p(a)=2/3, p(b)=1/3
+    val out = TextAnalysis.unigramLogProb(docsDF(1L -> "a a", 2L -> "b"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == ((2L, r6(math.log(2.0 / 3)))))
+    assert(out(2L) == ((1L, r6(math.log(1.0 / 3)))))
+    // rarer-token doc scores lower (higher perplexity)
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
   test("tokenChunks: full + tail chunks with exact sizes and digests") {
     val text70 = (1 to 70).map(i => s"t$i").mkString(" ")
     val out = TextAnalysis.tokenChunks(
