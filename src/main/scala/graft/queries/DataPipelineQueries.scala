@@ -95,6 +95,9 @@ object DataPipelineQueries {
   def docLogprob(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(spark, sfDir))
 
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(spark, sfDir))
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -416,6 +419,34 @@ object DataPipelineQueries {
       |       round(exp(-avg(l)), 6) AS perplexity
       |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** Same bigram construction as `TextOps.shingles(_, 2)` and the same
+    * 0.18 top-bigram threshold as `TextAnalysis.repetitionStats`. The
+    * `[NULL]` CASE arm mirrors `explode_outer`: sub-bigram documents
+    * survive with one NULL occurrence that `count(bigram)` ignores. */
+  val docRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n_tokens,
+      |             len(list_distinct(toks)) AS nd,
+      |             unnest(CASE WHEN len(toks) >= 2
+      |                         THEN list_transform(range(len(toks) - 1),
+      |                              i -> toks[i+1] || ' ' || toks[i+2])
+      |                         ELSE [NULL] END) AS bigram
+      |      FROM t),
+      |c AS (SELECT doc_id, n_tokens, nd, bigram, count(bigram) AS c
+      |      FROM s GROUP BY 1, 2, 3, 4),
+      |g AS (SELECT doc_id, n_tokens, nd, sum(c) AS nb, max(c) AS top,
+      |             count(CASE WHEN c > 0 THEN 1 END) AS ndb
+      |      FROM c GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |       round(1 - CAST(nd AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+      |       round(CASE WHEN nb > 0 THEN 1 - CAST(ndb AS DOUBLE) / nb
+      |                  ELSE 0 END, 6) AS dup_bigram_frac,
+      |       round(CASE WHEN nb > 0 THEN CAST(top AS DOUBLE) / nb
+      |                  ELSE 0 END, 6) AS top_bigram_frac,
+      |       (CASE WHEN nb > 0 THEN CAST(top AS DOUBLE) / nb ELSE 0 END)
+      |         > 0.18 AS repetitive
+      |FROM g""".stripMargin
+
   /** Same salt, thresholds and lang precedence as
     * `TextAnalysis.stratifiedSample`'s defaults. */
   val sampleStratifiedOracle: String =
@@ -630,6 +661,7 @@ object DataPipelineQueries {
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
+    NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

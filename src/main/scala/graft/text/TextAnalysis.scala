@@ -351,6 +351,52 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style repetition battery — the three signals the repetition
+   * section of a curation filter reads: duplicate-word fraction
+   * (1 − types/tokens), duplicate-bigram fraction, and top-bigram
+   * fraction (occurrences of the single most frequent bigram over all
+   * bigram occurrences), plus the `repetitive` verdict at the classic
+   * 0.18 top-bigram threshold. [[qualityGate]]'s `rep_ratio` is the
+   * cheap per-row variant; this is the full per-n-gram histogram.
+   *
+   * Scale shape: explode to one row per bigram occurrence, then two hash
+   * aggregations — (doc, bigram) counts, then per-doc max/sum. Linear in
+   * total corpus tokens with map-side partial aggregation, unlike the
+   * `transform(distinct, b -> count)` array form which is quadratic in
+   * document length and dies on 100k-token documents. Token-level stats
+   * ride along as grouping keys (functionally dependent on doc_id — no
+   * extra join). `explode_outer` keeps sub-bigram documents alive with a
+   * NULL bigram that `count(col)` then ignores.
+   */
+  def repetitionStats(docs: DataFrame, topBigramMax: Double = 0.18): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val occ = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("__nd"),
+      explode_outer(TextOps.shingles(toks, 2)).as("__bigram"))
+    val perBigram = occ
+      .groupBy(col("doc_id"), col("n_tokens"), col("__nd"), col("__bigram"))
+      .agg(count(col("__bigram")).as("__c"))
+    val topFrac = when(col("__nb") > 0,
+      col("__top").cast("double") / col("__nb")).otherwise(0.0)
+    perBigram
+      .groupBy(col("doc_id"), col("n_tokens"), col("__nd"))
+      .agg(sum(col("__c")).as("__nb"),
+        max(col("__c")).as("__top"),
+        count(when(col("__c") > 0, 1)).as("__ndb"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("__nd").cast("double") / col("n_tokens"), 6)
+          .as("dup_word_frac"),
+        round(when(col("__nb") > 0,
+          lit(1.0) - col("__ndb").cast("double") / col("__nb")).otherwise(0.0), 6)
+          .as("dup_bigram_frac"),
+        round(topFrac, 6).as("top_bigram_frac"),
+        (topFrac > topBigramMax).as("repetitive"))
+  }
+
+  /**
    * Gopher-style quality gate — the rule filter a curation pipeline runs
    * to drop junk before training: per-document shape signals (token
    * count, mean token length, stopword ratio, duplicate-3-gram

@@ -44,6 +44,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._2 < out(1L)._2)
   }
 
+  test("repetitionStats: hand-computed fractions; sub-bigram docs survive") {
+    // "a a a b": 4 tokens 2 types; bigrams [a a, a a, a b] → nb=3 ndb=2 top=2
+    // "x y": nb=1 ndb=1 top=1 → top_frac 1.0 (degenerate short doc)
+    // "z": no bigrams → zero fractions, not repetitive
+    val out = TextAnalysis.repetitionStats(
+      docsDF(1L -> "a a a b", 2L -> "x y", 3L -> "z"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("top_bigram_frac"),
+          r.getAs[Boolean]("repetitive")))).toMap
+    assert(out(1L) == ((4, 0.5, 0.333333, 0.666667, true)))
+    assert(out(2L) == ((2, 0.0, 0.0, 1.0, true)))
+    assert(out(3L) == ((1, 0.0, 0.0, 0.0, false)))
+  }
+
   test("tokenChunks: full + tail chunks with exact sizes and digests") {
     val text70 = (1 to 70).map(i => s"t$i").mkString(" ")
     val out = TextAnalysis.tokenChunks(
