@@ -199,6 +199,9 @@ object DataPipelineQueries {
   def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.propsAgg(Tables.eventsSpread(spark, sfDir))
 
+  def eventsPseudonymize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.privacy.Privacy.releaseAudit(Tables.eventsSpread(spark, sfDir))
+
   // -------------------------------------------------------------- oracles
 
   /** Distinct (doc_id, shingle) word-3-gram CTE shared by the dedup oracles. */
@@ -649,6 +652,17 @@ object DataPipelineQueries {
       |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
       |FROM e GROUP BY event_type""".stripMargin
 
+  /** Same `md5('pii:' || id)` pseudonym family as `Privacy.pseudonym`
+    * and the same k=10 small-cell threshold as `Privacy.releaseAudit`.
+    * Cell stats are count/min/max only — order-independent, so no
+    * rounding is needed even on the double-typed value column. */
+  val eventsPseudonymizeOracle: String =
+    """SELECT md5('pii:' || CAST(user_id AS VARCHAR)) AS user_pseudonym,
+      |       event_type, count(*) AS n_events,
+      |       min(value) AS min_value, max(value) AS max_value,
+      |       count(*) < 10 AS suppressed
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
@@ -680,5 +694,7 @@ object DataPipelineQueries {
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, None),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
-    NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)))
+    NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
+    NamedQuery("events_pseudonymize", eventsPseudonymize,
+      Some(eventsPseudonymizeOracle)))
 }
