@@ -98,6 +98,12 @@ object DataPipelineQueries {
   def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(spark, sfDir))
 
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bpeMergeCandidates(docs(spark, sfDir))
+
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.uniformSourceMix(docs(spark, sfDir), fraction = 0.8)
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -450,6 +456,34 @@ object DataPipelineQueries {
       |         > 0.18 AS repetitive
       |FROM g""".stripMargin
 
+  /** Same substring pairing (`substr(word, i, 2)` for i in 1..len-1) and
+    * k=50 cutoff as `TextAnalysis.bpeMergeCandidates`; DuckDB `range` of
+    * a non-positive bound is empty, matching the Spark `when` guard. */
+  val bpeMergesOracle: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |v AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+      |p AS (SELECT wc, unnest(list_transform(range(length(word) - 1),
+      |                        i -> substr(word, i + 1, 2))) AS pair
+      |      FROM v)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+      |FROM p GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin
+
+  /** Same 'mix' salt, (mix_key, doc_id) rank order, and 0.8 downsample
+    * fraction as the registered `TextAnalysis.uniformSourceMix` call; the
+    * single-row quota subquery mirrors the driver-literal fold on the
+    * Spark side (floor of an IEEE product — identical in both engines). */
+  val sourceMixOracle: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |q AS (SELECT greatest(1, CAST(floor(min(n) * 0.8) AS BIGINT)) AS quota
+      |      FROM c),
+      |r AS (SELECT doc_id, source, md5('mix:' || text) AS mix_key,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY md5('mix:' || text), doc_id) AS mix_rank
+      |      FROM documents)
+      |SELECT doc_id, source, mix_key, CAST(mix_rank AS INT) AS mix_rank
+      |FROM r, q WHERE mix_rank <= quota""".stripMargin
+
   /** Same salt, thresholds and lang precedence as
     * `TextAnalysis.stratifiedSample`'s defaults. */
   val sampleStratifiedOracle: String =
@@ -676,6 +710,8 @@ object DataPipelineQueries {
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
+    NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

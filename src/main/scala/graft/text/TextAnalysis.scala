@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /**
  * Per-document text analysis for training-data curation: SimHash
@@ -219,6 +220,38 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * BPE merge candidates — the first iteration of byte-pair-encoding
+   * tokenizer training: corpus-weighted counts of adjacent character
+   * pairs within words, ranked. A full BPE trainer repeats
+   * merge-and-recount; the expensive distributed step is exactly this
+   * pair count, so it is the operator worth owning (the iteration loop
+   * is driver-side control flow over a shrinking vocab).
+   *
+   * Scale shape: two hash aggregations. The corpus first collapses to
+   * (word, count) — the word VOCABULARY, orders of magnitude smaller
+   * than the token stream, which is what makes iterated BPE training
+   * tractable — then each vocab word explodes into its `len-1`
+   * overlapping 2-char substrings (`substring(word, i, 2)` — no
+   * intermediate char array) and pair counts sum `word_count`, not 1.
+   * Final top-k is TakeOrderedAndProject with the pair string as the
+   * deterministic tie-break.
+   */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+    val pairs = when(length(col("word")) >= 2,
+      transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2))))
+      .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
+    words
+      .select(col("__wc"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  /**
    * Deterministic stratified sampling — the data-mixing primitive: keep
    * each document with a per-language rate, decided by a salted content
    * hash instead of an RNG so the sample is reproducible run-over-run,
@@ -243,6 +276,40 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("lang"), h4.as("sample_key"), thr.as("__thr"))
       .filter(col("sample_key") < col("__thr"))
       .drop("__thr")
+  }
+
+  /**
+   * Uniform source rebalancing — the domain-mixing primitive: every
+   * source contributes exactly `floor(min(source count) · fraction)`
+   * documents (≥ 1), chosen as the lowest salted-content-hash ranks
+   * within the source. Hash-rank
+   * selection is a uniform sample without replacement that is
+   * reproducible run-over-run and engine-over-engine (no RNG), and
+   * content-keyed so exact duplicates rank together. Weighted mixes
+   * generalize by swapping the per-source quota; the operator shape is
+   * unchanged.
+   *
+   * Scale shape: one tiny per-source count (collapses to #sources rows;
+   * its min folds into the plan as a driver literal — same idiom as
+   * [[unigramLogProb]]'s total), then ONE shuffle by source and a
+   * per-partition sort for `row_number`. Exact quotas cost that sort;
+   * when approximate quotas suffice, [[stratifiedSample]]'s O(1)-per-row
+   * threshold filter is the cheaper path. A skewed giant source sorts in
+   * one task chain — at real scale swap in a rank-filter via
+   * `approx_quantile` of the hash, or salt the window key.
+   */
+  def uniformSourceMix(docs: DataFrame, fraction: Double = 1.0,
+                       salt: String = "mix"): DataFrame = {
+    val minN = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).first().getLong(0)
+    val quota = math.max(1L, math.floor(minN * fraction).toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("mix_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(salt + ":"), col("text"))).as("mix_key"))
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= quota)
   }
 
   /**

@@ -59,6 +59,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1, 0.0, 0.0, 0.0, false)))
   }
 
+  test("bpeMergeCandidates: vocab-weighted pair counts; 1-char words inert") {
+    // words: ab×3, cd×1, x×1 → pairs: ab→3, cd→1; 'x' has no pairs
+    val out = TextAnalysis.bpeMergeCandidates(
+      docsDF(1L -> "ab ab cd", 2L -> "x ab"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq("ab" -> 3L, "cd" -> 1L))
+    // overlapping pairs within one word: "abc" → ab, bc
+    val ov = TextAnalysis.bpeMergeCandidates(docsDF(1L -> "abc"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ov == Seq("ab" -> 1L, "bc" -> 1L))
+  }
+
+  test("uniformSourceMix: exact per-source quota, deterministic hash ranks") {
+    // srcA has 3 docs, srcB has 2 → quota 2: every source keeps exactly 2
+    val docs = Seq(
+      (1L, "aaa", "srcA"), (2L, "bbb", "srcA"), (3L, "ccc", "srcA"),
+      (4L, "ddd", "srcB"), (5L, "eee", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.uniformSourceMix(docs).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("srcA").length == 2 && bySrc("srcB").length == 2)
+    assert(out.forall(_.getAs[Int]("mix_rank") <= 2))
+    // deterministic: a second run keeps the identical doc set
+    val again = TextAnalysis.uniformSourceMix(docs).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq == out.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // the kept srcA docs are the 2 with the smallest salted hashes
+    val keys = docs.select(col("doc_id"),
+      md5(concat(lit("mix:"), col("text"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectA = Seq(1L, 2L, 3L).sortBy(keys).take(2).toSet
+    assert(bySrc("srcA").map(_.getAs[Long]("doc_id")).toSet == expectA)
+    // fraction scales the quota: floor(2 · 0.5) = 1 per source
+    assert(TextAnalysis.uniformSourceMix(docs, fraction = 0.5).count() == 2)
+  }
+
   test("tokenChunks: full + tail chunks with exact sizes and digests") {
     val text70 = (1 to 70).map(i => s"t$i").mkString(" ")
     val out = TextAnalysis.tokenChunks(
