@@ -95,6 +95,28 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless pseudonymization runs on a stream unchanged") {
+    // Privacy.pseudonymize is pure per-row projection — raw identifiers
+    // can be scrubbed at INGEST, before anything lands; this pins that
+    // the op stays stateless (no window/groupBy creeping in)
+    import graft.privacy.Privacy
+    val rows = Seq((8L, "click"), (8L, "view"), (9L, "click"))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = Privacy.pseudonymize(
+      stream.toDF().toDF("user_id", "event_type"), "user_id")
+    stream.addData(rows: _*)
+    val q = out.writeStream.format("memory").queryName("spseudo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("spseudo").collect().map(_.toSeq).toSet
+      val want = Privacy.pseudonymize(
+        rows.toDF("user_id", "event_type"), "user_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("windowed token counts match the batch vocabulary per window") {
     import graft.streaming.StreamingCuration
     // two 60s windows of docs, split across microbatches
