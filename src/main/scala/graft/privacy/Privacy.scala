@@ -40,6 +40,37 @@ object Privacy {
   def pseudonymize(df: DataFrame, idCol: String, salt: String = "pii"): DataFrame =
     df.withColumn(idCol, pseudonym(col(idCol), salt))
 
+  /** PII surface patterns, in redaction order. Restricted to constructs
+    * with identical semantics in Java regex and RE2 (character classes,
+    * bounded repeats, alternation — no lookaround, no backrefs) so the
+    * DuckDB oracle replicates detection byte-for-byte. Detection-grade,
+    * not validation-grade (an IP octet may exceed 255): curation
+    * pipelines over-redact rather than under-redact. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phone" -> "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}")
+
+  /**
+   * Per-document PII scrub: match counts per pattern, the redacted text
+   * (each match replaced by its `[TAG]`), and the scrubbed text's MD5 —
+   * the digest, not the text, is what a 100 TB audit table carries; the
+   * redacted corpus itself stays in the data plane. Pure per-row regex
+   * projection: no shuffle, stream-safe, scales by partition count.
+   */
+  def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[${tag.toUpperCase}]")
+    }
+    val counts = piiPatterns.map { case (tag, re) =>
+      tag -> size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+    }
+    docs.select(
+      (col("doc_id") +: counts.map { case (t, c) => c.as(s"n_$t") }) :+
+        (counts.map(_._2).reduce(_ + _) === 0).as("clean") :+
+        md5(redacted).as("redacted_md5"): _*)
+  }
+
   /** Released per-(user, event_type) aggregate with the k-anonymity
     * verdict: `suppressed` = cell count < k. */
   def releaseAudit(events: DataFrame, k: Int = 10, salt: String = "pii"): DataFrame =

@@ -208,6 +208,9 @@ object DataPipelineQueries {
   def eventsPseudonymize(spark: SparkSession, sfDir: String): DataFrame =
     graft.privacy.Privacy.releaseAudit(Tables.eventsSpread(spark, sfDir))
 
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    graft.privacy.Privacy.scrub(docs(spark, sfDir))
+
   // -------------------------------------------------------------- oracles
 
   /** Distinct (doc_id, shingle) word-3-gram CTE shared by the dedup oracles. */
@@ -697,6 +700,26 @@ object DataPipelineQueries {
       |       count(*) < 10 AS suppressed
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Same three patterns, in the same redaction order, as
+    * `Privacy.piiPatterns` (portable Java-regex/RE2 subset); DuckDB
+    * `regexp_replace` needs the explicit 'g' flag to match Spark's
+    * replace-all default. On the synthetic corpus every count is 0 and
+    * the digest equals md5(text) — the check still pins that both regex
+    * engines agree on all 500 documents. */
+  val piiScrubOracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+      |  len(regexp_extract_all(text, '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS n_phone,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+      |    + len(regexp_extract_all(text, '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) = 0 AS clean,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+      |        '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+      |FROM documents""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
@@ -732,5 +755,6 @@ object DataPipelineQueries {
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("events_pseudonymize", eventsPseudonymize,
-      Some(eventsPseudonymizeOracle)))
+      Some(eventsPseudonymizeOracle)),
+    NamedQuery("pii_scrub", piiScrub, Some(piiScrubOracle)))
 }

@@ -26,6 +26,30 @@ class PrivacySpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).distinct.length == 2)
   }
 
+  test("scrub: detects and redacts emails, IPs, phones; clean docs digest as-is") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or +12025550123 now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 plus 555-123-4567"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = Privacy.scrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 1)
+    assert(out(1L).getAs[Int]("n_phone") == 1)
+    assert(out(1L).getAs[Int]("n_ip") == 0)
+    assert(!out(1L).getAs[Boolean]("clean"))
+    assert(out(2L).getAs[Int]("n_ip") == 2)
+    assert(out(2L).getAs[Int]("n_phone") == 1)
+    assert(out(3L).getAs[Boolean]("clean"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("redacted_md5") ==
+      md5hex("contact [EMAIL] or [PHONE] now"))
+    assert(out(3L).getAs[String]("redacted_md5") ==
+      md5hex("no pii here at all"))
+  }
+
   test("releaseAudit: k boundary is strict — n==k kept, n==k-1 suppressed") {
     // user 1 'click' ×2 (== k → kept), user 1 'view' ×1 (< k → suppressed)
     val events = Seq(
