@@ -437,11 +437,17 @@ object TextAnalysis {
    */
   def repetitionStats(docs: DataFrame, topBigramMax: Double = 0.18): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val occ = docs.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("__nd"),
-      explode_outer(TextOps.shingles(toks, 2)).as("__bigram"))
+    // two-step: scalars in a projection BELOW the Generate. In a single
+    // select Catalyst places the non-explode expressions in a Project
+    // ABOVE the Generate, re-running split(text) on every exploded bigram
+    // row — O(len²) per document
+    val occ = docs
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("__nd"),
+        TextOps.shingles(toks, 2).as("__bigrams"))
+      .select(col("doc_id"), col("n_tokens"), col("__nd"),
+        explode_outer(col("__bigrams")).as("__bigram"))
     val perBigram = occ
       .groupBy(col("doc_id"), col("n_tokens"), col("__nd"), col("__bigram"))
       .agg(count(col("__bigram")).as("__c"))
