@@ -70,9 +70,14 @@ object ScaleSmoke {
       val (tMinhash, pairs) = timed {
         Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh)).count()
       }
-      val (tClusters, members) = timed {
-        Dedup.clusters(Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh))).count()
-      }
+      // clusters is timed over a MATERIALIZED pair frame — re-running the
+      // whole pair pipeline inside the timer (ADVICE r6) conflated pair
+      // generation with label propagation and overstated propagation ~2×
+      val pairFrame = Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairFrame.count()
+      val (tClusters, members) = timed { Dedup.clusters(pairFrame).count() }
+      pairFrame.unpersist()
       val (tVocab, vocabRows) = timed { TextAnalysis.vocabTopK(docs).count() }
       val (tGate, gateRows) = timed { TextAnalysis.qualityGate(docs).count() }
       println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +

@@ -92,8 +92,13 @@ object DataPipelineQueries {
   def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityGate(docs(spark, sfDir))
 
-  def docLogprob(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.unigramLogProb(docs(spark, sfDir))
+  /** Memoized: unigramLogProb persists its vocabulary frequency frame at
+    * build time (ADVICE r6 — un-memoized, every warmup + timed rep
+    * stacked a fresh persisted vocab copy for the session lifetime). */
+  val docLogprob: (SparkSession, String) => DataFrame =
+    memoized("docLogprob") { (spark, sfDir) =>
+      TextAnalysis.unigramLogProb(docs(spark, sfDir))
+    }
 
   def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(spark, sfDir))

@@ -28,15 +28,29 @@ import org.apache.spark.storage.StorageLevel
 object SharedFrames {
 
   /** Double-checked-locked build cell: `df` builds once under the cell's
-    * own monitor; `builtFrame` peeks without triggering a build (clear()
-    * must not build never-demanded entries just to unpersist them). */
+    * own monitor. `discard()` unpersists whatever the cell built — if a
+    * build is in flight it blocks on the cell monitor until the build
+    * completes, and a cell discarded BEFORE its build finishes unpersists
+    * its own result on completion (ADVICE r6: a cell removed from the map
+    * mid-build used to finish building a persisted frame that nothing
+    * could ever unpersist). Never-demanded cells stay unbuilt — discard
+    * must not run builders just to drop their caches. */
   private final class Cell(mk: () => DataFrame) {
     @volatile private var value: DataFrame = _
+    private var discarded = false
     def df: DataFrame = {
-      if (value == null) synchronized { if (value == null) value = mk() }
+      if (value == null) synchronized {
+        if (value == null) {
+          value = mk()
+          if (discarded) value.unpersist()
+        }
+      }
       value
     }
-    def builtFrame: Option[DataFrame] = Option(value)
+    def discard(): Unit = synchronized {
+      discarded = true
+      if (value != null) value.unpersist()
+    }
   }
 
   private val frames =
@@ -59,9 +73,16 @@ object SharedFrames {
     * `spark.catalog.clearCache()` to drop those too. Used by Bench
     * between the warmup pass and the timed loop so warm-dir caches don't
     * occupy executor storage while the timed dir is measured. */
-  def clear(spark: SparkSession): Unit = synchronized {
-    frames.filterInPlace { case ((s, _, _), cell) =>
-      if (s eq spark) { cell.builtFrame.foreach(_.unpersist()); false } else true
+  def clear(spark: SparkSession): Unit = {
+    // Collect-then-discard: cell monitors are taken OUTSIDE the map lock.
+    // An in-flight builder holds its cell monitor and may re-enter memo()
+    // (nested memoization) which takes the map lock — discarding under
+    // the map lock would deadlock against exactly that pair.
+    val dropped = synchronized {
+      val cells = frames.collect { case ((s, _, _), c) if s eq spark => c }.toList
+      frames.filterInPlace { case ((s, _, _), _) => !(s eq spark) }
+      cells
     }
+    dropped.foreach(_.discard())
   }
 }

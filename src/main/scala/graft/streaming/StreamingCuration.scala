@@ -69,6 +69,20 @@ object StreamingCuration {
         col("token"), col("n_occurrences"), col("doc_freq"))
   }
 
+  /** The static benchmark shingle index `decontaminateFlags` joins
+    * against: one `shingle` row per distinct benchmark n-gram. Returned
+    * UNPERSISTED — the caller owns the cache (persist before starting
+    * the stream, unpersist on shutdown). An unpersisted index
+    * re-tokenizes and re-aggregates the benchmark corpus in EVERY
+    * microbatch of the stream-static join, so long-running jobs should
+    * always persist; building it inside `decontaminateFlags` (pre-r7)
+    * persisted a fresh untracked copy per invocation — a cache leak for
+    * tests and multi-stream jobs. */
+  def benchShingleIndex(benchDocs: DataFrame, shingleWidth: Int = 5): DataFrame =
+    Dedup.shingleArrays(benchDocs, shingleWidth)
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+
   /**
    * Streaming benchmark decontamination: flag each arriving training
    * document sharing any word `shingleWidth`-gram with the (static,
@@ -83,18 +97,15 @@ object StreamingCuration {
    * deliberately not computed here — it would need a windowed
    * aggregation delaying emission until window close, and the flag is
    * what gates ingestion; run the batch twin for the audit report.
+   *
+   * @param benchIndex a [[benchShingleIndex]] frame built with the SAME
+   *                   `shingleWidth`; caller-persisted for multi-batch
+   *                   streams (see [[benchShingleIndex]])
    */
-  def decontaminateFlags(docStream: DataFrame, benchDocs: DataFrame,
+  def decontaminateFlags(docStream: DataFrame, benchIndex: DataFrame,
                          shingleWidth: Int = 5,
                          timeCol: String = "ingest_time",
                          watermarkDelay: String = "10 seconds"): DataFrame = {
-    // persisted: the index is static by construction, but an unpersisted
-    // plan would re-tokenize and re-aggregate the benchmark corpus in
-    // EVERY microbatch of the stream-static join
-    val benchIndex = Dedup.shingleArrays(benchDocs, shingleWidth)
-      .select(explode(col("sh")).as("shingle"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // watermark BEFORE the shingle join: docs matching no benchmark
     // shingle emit zero join rows, so a post-join watermark would never
     // advance on a clean stream and the per-doc dedup state would grow

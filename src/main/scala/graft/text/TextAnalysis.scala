@@ -300,8 +300,12 @@ object TextAnalysis {
    */
   def uniformSourceMix(docs: DataFrame, fraction: Double = 1.0,
                        salt: String = "mix"): DataFrame = {
-    val minN = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).first().getLong(0)
+    // min over zero groups is a single null row — an empty corpus must
+    // yield an empty frame, not an NPE (the quota is irrelevant: no rows
+    // reach the filter)
+    val minRow = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).first()
+    val minN = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     val quota = math.max(1L, math.floor(minN * fraction).toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("mix_key"), col("doc_id"))
@@ -406,7 +410,10 @@ object TextAnalysis {
       explode(TextOps.tokens(col("text"))).as("token"))
     val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = freqs.agg(sum(col("__tf"))).first().getLong(0)
+    // sum over an empty vocab is a single null row; 1L keeps the plan
+    // well-formed and the join below already yields zero rows
+    val totalRow = freqs.agg(sum(col("__tf"))).first()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     toks
       .join(freqs, "token")
       .select(col("doc_id"),

@@ -158,8 +158,11 @@ class StreamingCurationSpec extends SparkSpec {
       (3L, "one two three four five six"))
 
     val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    // caller-managed index (r7): persist before the stream, unpersist after
+    val benchIndex = StreamingCuration.benchShingleIndex(bench)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = StreamingCuration.decontaminateFlags(
-      stream.toDF().toDF("doc_id", "text", "ingest_time"), bench)
+      stream.toDF().toDF("doc_id", "text", "ingest_time"), benchIndex)
     stream.addData(trainRows.zipWithIndex.map {
       case ((id, text), i) => (id, text, ts(100 + i)) }: _*)
     val q = out.writeStream.format("memory").queryName("sdecon")
@@ -176,6 +179,6 @@ class StreamingCurationSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).toSeq
       assert(got.sorted == want.sorted,
         s"streaming flags $got != batch flags $want")
-    } finally q.stop()
+    } finally { q.stop(); benchIndex.unpersist() }
   }
 }
