@@ -13,10 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * family and the LSH banding — so even the sketch-based operators get
  * full value-level correctness checks — including the random-hyperplane
  * ANN (`similarity_ann`), whose fixed-seed planes are embedded in its
- * generated oracle SQL as literal coefficients. Only `similarity_ivf`
- * is oracle-free (its k-means centroids are learned, not
- * SQL-expressible; recall is pinned by `SimilaritySpec` against the
- * brute-force baseline instead).
+ * generated oracle SQL as literal coefficients, and (since r7) the IVF
+ * (`similarity_ivf`), whose hash-sampled deterministic centroids make
+ * even the coarse quantizer SQL-replicable. Every registered query is
+ * oracle-checked; the learned-k-means `Similarity.ivfTopK` variant stays
+ * library-only with its recall pinned by `SimilaritySpec`.
  */
 object DataPipelineQueries {
 
@@ -129,9 +130,14 @@ object DataPipelineQueries {
         expectedDim = Some(cfg.dim))
     }
 
+  /** Deterministic IVF (r7): hash-sampled corpus centroids instead of the
+    * learned k-means quantizer, so the query is fully oracle-checkable —
+    * `Similarity.ivfTopK` (ML k-means) stays in the library, recall-pinned
+    * by SimilaritySpec, as the refit-capable variant. Memoized: centroid
+    * selection collects nCells rows at build time. */
   val similarityIvf: (SparkSession, String) => DataFrame =
     memoized("similarityIvf") { (spark, sfDir) =>
-      Similarity.ivfTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+      Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
   /** Memoized: the per-dim range aggregation runs at build time. */
@@ -529,6 +535,40 @@ object DataPipelineQueries {
       |    ORDER BY cosine DESC, neighbor_id) AS INT) rank FROM scored)
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Same hash-sampled centroids / rounded-cosine argmax assignment /
+    * probe-and-rerank as `Similarity.ivfHashTopK`. Dim-agnostic
+    * (`range(len(v))`); cosines round to 6 dp BEFORE every rank so
+    * engine-ulp noise can't flip an argmax or a neighbor rank. */
+  val similarityIvfOracle: String =
+    """WITH en AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM en),
+      |cents AS (SELECT vec_id cid, v cv, nrm cnrm FROM e
+      |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+      |    round(list_sum(list_transform(range(len(e.v)), i ->
+      |      e.v[i+1] * c.cv[i+1])) / (e.nrm * c.cnrm), 6) cc
+      |  FROM e CROSS JOIN cents c),
+      |asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cc DESC, cid) rn FROM asg0)
+      |  WHERE rn = 1),
+      |pr AS (SELECT vec_id query_id, qv, qnrm, cell FROM (
+      |    SELECT vec_id, v qv, nrm qnrm, cid cell,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY cc DESC, cid) rn
+      |    FROM asg0 WHERE vec_id < 8)
+      |  WHERE rn <= 4),
+      |sc AS (SELECT p.query_id, a.vec_id neighbor_id,
+      |    round(list_sum(list_transform(range(len(p.qv)), i ->
+      |      p.qv[i+1] * a.v[i+1])) / (p.qnrm * a.nrm), 6) cosine
+      |  FROM pr p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cosine DESC, neighbor_id) rank FROM sc)
+      |WHERE rank <= 5""".stripMargin
+
   /** Same coordinate-sign buckets as `Similarity.signLshNearDupPairs`. */
   val dedupEmbeddingOracle: String = {
     val tables = (0 until 8).map { t =>
@@ -756,7 +796,7 @@ object DataPipelineQueries {
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
-    NamedQuery("similarity_ivf", similarityIvf, None),
+    NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("events_pseudonymize", eventsPseudonymize,

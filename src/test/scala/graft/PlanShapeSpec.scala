@@ -32,12 +32,14 @@ class PlanShapeSpec extends SparkSpec {
       s"$name plan contains a BroadcastNestedLoopJoin:\n$plan")
   }
 
-  /** The two queries whose broadcast nested-loop joins are the DESIGN
-    * (brute-force top-k broadcasts the query set against everything;
-    * IVF broadcasts the centroid probe set). */
-  private val intentionalBnlj = Set("similarity_topk", "similarity_ivf")
+  /** The one query whose broadcast nested-loop join is the DESIGN
+    * (brute-force top-k broadcasts the query set against everything).
+    * similarity_ivf left the whitelist in r7: its deterministic centroids
+    * are plan literals, so assignment is map-side and the probe join is a
+    * broadcast EQUI join on the cell key. */
+  private val intentionalBnlj = Set("similarity_topk")
 
-  test("EVERY registered query stays cartesian-free (whitelist: brute-force/IVF)") {
+  test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —
     // a forgotten equi conjunct or non-deterministic bucket key degrades
     // to a cartesian-class join silently otherwise

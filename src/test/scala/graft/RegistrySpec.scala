@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Contract guards for the driver-facing registry and the raw scan path. */
 class RegistrySpec extends SparkSpec {
 
-  test("every registered query has an oracle, except the documented IVF exception") {
+  test("every registered query has an oracle") {
+    // since r7 even similarity_ivf is oracle-checked (deterministic
+    // hash-sampled centroids); a new oracle-less query downgrades the
+    // driver gate to rows-only silently — fail here instead
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // similarity_ivf's k-means centroids are learned, not SQL-expressible;
-    // its recall is pinned by SimilaritySpec instead
-    assert(noOracle == Set("similarity_ivf"), s"oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
   }
 
   test("oracle SQL references only tables the driver provides") {

@@ -53,6 +53,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("deterministic IVF: recall@5 >= 0.6 vs brute force, self excluded, " +
+      "stable across runs") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = keys(Similarity.bruteForceTopK(embs, nQueries = 8, k = 5))
+    val ivf = keys(Similarity.ivfHashTopK(embs, nQueries = 8, k = 5))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall, missed ${exact -- ivf}")
+    assert(ivf.forall { case (q, n) => q != n })
+    // pure function of the data: a second invocation returns the exact
+    // same pairs (the property the oracle check rests on)
+    assert(keys(Similarity.ivfHashTopK(embs, nQueries = 8, k = 5)) == ivf)
+  }
+
+  test("deterministic IVF: empty corpus yields an empty result, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfHashTopK(empty, nQueries = 8, k = 5).count() == 0)
+  }
+
   test("sign-LSH near-dup: finds planted near-duplicates, never false-positives") {
     // two planted near-dup pairs (scaled + tiny same-sign noise → cosine ≈ 1,
     // identical sign patterns) among sign-diverse fillers
