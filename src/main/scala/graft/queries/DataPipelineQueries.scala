@@ -207,6 +207,21 @@ object DataPipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  def tfidfTopTermsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(spark, sfDir))
+
+  def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(spark, sfDir))
+
+  def packShardsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.packShards(docs(spark, sfDir))
+
+  /** Sketch-QA summary over the two memoized pair pipelines — the LSH
+    * and exact-Jaccard frames each build once per session, so the audit
+    * itself costs one tiny join + aggregate. */
+  def dedupLshAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshRecallAudit(dedupMinhash(spark, sfDir), dedupJaccard(spark, sfDir))
+
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.frameSample(docs(spark, sfDir))
 
@@ -708,6 +723,75 @@ object DataPipelineQueries {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM ($dedupClustersOracle) k
        |                       WHERE NOT is_canonical)""".stripMargin
 
+  /** Same tf · ln(N/df) scoring as `TextAnalysis.tfidfTopTerms`; the
+    * corpus total is a computed scalar here where Spark folds it in as a
+    * driver literal — same value, so the 6-dp-rounded scores agree. */
+  val tfidfTopTermsOracle: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+      |  WHERE text IS NOT NULL),
+      |sc AS (SELECT doc_id, tf.token,
+      |    round(tf * ln(n.n / df), 6) AS tfidf
+      |  FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n)
+      |SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY tfidf DESC, token) AS rank FROM sc)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Same single-pass entropy algebra (`ln n − Σ tf·ln tf / n`) as
+    * `TextAnalysis.tokenEntropy`; both entropy columns round to 6 dp and
+    * the ratio is NULL for single-type documents on both engines. */
+  val docEntropyOracle: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS stl
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      |  round(ln(CAST(n_tokens AS DOUBLE)) - stl / n_tokens, 6) AS entropy,
+      |  CASE WHEN n_types > 1
+      |    THEN round((ln(CAST(n_tokens AS DOUBLE)) - stl / n_tokens)
+      |               / ln(CAST(n_types AS DOUBLE)), 6)
+      |  END AS entropy_ratio
+      |FROM agg""".stripMargin
+
+  /** Same per-source running-sum shard assignment as
+    * `TextAnalysis.packShards` (budget 4096, (source, doc_id) order). */
+  val packShardsOracle: String =
+    """WITH s AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+      |    PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |  AS bef FROM s)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(floor(bef / 4096.0) AS BIGINT) AS shard_id,
+      |  bef % 4096 AS offset_tokens
+      |FROM c""".stripMargin
+
+  /** Full-outer compare of the two pair oracles (nested verbatim — the
+    * audit's reference sets ARE those queries' green results). */
+  val dedupLshAuditOracle: String =
+    s"""SELECT CAST(count(xa) AS BIGINT) AS n_exact_pairs,
+       |  CAST(count(la) AS BIGINT) AS n_lsh_pairs,
+       |  CAST(count(CASE WHEN la IS NOT NULL AND xa IS NOT NULL
+       |    THEN 1 END) AS BIGINT) AS n_common,
+       |  CASE WHEN count(xa) > 0 THEN
+       |    round(CAST(count(CASE WHEN la IS NOT NULL AND xa IS NOT NULL
+       |      THEN 1 END) AS DOUBLE) / count(xa), 6) END AS recall,
+       |  CASE WHEN count(la) > 0 THEN
+       |    round(CAST(count(CASE WHEN la IS NOT NULL AND xa IS NOT NULL
+       |      THEN 1 END) AS DOUBLE) / count(la), 6) END AS precision
+       |FROM (SELECT doc_a la, doc_b lb FROM ($dedupMinhashOracle) z1) l
+       |FULL JOIN (SELECT doc_a xa, doc_b xb FROM ($dedupJaccardOracle) z2) x
+       |  ON l.la = x.xa AND l.lb = x.xb""".stripMargin
+
   val mediaFramesOracle: String =
     """WITH fr AS (SELECT doc_id,
       |  unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS frame_no,
@@ -782,10 +866,14 @@ object DataPipelineQueries {
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
+    NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
+    NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
+    NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),
     // after its stages (gate, exact, decontaminate, clusters): insertion
     // order is bench pipeline order, so the composite reuses the shared
     // frames its stages just built instead of absorbing their build cost

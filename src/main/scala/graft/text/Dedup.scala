@@ -282,6 +282,35 @@ object Dedup {
   }
 
   /**
+   * LSH recall/precision audit — the QA gate a pipeline runs before
+   * trusting a sketch: compare the MinHash-LSH pair set against the
+   * exact-Jaccard pair set at the same threshold and report ONE summary
+   * row (pair counts, recall, precision). Run on a sampled slice at
+   * 100 TB — the exact side is the expensive one — to decide whether the
+   * current (k, bands) still clears the recall bar before a full dedup
+   * pass. Both rates are null when their denominator is zero.
+   *
+   * Scale shape: one full-outer equi-join of two post-threshold pair
+   * lists (tiny relative to the corpus) and a single global aggregate.
+   */
+  def lshRecallAudit(lshPairs: DataFrame, exactPairs: DataFrame): DataFrame = {
+    val l = lshPairs.select(col("doc_a"), col("doc_b"), lit(1).as("__l"))
+    val x = exactPairs.select(col("doc_a"), col("doc_b"), lit(1).as("__x"))
+    l.join(x, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("__x")).as("n_exact_pairs"),
+        count(col("__l")).as("n_lsh_pairs"),
+        count(when(col("__l").isNotNull && col("__x").isNotNull, 1))
+          .as("n_common"))
+      .select(col("n_exact_pairs"), col("n_lsh_pairs"), col("n_common"),
+        when(col("n_exact_pairs") > 0,
+          round(col("n_common").cast("double") / col("n_exact_pairs"), 6))
+          .as("recall"),
+        when(col("n_lsh_pairs") > 0,
+          round(col("n_common").cast("double") / col("n_lsh_pairs"), 6))
+          .as("precision"))
+  }
+
+  /**
    * Exact all-pairs n-gram Jaccard >= threshold via the shingle inverted
    * index (pairs sharing zero shingles are never materialized — their
    * jaccard is 0 and can't pass a positive threshold). Set sizes come

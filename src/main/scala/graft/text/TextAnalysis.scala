@@ -554,4 +554,98 @@ object TextAnalysis {
     scored.select(
       (col("doc_id") +: langs.map(l => col(s"score_$l"))) :+ best.as("predicted_lang"): _*)
   }
+
+  /**
+   * Per-document TF-IDF top terms — the keyword/topic signal a curation
+   * pipeline uses for domain tagging and mixture analysis: for each
+   * document the `topK` tokens by `tf · ln(N / df)` (rounded to 6 dp
+   * BEFORE ranking so engine-ulp noise in `ln` can't flip a rank; ties
+   * break lexicographically).
+   *
+   * Scale shape: one (doc, token) hash aggregation with map-side
+   * partials, a vocab-sized document-frequency aggregation joined back
+   * (broadcast when the vocab fits — the optimizer's call; NOT a
+   * per-token window, which would sort the corpus by token and put every
+   * stopword's rows in one partition), then the per-doc rank. Corpus
+   * total N folds into the plan as a driver literal, the
+   * [[unigramLogProb]] idiom.
+   */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val nRow = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1))).first()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("__df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+  }
+
+  /**
+   * Per-document token-distribution entropy — the complement of the
+   * repetition battery: low-entropy documents are boilerplate/spam even
+   * when no single n-gram repeats enough to trip [[repetitionStats]].
+   * Emits token count, type count, Shannon entropy in nats
+   * (`H = ln n − Σ tf·ln tf / n`, the single-pass algebraic form), and
+   * the entropy ratio `H / ln(types)` (null for single-type documents,
+   * where the ratio is 0/0).
+   *
+   * Scale shape: the same two hash aggregations as [[unigramLogProb]]'s
+   * per-doc half — (doc, token) counts then a per-doc fold — linear with
+   * map-side partials, nothing corpus-wide. Both entropy columns round
+   * to 6 dp: the Σ tf·ln tf accumulation order is shuffle-dependent.
+   */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val hRaw = log(col("n_tokens").cast("double")) - col("__stl") / col("n_tokens")
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("__stl"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(hRaw, 6).as("entropy"),
+        when(col("n_types") > 1,
+          round(hRaw / log(col("n_types").cast("double")), 6)).as("entropy_ratio"))
+  }
+
+  /**
+   * Token-budget shard packing — the second half of context-length
+   * packing ([[tokenChunks]] is the first): assign whole documents, in
+   * deterministic (source, doc_id) order, to consecutive training shards
+   * of ~`budget` tokens, emitting each document's shard id and token
+   * offset within the shard's running stream. A writer then emits one
+   * shard file per (source, shard_id) group; documents never split
+   * across shards (a shard overflows by at most one document — the
+   * greedy fill-then-spill trade every packer makes when documents are
+   * atomic).
+   *
+   * Scale shape: one running-sum window per source — sources pack
+   * independently and in parallel. A single giant source serializes its
+   * prefix sum into one task chain; at 100 TB, range-partition by
+   * (source, doc_id) and compute the offset two-pass (per-partition
+   * totals to the driver, then a per-partition base — the classic
+   * distributed prefix sum); the ASSIGNMENT this operator defines is
+   * identical, which is what the oracle checks.
+   */
+  def packShards(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("__before") / lit(budget.toDouble)).cast("long").as("shard_id"),
+        (col("__before") % budget).as("offset_tokens"))
+  }
 }

@@ -183,6 +183,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
+
+  test("lshRecallAudit: counts and rates on hand-built pair sets") {
+    import spark.implicits._
+    // exact = {(1,2),(3,4),(5,6)}; lsh = {(1,2),(3,4),(7,8)} →
+    // common 2, recall 2/3, precision 2/3
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val lsh = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val r = Dedup.lshRecallAudit(lsh, exact).collect()(0)
+    assert(r.getAs[Long]("n_exact_pairs") == 3)
+    assert(r.getAs[Long]("n_lsh_pairs") == 3)
+    assert(r.getAs[Long]("n_common") == 2)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    // empty inputs: zero counts, null rates — no division crash
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val e = Dedup.lshRecallAudit(empty, empty).collect()(0)
+    assert(e.getAs[Long]("n_exact_pairs") == 0 && e.isNullAt(3) && e.isNullAt(4))
+  }
 }
 
 object DedupSpec {

@@ -249,6 +249,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06, frac.toString)
   }
 
+  test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
+    // 'shared' is in all 3 docs → ln(3/3)=0; each doc's unique token has
+    // tf=1 · ln(3/1) — the distinctive term must outrank the shared one
+    val out = TextAnalysis.tfidfTopTerms(docsDF(
+      1L -> "shared alpha", 2L -> "shared beta", 3L -> "shared gamma"), topK = 2)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    val top1 = byDoc(1L).find(_.getAs[Int]("rank") == 1).get
+    assert(top1.getAs[String]("token") == "alpha")
+    assert(top1.getAs[Double]("tfidf") == math.rint(math.log(3.0) * 1e6) / 1e6)
+    val sharedRow = byDoc(1L).find(_.getAs[String]("token") == "shared").get
+    assert(sharedRow.getAs[Double]("tfidf") == 0.0)
+  }
+
+  test("tfidfTopTerms: empty corpus yields empty output, not an NPE") {
+    assert(TextAnalysis.tfidfTopTerms(docsDF()).count() == 0)
+  }
+
+  test("tokenEntropy: uniform doc hits ln(n); constant doc is 0 with null ratio") {
+    val out = TextAnalysis.tokenEntropy(docsDF(
+      1L -> "a b c d", 2L -> "x x x x"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), Option(r.get(4))))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L)._1 == 4 && out(1L)._2 == 4)
+    assert(out(1L)._3 == r6(math.log(4.0)))
+    assert(out(1L)._4.contains(1.0)) // H / ln(types) = 1 for uniform
+    assert(out(2L)._3 == 0.0 && out(2L)._4.isEmpty)
+  }
+
+  test("packShards: per-source running order, budget rollover, whole docs") {
+    // source s1: 3 docs of 3 tokens; budget 4 → doc1 shard0 off0,
+    // doc2 shard0 off3 (overflows), doc3 shard1 off6%4=2
+    val df = Seq(
+      (1L, "s1", "t t t"), (2L, "s1", "t t t"), (3L, "s1", "t t t"),
+      (9L, "s2", "u u"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packShards(df, budget = 4L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard_id"), r.getAs[Long]("offset_tokens")))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 3L)))
+    assert(out(3L) == ((1L, 2L)))
+    assert(out(9L) == ((0L, 0L))) // sources pack independently
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
