@@ -222,6 +222,24 @@ object DataPipelineQueries {
   def dedupLshAudit(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.lshRecallAudit(dedupMinhash(spark, sfDir), dedupJaccard(spark, sfDir))
 
+  /** Semantic near-dup cluster resolution — `Dedup.clusters` over the
+    * sign-LSH embedding pair graph: the endgame of embedding dedup, a
+    * canonical vector per semantic duplicate group. Memoized: the
+    * propagation rounds run actions at build time (same reason as
+    * dedup_clusters). */
+  val embeddingClusters: (SparkSession, String) => DataFrame =
+    memoized("embeddingClusters") { (spark, sfDir) =>
+      Dedup.clusters(dedupEmbedding(spark, sfDir), aCol = "vec_a", bCol = "vec_b")
+        .withColumnRenamed("doc_id", "vec_id")
+    }
+
+  /** Band-key occupancy audit over the SAME minhash signature the pair
+    * query shuffles on (shared shingle frame, k=8, 4 bands of 2). */
+  def lshBucketStatsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshBucketStats(
+      Dedup.minhashSignature(sharedShingles(spark, sfDir), k = 8),
+      bands = 4, rowsPerBand = 2)
+
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.frameSample(docs(spark, sfDir))
 
@@ -252,13 +270,20 @@ object DataPipelineQueries {
       |       count(*) AS group_size
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** The 8-lane minhash column list and the 4-band key SELECTs — shared
+    * by the pair oracle and the bucket-stats oracle so both hash the
+    * exact same band keys (mirrors `Dedup.bandedKeys` being shared by
+    * `lshCandidates` and `lshBucketStats`). */
+  private val minhashMinsSql: String = (0 until 8).map(i =>
+    s"min(substr(md5('${i / 4}:'||shingle), ${1 + 8 * (i % 4)}, 8)) h$i")
+    .mkString(",\n  ")
+  private val minhashBands0Sql: String = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
+    .mkString("\n  UNION ALL ")
+
   val dedupMinhashOracle: String = {
-    val mins = (0 until 8).map(i =>
-      s"min(substr(md5('${i / 4}:'||shingle), ${1 + 8 * (i % 4)}, 8)) h$i")
-      .mkString(",\n  ")
-    val bands0 = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
-      .mkString("\n  UNION ALL ")
+    val mins = minhashMinsSql
+    val bands0 = minhashBands0Sql
     val bands =
       s"""SELECT doc_id, band, bkey FROM (SELECT doc_id, band, bkey,
          |    count(*) OVER (PARTITION BY band, bkey) n FROM (
@@ -775,6 +800,42 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Same recursive-CTE closure as `dedupClustersOracle`, over the
+    * sign-LSH embedding pair oracle. */
+  val embeddingClustersOracle: String =
+    s"""WITH RECURSIVE epairs AS (SELECT vec_a, vec_b FROM (
+       |$dedupEmbeddingOracle
+       |) ep),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |          UNION SELECT vec_b, vec_a FROM epairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS vec_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id),
+       |comp AS (SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id),
+       |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+       |          GROUP BY cluster_id)
+       |SELECT c.vec_id AS vec_id, c.cluster_id AS cluster_id,
+       |       s.cluster_size AS cluster_size,
+       |       c.vec_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id""".stripMargin
+
+  /** Same band keys as `Dedup.lshBucketStats` (shared SQL fragments with
+    * the pair oracle); stats over UNCAPPED buckets, integral pair mass. */
+  val lshBucketStatsOracle: String =
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id,
+       |  $minhashMinsSql
+       |  FROM shd GROUP BY doc_id),
+       |b0 AS (
+       |  $minhashBands0Sql),
+       |occ AS (SELECT band, bkey, count(*) AS n FROM b0 GROUP BY band, bkey)
+       |SELECT band, count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  max(n) AS max_bucket,
+       |  CAST(sum(n*(n-1)//2) AS BIGINT) AS candidate_pairs,
+       |  count(CASE WHEN n > 1000 THEN 1 END) AS n_capped
+       |FROM occ GROUP BY band""".stripMargin
+
   /** Full-outer compare of the two pair oracles (nested verbatim — the
     * audit's reference sets ARE those queries' green results). */
   val dedupLshAuditOracle: String =
@@ -874,6 +935,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),
+    NamedQuery("embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),
+    NamedQuery("lsh_bucket_stats", lshBucketStatsQ, Some(lshBucketStatsOracle)),
     // after its stages (gate, exact, decontaminate, clusters): insertion
     // order is bench pipeline order, so the composite reuses the shared
     // frames its stages just built instead of absorbing their build cost

@@ -106,18 +106,26 @@ object Dedup {
    * size. Buckets over `maxBucketSize` are dropped; collapse exact
    * duplicates first (see [[exact]]) when mass duplication is expected.
    */
-  def lshCandidates(signature: DataFrame, bands: Int, rowsPerBand: Int,
-                    maxBucketSize: Int = 1000): DataFrame = {
+  /** One (doc_id, band, bkey) row per signature band — the banding
+    * expression shared by [[lshCandidates]] and [[lshBucketStats]] (the
+    * audit MUST hash the exact keys the pair join shuffles on). */
+  private def bandedKeys(signature: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
     }
+    signature
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def lshCandidates(signature: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 1000): DataFrame = {
     // persisted: both sides of the self-join consume this frame — without
     // the cache the signature expansion AND the bucket-size window run
     // twice (one row per (doc, band): tiny relative to the corpus)
-    val banded = signature
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = bandedKeys(signature, bands, rowsPerBand)
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bkey"))))
@@ -280,6 +288,35 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
+
+  /**
+   * LSH bucket-occupancy audit — the skew observability a 100 TB dedup
+   * run needs BEFORE committing to the pair join: per band, the bucket
+   * count, occupancy totals, the largest bucket, the within-bucket
+   * candidate-pair mass Σ n·(n−1)/2 (the actual join cost, quadratic in
+   * bucket size), and how many buckets the `maxBucketSize` cap would
+   * drop. A mass-duplicate class shows up here as one giant bucket — the
+   * signal to collapse exact dups first or re-band — without running the
+   * quadratic join to find out.
+   *
+   * Scale shape: the same banding projection the pair join uses, one
+   * (band, bkey) hash aggregation with map-side partials, then a
+   * `bands`-row rollup. Stats are computed over UNCAPPED buckets — the
+   * cap's effect is what's being measured.
+   */
+  def lshBucketStats(signature: DataFrame, bands: Int, rowsPerBand: Int,
+                     maxBucketSize: Int = 1000): DataFrame =
+    bandedKeys(signature, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__n")).as("n_rows"),
+        max(col("__n")).as("max_bucket"),
+        // integral `div`, not `/`: Divide casts to double and loses
+        // exactness past 2^53 — a 1e9-row bucket's pair mass is ~5e17
+        sum(expr("(__n * (__n - 1)) div 2")).as("candidate_pairs"),
+        count(when(col("__n") > maxBucketSize, 1)).as("n_capped"))
 
   /**
    * LSH recall/precision audit — the QA gate a pipeline runs before

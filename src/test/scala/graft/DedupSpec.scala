@@ -184,6 +184,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("lshBucketStats: occupancy, pair mass and cap counts per band") {
+    import spark.implicits._
+    // 3 identical docs bucket together in every band; 1 distinct doc is
+    // alone → per band: buckets {3, 1}, pair mass 3·2/2 = 3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"), (9L, "one two three four"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.shingleArrays(docs, 3), k = 8)
+    val rows = Dedup.lshBucketStats(sig, bands = 4, rowsPerBand = 2,
+      maxBucketSize = 2).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") == 2)
+      assert(r.getAs[Long]("n_rows") == 4)
+      assert(r.getAs[Long]("max_bucket") == 3)
+      assert(r.getAs[Long]("candidate_pairs") == 3)
+      assert(r.getAs[Long]("n_capped") == 1) // the 3-bucket exceeds cap 2
+    }
+  }
+
   test("lshRecallAudit: counts and rates on hand-built pair sets") {
     import spark.implicits._
     // exact = {(1,2),(3,4),(5,6)}; lsh = {(1,2),(3,4),(7,8)} →
