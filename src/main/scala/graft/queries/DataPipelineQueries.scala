@@ -101,6 +101,12 @@ object DataPipelineQueries {
       TextAnalysis.unigramLogProb(docs(spark, sfDir))
     }
 
+  /** Memoized for the same persisted-model reason as doc_logprob. */
+  val docLogprobBigram: (SparkSession, String) => DataFrame =
+    memoized("docLogprobBigram") { (spark, sfDir) =>
+      TextAnalysis.bigramLogProb(docs(spark, sfDir))
+    }
+
   def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(spark, sfDir))
 
@@ -481,6 +487,25 @@ object DataPipelineQueries {
       |SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) AS avg_logprob,
       |       round(exp(-avg(l)), 6) AS perplexity
       |FROM lp GROUP BY doc_id""".stripMargin
+
+  /** Same MLE bigram model as `TextAnalysis.bigramLogProb`: counts from
+    * the identical shingle construction, prefix totals folded from the
+    * bigram counts, ln of the same double division. */
+  val docLogprobBigramOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i ->
+      |  toks[i+1] || ' ' || toks[i+2])) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY bigram),
+      |pc AS (SELECT string_split(bigram, ' ')[1] AS pfx,
+      |       CAST(sum(bc) AS BIGINT) AS pc FROM bc GROUP BY 1),
+      |sc AS (SELECT doc_id, ln(CAST(b.bc AS DOUBLE) / p.pc) AS lp
+      |  FROM bg JOIN bc b USING (bigram)
+      |  JOIN pc p ON p.pfx = string_split(bg.bigram, ' ')[1])
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob,
+      |       round(exp(-avg(lp)), 6) AS perplexity
+      |FROM sc GROUP BY doc_id""".stripMargin
 
   /** Same bigram construction as `TextOps.shingles(_, 2)` and the same
     * 0.18 top-bigram threshold as `TextAnalysis.repetitionStats`. The
@@ -922,6 +947,7 @@ object DataPipelineQueries {
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
+    NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),

@@ -425,6 +425,43 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram conditional log-probability scoring — the next LM rung above
+   * [[unigramLogProb]]: each document's mean `ln P(w₂|w₁)` under the
+   * corpus's own MLE bigram model (`c(w₁w₂) / c(w₁·)`), plus perplexity.
+   * Scoring the corpus the model was fit on means every bigram has a
+   * positive count — no smoothing needed — and documents whose word
+   * ORDER is unusual (shuffled text, keyword stuffing) score low even
+   * when their unigram profile looks normal.
+   *
+   * Scale shape: the [[unigramLogProb]] template one level up — one
+   * bigram-count aggregation into a persisted model table (bigram vocab ≪
+   * corpus), prefix counts folded FROM the bigram counts (vocab-sized
+   * input, not a second corpus pass), then the exploded corpus joins the
+   * model (broadcast when it fits) and aggregates per doc. Documents
+   * under 2 tokens have no bigrams and are not emitted.
+   */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val bigr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+      .withColumn("__pfx", element_at(split(col("bigram"), " ", 2), 1))
+    val bc = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("__bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pc = bc
+      .groupBy(element_at(split(col("bigram"), " ", 2), 1).as("__pfx"))
+      .agg(sum(col("__bc")).as("__pc"))
+    bigr
+      .join(bc, "bigram")
+      .join(pc, "__pfx")
+      .select(col("doc_id"),
+        log(col("__bc").cast("double") / col("__pc").cast("double")).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+  }
+
+  /**
    * Gopher-style repetition battery — the three signals the repetition
    * section of a curation filter reads: duplicate-word fraction
    * (1 − types/tokens), duplicate-bigram fraction, and top-bigram

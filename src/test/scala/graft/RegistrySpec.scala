@@ -34,7 +34,8 @@ class RegistrySpec extends SparkSpec {
     // stacked per call (round-5 advice: persist leak)
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("dedup_minhash", "text_simhash_pairs", "dedup_embedding",
-      "similarity_ann", "dedup_clusters", "doc_logprob")) {
+      "similarity_ann", "dedup_clusters", "doc_logprob", "doc_logprob_bigram",
+      "embedding_clusters")) {
       val fn = SparkEntry.queries(name)
       assert(fn(spark, dir) eq fn(spark, dir),
         s"$name rebuilds its frame (and its internal persists) per call")

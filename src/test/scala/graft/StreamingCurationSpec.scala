@@ -117,6 +117,29 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless quality gate runs on a stream unchanged") {
+    // TextAnalysis.qualityGate is pure per-row scoring — documents can be
+    // gated at INGEST, before anything lands; this pins that no
+    // corpus-wide aggregation creeps into the rule set
+    import graft.text.TextAnalysis
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog again and again today"),
+      (2L, "x"),
+      (3L, Seq.fill(40)("spam").mkString(" ")))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = TextAnalysis.qualityGate(stream.toDF().toDF("doc_id", "text"))
+    stream.addData(rows: _*)
+    val q = out.writeStream.format("memory").queryName("sqgate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sqgate").collect().map(_.toSeq).toSet
+      val want = TextAnalysis.qualityGate(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("windowed token counts match the batch vocabulary per window") {
     import graft.streaming.StreamingCuration
     // two 60s windows of docs, split across microbatches

@@ -249,6 +249,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06, frac.toString)
   }
 
+  test("bigramLogProb: hand-computed MLE conditionals; short docs dropped") {
+    // corpus bigrams: doc1 "a b a b" → {a b}×2, {b a}; doc2 "a c" → {a c}
+    // counts: c(a b)=2, c(b a)=1, c(a c)=1; prefixes: c(a·)=3, c(b·)=1
+    // doc1: (ln(2/3) + ln(1/1) + ln(2/3)) / 3; doc2: ln(1/3); doc3: no bigram
+    val out = TextAnalysis.bigramLogProb(docsDF(
+      1L -> "a b a b", 2L -> "a c", 3L -> "solo"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == r6(2 * math.log(2.0 / 3) / 3))
+    assert(out(2L) == ((1L, r6(math.log(1.0 / 3)))))
+  }
+
   test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
     // 'shared' is in all 3 docs → ln(3/3)=0; each doc's unique token has
     // tf=1 · ln(3/1) — the distinctive term must outrank the shared one
