@@ -125,6 +125,9 @@ object DataPipelineQueries {
   def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
 
+  def knnLabelAuditQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.knnLabelAudit(embs(spark, sfDir), nQueries = 8, k = 5)
+
   val similarityAnn: (SparkSession, String) => DataFrame =
     memoized("similarityAnn") { (spark, sfDir) =>
       val cfg = Similarity.annDefaults
@@ -600,6 +603,23 @@ object DataPipelineQueries {
       |    ORDER BY cosine DESC, neighbor_id) AS INT) rank FROM scored)
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Majority vote over the brute-force top-k oracle's neighbor sets
+    * (nested verbatim), ties to the smaller label — same as
+    * `Similarity.knnLabelAudit`. */
+  val knnLabelAuditOracle: String =
+    s"""WITH nb AS (SELECT query_id, neighbor_id FROM (
+       |$similarityTopKOracle
+       |) z),
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (SELECT query_id, label, count(*) AS n_votes
+       |  FROM nb JOIN lb ON lb.vec_id = nb.neighbor_id GROUP BY 1, 2),
+       |top AS (SELECT query_id, label AS predicted_label, n_votes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_votes DESC, label) rn FROM votes) WHERE rn = 1)
+       |SELECT t.query_id, lb.label AS true_label, t.predicted_label,
+       |  t.n_votes, t.predicted_label = lb.label AS agree
+       |FROM top t JOIN lb ON lb.vec_id = t.query_id""".stripMargin
+
   /** Same hash-sampled centroids / rounded-cosine argmax assignment /
     * probe-and-rerank as `Similarity.ivfHashTopK`. Dim-agnostic
     * (`range(len(v))`); cosines round to 6 dp BEFORE every rank so
@@ -972,6 +992,7 @@ object DataPipelineQueries {
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
+    NamedQuery("knn_label_audit", knnLabelAuditQ, Some(knnLabelAuditOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),

@@ -32,12 +32,13 @@ class PlanShapeSpec extends SparkSpec {
       s"$name plan contains a BroadcastNestedLoopJoin:\n$plan")
   }
 
-  /** The one query whose broadcast nested-loop join is the DESIGN
-    * (brute-force top-k broadcasts the query set against everything).
+  /** The queries whose broadcast nested-loop join is the DESIGN:
+    * brute-force top-k broadcasts the query set against everything, and
+    * the k-NN label audit votes over exactly that neighbor frame.
     * similarity_ivf left the whitelist in r7: its deterministic centroids
     * are plan literals, so assignment is map-side and the probe join is a
     * broadcast EQUI join on the cell key. */
-  private val intentionalBnlj = Set("similarity_topk")
+  private val intentionalBnlj = Set("similarity_topk", "knn_label_audit")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —

@@ -73,6 +73,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfHashTopK(empty, nQueries = 8, k = 5).count() == 0)
   }
 
+  test("knnLabelAudit: majority vote, tie to smaller label, mislabel flagged") {
+    // query 0 (label 9): its 5 nearest are scaled near-copies with labels
+    // 1,1,1,2,2 → predicted 1 with 3 votes, disagreement flagged; the
+    // orthogonal filler (label 9) never enters the top-5
+    def near(eps: Float) = Array(1f, eps, 0f, 0f)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 9),
+      (1L, near(0.01f), 1), (2L, near(0.02f), 1), (3L, near(0.03f), 1),
+      (4L, near(0.04f), 2), (5L, near(0.05f), 2),
+      (6L, Array(0f, 1f, 0f, 0f), 9))
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAudit(embs, nQueries = 1, k = 5).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Int]("true_label") == 9)
+    assert(r.getAs[Int]("predicted_label") == 1)
+    assert(r.getAs[Long]("n_votes") == 3)
+    assert(!r.getAs[Boolean]("agree"))
+  }
+
   test("sign-LSH near-dup: finds planted near-duplicates, never false-positives") {
     // two planted near-dup pairs (scaled + tiny same-sign noise → cosine ≈ 1,
     // identical sign patterns) among sign-diverse fillers
