@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join — "for each right-side event, the most recent left-side
+ * event by the same key at or before it" — the attribution primitive
+ * (click → last view, trade → last quote) that Spark has no native
+ * operator for.
+ *
+ * The naive formulation (equi-join on the key + `l.ts <= r.ts` range +
+ * per-pair max) explodes quadratically per key: a user with n views and
+ * m clicks materializes n·m rows before pruning. This implementation is
+ * the UNION-SCAN rewrite: tag both sides, union them, and run one
+ * `last(..., ignoreNulls)` window pass ordered by time — each right row
+ * picks up the latest preceding left row in O(n + m) per key, ONE
+ * shuffle on the key, no pairwise blowup at any scale. Matching window
+ * frames with `last(ignoreNulls)` read consecutive columns from the same
+ * carried row, so id and timestamp can never disagree.
+ *
+ * Tie policy (asserted in AsOfJoinSpec, replicated by the oracle SQL):
+ * "at or before" — a left row with ts equal to the right row's ts IS
+ * visible (left rows sort before right rows at equal ts); among equal-ts
+ * left rows the largest `leftId` wins (final order key).
+ */
+object AsOfJoin {
+
+  /**
+   * @param left    frame providing the carried columns
+   * @param right   frame whose every row is emitted once
+   * @param key     equi key column name (both sides)
+   * @param ts      event-time column name (both sides)
+   * @param leftId  left row id carried onto matches (null if no match)
+   * @param rightId right row id preserved in the output
+   * @return one row per right row: (rightId, key, right ts as `ts`,
+   *         leftId as `matched_<leftId>`, left ts as `matched_ts`,
+   *         lag in milliseconds)
+   */
+  def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 leftId: String, rightId: String): DataFrame = {
+    val tagged = left.select(col(key), col(ts),
+        lit(1).as("__isl"), col(leftId).as("__lid"), lit(null).cast("long").as("__rid"))
+      .unionByName(right.select(col(key), col(ts),
+        lit(0).as("__isl"), lit(null).cast("long").as("__lid"), col(rightId).as("__rid")))
+    // left rows first at equal ts (__isl desc), then __lid so the largest
+    // left id wins among equal-ts left rows; frame = everything up to and
+    // including the current row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__isl").desc, col("__lid").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryId: Column = last(when(col("__isl") === 1, col("__lid")), ignoreNulls = true).over(w)
+    val carryTs: Column = last(when(col("__isl") === 1, col(ts)), ignoreNulls = true).over(w)
+    tagged
+      .select(col(key), col(ts), col("__isl"), col("__rid"),
+        carryId.as("__mid"), carryTs.as("__mts"))
+      .filter(col("__isl") === 0)
+      .select(
+        col("__rid").as(rightId), col(key), col(ts),
+        col("__mid").as(s"matched_$leftId"), col("__mts").as("matched_ts"),
+        ((unix_millis(col(ts))) - unix_millis(col("__mts"))).as("lag_ms"))
+  }
+}
