@@ -33,13 +33,25 @@ object AnomalyDetect {
    * @param ctr frame with columns (campaign_id, ctr, and `timeCol` /
    *            `alertTimeCol` timestamps — in the reference event_time IS
    *            window_end, flink/anomaly_job.sql:16)
+   * @param minImpressions the reference's OPTIONAL low-traffic noise
+   *            filter (`WHERE impression_count > 10`, commented out at
+   *            flink/anomaly_job.sql:59-60): windows with
+   *            `impression_count <= minImpressions` are removed from the
+   *            series BEFORE the LAG (the view would filter its source),
+   *            so the LAG chains across them. Default 0 keeps reference
+   *            parity — every emitted window has >= 1 impression, and
+   *            the plan is untouched.
    */
   def alerts(ctr: DataFrame, timeCol: String = "window_end",
-             alertTimeCol: String = "window_end"): DataFrame = {
+             alertTimeCol: String = "window_end",
+             minImpressions: Long = 0L): DataFrame = {
     val spike = col("previous_ctr") > 0.0 &&
       col("current_ctr") > col("previous_ctr") * 2.0
     val drop = col("current_ctr") < col("previous_ctr") * 0.5
-    ctr
+    val source =
+      if (minImpressions > 0L) ctr.filter(col("impression_count") > minImpressions)
+      else ctr
+    source
       .select(col(alertTimeCol).as("alert_time"), col(timeCol).as("__order_time"),
         col("campaign_id"), col("ctr").as("current_ctr"))
       .withColumn("previous_ctr", lag(col("current_ctr"), 1).over(

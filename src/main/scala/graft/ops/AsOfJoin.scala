@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
  * frames with `last(ignoreNulls)` read consecutive columns from the same
  * carried row, so id and timestamp can never disagree.
  *
- * Tie policy (asserted in AsOfJoinSpec, replicated by the oracle SQL):
- * "at or before" — a left row with ts equal to the right row's ts IS
- * visible (left rows sort before right rows at equal ts); among equal-ts
- * left rows the largest `leftId` wins (final order key).
+ * Tie policy (asserted in AsOfJoinSpec and replicated by the registered
+ * `asof_join` DuckDB oracle): "at or before" — a left row with ts equal
+ * to the right row's ts IS visible (left rows sort before right rows at
+ * equal ts); among equal-ts left rows the largest `leftId` wins (final
+ * order key). Left rows with a NULL `leftId` are dropped from the input:
+ * they are unattributable, and letting them through would advance the
+ * carried timestamp past a row the carried id skipped (`ignoreNulls`),
+ * pairing an older matched id with a newer matched_ts.
  */
 object AsOfJoin {
 
@@ -40,7 +44,7 @@ object AsOfJoin {
    */
   def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
                  leftId: String, rightId: String): DataFrame = {
-    val tagged = left.select(col(key), col(ts),
+    val tagged = left.filter(col(leftId).isNotNull).select(col(key), col(ts),
         lit(1).as("__isl"), col(leftId).as("__lid"), lit(null).cast("long").as("__rid"))
       .unionByName(right.select(col(key), col(ts),
         lit(0).as("__isl"), lit(null).cast("long").as("__lid"), col(rightId).as("__rid")))

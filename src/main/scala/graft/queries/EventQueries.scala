@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AnomalyDetect, IntervalJoin, WindowedCounts}
+import graft.ops.{AnomalyDetect, AsOfJoin, IntervalJoin, Sessionize, WindowedCounts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -110,6 +110,42 @@ object EventQueries {
   def anomalyAlerts(spark: SparkSession, sfDir: String): DataFrame =
     AnomalyDetect.alerts(ctrByCampaign(spark, sfDir))
 
+  /**
+   * As-of join over the raw events: each click attributed to the most
+   * recent view by the same user at or before it — the reference's
+   * attribution join shape (flink/flink_job.sql:91-95) without the
+   * 10-minute upper bound, via the union-scan rewrite (one shuffle on
+   * user_id, no pairwise blowup on hot users — see [[AsOfJoin]]).
+   */
+  def asofClickView(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsSpread(spark, sfDir)
+    AsOfJoin.lastBefore(
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id")
+  }
+
+  /** Gap shared by the session queries and their oracles — ONE constant
+    * so the Spark interval, the stats correction, and both oracle SQL
+    * strings can never disagree. */
+  private[queries] val sessionGapSeconds: Long = 21600L
+
+  /** Per-user sessions (6-hour inactivity gap) — persisted once per
+    * (session, sfDir): `session_stats` is one tiny aggregation over the
+    * same frame. */
+  def userSessionsQ(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "userSessions") {
+      Sessionize.userSessions(
+        Tables.eventsSpread(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+        sessionGapSeconds)
+    }
+
+  def sessionStatsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize.sessionStats(userSessionsQ(spark, sfDir), sessionGapSeconds)
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prefix mirroring impressions/clicks/join above. */
@@ -173,8 +209,68 @@ object EventQueries {
        |       OR current_ctr < previous_ctr * 0.5)
        |ORDER BY alert_time, campaign_id""".stripMargin
 
+  /** Replicates [[AsOfJoin.lastBefore]]'s union-scan construction — the
+    * same tagged union, the same (ts, side, leftId) order, the same
+    * ignore-nulls last-value carry — rather than DuckDB's native ASOF
+    * JOIN, so the tie policy (equal-ts left visible, largest leftId
+    * wins) is pinned value-for-value, not just "some as-of" semantics. */
+  val asofOracle: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |  make_timestamp(epoch_ms(ts) * 1000) AS ts, event_type FROM events),
+      |u AS (
+      |  SELECT user_id, ts, 1 AS isl, event_id AS lid, CAST(NULL AS BIGINT) AS rid
+      |  FROM e WHERE event_type = 'view' AND event_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, event_id FROM e WHERE event_type = 'click'),
+      |w AS (SELECT user_id, ts, isl, rid,
+      |  last_value(CASE WHEN isl = 1 THEN lid END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts, isl DESC, lid ASC NULLS FIRST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid,
+      |  last_value(CASE WHEN isl = 1 THEN ts END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts, isl DESC, lid ASC NULLS FIRST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts
+      |  FROM u)
+      |SELECT rid AS event_id, user_id, ts, mid AS matched_event_id,
+      |  mts AS matched_ts, epoch_ms(ts) - epoch_ms(mts) AS lag_ms
+      |FROM w WHERE isl = 0""".stripMargin
+
+  /** Gaps-and-islands replication of `session_window`: new session iff
+    * `ts - prev > gap` — STRICT, because Spark merges boundary-adjacent
+    * windows (an event at exactly prev + gap extends the session);
+    * session_end = last event + gap. */
+  val userSessionsOracle: String =
+    s"""WITH e AS (SELECT user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
+       |  event_type, value FROM events),
+       |x AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+       |       > ${sessionGapSeconds * 1000L}
+       |    THEN 1 ELSE 0 END AS ns FROM e),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $sessionGapSeconds SECOND AS session_end,
+       |  count(*) AS n_events,
+       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       |  round(sum(value), 6) AS total_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  val sessionStatsOracle: String =
+    s"""SELECT CAST(least(n_events, 5) AS INT) AS n_events_bucket,
+       |  count(*) AS n_sessions,
+       |  round(avg(span), 6) AS mean_span_sec,
+       |  round(max(span), 6) AS max_span_sec,
+       |  CAST(sum(n_purchases) AS BIGINT) AS n_purchases
+       |FROM (SELECT n_events, n_purchases,
+       |        (epoch_ms(session_end) - epoch_ms(session_start)) / 1000.0
+       |          - $sessionGapSeconds AS span
+       |      FROM ($userSessionsOracle) z) y
+       |GROUP BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
     NamedQuery("engagement_by_device", engagementByDevice, Some(engagementOracle)),
-    NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)))
+    NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)),
+    NamedQuery("asof_join", asofClickView, Some(asofOracle)),
+    NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
+    NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
 }

@@ -78,13 +78,23 @@ object StreamingAnomaly {
    *            operator runs identically with empty initial state).
    *            Event time is `window_end` (S6: `event_time AS window_end`,
    *            flink/anomaly_job.sql:16).
+   * @param minImpressions the reference's optional noise filter
+   *            (flink/anomaly_job.sql:59-60) — low-traffic windows are
+   *            dropped BEFORE the per-campaign state, so the streaming
+   *            LAG chains across them exactly like the batch twin
+   *            ([[graft.ops.AnomalyDetect.alerts]]). Default 0 = parity.
    */
-  def alerts(ctr: DataFrame, watermarkDelay: String = "5 seconds"): Dataset[AnomalyAlert] = {
+  def alerts(ctr: DataFrame, watermarkDelay: String = "5 seconds",
+             minImpressions: Long = 0L): Dataset[AnomalyAlert] = {
     val spark = ctr.sparkSession
     import spark.implicits._
     // S6: event time IS window_end (flink/anomaly_job.sql:16) — watermark
     // directly on it; no-op in batch
-    val timed = graft.ops.EventTime.watermarked(ctr, watermarkDelay, "window_end")
+    val timed0 = graft.ops.EventTime.watermarked(ctr, watermarkDelay, "window_end")
+    val timed =
+      if (minImpressions > 0L)
+        timed0.filter(org.apache.spark.sql.functions.col("impression_count") > minImpressions)
+      else timed0
     timed
       .select("window_start", "window_end", "campaign_id",
         "impression_count", "click_count", "ctr")

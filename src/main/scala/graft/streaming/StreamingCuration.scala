@@ -69,6 +69,21 @@ object StreamingCuration {
         col("token"), col("n_occurrences"), col("doc_freq"))
   }
 
+  /**
+   * Streaming sessionization — [[graft.ops.Sessionize.userSessions]]
+   * under a watermark: the SAME `session_window` aggregation (one
+   * expression, zero divergence risk between the batch and streaming
+   * forms), emitted append-mode when the watermark passes a session's
+   * close. State per user is one open session, GC'd on close — bounded
+   * by the gap, not the history, which is what makes sessionization
+   * viable on an unbounded 100 TB event stream.
+   */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 21600L,
+                       tsCol: String = "ts",
+                       watermarkDelay: String = "10 seconds"): DataFrame =
+    graft.ops.Sessionize.userSessions(
+      events.withWatermark(tsCol, watermarkDelay), gapSeconds, tsCol)
+
   /** The static benchmark shingle index `decontaminateFlags` joins
     * against: one `shingle` row per distinct benchmark n-gram. Returned
     * UNPERSISTED — the caller owns the cache (persist before starting

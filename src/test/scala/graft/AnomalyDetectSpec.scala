@@ -54,6 +54,29 @@ class AnomalyDetectSpec extends SparkSpec {
     assert(alerts.isEmpty)
   }
 
+  test("minImpressions noise filter drops low-traffic windows BEFORE the LAG") {
+    // the reference's optional filter (flink/anomaly_job.sql:59-60) sits
+    // in the view, so the LAG chains ACROSS a removed window
+    val series = Seq(
+      (ts(0), ts(1), "camp-1", 100L, 10L, 0.10),
+      (ts(1), ts(2), "camp-1", 5L, 4L, 0.90), // low traffic: 5 impressions
+      (ts(2), ts(3), "camp-1", 100L, 10L, 0.10))
+      .toDF("window_start", "window_end", "campaign_id",
+        "impression_count", "click_count", "ctr")
+    // default (off): the noisy window both SPIKEs and then DROPs
+    assert(AnomalyDetect.alerts(series).collect()
+      .map(_.getAs[String]("alert_type")).sorted.toSeq == Seq("DROP", "SPIKE"))
+    // threshold 10: window 1 is gone, LAG sees 0.10 → 0.10 — silence
+    assert(AnomalyDetect.alerts(series, minImpressions = 10L).collect().isEmpty)
+    // streaming twin, batch-executed: same fixture, same silence
+    assert(graft.streaming.StreamingAnomaly.alerts(series, minImpressions = 10L)
+      .collect().isEmpty)
+    assert(graft.streaming.StreamingAnomaly.alerts(series)
+      .collect().map(_.alert_type).sorted.toSeq == Seq("DROP", "SPIKE"))
+  }
+
+  private def ts(minute: Long) = new Timestamp(minute * 60000L)
+
   test("partitions are independent per campaign") {
     val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
       ("camp-1", 0, 0.10), ("camp-2", 1, 0.50), ("camp-1", 2, 0.10)))).collect()

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Sessionize
+
+import java.sql.Timestamp
+
+/**
+ * Sessionize window semantics, exactly as documented (Sessionize.scala
+ * scaladoc) and replicated by the `user_sessions` gaps-and-islands
+ * oracle: [first, last + gap) bounds, at-or-before extension (Spark
+ * merges boundary-adjacent windows, so an event at exactly prev + gap
+ * EXTENDS the session; only strictly past it starts a new one),
+ * per-user isolation, and the single-gap span correction in
+ * sessionStats.
+ */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gap = 60L // seconds, for readable fixtures
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def events(rows: (Long, Long, String, Double)*) =
+    rows.map { case (user, sec, typ, v) => (user, ts(sec), typ, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+
+  private def sessions(rows: (Long, Long, String, Double)*) =
+    Sessionize.userSessions(events(rows: _*), gap)
+      .orderBy("user_id", "session_start").collect()
+
+  test("events closer than the gap merge; session spans [first, last + gap)") {
+    val out = sessions((7L, 100L, "view", 1.0), (7L, 130L, "click", 2.0),
+      (7L, 150L, "purchase", 3.0))
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.getAs[Timestamp]("session_start") == ts(100L))
+    assert(s.getAs[Timestamp]("session_end") == ts(150L + gap))
+    assert(s.getAs[Long]("n_events") == 3L)
+    assert(s.getAs[Long]("n_purchases") == 1L)
+    assert(s.getAs[Double]("total_value") == 6.0)
+  }
+
+  test("an event at EXACTLY prev + gap extends the session (adjacent merge)") {
+    val out = sessions((7L, 100L, "view", 1.0), (7L, 100L + gap, "view", 1.0))
+    assert(out.length == 1)
+    assert(out.head.getAs[Timestamp]("session_end") == ts(100L + gap + gap))
+  }
+
+  test("an event strictly past prev + gap starts a new session") {
+    val out = sessions((7L, 100L, "view", 1.0), (7L, 100L + gap + 1, "view", 1.0))
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Timestamp]("session_start")).toSeq ==
+      Seq(ts(100L), ts(100L + gap + 1)))
+  }
+
+  test("users never share sessions") {
+    val out = sessions((7L, 100L, "view", 1.0), (8L, 110L, "view", 1.0))
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("user_id")).sorted.toSeq == Seq(7L, 8L))
+  }
+
+  test("sessionStats span subtracts the SAME gap: single-event span is 0") {
+    val stats = Sessionize.sessionStats(
+      Sessionize.userSessions(events((7L, 100L, "view", 1.0)), gap), gap)
+      .collect()
+    assert(stats.length == 1)
+    assert(stats.head.getAs[Int]("n_events_bucket") == 1)
+    assert(stats.head.getAs[Double]("mean_span_sec") == 0.0)
+    assert(stats.head.getAs[Double]("max_span_sec") == 0.0)
+  }
+
+  test("sessionStats buckets cap at 5 and spans are event spans") {
+    val manyEvents = (0L until 7L).map(i => (7L, 100L + i * 10L, "view", 1.0))
+    val twoEvents = Seq((8L, 100L, "view", 1.0), (8L, 130L, "purchase", 2.0))
+    val stats = Sessionize.sessionStats(
+      Sessionize.userSessions(events(manyEvents ++ twoEvents: _*), gap), gap)
+      .orderBy("n_events_bucket").collect()
+    assert(stats.map(r => (r.getAs[Int]("n_events_bucket"),
+      r.getAs[Long]("n_sessions"), r.getAs[Double]("max_span_sec"),
+      r.getAs[Long]("n_purchases"))).toSeq ==
+      Seq((2, 1L, 30.0, 1L), (5, 1L, 60.0, 0L)))
+  }
+}

@@ -72,6 +72,37 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization matches the batch operator on closed sessions") {
+    val rows = Seq(
+      (7L, ts(100), "view", 1.0), (7L, ts(130), "purchase", 2.0),
+      (8L, ts(100), "view", 5.0),
+      (7L, ts(500), "view", 1.0)) // > gap after 130 → second session for user 7
+    val stream = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    val out = StreamingCuration.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts", "event_type", "value"),
+      gapSeconds = 60L)
+    // split across micro-batches so session state genuinely carries
+    stream.addData(rows.take(3): _*)
+    val q = out.writeStream.format("memory").queryName("ssessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every session close
+      stream.addData((99L, ts(100000), "view", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("ssessions").filter(col("user_id") =!= 99L)
+        .collect().map(_.toSeq).toSet
+      val want = graft.ops.Sessionize.userSessions(
+        rows.toDF("user_id", "ts", "event_type", "value"), gapSeconds = 60L)
+        .collect().map(_.toSeq).toSet
+      assert(want.size == 3, s"fixture should close 3 sessions, got $want")
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateless curation ops (quality gate) run on a stream unchanged") {
     // qualityGate is pure per-row projection — the SAME function applies
     // to a streaming frame with no rewrite, watermark, or state; this
