@@ -52,15 +52,44 @@ object DataPipelineQueries {
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, s"$name-result",
       persist = false)(build(spark, sfDir))
 
+  /** One persisted 8-lane minhash signature per (session, sfDir) — the
+    * md5-dominated map pass over the shingle arrays — consumed by BOTH
+    * the LSH pair pipeline and `lsh_bucket_stats` (the audit must hash
+    * the exact keys the pair join shuffles on, and sharing the frame
+    * means it computes them from the exact same signature rows). */
+  private def sharedSignature(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "minhashSig8")(
+      Dedup.minhashSignature(sharedShingles(spark, sfDir), k = 8))
+
   val dedupMinhash: (SparkSession, String) => DataFrame =
     memoized("dedupMinhash") { (spark, sfDir) =>
       Dedup.nearDupMinhashLsh(docs(spark, sfDir),
-        sharedShingles = Some(sharedShingles(spark, sfDir)))
+        sharedShingles = Some(sharedShingles(spark, sfDir)),
+        sharedSignature = Some(sharedSignature(spark, sfDir)))
     }
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairsExact(docs(spark, sfDir),
       sharedShingles = Some(sharedShingles(spark, sfDir)))
+
+  /** Stop-shingle df cap shared by the capped query and its oracle. */
+  private val jaccardDfCap = 100
+
+  /** The SCALE-SAFE exact-Jaccard path (VERDICT r7 #3): stop-shingle
+    * pruning caps the pairing join's per-shingle cost (quadratic in
+    * document frequency) at `jaccardDfCap`² instead of unbounded —
+    * the form a 100 TB audit actually runs. Reported jaccards stay
+    * exact (recomputed from the full arrays); only pairs whose EVERY
+    * common shingle is boilerplate can be missed. The unpruned
+    * `dedup_jaccard` stays registered as oracle ground truth.
+    * Memoized: the capped path persists its pruned inverted index at
+    * build time. */
+  val dedupJaccardCapped: (SparkSession, String) => DataFrame =
+    memoized("dedupJaccardCapped") { (spark, sfDir) =>
+      Dedup.jaccardPairsExact(docs(spark, sfDir),
+        sharedShingles = Some(sharedShingles(spark, sfDir)),
+        maxShingleDf = Some(jaccardDfCap))
+    }
 
   /** One persisted 32-bit simhash frame per (session, sfDir): the
     * fingerprint query and the near-dup-pair query both consume it, and
@@ -242,11 +271,11 @@ object DataPipelineQueries {
         .withColumnRenamed("doc_id", "vec_id")
     }
 
-  /** Band-key occupancy audit over the SAME minhash signature the pair
-    * query shuffles on (shared shingle frame, k=8, 4 bands of 2). */
+  /** Band-key occupancy audit over the SAME persisted minhash signature
+    * frame the pair query shuffles on (k=8, 4 bands of 2) — one
+    * signature pass for both queries, not one each. */
   def lshBucketStatsQ(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.lshBucketStats(
-      Dedup.minhashSignature(sharedShingles(spark, sfDir), k = 8),
+    Dedup.lshBucketStats(sharedSignature(spark, sfDir),
       bands = 4, rowsPerBand = 2)
 
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
@@ -328,6 +357,31 @@ object DataPipelineQueries {
        |  FROM shd sa JOIN shd sb
        |    ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
        |  GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       round(CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.da
+       |JOIN sizes zb ON zb.doc_id = i.db
+       |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
+
+  /** Same stop-shingle pruning as `Dedup.jaccardPairsExact(maxShingleDf)`:
+    * shingles over the df cap leave candidate GENERATION only; surviving
+    * pairs re-score against the FULL shingle sets, so values match the
+    * unpruned oracle wherever both emit a pair. */
+  val dedupJaccardCappedOracle: String =
+    s"""$shingleCtes,
+       |keep AS (SELECT shingle FROM shd GROUP BY shingle
+       |  HAVING count(*) <= $jaccardDfCap),
+       |inv AS (SELECT doc_id, shingle FROM shd JOIN keep USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM inv a JOIN inv b
+       |    ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) i
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.da
+       |  JOIN shd sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+       |  GROUP BY c.da, c.db)
        |SELECT i.da AS doc_a, i.db AS doc_b,
        |       round(CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i), 6) AS jaccard
        |FROM inter i
@@ -959,6 +1013,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
+    NamedQuery("dedup_jaccard_capped", dedupJaccardCapped,
+      Some(dedupJaccardCappedOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),

@@ -170,14 +170,21 @@ object Dedup {
    */
   def nearDupMinhashLsh(docs: DataFrame, shingleWidth: Int = 3, k: Int = 8,
                         bands: Int = 4, threshold: Double = 0.5,
-                        sharedShingles: Option[DataFrame] = None): DataFrame = {
+                        sharedShingles: Option[DataFrame] = None,
+                        sharedSignature: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible into $bands bands")
     // The array frame feeds the signature pass and both verify sides;
     // callers running several dedup operators pass one shared
-    // (already-persisted) frame via `sharedShingles`.
+    // (already-persisted) frame via `sharedShingles`, and callers that
+    // ALSO audit bucket occupancy ([[lshBucketStats]]) pass the one
+    // signature frame both consume via `sharedSignature` — the signature
+    // pass (the md5-dominated map cost) then runs once, not twice.
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
       shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
-    val cand = lshCandidates(minhashSignature(shd, k), bands, k / bands)
+    val sig = sharedSignature.getOrElse(minhashSignature(shd, k))
+    require(!sig.columns.contains(s"h$k") && sig.columns.contains(s"h${k - 1}"),
+      s"shared signature frame does not have width $k")
+    val cand = lshCandidates(sig, bands, k / bands)
     jaccardForPairs(cand, shd)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
