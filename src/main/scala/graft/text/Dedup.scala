@@ -231,20 +231,106 @@ object Dedup {
    * `is_canonical` flag (the doc a dedup pass would keep). Documents with
    * no near-dup edge are singletons and are not emitted.
    *
-   * Scale shape: each round is one equi-join of the edge list against the
-   * current labels plus a min-aggregation — all hash shuffles on doc_id,
-   * never anything pairwise — and rounds needed = graph diameter. Near-dup
-   * graphs are dense little cliques (LSH links most members directly), so
-   * diameter is small; the driver loop carries only the per-round changed
-   * COUNT, never data. For adversarial long-chain graphs at 100 TB, swap
-   * the propagation step for the large-star/small-star rewrite (Kiveris et
-   * al., "Connected Components in MapReduce"), which converges in
-   * O(log n) rounds with the same join-shape per round.
+   * Two algorithms, same output, selected by `algorithm`:
+   *
+   *  - `"star"` (default): alternating large-star/small-star contraction
+   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   *    SoCC '14) — converges in O(log n) rounds on ANY topology,
+   *    including adversarial long chains, with one groupBy + one
+   *    equi-join per phase (all hash shuffles on node id, never anything
+   *    pairwise). The 100 TB-safe default.
+   *  - `"propagation"`: min-label propagation — rounds = graph diameter.
+   *    On the clique-like graphs LSH actually emits (most members linked
+   *    directly) the folded first round usually converges immediately,
+   *    making it the cheaper choice when the caller KNOWS diameter is
+   *    tiny.
+   *
+   * Both carry only a per-round convergence COUNT on the driver, never
+   * data, and both truncate lineage per round (see the localCheckpoint
+   * note below). DedupSpec pins star-vs-propagation output equality on
+   * seeded random graphs and the O(log n)-vs-O(diameter) round counts on
+   * a long chain.
    *
    * @param pairs near-dup pairs (doc_a, doc_b); doc_a < doc_b not required
    */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
-               bCol: String = "doc_b"): DataFrame = {
+               bCol: String = "doc_b", algorithm: String = "star"): DataFrame = {
+    val labels = algorithm match {
+      case "star"        => starLabels(pairs, aCol, bCol)
+      case "propagation" => propagationLabels(pairs, aCol, bCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown clusters algorithm '$other' (star | propagation)")
+    }
+    // labels frame is checkpoint-backed and read twice (membership +
+    // sizes); the registry memoizes the whole builder
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /**
+   * Alternating star contraction over a canonical (larger → smaller)
+   * directed edge frame; returns the converged star edges — every
+   * non-minimum node pointing directly at its component's minimum — and
+   * the number of large+small rounds taken. Package-private so the spec
+   * can assert the O(log n) round count directly.
+   *
+   * Per round: LARGE-STAR connects each node's larger neighbors to the
+   * minimum of its closed neighborhood; SMALL-STAR connects each node
+   * and its smaller neighbors to the smallest of them. Each phase is one
+   * hash aggregation + one equi-join on node id; convergence is two
+   * anti-join counts (edge set unchanged).
+   */
+  private[graft] def starContraction(canonical: DataFrame): (DataFrame, Int) = {
+    var edges = canonical.localCheckpoint(true)
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done) {
+      rounds += 1
+      // large-star over the symmetric adjacency
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val large = sym.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star over large's (larger → smaller) edges: node u and its
+      // smaller neighbors all attach to the smallest of them
+      val mS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(mS, "a").select(col("b").as("x"), col("m"))
+        .union(mS.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b")).distinct()
+        .localCheckpoint(true)
+      done = small.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
+        edges.join(small, Seq("a", "b"), "left_anti").isEmpty
+      edges = small
+    }
+    (edges, rounds)
+  }
+
+  /** Star-contraction labels: (doc_id, cluster_id) for every node with
+    * at least one edge — non-roots from their star edge, roots from the
+    * distinct edge targets (at convergence every target IS a root). */
+  private def starLabels(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canonical = pairs
+      .select(greatest(col(aCol), col(bCol)).as("a"),
+        least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val (star, _) = starContraction(canonical)
+    star.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(star.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation labels — see [[clusters]] for when this beats
+    * the star default. */
+  private def propagationLabels(pairs: DataFrame, aCol: String,
+                                bCol: String): DataFrame = {
     // symmetrized edge list; tiny relative to the corpus (post-LSH pairs),
     // persisted because every propagation round re-joins it
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -286,14 +372,7 @@ object Dedup {
       labels = next.select(col("doc_id"), col("__next").as("cluster_id"))
     }
     edges.unpersist()
-    // the final checkpoint backs the returned (lazy) frame — it is read
-    // twice below (membership + sizes); the registry memoizes this
-    // builder so repeated invocations share it
-    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels
-      .join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /**
