@@ -32,15 +32,27 @@ object Bench {
     // (skipped when benching the warmup dir itself — the SharedFrames
     // memos are keyed by sfDir, so warming the same dir would turn the
     // timed loop into a cache-hit measurement)
+    val order = SparkEntry.queries.toSeq
+    // Warmup doubles as a LIFECYCLE probe: tracing which SharedFrames
+    // tags each query touches (tags are dir-independent strings) yields
+    // each memo's LAST consumer in pipeline order, so the timed loop can
+    // release a family's caches the moment its final query has run —
+    // keeping all 47 queries' memos alive to the end is what turned a
+    // memory-squeezed driver into eviction-and-recompute cascades at the
+    // late composite queries (BENCH_r07's 28x curate_corpus spike).
+    var lastUse = Map.empty[String, Int]
     val warmDir = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
     if (warmDir.isDirectory &&
         warmDir.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir.getPath).count()
-        catch { // non-fatal failures re-surface in the timed loop
-          case scala.util.control.NonFatal(_) => ()
+      order.zipWithIndex.foreach { case ((_, fn), i) =>
+        val (_, tags) = graft.queries.SharedFrames.traced {
+          try fn(spark, warmDir.getPath).count()
+          catch { // non-fatal failures re-surface in the timed loop
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
+        tags.foreach(t => lastUse += t -> i) // ascending i => max wins
       }
       // drop the warm-dir memos and cached plans: the warmup exists to
       // compile codegen classes, not to occupy executor storage while the
@@ -54,12 +66,23 @@ object Bench {
     }
     // Failures are reported as an "errors" map, never as fake timings.
     // Insertion order = pipeline order (SparkEntry.queries is a ListMap).
-    val timed = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val timed = order.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9, outcome)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Post-timing (outside the measured window): retire memos whose
+      // last consumer just ran. A tag the warm trace missed (data-
+      // dependent path) simply stays cached — and one released too early
+      // would rebuild, never corrupt. The GC nudge frees the cluster
+      // queries' localCheckpoint blocks once their plans are dropped.
+      val done = lastUse.collect { case (t, j) if j == i => t }.toSet
+      if (done.nonEmpty) {
+        graft.queries.SharedFrames.release(spark, sfDir, done)
+        if (done.exists(_.toLowerCase.contains("cluster"))) System.gc()
+      }
+      (name, sec, outcome)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -23,7 +23,12 @@ import org.apache.spark.storage.StorageLevel
  *
  * Lifecycle: entries for stopped sessions are swept on every access so a
  * long-lived JVM that cycles sessions (test suites, notebooks) does not
- * pin dead sessions or their cached lineage forever.
+ * pin dead sessions or their cached lineage forever. For BOUNDED cache
+ * population across a long query sequence (the bench's 47-query run,
+ * where keeping every memo alive to the end invites eviction-and-
+ * recompute cascades on a memory-squeezed driver), consumers can
+ * [[traced]]-record which tags each query touches and [[release]] a tag
+ * after its last consumer — see graft.Bench.
  */
 object SharedFrames {
 
@@ -34,31 +39,75 @@ object SharedFrames {
     * its own result on completion (ADVICE r6: a cell removed from the map
     * mid-build used to finish building a persisted frame that nothing
     * could ever unpersist). Never-demanded cells stay unbuilt — discard
-    * must not run builders just to drop their caches. */
+    * must not run builders just to drop their caches.
+    *
+    * Auxiliary caches: builders like the LSH pair pipeline or the LM
+    * scorers persist INTERNAL frames (band indexes, model tables) that
+    * the returned plan references but the memo result itself is not —
+    * the historic reason `clear()` had to be chased with `clearCache()`.
+    * Builders register those through [[SharedFrames.aux]], which pins
+    * them to the cell being built on the current thread; `discard()`
+    * unpersists them along with the result, through the CacheManager
+    * (never raw-RDD unpersist, which would poison a still-registered
+    * InMemoryRelation into silent never-cache-again recompute). */
   private final class Cell(mk: () => DataFrame) {
     @volatile private var value: DataFrame = _
+    private[SharedFrames] var auxFrames: List[DataFrame] = Nil
     private var discarded = false
     def df: DataFrame = {
       if (value == null) synchronized {
         if (value == null) {
-          value = mk()
-          if (discarded) value.unpersist()
+          val outer = building.get()
+          building.set(this)
+          try value = mk()
+          finally building.set(outer)
+          if (discarded) doUnpersist()
         }
       }
       value
     }
     def discard(): Unit = synchronized {
       discarded = true
-      if (value != null) value.unpersist()
+      if (value != null) doUnpersist()
     }
+    private def doUnpersist(): Unit = {
+      value.unpersist()
+      auxFrames.foreach(_.unpersist())
+      auxFrames = Nil
+    }
+  }
+
+  /** The cell currently building on this thread (innermost when memo
+    * builds nest), so [[aux]] knows which cell owns a new cache. */
+  private val building = new ThreadLocal[Cell]
+
+  /** Persist `df` as an AUXILIARY cache owned by the memo cell currently
+    * building on this thread: when that cell is [[release]]d/cleared,
+    * the aux frame is unpersisted with it. Nested memo builds register
+    * with the INNERMOST cell — an outer composite must not free a frame
+    * a shared inner memo still serves. Outside any memo build this is a
+    * plain persist and the caller manages the lifetime (tests, ad-hoc
+    * use). */
+  def aux(df: DataFrame,
+          level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    val cell = building.get()
+    if (cell != null) cell.auxFrames ::= p
+    p
   }
 
   private val frames =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), Cell]
 
+  /** Tag tracer for lifecycle-aware callers (see [[traced]]). */
+  private val tracer =
+    new ThreadLocal[scala.collection.mutable.LinkedHashSet[String]]
+
   def memo(spark: SparkSession, sfDir: String, tag: String,
            persist: Boolean = true)
           (build: => DataFrame): DataFrame = {
+    val t = tracer.get()
+    if (t != null) t += tag
     val cell = synchronized {
       frames.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       frames.getOrElseUpdate((spark, sfDir, tag), new Cell(() =>
@@ -67,12 +116,41 @@ object SharedFrames {
     cell.df
   }
 
-  /** Drop every memo for `spark`, unpersisting the frames that were
-    * actually built. Frames a builder persisted INSIDE a memoized plan
-    * (LSH band indexes etc.) are not tracked here — follow with
-    * `spark.catalog.clearCache()` to drop those too. Used by Bench
-    * between the warmup pass and the timed loop so warm-dir caches don't
-    * occupy executor storage while the timed dir is measured. */
+  /** Run `body` recording the set of memo tags it touches on this thread
+    * (cache hits and builds alike, nested builders included). Used by
+    * Bench's warmup pass to learn each query's tag footprint so the timed
+    * loop can [[release]] a tag once its last consumer has run. Nestable;
+    * the inner trace's tags also land in the outer trace. */
+  def traced[T](body: => T): (T, Set[String]) = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[String]
+    val outer = tracer.get()
+    tracer.set(buf)
+    try {
+      val r = body
+      if (outer != null) outer ++= buf
+      (r, buf.toList.toSet)
+    } finally tracer.set(outer)
+  }
+
+  /** Drop the given tags' memos for (spark, sfDir): unpersist built
+    * frames (and their [[aux]] caches) and remove the cells, so a later
+    * demand rebuilds from scratch. Releasing a never-built or absent tag
+    * is a no-op. */
+  def release(spark: SparkSession, sfDir: String, tags: Set[String]): Unit = {
+    val dropped = synchronized {
+      val hit = frames.collect {
+        case (k @ (s, d, t), c) if (s eq spark) && d == sfDir && tags(t) => (k, c)
+      }.toList
+      hit.foreach { case (k, _) => frames.remove(k) }
+      hit.map(_._2)
+    }
+    dropped.foreach(_.discard())
+  }
+
+  /** Drop every memo for `spark`, unpersisting the frames (and [[aux]]
+    * caches) that were actually built. Used by Bench between the warmup
+    * pass and the timed loop so warm-dir caches don't occupy executor
+    * storage while the timed dir is measured. */
   def clear(spark: SparkSession): Unit = {
     // Collect-then-discard: cell monitors are taken OUTSIDE the map lock.
     // An in-flight builder holds its cell monitor and may re-enter memo()

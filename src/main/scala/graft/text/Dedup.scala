@@ -125,13 +125,13 @@ object Dedup {
     // persisted: both sides of the self-join consume this frame — without
     // the cache the signature expansion AND the bucket-size window run
     // twice (one row per (doc, band): tiny relative to the corpus)
-    val banded = bandedKeys(signature, bands, rowsPerBand)
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bkey"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = graft.queries.SharedFrames.aux(
+      bandedKeys(signature, bands, rowsPerBand)
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bkey"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -180,7 +180,7 @@ object Dedup {
     // signature frame both consume via `sharedSignature` — the signature
     // pass (the md5-dominated map cost) then runs once, not twice.
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
-      shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
+      graft.queries.SharedFrames.aux(shingleArrays(docs, shingleWidth)))
     val sig = sharedSignature.getOrElse(minhashSignature(shd, k))
     require(!sig.columns.contains(s"h$k") && sig.columns.contains(s"h${k - 1}"),
       s"shared signature frame does not have width $k")
@@ -333,10 +333,10 @@ object Dedup {
                                 bCol: String): DataFrame = {
     // symmetrized edge list; tiny relative to the corpus (post-LSH pairs),
     // persisted because every propagation round re-joins it
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.queries.SharedFrames.aux(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     // Each round MUST truncate lineage, not just cache: `labels` feeds
     // both the neighbor join and the unchanged-label carry-through, so
     // the logical plan doubles per round — persist alone keeps the full
@@ -454,7 +454,7 @@ object Dedup {
                         sharedShingles: Option[DataFrame] = None,
                         maxShingleDf: Option[Int] = None): DataFrame = {
     val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
-      shingleArrays(docs, shingleWidth).persist(StorageLevel.MEMORY_AND_DISK))
+      graft.queries.SharedFrames.aux(shingleArrays(docs, shingleWidth)))
     val invAll = explodeShingles(shd)
     maxShingleDf match {
       case None =>

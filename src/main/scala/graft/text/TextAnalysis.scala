@@ -71,15 +71,17 @@ object TextAnalysis {
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), 1 + b * width, width).as("bkey")))
-    val banded = s
+    // aux-persisted: both sides of the self-join consume it; registered
+    // with the enclosing memo (when any) so releasing the query's memo
+    // frees this cache too
+    val banded = graft.queries.SharedFrames.aux(s
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bkey"))))
       .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("__n"))
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -408,8 +410,8 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
-    val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = graft.queries.SharedFrames.aux(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("__tf")))
     // sum over an empty vocab is a single null row; 1L keeps the plan
     // well-formed and the join below already yields zero rows
     val totalRow = freqs.agg(sum(col("__tf"))).first()
@@ -445,8 +447,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
       .withColumn("__pfx", element_at(split(col("bigram"), " ", 2), 1))
-    val bc = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("__bc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = graft.queries.SharedFrames.aux(
+      bigr.groupBy(col("bigram")).agg(count(lit(1)).as("__bc")))
     val pc = bc
       .groupBy(element_at(split(col("bigram"), " ", 2), 1).as("__pfx"))
       .agg(sum(col("__bc")).as("__pc"))

@@ -85,6 +85,48 @@ class RegistrySpec extends SparkSpec {
       s"dim-drift error should point at the oracle: ${e.getMessage}")
   }
 
+  test("traced/release retire a memo, its aux caches, and nothing else") {
+    // the Bench lifecycle contract: warmup traces each query's tag
+    // footprint; after a tag's last consumer the memo AND the internal
+    // frames its builder aux-registered are unpersisted, while memos of
+    // still-live tags (nested or not) keep their caches
+    import graft.queries.SharedFrames
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.storage.StorageLevel
+    val dir = "/tmp/lifecycle-test"
+    var builds = 0
+    var outerAux: DataFrame = null
+    var innerAux: DataFrame = null
+    def demand(): DataFrame =
+      SharedFrames.memo(spark, dir, "life-outer", persist = false) {
+        builds += 1
+        val inner = SharedFrames.memo(spark, dir, "life-inner") {
+          innerAux = SharedFrames.aux(spark.range(20).toDF("y"))
+          innerAux.select(col("y").as("id"))
+        }
+        outerAux = SharedFrames.aux(spark.range(10).toDF("id"))
+        inner.join(outerAux, "id")
+      }
+    val (n, tags) = SharedFrames.traced(demand().count())
+    assert(n == 10L)
+    assert(tags == Set("life-outer", "life-inner"), s"traced saw $tags")
+    assert(outerAux.storageLevel != StorageLevel.NONE, "outer aux not persisted")
+    assert(innerAux.storageLevel != StorageLevel.NONE, "inner aux not persisted")
+    // releasing the outer memo frees ITS aux cache only — the inner
+    // memo (a shared family frame other queries may still consume) and
+    // the aux registered during the inner build stay cached
+    SharedFrames.release(spark, dir, Set("life-outer"))
+    assert(outerAux.storageLevel == StorageLevel.NONE, "outer aux survived release")
+    assert(innerAux.storageLevel != StorageLevel.NONE,
+      "inner memo's aux freed by the OUTER release")
+    // a fresh demand rebuilds the outer cell but memo-hits the inner one
+    demand()
+    assert(builds == 2, s"outer cell did not rebuild after release ($builds)")
+    SharedFrames.release(spark, dir, Set("life-inner", "life-outer"))
+    assert(innerAux.storageLevel == StorageLevel.NONE,
+      "inner aux survived its own release")
+  }
+
   test("raw parquet scans push filters down (events by event_type)") {
     // the registry serves cached spread frames; the RAW path — what a
     // 100 TB deployment reads — must push the predicate into the scan
