@@ -483,18 +483,42 @@ object Dedup {
         // index — without the cache the explode AND the corpus-wide
         // per-shingle DF window shuffle run twice (same pattern as
         // lshCandidates' banded frame)
-        val inv = invAll
+        val inv = graft.queries.SharedFrames.aux(invAll
           .withColumn("__df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= cap)
-          .drop("__df")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val cand = inv.alias("sa")
+          .drop("__df"))
+        // Per-pair count of common KEPT shingles — the same shuffle the
+        // obvious `.distinct()` would pay, but it buys the prefilter
+        // below: with per-doc totals (__n) and kept counts (__k), the
+        // exact intersection is bounded by
+        //   __pi + min(stop_a, stop_b)      (stop_d = __n - __k)
+        // which bounds jaccard from ABOVE. Dropping pairs whose bound
+        // misses the threshold is output-neutral (a necessary
+        // condition), and shrinks the expensive full-array recompute
+        // from ALL candidates to the near-threshold few — profiled at
+        // sf0.1: 1.13M candidates → 256 survivors, the recompute was
+        // 4.6 of the query's 7.2 s.
+        val pruned = inv.alias("sa")
           .join(inv.alias("sb"), col("sb.shingle") === col("sa.shingle") &&
             col("sa.doc_id") < col("sb.doc_id"))
-          .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-          .distinct()
-        jaccardForPairs(cand, shd)
+          .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("__pi"))
+        val stats = shd.select(col("doc_id"), size(col("sh")).as("__n"))
+          .join(inv.groupBy(col("doc_id")).agg(count(lit(1)).as("__k")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__n"),
+            (col("__n") - coalesce(col("__k"), lit(0L))).as("__stop"))
+        val bounded = pruned
+          .join(stats.alias("ba"), col("ba.doc_id") === col("doc_a"))
+          .join(stats.alias("bb"), col("bb.doc_id") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("__pi") + least(col("ba.__stop"), col("bb.__stop"))).as("__ub"),
+            col("ba.__n").as("__na"), col("bb.__n").as("__nb"))
+          .filter(col("__ub").cast("double") /
+            (col("__na") + col("__nb") - col("__ub")) >= threshold)
+          .select(col("doc_a"), col("doc_b"))
+        jaccardForPairs(bounded, shd)
           .filter(col("jaccard") >= threshold)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }
