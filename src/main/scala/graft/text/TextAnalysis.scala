@@ -667,15 +667,57 @@ object TextAnalysis {
    * greedy fill-then-spill trade every packer makes when documents are
    * atomic).
    *
-   * Scale shape: one running-sum window per source — sources pack
-   * independently and in parallel. A single giant source serializes its
-   * prefix sum into one task chain; at 100 TB, range-partition by
-   * (source, doc_id) and compute the offset two-pass (per-partition
-   * totals to the driver, then a per-partition base — the classic
-   * distributed prefix sum); the ASSIGNMENT this operator defines is
-   * identical, which is what the oracle checks.
+   * Scale shape (the r7→r8 fix): the obvious one-window form
+   * ([[packShardsGlobalWindow]]) runs one running-sum window per source,
+   * so a single giant source serializes its prefix sum into ONE task
+   * chain — the classic 100 TB cliff. The default here is the
+   * distributed two-pass prefix sum instead: range-partition the corpus
+   * by (source, doc_id), aggregate per-(partition, source) token totals
+   * (a partitions×sources-row frame, never the corpus), window those
+   * tiny totals into per-partition BASE offsets, broadcast-join the
+   * bases back, and finish with a running-sum window over
+   * (partition, source) — every stage's parallelism scales with the
+   * range partition count, not the source count. The ASSIGNMENT is
+   * identical to the global-window form (asserted in TextAnalysisSpec
+   * and by the shared `pack_shards` oracle): range boundaries split
+   * (source, doc_id) order, so base + within-partition prefix equals the
+   * global per-source prefix.
+   *
+   * The range-partitioned frame is persisted ([[graft.queries.SharedFrames.aux]])
+   * because the totals pass and the final window both consume it —
+   * and `spark_partition_id` must be read off ONE materialized
+   * partitioning, not recomputed per consumer.
    */
   def packShards(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = graft.queries.SharedFrames.aux(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .repartitionByRange(col("source"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("source")).agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("source"), col("__base"))
+    val wIn = W.partitionBy(col("__pid"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    parts
+      .join(broadcast(bases), Seq("__pid", "source"))
+      .withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("__before") / lit(budget.toDouble)).cast("long").as("shard_id"),
+        (col("__before") % budget).as("offset_tokens"))
+  }
+
+  /** The one-window form of [[packShards]] — simplest possible plan,
+    * per-source serial prefix sum. Kept as the equivalence baseline the
+    * spec checks the two-pass default against; fine whenever no single
+    * source dominates the corpus. */
+  def packShardsGlobalWindow(docs: DataFrame, budget: Long = 4096L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

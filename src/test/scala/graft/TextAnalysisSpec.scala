@@ -312,6 +312,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L) == ((0L, 0L))) // sources pack independently
   }
 
+  test("packShards two-pass prefix sum == global window, incl. one giant source") {
+    // the 100 TB shape the two-pass exists for: ONE source dominating the
+    // corpus. Assignment must be bit-identical to the serial window form
+    // across many range partitions, and the heavy window must partition
+    // by the range-partition id, not the (single) source.
+    val giant = spark.range(0, 5000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'web' END AS source",
+      // 1-6 tokens, deterministic in id
+      "repeat('t ', CAST(id % 6 + 1 AS INT)) AS text")
+    val twoPass = TextAnalysis.packShards(giant, budget = 64L)
+    val oneWindow = TextAnalysis.packShardsGlobalWindow(giant, budget = 64L)
+    assert(twoPass.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoPass).isEmpty,
+      "two-pass assignment diverged from the global-window baseline")
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"two-pass plan lost its range-partition-id windowing:\n$plan")
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
