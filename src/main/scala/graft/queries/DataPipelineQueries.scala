@@ -184,6 +184,12 @@ object DataPipelineQueries {
       Similarity.scalarQuantize(embs(spark, sfDir))
     }
 
+  /** Memoized: the codebook LIMIT-k sample collects at build time. */
+  val embeddingPq: (SparkSession, String) => DataFrame =
+    memoized("embeddingPq") { (spark, sfDir) =>
+      Similarity.productQuantize(embs(spark, sfDir))
+    }
+
   val dedupEmbedding: (SparkSession, String) => DataFrame =
     memoized("dedupEmbedding") { (spark, sfDir) =>
       Similarity.signLshNearDupPairs(embs(spark, sfDir), threshold = 0.42)
@@ -1047,6 +1053,7 @@ object DataPipelineQueries {
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
+    NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),

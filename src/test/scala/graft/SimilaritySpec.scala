@@ -148,6 +148,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._2 == 0.0, "range endpoints must reconstruct exactly")
   }
 
+  test("productQuantize matches an independent scala argmin, incl. tie cases") {
+    // integer-valued embeddings → every squared distance is an exact
+    // integer (no rounding ambiguity), and i vs i+13 produce IDENTICAL
+    // vectors, so zero-distance ties exercise the smaller-cid rule
+    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq")
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.productQuantize(emb, cfg).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("code0"), r.getAs[Int]("code1"),
+          r.getAs[Double]("recon_error")))).toMap
+    // recover the codebook with the operator's own sampling contract
+    val cents = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        md5(concat(lit("pq:"), col("vec_id").cast("string"))).as("ck"))
+      .orderBy(col("ck"), col("vec_id"))
+      .limit(cfg.k)
+      .collect().map(_.getSeq[Double](1))
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)).toMap
+    assert(out.size == 20)
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until cfg.m).map { s =>
+        (0 until cfg.k).map { cid =>
+          val d = (0 until cfg.sub).map { i =>
+            val x = v(s * cfg.sub + i) - cents(cid)(s * cfg.sub + i); x * x
+          }.sum
+          (d, cid)
+        }.min // (d, cid) lexicographic: ties to smaller cid
+      }
+      val (c0, c1, err) = out(id)
+      assert((c0, c1) == ((expected(0)._2, expected(1)._2)),
+        s"vec $id codes ($c0,$c1) != expected")
+      assert(err == expected.map(_._1).sum, s"vec $id recon_error $err")
+    }
+    // duplicate vectors get identical codes
+    assert(out(0L)._1 == out(13L)._1 && out(0L)._2 == out(13L)._2)
+  }
+
   test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()
