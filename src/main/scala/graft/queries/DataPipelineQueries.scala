@@ -264,6 +264,17 @@ object DataPipelineQueries {
       TextAnalysis.packShards(docs(spark, sfDir))
     }
 
+  /** Percentile bounds shared by the gate query and its oracle. */
+  private val pctLow = 0.05
+  private val pctHigh = 0.95
+
+  /** Memoized like `pack_shards`: the two-pass rank persists its
+    * range-partitioned frame at build time. */
+  val docPercentileGateQ: (SparkSession, String) => DataFrame =
+    memoized("docPercentileGate") { (spark, sfDir) =>
+      TextAnalysis.lengthPercentileGate(docs(spark, sfDir), pctLow, pctHigh)
+    }
+
   /** Sketch-QA summary over the two memoized pair pipelines — the LSH
     * and exact-Jaccard frames each build once per session, so the audit
     * itself costs one tiny join + aggregate. The exact side is the
@@ -917,6 +928,24 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Same exact per-source rank as `TextAnalysis.lengthPercentileGate`:
+    * the doc_id tiebreak makes the order total, so row_number-1 over
+    * n-1 IS percent_rank, and the keep comparison runs on the 6-dp
+    * ROUNDED pr in both engines. */
+  val docPercentileGateOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_tokens, doc_id) - 1 AS DOUBLE) rk,
+       |  count(*) OVER (PARTITION BY source) n FROM t),
+       |p AS (SELECT doc_id, source, n_tokens,
+       |  round(CASE WHEN n > 1 THEN rk / (n - 1) ELSE 0.0 END, 6) pr FROM r)
+       |SELECT doc_id, source, n_tokens, pr,
+       |  (pr >= $pctLow AND pr <= $pctHigh) AS keep
+       |FROM p""".stripMargin
+
   /** Same recursive-CTE closure as `dedupClustersOracle`, over the
     * sign-LSH embedding pair oracle. */
   val embeddingClustersOracle: String =
@@ -1051,6 +1080,8 @@ object DataPipelineQueries {
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
     NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
+    NamedQuery("doc_percentile_gate", docPercentileGateQ,
+      Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),

@@ -729,4 +729,72 @@ object TextAnalysis {
         floor(col("__before") / lit(budget.toDouble)).cast("long").as("shard_id"),
         (col("__before") % budget).as("offset_tokens"))
   }
+
+  /**
+   * Per-source EXACT length-percentile gate — the distribution-aware
+   * cousin of [[qualityGate]]'s fixed token bounds: a curation pipeline
+   * trims each source's length tails ("drop the shortest 5% and longest
+   * 5% of every crawl") rather than applying one global threshold,
+   * because a 30-token document is an outlier in a books source and the
+   * median in a chat source. Emits every document with its percentile
+   * rank and a keep flag for `[pLow, pHigh]`.
+   *
+   * Exact ranks (not `approx_percentile`) so the DuckDB oracle verifies
+   * values bit-for-bit; the tiebreak on doc_id makes the order total, so
+   * `rank == row_number` and percent_rank's tie semantics can't diverge
+   * between engines. `pr` is rounded to 6 dp BEFORE the keep comparison
+   * in both engines — the boundary decision is made on the same value.
+   *
+   * Scale shape: same distributed two-pass rank as [[packShards]] — a
+   * per-source window sort would serialize each source's rank chain into
+   * one task ([[lengthPercentileGateGlobalWindow]], the equivalence
+   * baseline). Here the corpus range-partitions by (source, n_tokens,
+   * doc_id); per-(partition, source) row counts (a partitions×sources
+   * frame, never the corpus) window into per-partition rank BASES and
+   * per-source totals, broadcast back, and a within-partition row_number
+   * finishes the global rank — parallelism scales with the partition
+   * count, not the source count.
+   */
+  def lengthPercentileGate(docs: DataFrame, pLow: Double = 0.05,
+                           pHigh: Double = 0.95): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = graft.queries.SharedFrames.aux(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .repartitionByRange(col("source"), col("n_tokens"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("source")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(W.partitionBy(col("source"))))
+      .select(col("__pid"), col("source"), col("__base"), col("__n"))
+    val wIn = W.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    parts
+      .join(broadcast(bases), Seq("__pid", "source"))
+      .withColumn("__rank", row_number().over(wIn) + col("__base"))
+      .withColumn("pr", round(when(col("__n") > 1,
+        (col("__rank") - 1).cast("double") / (col("__n") - 1))
+        .otherwise(0.0), 6))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"),
+        (col("pr") >= pLow && col("pr") <= pHigh).as("keep"))
+  }
+
+  /** The one-window form of [[lengthPercentileGate]] — a per-source
+    * percent_rank, serial per source. Kept as the equivalence baseline
+    * the spec checks the two-pass default against. */
+  def lengthPercentileGateGlobalWindow(docs: DataFrame, pLow: Double = 0.05,
+                                       pHigh: Double = 0.95): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"),
+        (col("pr") >= pLow && col("pr") <= pHigh).as("keep"))
+  }
 }

@@ -331,6 +331,42 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("lengthPercentileGate: exact ranks, keep bounds, singleton source") {
+    val df = spark.range(0, 21).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id = 20 THEN 'solo' ELSE 'web' END AS source",
+      // token counts 1..20 for web (unique per doc), 3 for solo
+      "CASE WHEN id = 20 THEN 'a b c' " +
+        "ELSE repeat('t ', CAST(id + 1 AS INT)) END AS text")
+    val out = TextAnalysis.lengthPercentileGate(df, pLow = 0.1, pHigh = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(3), r.getBoolean(4))).toMap
+    // web: 20 docs, pr = rank/19; doc 0 (shortest) pr=0 dropped,
+    // doc 19 (longest) pr=1 dropped, doc 2 has rank 2 → pr 2/19 ≈ .105 kept
+    assert(out(0L) == (("web", 0.0, false)))
+    assert(out(19L) == (("web", 1.0, false)))
+    assert(out(2L)._2 == math.rint(2.0 / 19 * 1e6) / 1e6 && out(2L)._3)
+    // a single-doc source has no distribution: pr = 0, dropped at pLow > 0
+    assert(out(20L) == (("solo", 0.0, false)))
+  }
+
+  test("lengthPercentileGate two-pass rank == global window, incl. one giant source") {
+    // same 100 TB shape as the packShards equivalence: one dominant
+    // source must not serialize the rank chain, and the distributed
+    // base+row_number must equal percent_rank exactly
+    val giant = spark.range(0, 5000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'web' END AS source",
+      "repeat('t ', CAST(id % 6 + 1 AS INT)) AS text")
+    val twoPass = TextAnalysis.lengthPercentileGate(giant)
+    val oneWindow = TextAnalysis.lengthPercentileGateGlobalWindow(giant)
+    assert(twoPass.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoPass).isEmpty,
+      "two-pass percentile diverged from the global-window baseline")
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"two-pass plan lost its range-partition-id windowing:\n$plan")
+  }
+
   test("langId: marker words pick the language; no markers → und; ties → precedence") {
     val out = TextAnalysis.langId(docsDF(
       1L -> "the cat and the dog",
