@@ -264,6 +264,21 @@ object DataPipelineQueries {
       TextAnalysis.packShards(docs(spark, sfDir))
     }
 
+  /** The ingest-batch split shared by `dedup_incremental` and its
+    * oracle: every 10th doc plays the newly-arrived batch, the rest the
+    * existing corpus. doc_id-only, as `Dedup.incremental` requires. */
+  private def isNewBatch =
+    org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+
+  /** Memoized: the near tier persists its touched-bucket sliver; reuses
+    * the session-shared shingle + signature frames. */
+  val dedupIncremental: (SparkSession, String) => DataFrame =
+    memoized("dedupIncremental") { (spark, sfDir) =>
+      Dedup.incremental(docs(spark, sfDir), isNewBatch,
+        sharedShingles = Some(sharedShingles(spark, sfDir)),
+        sharedSignature = Some(sharedSignature(spark, sfDir)))
+    }
+
   /** Percentile bounds shared by the gate query and its oracle. */
   private val pctLow = 0.05
   private val pctHigh = 0.95
@@ -928,6 +943,60 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Replicates `Dedup.incremental` tier by tier: same batch split,
+    * same corpus-fingerprint min, same band keys (the shared minhash
+    * SELECTs), same touched-bucket cap, same (jaccard desc, doc_id)
+    * best-match tiebreak on the 6-dp-rounded value. */
+  val dedupIncrementalOracle: String = {
+    val mins = minhashMinsSql
+    val bands0 = minhashBands0Sql
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id,
+       |  $mins
+       |  FROM shd GROUP BY doc_id),
+       |bands AS (
+       |  $bands0),
+       |nb AS (SELECT doc_id nid, band, bkey FROM bands WHERE doc_id % 10 = 0),
+       |cbm AS (SELECT c.doc_id cid, c.band, c.bkey FROM bands c
+       |  JOIN (SELECT DISTINCT band, bkey FROM nb) h
+       |    ON h.band = c.band AND h.bkey = c.bkey
+       |  WHERE c.doc_id % 10 <> 0),
+       |capped AS (SELECT cid, band, bkey FROM (SELECT cid, band, bkey,
+       |    count(*) OVER (PARTITION BY band, bkey) n FROM cbm)
+       |  WHERE n <= 1000),
+       |cand AS (SELECT DISTINCT n.nid, c.cid
+       |  FROM nb n JOIN capped c ON c.band = n.band AND c.bkey = n.bkey),
+       |sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT cand.nid, cand.cid, count(*) i
+       |  FROM cand
+       |  JOIN shd sa ON sa.doc_id = cand.nid
+       |  JOIN shd sb ON sb.doc_id = cand.cid AND sb.shingle = sa.shingle
+       |  GROUP BY cand.nid, cand.cid),
+       |near AS (SELECT nid, cid,
+       |    round(CAST(i AS DOUBLE)/(za.n + zb.n - i), 6) j
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = nid
+       |  JOIN sizes zb ON zb.doc_id = cid
+       |  WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.5),
+       |best AS (SELECT nid, cid, j FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY nid ORDER BY j DESC, cid) rn FROM near)
+       |  WHERE rn = 1),
+       |nd AS (SELECT doc_id, md5(text) fp FROM documents WHERE doc_id % 10 = 0),
+       |ex AS (SELECT c.fp, min(c.doc_id) exact_id
+       |  FROM (SELECT md5(text) fp, doc_id FROM documents
+       |        WHERE doc_id % 10 <> 0) c
+       |  JOIN (SELECT DISTINCT fp FROM nd) f ON f.fp = c.fp
+       |  GROUP BY c.fp)
+       |SELECT nd.doc_id,
+       |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+       |       WHEN b.cid IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       |  COALESCE(ex.exact_id, b.cid) AS match_id,
+       |  CASE WHEN ex.exact_id IS NULL THEN b.j END AS jaccard
+       |FROM nd
+       |LEFT JOIN ex ON ex.fp = nd.fp
+       |LEFT JOIN best b ON b.nid = nd.doc_id""".stripMargin
+  }
+
   /** Same exact per-source rank as `TextAnalysis.lengthPercentileGate`:
     * the doc_id tiebreak makes the order total, so row_number-1 over
     * n-1 IS percent_rank, and the keep comparison runs on the 6-dp
@@ -1061,6 +1130,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
+    NamedQuery("dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalOracle)),
     NamedQuery("dedup_jaccard_capped", dedupJaccardCapped,
       Some(dedupJaccardCappedOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),

@@ -221,6 +221,92 @@ object Dedup {
   }
 
   /**
+   * Incremental ingest dedup — the continuous-pipeline variant of the
+   * batch operators: a NEW batch of documents arrives and each one must
+   * be admitted, deduped, or linked against the EXISTING corpus without
+   * re-deduplicating the corpus itself. One row per batch document:
+   * (doc_id, verdict, match_id, jaccard) with verdict 'exact' (byte-
+   * identical corpus text exists — match_id is the smallest such corpus
+   * doc), 'near' (a corpus doc shares an LSH band and verifies at
+   * jaccard ≥ threshold — match_id is the best match by (jaccard desc,
+   * doc_id)), or 'new'. Within-batch duplicates are out of scope here
+   * (run [[exact]]/[[nearDupMinhashLsh]] over the batch alone first);
+   * the streaming twin is
+   * [[graft.streaming.StreamingCuration]]'s ingest dedup.
+   *
+   * Scale shape — the batch is orders of magnitude smaller than the
+   * corpus, and the corpus is NEVER shuffled: the batch's distinct
+   * fingerprints and band keys BROADCAST, the corpus streams map-side
+   * through the semi-joins, and only the matching slivers (corpus rows
+   * whose fingerprint/bucket a batch doc touches) reach the tiny
+   * aggregations — the [[decontaminate]] shape applied to dedup. The
+   * bucket cap is measured over the TOUCHED buckets only (occupancy of
+   * an untouched bucket is irrelevant to this batch), so the cap window
+   * also runs on the sliver, not the corpus.
+   *
+   * @param isNew predicate splitting `docs` into the new batch (true)
+   *              and the corpus (false); must reference only `doc_id`
+   *              (it is applied to the derived shingle/signature frames,
+   *              which carry no other docs column — id ranges and
+   *              ingest-partition splits satisfy this)
+   */
+  def incremental(docs: DataFrame, isNew: org.apache.spark.sql.Column,
+                  shingleWidth: Int = 3, k: Int = 8, bands: Int = 4,
+                  threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                  sharedShingles: Option[DataFrame] = None,
+                  sharedSignature: Option[DataFrame] = None): DataFrame = {
+    require(k % bands == 0, s"signature width $k not divisible into $bands bands")
+    // exact tier: batch fingerprints broadcast; corpus filtered map-side
+    val newFp = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("__fp"))
+    val exactHits = docs.filter(!isNew)
+      .select(md5(col("text")).as("__fp"), col("doc_id"))
+      .join(broadcast(newFp.select(col("__fp")).distinct()), "__fp")
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("__exact_id"))
+    // near tier: batch band keys broadcast against the corpus banding
+    val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
+      graft.queries.SharedFrames.aux(shingleArrays(docs, shingleWidth)))
+    val sig = sharedSignature.getOrElse(minhashSignature(shd, k))
+    require(!sig.columns.contains(s"h$k") && sig.columns.contains(s"h${k - 1}"),
+      s"shared signature frame does not have width $k")
+    val banded = bandedKeys(sig, bands, k / bands)
+    val nb = banded.filter(isNew)
+      .select(col("doc_id").as("__nid"), col("band"), col("bkey"))
+    // touched corpus bucket rows — persisted: the cap window and the
+    // candidate join both consume this (small) sliver
+    val cbm = graft.queries.SharedFrames.aux(
+      banded.filter(!isNew)
+        .join(broadcast(nb.select(col("band"), col("bkey")).distinct()),
+          Seq("band", "bkey")))
+    val capped = cbm
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val cand = capped
+      .join(broadcast(nb), Seq("band", "bkey"))
+      .select(col("__nid").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val best = jaccardForPairs(cand, shd)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a"))
+      .agg(max(struct(round(col("jaccard"), 6).as("j"),
+        (-col("doc_b")).as("nid"))).as("__b"))
+      .select(col("doc_a").as("doc_id"),
+        (-col("__b").getField("nid")).as("__near_id"),
+        col("__b").getField("j").as("__j"))
+    newFp
+      .join(exactHits, Seq("__fp"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact_id").isNotNull, lit("exact"))
+          .when(col("__near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__exact_id"), col("__near_id")).as("match_id"),
+        when(col("__exact_id").isNull, col("__j")).as("jaccard"))
+  }
+
+  /**
    * Near-duplicate CLUSTER resolution — the dedup endgame: pairwise
    * near-dup evidence (from any of the pair operators) is only half the
    * job; a pipeline must then group transitively-connected documents and

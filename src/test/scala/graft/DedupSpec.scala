@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("incremental: exact beats near, best near match by (jaccard, id), else new") {
+    // batch = doc_id % 10 == 0; corpus = the rest
+    val corpus = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val out = Dedup.incremental(docsDF(
+      // corpus
+      1L -> corpus,                       // exact twin of 10 (and near of 20)
+      2L -> corpus,                       // same text — exact match keeps MIN id
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz", // near twin of 20
+      4L -> "p q r s t u v x y z",        // unrelated
+      // batch
+      10L -> corpus,                      // exact dup (match 1, not 2)
+      20L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz", // exact dup of 3
+      30L -> "w1 w2 w3 w4 w5 w6 w7 w8 qq rr", // near dup only
+      40L -> "completely novel content never seen anywhere at all"),
+      isNew = col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(10L)._1 == "exact" && out(10L)._2 == Some(1L) && out(10L)._3.isEmpty)
+    assert(out(20L)._1 == "exact" && out(20L)._2 == Some(3L))
+    // 30 verifies at jaccard 0.6 against corpus docs 1, 2 AND 3 (six
+    // common shingles of 8 each, deterministic): equal jaccard, so the
+    // (jaccard desc, doc_id asc) tiebreak must pick 1
+    assert(out(30L)._1 == "near" && out(30L)._2 == Some(1L))
+    assert(out(30L)._3 == Some(0.6))
+    assert(out(40L) == (("new", None, None)))
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the benchmark") {
     // doc 0 is the benchmark; doc 1 copies a 5-token run from it, doc 2
     // shares only shorter runs, doc 3 is disjoint
