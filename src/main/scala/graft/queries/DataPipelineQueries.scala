@@ -264,6 +264,14 @@ object DataPipelineQueries {
       TextAnalysis.packShards(docs(spark, sfDir))
     }
 
+  /** Memoized: the containment path persists its df-capped inverted
+    * index at build time (same cap as the capped jaccard). */
+  val dedupContainment: (SparkSession, String) => DataFrame =
+    memoized("dedupContainment") { (spark, sfDir) =>
+      Dedup.containmentPairs(docs(spark, sfDir), maxShingleDf = jaccardDfCap,
+        sharedShingles = Some(sharedShingles(spark, sfDir)))
+    }
+
   /** The ingest-batch split shared by `dedup_incremental` and its
     * oracle: every 10th doc plays the newly-arrived batch, the rest the
     * existing corpus. doc_id-only, as `Dedup.incremental` requires. */
@@ -943,6 +951,34 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Same df-capped candidate generation as the capped-jaccard oracle,
+    * then exact containments from the FULL shingle sets — values match
+    * `Dedup.containmentPairs`'s array recompute, and the threshold is
+    * applied to the raw ratios before the 6-dp output rounding in both
+    * engines. */
+  val dedupContainmentOracle: String =
+    s"""$shingleCtes,
+       |keep AS (SELECT shingle FROM shd GROUP BY shingle
+       |  HAVING count(*) <= $jaccardDfCap),
+       |inv AS (SELECT doc_id, shingle FROM shd JOIN keep USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM inv a JOIN inv b
+       |    ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) i
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.da
+       |  JOIN shd sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+       |  GROUP BY c.da, c.db)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |  round(CAST(i.i AS DOUBLE) / za.n, 6) AS containment_a_in_b,
+       |  round(CAST(i.i AS DOUBLE) / zb.n, 6) AS containment_b_in_a
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.da
+       |JOIN sizes zb ON zb.doc_id = i.db
+       |WHERE greatest(CAST(i.i AS DOUBLE) / za.n,
+       |               CAST(i.i AS DOUBLE) / zb.n) >= 0.8""".stripMargin
+
   /** Replicates `Dedup.incremental` tier by tier: same batch split,
     * same corpus-fingerprint min, same band keys (the shared minhash
     * SELECTs), same touched-bucket cap, same (jaccard desc, doc_id)
@@ -1132,6 +1168,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),
+    NamedQuery("dedup_containment", dedupContainment,
+      Some(dedupContainmentOracle)),
     NamedQuery("dedup_jaccard_capped", dedupJaccardCapped,
       Some(dedupJaccardCappedOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),

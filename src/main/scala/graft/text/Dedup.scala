@@ -609,4 +609,69 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }
   }
+
+  /**
+   * Shingle CONTAINMENT pairs — the asymmetric near-dup measure Jaccard
+   * misses: C(A→B) = |A∩B| / |A| is 1.0 whenever A's shingles all appear
+   * in B, however much larger B is. A short document quoted whole inside
+   * a long one scores jaccard |A|/|B| (arbitrarily small, never caught
+   * by [[jaccardPairsExact]]/[[nearDupMinhashLsh]] at any sane
+   * threshold) but containment 1.0 — the sub-document duplication a
+   * curation pipeline wants to catch (syndicated excerpts, quoted posts,
+   * boilerplate wrappers). One row per unordered pair with BOTH
+   * directions: (doc_a, doc_b, containment_a_in_b, containment_b_in_a),
+   * kept when either direction clears `threshold`.
+   *
+   * Scale shape: same df-capped inverted-index candidate generation as
+   * the capped [[jaccardPairsExact]] (per-shingle pairing cost bounded
+   * by `maxShingleDf`², never all-pairs), same output-neutral upper-
+   * bound prefilter before the full-array recompute — here the bound is
+   * (kept-common + min stop counts) / min(|A|,|B|), since
+   * max(C(A→B), C(B→A)) = i / min(|A|,|B|). Containments are EXACT
+   * (recomputed from the full arrays); only pairs whose every common
+   * shingle is boilerplate can be missed — the trade the df cap makes.
+   */
+  def containmentPairs(docs: DataFrame, shingleWidth: Int = 3,
+                       threshold: Double = 0.8, maxShingleDf: Int = 100,
+                       sharedShingles: Option[DataFrame] = None): DataFrame = {
+    val shd = sharedShingles.map(requireWidth(_, shingleWidth)).getOrElse(
+      graft.queries.SharedFrames.aux(shingleArrays(docs, shingleWidth)))
+    // persisted: both self-join sides consume the df-capped index (same
+    // pattern as the capped jaccard's inv frame)
+    val inv = graft.queries.SharedFrames.aux(explodeShingles(shd)
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df"))
+    val pruned = inv.alias("sa")
+      .join(inv.alias("sb"), col("sb.shingle") === col("sa.shingle") &&
+        col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__pi"))
+    val stats = shd.select(col("doc_id"), size(col("sh")).as("__n"))
+      .join(inv.groupBy(col("doc_id")).agg(count(lit(1)).as("__k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__n"),
+        (col("__n") - coalesce(col("__k"), lit(0L))).as("__stop"))
+    val bounded = pruned
+      .join(stats.alias("ba"), col("ba.doc_id") === col("doc_a"))
+      .join(stats.alias("bb"), col("bb.doc_id") === col("doc_b"))
+      .filter((col("__pi") + least(col("ba.__stop"), col("bb.__stop")))
+        .cast("double") / least(col("ba.__n"), col("bb.__n")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sa = shd.select(col("doc_id").as("__ida"), col("sh").as("__sha"))
+    val sb = shd.select(col("doc_id").as("__idb"), col("sh").as("__shb"))
+    bounded
+      .join(sa, col("__ida") === col("doc_a"))
+      .join(sb, col("__idb") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sha"), col("__shb")))
+          .cast("double").as("__i"),
+        size(col("__sha")).as("__na"), size(col("__shb")).as("__nb"))
+      .filter(greatest(col("__i") / col("__na"), col("__i") / col("__nb"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__i") / col("__na"), 6).as("containment_a_in_b"),
+        round(col("__i") / col("__nb"), 6).as("containment_b_in_a"))
+  }
 }

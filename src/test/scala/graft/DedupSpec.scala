@@ -75,6 +75,37 @@ class DedupSpec extends SparkSpec {
     assert(out(40L) == (("new", None, None)))
   }
 
+  test("containmentPairs: full quote scores 1.0 where jaccard would miss it") {
+    // A's 3 shingles all appear in B (9 shingles): containment 1.0 but
+    // jaccard 3/9 ≈ 0.33 — invisible to the jaccard operators at 0.5
+    val df = docsDF(
+      1L -> "q1 q2 q3 q4 q5",
+      2L -> "w1 w2 w3 q1 q2 q3 q4 q5 w4 w5 w6",
+      3L -> "z1 z2 z3 z4 z5")
+    val out = Dedup.containmentPairs(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0) // containment_a_in_b
+    assert(r.getDouble(3) == math.rint(3.0 / 9 * 1e6) / 1e6)
+    assert(Dedup.jaccardPairsExact(df).collect().isEmpty,
+      "fixture must be a jaccard-invisible containment case")
+  }
+
+  test("containmentPairs: below-threshold overlap is dropped; df cap prunes boilerplate") {
+    // docs 1/2 share 2 of 4+4 shingles: max containment 0.5 < 0.8
+    val low = Dedup.containmentPairs(docsDF(
+      1L -> "a b c d e f",
+      2L -> "a b c x y z")).collect()
+    assert(low.isEmpty)
+    // with the cap at 1, the shared shingle (df 2) is a stop-shingle:
+    // a fully-contained pair is missed — exactly the documented trade
+    val capped = Dedup.containmentPairs(docsDF(
+      1L -> "q1 q2 q3 q4 q5",
+      2L -> "w1 w2 w3 q1 q2 q3 q4 q5 w4 w5 w6"), maxShingleDf = 1).collect()
+    assert(capped.isEmpty)
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the benchmark") {
     // doc 0 is the benchmark; doc 1 copies a 5-token run from it, doc 2
     // shares only shorter runs, doc 3 is disjoint
