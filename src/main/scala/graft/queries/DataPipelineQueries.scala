@@ -32,6 +32,15 @@ object DataPipelineQueries {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(docs(spark, sfDir))
 
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.normalizedExact(docs(spark, sfDir))
+
+  /** Duplicate-span window width shared with the oracle SQL. */
+  private val spanWindow = 12
+
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateSpanStats(docs(spark, sfDir), k = spanWindow)
+
   /** One persisted word-3-gram per-doc shingle-array frame per (session,
     * sfDir), shared by the MinHash and exact-Jaccard dedup queries — both
     * would otherwise tokenize the whole corpus independently, and the
@@ -145,6 +154,10 @@ object DataPipelineQueries {
   def sourceMix(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.uniformSourceMix(docs(spark, sfDir), fraction = 0.8)
 
+  def sourceMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.temperatureSourceMix(docs(spark, sfDir), alpha = 0.5,
+      fraction = 0.9)
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -189,6 +202,26 @@ object DataPipelineQueries {
     memoized("embeddingPq") { (spark, sfDir) =>
       Similarity.productQuantize(embs(spark, sfDir))
     }
+
+  /** ADC search over the memoized PQ codes — the registry runs it right
+    * after `embedding_pq` so the assignment pass is shared, matching how
+    * a production index serves queries off the stored codes. Memoized:
+    * the codebook + query-vector collects run at build time. */
+  val similarityPq: (SparkSession, String) => DataFrame =
+    memoized("similarityPq") { (spark, sfDir) =>
+      Similarity.adcTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
+        sharedCodes = Some(embeddingPq(spark, sfDir)))
+    }
+
+  /** Eval-set split (vec_id % 11) and cosine floor shared with the
+    * semantic-decontamination oracle SQL. */
+  private val semanticEvalMod = 11
+  private val semanticTau = 0.25
+
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDecontaminate(embs(spark, sfDir),
+      isEval = org.apache.spark.sql.functions.col("vec_id") % semanticEvalMod === 0,
+      threshold = semanticTau)
 
   val dedupEmbedding: (SparkSession, String) => DataFrame =
     memoized("dedupEmbedding") { (spark, sfDir) =>
@@ -359,6 +392,30 @@ object DataPipelineQueries {
     """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint,
       |       count(*) AS group_size
       |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Same canonical form as `Dedup.normalizedForm` — DuckDB regexp_replace
+    * needs the explicit 'g' flag to match Spark's replace-all default. */
+  val dedupNormalizedOracle: String =
+    """SELECT min(doc_id) AS doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |  count(*) AS group_size,
+      |  count(DISTINCT md5(text)) AS n_variants
+      |FROM documents GROUP BY 2""".stripMargin
+
+  /** Same 12-token windows, md5 window hashes, distinct-doc cross-doc
+    * test, and LEFT-join dup count as `Dedup.duplicateSpanStats`. */
+  val dedupSpansOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 12),
+      |w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 11), i ->
+      |      md5(array_to_string(toks[i+1 : i+12], ' ')))) h FROM t),
+      |d AS (SELECT h FROM (SELECT h, doc_id FROM w GROUP BY 1, 2)
+      |      GROUP BY h HAVING count(*) > 1)
+      |SELECT w.doc_id, count(*) AS n_windows, count(d.h) AS n_dup_windows,
+      |       round(count(d.h) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+      |FROM w LEFT JOIN d ON d.h = w.h
+      |GROUP BY w.doc_id""".stripMargin
 
   /** The 8-lane minhash column list and the 4-band key SELECTs — shared
     * by the pair oracle and the bucket-stats oracle so both hash the
@@ -672,6 +729,24 @@ object DataPipelineQueries {
       |SELECT doc_id, source, mix_key, CAST(mix_rank AS INT) AS mix_rank
       |FROM r, q WHERE mix_rank <= quota""".stripMargin
 
+  /** Same α=0.5 geometric quota `floor(round(n^α · mn^(1-α) · 0.9, 6))`,
+    * 'tmix' salt, and (mix_key, doc_id) rank order as the registered
+    * `TextAnalysis.temperatureSourceMix` call; the round-before-floor
+    * pins the IEEE pow product identically in both engines. */
+  val sourceMixTemperatureOracle: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |m AS (SELECT min(n) AS mn FROM c),
+      |q AS (SELECT source, greatest(1, CAST(floor(round(
+      |        pow(n, 0.5) * pow(mn, 0.5) * 0.9, 6)) AS BIGINT)) AS quota
+      |      FROM c, m),
+      |r AS (SELECT doc_id, source, md5('tmix:' || text) AS mix_key,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY md5('tmix:' || text), doc_id) AS mix_rank
+      |      FROM documents)
+      |SELECT r.doc_id, r.source, r.mix_key, CAST(r.mix_rank AS INT) AS mix_rank,
+      |       q.quota
+      |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin
+
   /** Same salt, thresholds and lang precedence as
     * `TextAnalysis.stratifiedSample`'s defaults. */
   val sampleStratifiedOracle: String =
@@ -784,6 +859,39 @@ object DataPipelineQueries {
        |       * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cosine
        |  FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb)
        |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.42""".stripMargin
+  }
+
+  /** Same coordinate-sign buckets as `Similarity.semanticDecontaminate`,
+    * same `vec_id % 11` eval split, τ=0.25 floor, and best-match tie
+    * order (cosine DESC, eval id DESC — the Spark struct max). */
+  val decontaminateSemanticOracle: String = {
+    val tables = (0 until 8).map { t =>
+      val bitExpr = (0 until 8).map(i =>
+        s"(CASE WHEN v[${t * 8 + i + 1}] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"SELECT vec_id, $t AS tbl, $bitExpr AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |bk AS (
+       |  $tables),
+       |cand AS (SELECT DISTINCT c.vec_id, ev.vec_id AS evid
+       |  FROM bk c JOIN bk ev ON c.tbl = ev.tbl AND c.bucket = ev.bucket
+       |  WHERE c.vec_id % 11 <> 0 AND ev.vec_id % 11 = 0),
+       |sc AS (SELECT cand.vec_id, cand.evid,
+       |  round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]))
+       |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
+       |            JOIN e b ON b.vec_id = cand.evid),
+       |hits AS (SELECT * FROM sc WHERE cos >= 0.25)
+       |SELECT vec_id, agg.n_contaminants, h.evid AS contaminant_id,
+       |       h.cos AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, evid DESC) rn FROM hits) h
+       |JOIN (SELECT vec_id, count(*) AS n_contaminants
+       |      FROM hits GROUP BY 1) agg USING (vec_id)
+       |WHERE h.rn = 1""".stripMargin
   }
 
   /** Same algebraic shapes as `Similarity.scalarQuantize` (division/
@@ -1164,6 +1272,8 @@ object DataPipelineQueries {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
+    NamedQuery("dedup_spans", dedupSpans, Some(dedupSpansOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,
@@ -1184,6 +1294,8 @@ object DataPipelineQueries {
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
+    NamedQuery("source_mix_temperature", sourceMixTemperature,
+      Some(sourceMixTemperatureOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
@@ -1194,7 +1306,11 @@ object DataPipelineQueries {
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),
+    // right after embedding_pq: shares its memoized code assignment
+    NamedQuery("similarity_pq", similarityPq, Some(Similarity.adcTopKOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
+    NamedQuery("decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),
     NamedQuery("embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -39,6 +39,39 @@ object Dedup {
       .groupBy(md5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("fingerprint"), col("group_size"))
+
+  /** Canonical text form for [[normalizedExact]]: lowercase, every
+    * non-alphanumeric run collapsed to a single space, trimmed. The two
+    * regexes deliberately use only constructs with identical semantics in
+    * Java regex and RE2 (plain character classes and `+`), so the DuckDB
+    * oracle can apply them verbatim (with its explicit `'g'` flag —
+    * DuckDB replaces only the first match by default, Spark all). */
+  def normalizedForm(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /**
+   * Normalized exact dedup — [[exact]] after canonicalization, the
+   * standard pre-pass (CCNet / RefinedWeb style) that catches the
+   * trivially-reformatted duplicates byte-hashing misses: case changes,
+   * punctuation/whitespace variants. One row per distinct NORMALIZED
+   * text keeping the smallest doc_id, with the group size and
+   * `n_variants` = how many distinct RAW texts the group collapsed
+   * (1 everywhere ⇒ normalization found nothing byte-hashing would not).
+   *
+   * Scale shape: identical to [[exact]] — the normalization is a narrow
+   * per-row projection fused into the scan, then ONE map-side-partial
+   * hash shuffle on the fingerprint. `count(DISTINCT raw)` rewrites to a
+   * two-level partial aggregate on the same key, no extra shuffle of the
+   * corpus.
+   */
+  def normalizedExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(normalizedForm(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"),
+        countDistinct(md5(col("text"))).as("n_variants"))
+      .select(col("doc_id"), col("fingerprint"), col("group_size"),
+        col("n_variants"))
 
   /**
    * (doc_id, sh) with sh the DISTINCT word n-gram shingle set as an array
@@ -218,6 +251,52 @@ object Dedup {
       .join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"), min(col("__bid")).as("contaminant_id"))
+  }
+
+  /**
+   * Duplicate-SPAN statistics — the distributable approximation of
+   * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): slide a `k`-token
+   * window over every document, hash each window, and count per document
+   * how many of its windows also occur in at least one OTHER document.
+   * Output (doc_id, n_windows, n_dup_windows, dup_fraction) for every
+   * document with >= 1 complete window; a high fraction marks documents
+   * that are mostly stitched from cross-corpus boilerplate even when no
+   * whole-document near-dup fires.
+   *
+   * Scale shape: the window explode multiplies rows by ~tokens/doc —
+   * linear, the same cost the suffix array pays, but embarrassingly
+   * parallel. Cross-doc occurrence is a two-level aggregate on the
+   * window hash ((hash, doc) partial-agg first, so repeated spans within
+   * one doc collapse map-side and `n_docs` needs no COUNT DISTINCT),
+   * then a hash-key join back. Window hashes are uniform md5 — no skew
+   * except genuinely mass-duplicated spans, which is the signal itself.
+   *
+   * The window array is bound as a lambda variable (`transform` over a
+   * single-element array): a named projection column would be inlined by
+   * projection collapse into every slice reference, re-tokenizing the
+   * document O(windows) times.
+   */
+  def duplicateSpanStats(docs: DataFrame, k: Int = 12): DataFrame = {
+    require(k >= 2, s"span window must be >= 2 tokens, got $k")
+    val windows = element_at(
+      transform(array(TextOps.tokens(col("text"))), ts =>
+        transform(sequence(lit(0), size(ts) - k),
+          i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))), 1)
+    val w = docs
+      .filter(col("text").isNotNull && size(TextOps.tokens(col("text"))) >= k)
+      .select(col("doc_id"), explode(windows).as("h"))
+    val crossDoc = w
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("h"), lit(1).as("__dup"))
+    w.join(crossDoc, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("__dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_fraction"))
   }
 
   /**

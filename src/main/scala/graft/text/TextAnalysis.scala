@@ -319,6 +319,54 @@ object TextAnalysis {
   }
 
   /**
+   * Temperature-scaled source mix — the `p^α` sampling rule used to
+   * balance multilingual / multi-source training mixes: each source's
+   * quota is the geometric interpolation `n_s^α · n_min^(1-α)` between
+   * uniform (α=0 ⇒ every source at the smallest source's count — exactly
+   * [[uniformSourceMix]]) and natural (α=1 ⇒ keep everything), scaled by
+   * an overall downsample `fraction`. The interpolation never exceeds
+   * n_s, so it is realizable without replacement (fraction ≤ 1 keeps it
+   * so). Selection within a source is the same deterministic
+   * content-keyed md5 rank as [[uniformSourceMix]] (its own salt).
+   *
+   * Scale shape: per-source counts collapse to #sources rows; the global
+   * n_min folds into the plan as a driver literal; quotas stay a
+   * DISTRIBUTED #sources-row frame broadcast back onto the ranked corpus
+   * (sources can number in the millions of domains — only the single
+   * min is ever driver-side). Then ONE shuffle by source for the rank
+   * window, same as the uniform mix. The `round(·, 6)` before `floor`
+   * pins the IEEE `pow` product to a value both engines agree on.
+   */
+  def temperatureSourceMix(docs: DataFrame, alpha: Double = 0.5,
+                           fraction: Double = 1.0,
+                           salt: String = "tmix"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val minRow = counts.agg(min(col("__n"))).first()
+    if (minRow.isNullAt(0))
+      return docs.select(col("doc_id"), col("source"),
+        lit("").as("mix_key"), lit(0).as("mix_rank"), lit(0L).as("quota"))
+        .filter(lit(false))
+    val minN = minRow.getLong(0)
+    val quotas = counts.select(col("source"),
+      greatest(lit(1L),
+        floor(round(pow(col("__n"), alpha) * math.pow(minN.toDouble, 1 - alpha)
+          * fraction, 6))).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("mix_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(salt + ":"), col("text"))).as("mix_key"))
+      .withColumn("mix_rank", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("mix_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("mix_key"), col("mix_rank"),
+        col("quota"))
+  }
+
+  /**
    * Fixed-size token-window chunking — context-length packing's first
    * half: split each document into consecutive `chunkSize`-token chunks
    * (last one short), emitting per chunk its index, token count, and

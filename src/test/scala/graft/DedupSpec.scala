@@ -19,6 +19,34 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (3L, 1L)))
   }
 
+  test("normalizedExact: case/punct/whitespace variants collapse to one group") {
+    val out = Dedup.normalizedExact(docsDF(
+      1L -> "Hello,   World!", 2L -> "hello world", 3L -> "HELLO world.",
+      4L -> "different text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_size"),
+        r.getAs[Long]("n_variants"))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 3L), (4L, 1L, 1L)))
+    // byte-identical texts: one variant, group of 2
+    val same = Dedup.normalizedExact(docsDF(5L -> "x y", 6L -> "x y")).collect()
+    assert(same.length == 1 && same.head.getAs[Long]("group_size") == 2L &&
+      same.head.getAs[Long]("n_variants") == 1L)
+  }
+
+  test("duplicateSpanStats: cross-doc spans counted, within-doc repeats are not") {
+    val out = Dedup.duplicateSpanStats(docsDF(
+      1L -> "a b c d",          // windows: "a b c", "b c d"
+      2L -> "a b c x",          // shares "a b c" with doc 1
+      3L -> "p q r p q r p q",  // 6 windows, all repeated WITHIN the doc only
+      4L -> "a b"), k = 3)      // too short: no complete window, no row
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_fraction")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((6L, 0L, 0.0)))
+  }
+
   test("shingles: n tokens yield size-n+1 shingles; short docs yield none") {
     val df = docsDF(1L -> "a b c d", 2L -> "a b").select(
       col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

@@ -31,6 +31,53 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("semanticDecontaminate: bucket-colliding eval hits flagged, best by (cos, id)") {
+    // corpus 1 ∥ both eval vectors (cos 1.0, identical sign buckets);
+    // corpus 2 flips one sign per 8-bit block → NO table collides, so LSH
+    // (correctly) never scores it even though its true cosine is high
+    val p = Array.fill(64)(1f)
+    val q = p.clone(); (0 until 8).foreach(t => q(t * 8) = -1f)
+    val df = Seq(
+      (1L, p, 0), (2L, q, 0),
+      (110L, p.map(_ * 2f), 0), (121L, p, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontaminate(df,
+      isEval = col("vec_id") >= 100L, threshold = 0.25).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("vec_id") == 1L)
+    assert(r.getAs[Long]("n_contaminants") == 2L)
+    // cosine tie at 1.0 → struct max takes the larger eval id
+    assert(r.getAs[Long]("contaminant_id") == 121L)
+    assert(r.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("adcTopK: with corpus == codebook, ADC distance is the exact L2²") {
+    // 16 vectors at k=16 → every vector IS a codebook row: codes
+    // reconstruct exactly and the ADC scan must reproduce brute-force L2²
+    val vecs = (0 until 16).map { i =>
+      i.toLong -> Array.tabulate(64)(j => (((i * 37 + j * 11) % 19) - 9) / 3f)
+    }
+    val df = vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.adcTopK(df, nQueries = 2, topK = 5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    val byId = vecs.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val qv = byId(qid).map(_.toDouble)
+      val expected = vecs.filter(_._1 != qid).map { case (id, v) =>
+        id -> v.map(_.toDouble).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(5)
+      val got = out(qid).sortBy(_.getAs[Int]("rank"))
+        .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("adc_dist"))
+      assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+        s"query $qid neighbor order")
+      got.zip(expected).foreach { case ((_, adc), (_, exact)) =>
+        assert(math.abs(adc - exact) < 1e-4, s"query $qid adc $adc vs L2² $exact")
+      }
+      assert(out(qid).forall(_.getAs[Long]("neighbor_id") != qid))
+    }
+  }
+
   test("LSH ANN: recall@5 >= 0.8 vs brute force on sf0.001 embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()

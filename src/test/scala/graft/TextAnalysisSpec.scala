@@ -95,6 +95,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.uniformSourceMix(docs, fraction = 0.5).count() == 2)
   }
 
+  test("temperatureSourceMix: geometric quotas between uniform and natural") {
+    // srcA 9 docs, srcB 4 docs (min); α=0.5 → quotas floor(sqrt(n·4)): A=6, B=4
+    val docs = ((1 to 9).map(i => (i.toLong, s"a$i", "srcA")) ++
+      (10 to 13).map(i => (i.toLong, s"b$i", "srcB"))).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperatureSourceMix(docs).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("srcA").length == 6 && bySrc("srcB").length == 4)
+    assert(out.forall(r => r.getAs[Long]("quota") ==
+      (if (r.getAs[String]("source") == "srcA") 6L else 4L)))
+    // α=1 is the natural mix (keep everything); α=0 is the uniform mix
+    assert(TextAnalysis.temperatureSourceMix(docs, alpha = 1.0).count() == 13)
+    val uni = TextAnalysis.temperatureSourceMix(docs, alpha = 0.0).collect()
+    assert(uni.groupBy(_.getAs[String]("source")).forall(_._2.length == 4))
+    // fraction scales every quota: 0.5 → A=3, B=2
+    assert(TextAnalysis.temperatureSourceMix(docs, fraction = 0.5).count() == 5)
+  }
+
   test("tokenChunks: full + tail chunks with exact sizes and digests") {
     val text70 = (1 to 70).map(i => s"t$i").mkString(" ")
     val out = TextAnalysis.tokenChunks(
