@@ -197,9 +197,17 @@ object DataPipelineQueries {
       Similarity.scalarQuantize(embs(spark, sfDir))
     }
 
-  /** Memoized: the codebook LIMIT-k sample collects at build time. */
+  /** Memoized WITH persistence, unlike the persist=false memos: the PQ
+    * assignment is the one registry plan whose EXPRESSION is expensive to
+    * materialize per run — the m·k unrolled distance chains Janino-compile
+    * in seconds (data-dependent codebook literals defeat the codegen
+    * cache across scale dirs) — and `similarity_pq` serves off the codes
+    * rows, exactly how a production index stores codes once and searches
+    * them many times. The codes table is m ints + an error per vector —
+    * the smallest frame in the registry. (Codebook LIMIT-k sample also
+    * collects at build time.) */
   val embeddingPq: (SparkSession, String) => DataFrame =
-    memoized("embeddingPq") { (spark, sfDir) =>
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "pqCodes") {
       Similarity.productQuantize(embs(spark, sfDir))
     }
 
