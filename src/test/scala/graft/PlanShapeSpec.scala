@@ -48,6 +48,21 @@ class PlanShapeSpec extends SparkSpec {
       assertNoCartesian(name, fn(spark, sf))
   }
 
+  test("similarity_pq plans join-free: ADC scoring is a map-side projection") {
+    // the LUTs are plan literals and the codes carry everything needed —
+    // any Join node means the scan stopped being the O(corpus·m) lookup
+    // pass that justifies PQ at scale (the only shuffle is the top-k
+    // window's, the same shape as brute-force)
+    val plan = finalPlan(DataPipelineQueries.similarityPq(spark, sf))
+    assert(!plan.contains("Join"), s"ADC scan acquired a join:\n$plan")
+  }
+
+  test("decontaminate_semantic broadcasts the eval side, never shuffles it") {
+    val plan = finalPlan(DataPipelineQueries.decontaminateSemantic(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval bucket/vector join lost its broadcast:\n$plan")
+  }
+
   test("vocab top-k plans as TakeOrdered, never a global sort") {
     val plan = finalPlan(DataPipelineQueries.vocabTopKQ(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
