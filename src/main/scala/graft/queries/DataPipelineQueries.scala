@@ -259,6 +259,17 @@ object DataPipelineQueries {
       Dedup.clusters(dedupMinhash(spark, sfDir))
     }
 
+  /** Histogram over the memoized cluster membership — runs right after
+    * dedup_clusters in registry order so the propagation never re-runs. */
+  def clusterSizeHist(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.clusterSizeHistogram(dedupClusters(spark, sfDir))
+
+  /** Memoized: the labelCentroids collect runs at build time. */
+  val embeddingOutliers: (SparkSession, String) => DataFrame =
+    memoized("embeddingOutliers") { (spark, sfDir) =>
+      Similarity.centroidOutliers(embs(spark, sfDir))
+    }
+
   def vocabTopKQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(spark, sfDir))
 
@@ -966,6 +977,35 @@ object DataPipelineQueries {
        |       c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** The clusters oracle re-aggregated by size — same membership CTEs. */
+  val clusterSizeHistOracle: String =
+    s"""SELECT cluster_size, count(DISTINCT cluster_id) AS n_clusters,
+       |       count(*) AS n_docs
+       |FROM ($dedupClustersOracle) m
+       |GROUP BY cluster_size""".stripMargin
+
+  /** Same 6-dp-rounded per-(label, dim) means as the embedding_centroids
+    * oracle, the same µ-scaled integer distance terms as
+    * `Similarity.centroidOutliers` (order-proof sum), same
+    * (distance DESC, vec_id) rank. */
+  val embeddingOutliersOracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |x AS (SELECT vec_id, label, unnest(v) AS x,
+      |             unnest(range(len(v))) AS dim FROM e),
+      |c AS (SELECT label, dim, round(avg(x), 6) AS m
+      |      FROM x GROUP BY label, dim),
+      |d AS (SELECT x.vec_id, x.label,
+      |        CAST(sum(CAST(round((x.x - c.m) * (x.x - c.m) * 1e6) AS BIGINT))
+      |          AS BIGINT) AS mu
+      |      FROM x JOIN c ON c.label = x.label AND c.dim = x.dim
+      |      GROUP BY 1, 2)
+      |SELECT label, vec_id, round(mu / 1000000.0, 6) AS centroid_dist2,
+      |       CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY mu DESC, vec_id) rank FROM d)
+      |WHERE rank <= 5""".stripMargin
+
   val vocabTopKOracle: String =
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |           FROM documents),
@@ -1320,6 +1360,7 @@ object DataPipelineQueries {
     NamedQuery("decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    NamedQuery("cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle)),
     NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),
     NamedQuery("embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),
     NamedQuery("lsh_bucket_stats", lshBucketStatsQ, Some(lshBucketStatsOracle)),
@@ -1329,6 +1370,7 @@ object DataPipelineQueries {
     NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
+    NamedQuery("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),

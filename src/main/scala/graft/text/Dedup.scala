@@ -436,6 +436,24 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster size histogram over a [[clusters]] frame — the
+   * dup-inflation report a dedup pass ends with: one row per cluster
+   * size with how many clusters have that size and how many documents
+   * they tie up (`n_docs - n_clusters` summed over rows = documents a
+   * keep-one-per-cluster policy deletes). Singletons never enter the
+   * pair graph, so sizes start at 2.
+   *
+   * Scale shape: one map-side-partial shuffle on the tiny size key over
+   * the already-resolved membership frame — the histogram is free
+   * relative to the clustering that produced its input.
+   */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
+  /**
    * Alternating star contraction over a canonical (larger → smaller)
    * directed edge frame; returns the converged star edges — every
    * non-minimum node pointing directly at its component's minimum — and

@@ -47,6 +47,14 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 0L, 0.0)))
   }
 
+  test("clusterSizeHistogram: clusters binned by size with doc counts") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val hist = Dedup.clusterSizeHistogram(Dedup.clusters(pairs))
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(hist == Map(2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("shingles: n tokens yield size-n+1 shingles; short docs yield none") {
     val df = docsDF(1L -> "a b c d", 2L -> "a b").select(
       col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

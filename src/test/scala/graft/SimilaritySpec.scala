@@ -78,6 +78,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidOutliers: farthest-from-centroid ranks first, ties to smaller id") {
+    // label 0 centroid = (3, 3, 2.5, 2.5); dist²: id3=210.5, id0=30.5,
+    // id1=id2=22.5 (tie → smaller id ranks ahead)
+    val df = Seq(
+      (0L, Array(0f, 0f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 2f, 0f, 0f), 0),
+      (3L, Array(10f, 10f, 10f, 10f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, topK = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 0L, 1L))
+    assert(math.abs(out.head.getAs[Double]("centroid_dist2") - 210.5) < 1e-4)
+    assert(out.forall(_.getAs[Int]("label") == 0))
+  }
+
   test("LSH ANN: recall@5 >= 0.8 vs brute force on sf0.001 embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
