@@ -30,11 +30,21 @@ object StreamingCuration {
    * (retries, crawler revisits, mirror bursts) before storage is paid.
    *
    * Output: the surviving document rows plus their `fingerprint`.
+   *
+   * @param normalized fingerprint the [[graft.text.Dedup.normalizedForm]]
+   *                   canonical text instead of the raw bytes — the
+   *                   streaming twin of [[graft.text.Dedup.normalizedExact]]
+   *                   (catches case/punct/whitespace variants at ingest;
+   *                   the normalization is a stateless per-row projection,
+   *                   so state size and semantics are otherwise identical)
    */
   def exactDedup(docs: DataFrame, timeCol: String = "ingest_time",
-                 watermarkDelay: String = "10 seconds"): DataFrame =
+                 watermarkDelay: String = "10 seconds",
+                 normalized: Boolean = false): DataFrame =
     docs
-      .withColumn("fingerprint", md5(col("text")))
+      .withColumn("fingerprint",
+        if (normalized) md5(Dedup.normalizedForm(col("text")))
+        else md5(col("text")))
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 

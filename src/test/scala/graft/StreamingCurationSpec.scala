@@ -45,6 +45,33 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("normalized streaming dedup drops case/punct variants at ingest") {
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.exactDedup(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"), normalized = true)
+    stream.addData((1L, "Hello,   World!", ts(100)), (2L, "hello world", ts(101)),
+      (3L, "other doc", ts(102)))
+    val q = out.writeStream.format("memory").queryName("sdedup_norm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((99L, "sentinel", ts(10000)))
+      q.processAllAvailable()
+      val got = spark.table("sdedup_norm").filter(col("doc_id") =!= 99L)
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      // raw-byte dedup would keep both 1 and 2; normalization collapses them
+      assert(got.toSeq == Seq(1L, 3L), s"got ${got.toSeq}")
+      // and the surviving fingerprints match the batch normalized operator
+      val batch = Dedup.normalizedExact(
+        Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other doc"))
+          .toDF("doc_id", "text"))
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      val streamFp = spark.table("sdedup_norm").filter(col("doc_id") =!= 99L)
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      assert(streamFp == batch)
+    } finally q.stop()
+  }
+
   test("duplicates beyond the watermark horizon re-emit (state was GC'd)") {
     val stream = MemoryStream[(Long, String, Timestamp)](spark)
     val out = StreamingCuration.exactDedup(
