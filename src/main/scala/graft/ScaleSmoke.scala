@@ -1,5 +1,6 @@
 package graft
 
+import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,9 +81,40 @@ object ScaleSmoke {
       pairFrame.unpersist()
       val (tVocab, vocabRows) = timed { TextAnalysis.vocabTopK(docs).count() }
       val (tGate, gateRows) = timed { TextAnalysis.qualityGate(docs).count() }
+      val (tSpans, spanDocs) = timed {
+        Dedup.duplicateSpanStats(docs, k = 12).count()
+      }
+      // embeddings side: exact copies under fresh ids — queries and the
+      // decontamination eval set stay pinned to ORIGINAL ids so candidate
+      // and output sizes grow linearly in K (eval × corpus, not K²) and
+      // the timings measure operator scaling, not result growth
+      val embs = (0 until k).map { i =>
+        spark.read.parquet(s"$sfDir/embeddings.parquet").select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      embs.count()
+      val codes = Similarity.productQuantize(embs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tPq, nCodes) = timed { codes.count() }
+      val (tAdc, adcRows) = timed {
+        Similarity.adcTopK(embs, nQueries = 8, topK = 5,
+          sharedCodes = Some(codes)).count()
+      }
+      val (tSemDecon, flagged) = timed {
+        Similarity.semanticDecontaminate(embs,
+          isEval = col("vec_id") < 60L && col("vec_id") % 11 === 0,
+          threshold = 0.25).count()
+      }
       println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +
         s""""clusters_sec":$tClusters,"members":$members,""" +
-        s""""vocab_sec":$tVocab,"gate_sec":$tGate}""")
+        s""""vocab_sec":$tVocab,"gate_sec":$tGate,""" +
+        s""""spans_sec":$tSpans,"span_docs":$spanDocs,""" +
+        s""""pq_sec":$tPq,"adc_sec":$tAdc,""" +
+        s""""semdecon_sec":$tSemDecon,"flagged":$flagged}""")
+      codes.unpersist(); embs.unpersist()
       sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
     }
     spark.stop()

@@ -41,6 +41,9 @@ object DataPipelineQueries {
   def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.duplicateSpanStats(docs(spark, sfDir), k = spanWindow)
 
+  def spanBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.boilerplateSpans(docs(spark, sfDir), k = spanWindow)
+
   /** One persisted word-3-gram per-doc shingle-array frame per (session,
     * sfDir), shared by the MinHash and exact-Jaccard dedup queries — both
     * would otherwise tokenize the whole corpus independently, and the
@@ -421,6 +424,21 @@ object DataPipelineQueries {
       |  count(*) AS group_size,
       |  count(DISTINCT md5(text)) AS n_variants
       |FROM documents GROUP BY 2""".stripMargin
+
+  /** Same 12-token windows as the spans oracle, same (n_docs,
+    * n_occurrences, hash) tie order as `Dedup.boilerplateSpans`. */
+  val spanBoilerplateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 12),
+      |w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 11), i ->
+      |      md5(array_to_string(toks[i+1 : i+12], ' ')))) h FROM t),
+      |g AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+      |a AS (SELECT h, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences,
+      |             min(doc_id) AS example_doc
+      |      FROM g GROUP BY h)
+      |SELECT h AS span_hash, n_docs, n_occurrences, example_doc
+      |FROM a WHERE n_docs > 1
+      |ORDER BY n_docs DESC, n_occurrences DESC, span_hash LIMIT 50""".stripMargin
 
   /** Same 12-token windows, md5 window hashes, distinct-doc cross-doc
     * test, and LEFT-join dup count as `Dedup.duplicateSpanStats`. */
@@ -1322,6 +1340,7 @@ object DataPipelineQueries {
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
     NamedQuery("dedup_spans", dedupSpans, Some(dedupSpansOracle)),
+    NamedQuery("span_boilerplate", spanBoilerplate, Some(spanBoilerplateOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,

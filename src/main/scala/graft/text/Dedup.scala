@@ -277,15 +277,22 @@ object Dedup {
    * projection collapse into every slice reference, re-tokenizing the
    * document O(windows) times.
    */
-  def duplicateSpanStats(docs: DataFrame, k: Int = 12): DataFrame = {
+  /** (doc_id, h) — one md5 per k-token sliding window, multiplicity
+    * preserved. Shared upstream of [[duplicateSpanStats]] and
+    * [[boilerplateSpans]]. */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span window must be >= 2 tokens, got $k")
     val windows = element_at(
       transform(array(TextOps.tokens(col("text"))), ts =>
         transform(sequence(lit(0), size(ts) - k),
           i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))), 1)
-    val w = docs
+    docs
       .filter(col("text").isNotNull && size(TextOps.tokens(col("text"))) >= k)
       .select(col("doc_id"), explode(windows).as("h"))
+  }
+
+  def duplicateSpanStats(docs: DataFrame, k: Int = 12): DataFrame = {
+    val w = spanWindows(docs, k)
     val crossDoc = w
       .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__c"))
       .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
@@ -298,6 +305,30 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
           .as("dup_fraction"))
   }
+
+  /**
+   * Top cross-document duplicated spans — the boilerplate report behind
+   * a strip-list: the `topK` k-token window hashes appearing in the most
+   * distinct documents (ties broken by total occurrences, then hash),
+   * with an example document for each. [[duplicateSpanStats]] scores
+   * documents by this signal; this operator names the spans themselves.
+   *
+   * Scale shape: the same two-level (hash, doc) → hash aggregation as
+   * the stats operator — map-side partial on a uniform md5 key — then
+   * TakeOrdered for the top-k (never a global sort; same discipline as
+   * vocabTopK, asserted there).
+   */
+  def boilerplateSpans(docs: DataFrame, k: Int = 12, topK: Int = 50): DataFrame =
+    spanWindows(docs, k)
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_occurrences"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") > 1)
+      .select(col("h").as("span_hash"), col("n_docs"), col("n_occurrences"),
+        col("example_doc"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_hash"))
+      .limit(topK)
 
   /**
    * Incremental ingest dedup — the continuous-pipeline variant of the

@@ -47,6 +47,20 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 0L, 0.0)))
   }
 
+  test("boilerplateSpans: most-shared span ranks first; within-doc-only spans excluded") {
+    // "a b c" in docs 1,2,3; "b c d" in docs 1,2; doc 4 repeats its own span
+    val out = Dedup.boilerplateSpans(docsDF(
+      1L -> "a b c d",
+      2L -> "a b c d",
+      3L -> "z a b c",
+      4L -> "p q r p q r p q"), k = 3)
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("example_doc")))
+    assert(out.length == 2)
+    assert(out(0) == ((3L, 3L, 1L)))  // "a b c": docs 1,2,3
+    assert(out(1) == ((2L, 2L, 1L)))  // "b c d": docs 1,2
+  }
+
   test("clusterSizeHistogram: clusters binned by size with doc counts") {
     val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
     val hist = Dedup.clusterSizeHistogram(Dedup.clusters(pairs))

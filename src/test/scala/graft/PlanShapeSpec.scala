@@ -72,6 +72,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
   }
 
+  test("span_boilerplate plans as TakeOrdered, never a global sort") {
+    val plan = finalPlan(DataPipelineQueries.spanBoilerplate(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrdered plan:\n$plan")
+    assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
+  }
+
   test("label centroids shuffle once on the (label, dim) key") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.SparkPlan
