@@ -276,6 +276,9 @@ object DataPipelineQueries {
   def vocabTopKQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(spark, sfDir))
 
+  def vocabBySourceQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabBySource(docs(spark, sfDir))
+
   def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.labelCentroids(embs(spark, sfDir))
 
@@ -1024,6 +1027,19 @@ object DataPipelineQueries {
       |        ORDER BY mu DESC, vec_id) rank FROM d)
       |WHERE rank <= 5""".stripMargin
 
+  /** Same explode → (source, token) pre-agg → source rollup as
+    * `TextAnalysis.vocabBySource`; exact counts, 6-dp rounded TTR. */
+  val vocabBySourceOracle: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |st AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |v AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |             count(*) AS n_types FROM st GROUP BY source),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT v.source, d.n_docs, v.n_tokens, v.n_types,
+      |       round(v.n_types / CAST(v.n_tokens AS DOUBLE), 6) AS type_token_ratio
+      |FROM v JOIN d USING (source)""".stripMargin
+
   val vocabTopKOracle: String =
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |           FROM documents),
@@ -1388,6 +1404,7 @@ object DataPipelineQueries {
     // frames its stages just built instead of absorbing their build cost
     NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
+    NamedQuery("vocab_by_source", vocabBySourceQ, Some(vocabBySourceOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
     NamedQuery("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),

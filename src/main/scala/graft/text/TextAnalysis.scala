@@ -222,6 +222,36 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Per-source vocabulary growth — the Heaps-law monitor a corpus
+   * pipeline tracks per ingestion source: token volume, distinct-type
+   * count, their ratio (type–token ratio: low ⇒ repetitive/boilerplate
+   * source, high ⇒ diverse or noisy), and document count. The per-source
+   * row is what source-level curation decisions (drop, cap, re-crawl)
+   * key on.
+   *
+   * Scale shape: explode → (source, token) pre-aggregation — hot tokens
+   * absorbed map-side before the shuffle, the [[vocabTopK]] discipline —
+   * then one |sources|-key rollup; n_docs comes from a separate
+   * docs-level aggregate joined on the tiny source key, not a
+   * count-distinct expand through the token stream.
+   */
+  def vocabBySource(docs: DataFrame): DataFrame = {
+    val perToken = docs
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("__tf")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val perDoc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    perToken
+      .join(perDoc, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+  }
+
+  /**
    * BPE merge candidates — the first iteration of byte-pair-encoding
    * tokenizer training: corpus-weighted counts of adjacent character
    * pairs within words, ranked. A full BPE trainer repeats

@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L)))  // "b c d": docs 1,2
   }
 
+  test("span/normalized operators tolerate empty and all-short corpora") {
+    val empty = docsDF()
+    assert(Dedup.normalizedExact(empty).count() == 0)
+    assert(Dedup.duplicateSpanStats(empty).count() == 0)
+    assert(Dedup.boilerplateSpans(empty).count() == 0)
+    // every doc shorter than the window: no rows, no crash
+    val short = docsDF(1L -> "a b", 2L -> "c")
+    assert(Dedup.duplicateSpanStats(short, k = 3).count() == 0)
+    assert(Dedup.boilerplateSpans(short, k = 3).count() == 0)
+  }
+
   test("clusterSizeHistogram: clusters binned by size with doc counts") {
     val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
     val hist = Dedup.clusterSizeHistogram(Dedup.clusters(pairs))

@@ -95,6 +95,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.uniformSourceMix(docs, fraction = 0.5).count() == 2)
   }
 
+  test("vocabBySource: exact per-source token/type counts and TTR") {
+    val docs = Seq(
+      (1L, "a b a", "s1"), (2L, "a c", "s1"),   // s1: 5 tokens, types {a,b,c}
+      (3L, "x x x x", "s2"))                    // s2: 4 tokens, 1 type
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabBySource(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_types"), r.getAs[Double]("type_token_ratio")))).toMap
+    assert(out("s1") == ((2L, 5L, 3L, 0.6)))
+    assert(out("s2") == ((1L, 4L, 1L, 0.25)))
+    // empty corpus: empty result, no NPE from the min/quota paths
+    assert(TextAnalysis.vocabBySource(docs.filter(col("doc_id") < 0)).count() == 0)
+    assert(TextAnalysis.temperatureSourceMix(docs.filter(col("doc_id") < 0)).count() == 0)
+  }
+
   test("temperatureSourceMix: geometric quotas between uniform and natural") {
     // srcA 9 docs, srcB 4 docs (min); α=0.5 → quotas floor(sqrt(n·4)): A=6, B=4
     val docs = ((1 to 9).map(i => (i.toLong, s"a$i", "srcA")) ++
