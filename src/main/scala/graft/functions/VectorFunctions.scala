@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance}
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, MicroSquaredDistance}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -18,4 +18,10 @@ object VectorFunctions {
     * whole-stage-codegen'd. */
   def hamming(a: Column, b: Column): Column =
     ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Σ round((aᵢ−bᵢ)²·10⁶) as LONG over two `ARRAY<DOUBLE>` columns —
+    * the summation-order-proof µ-scaled squared L2 distance,
+    * whole-stage-codegen'd. */
+  def l2mu(a: Column, b: Column): Column =
+    ColumnShim.column(MicroSquaredDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -81,6 +81,74 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /**
+ * µ-scaled squared L2 distance: Σ round((aᵢ−bᵢ)²·10⁶) as a LONG — the
+ * summation-order-proof distance used by the centroid-outlier audit
+ * (each squared term is pinned to integer micro-units BEFORE the sum, so
+ * Spark's aggregation order and DuckDB's list order cannot disagree in
+ * the last ulp). `Math.round` on the non-negative terms matches the
+ * oracle's round-half-away-from-zero exactly.
+ *
+ * Same codegen rationale as [[DotProduct]]: the equivalent
+ * `aggregate(zip_with(...))` is CodegenFallback — a lambda interpreter
+ * and an intermediate array per row — which is the difference between a
+ * compute-bound scan and a GC storm at corpus scale. Null semantics
+ * match [[DotProduct]]: null input or null ELEMENT → null; mismatched
+ * lengths accumulate over the shorter prefix.
+ */
+case class MicroSquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = LongType
+
+  // see DotProduct: a null ELEMENT yields null even off non-nullable
+  // children, so ev.isNull must stay assignable
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_l2mu"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += math.round(d * d * 1e6)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += java.lang.Math.round($d * $d * 1.0E6);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Byte-wise Hamming distance between two strings — the verify scalar of
  * sketch-based near-dup detection (SimHash bit strings, hex digests).
  * Counts positions with differing bytes over the common prefix plus the

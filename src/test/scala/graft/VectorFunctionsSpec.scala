@@ -59,6 +59,37 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("l2mu matches the interpreted µ-rounded fold; null element → null") {
+    import graft.functions.VectorFunctions.l2mu
+    val foldMu = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+        round((x - y) * (x - y) * lit(1e6)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)(
+      (Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian())))
+    val out = rows.toDF("a", "b")
+      .select(l2mu(col("a"), col("b")).as("m"), foldMu(col("a"), col("b")).as("f"))
+      .collect()
+    out.foreach(r => assert(r.getAs[Long]("m") == r.getAs[Long]("f")))
+    // exact small case: (3-1)² + (0-2)² = 8 → 8_000_000 µ
+    val small = Seq((Seq(3.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(l2mu(col("a"), col("b"))).head().getLong(0)
+    assert(small == 8000000L)
+    // null element poisons to null; interpreted path agrees
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.MicroSquaredDistance
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = ArrayType(DoubleType)
+    assert(MicroSquaredDistance(
+      Literal.create(Seq(3.0, 0.0), arr),
+      Literal.create(Seq(1.0, 2.0), arr)).eval(InternalRow.empty) == 8000000L)
+    assert(MicroSquaredDistance(
+      Literal.create(Seq[java.lang.Double](1.0, null), arr),
+      Literal.create(Seq(3.0, 4.0), arr)).eval(InternalRow.empty) == null)
+  }
+
   test("dotp survives both codegen and interpreted evaluation paths") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
