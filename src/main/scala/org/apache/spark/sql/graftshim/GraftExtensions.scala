@@ -16,23 +16,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctionRegistry.dotFunction)
+    GraftFunctionRegistry.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctionRegistry {
 
+  private def binary(name: String, cls: Class[_],
+                     mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      {
+        case Seq(a, b) => mk(a, b)
+        case other => throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${other.size}")
+      })
+
   /** (name, info, builder) triple in the injectFunction shape. */
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      {
-        case Seq(a, b) => DotProduct(a, b)
-        case other => throw new IllegalArgumentException(
-          s"graft_dot expects exactly 2 arguments, got ${other.size}")
-      })
+    binary("graft_dot", classOf[DotProduct], DotProduct.apply)
+
+  val hammingFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    binary("graft_hamming", classOf[HammingDistance], HammingDistance.apply)
+
+  val l2muFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    binary("graft_l2mu", classOf[MicroSquaredDistance], MicroSquaredDistance.apply)
+
+  val all = Seq(dotFunction, hammingFunction, l2muFunction)
 
   /** Install on a live session (the post-build twin of [[GraftExtensions]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotFunction._1, dotFunction._2, dotFunction._3)
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -52,11 +52,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0) && out(0).isNullAt(1))
   }
 
-  test("graft_dot is callable from SQL once registered") {
+  test("graft_dot / graft_hamming / graft_l2mu are callable from SQL once registered") {
     org.apache.spark.sql.graftshim.GraftFunctionRegistry.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
     assert(r == 11.0)
+    assert(spark.sql("SELECT graft_hamming('0101', '0011') AS h")
+      .head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT graft_l2mu(array(3.0D, 0.0D), array(1.0D, 2.0D)) AS m")
+      .head().getLong(0) == 8000000L)
   }
 
   test("l2mu matches the interpreted µ-rounded fold; null element → null") {
