@@ -73,8 +73,16 @@ object DataPipelineQueries {
     SharedFrames.memo(spark, sfDir, "minhashSig8")(
       Dedup.minhashSignature(sharedShingles(spark, sfDir), k = 8))
 
+  /** Memoized WITH persistence (cf. the persist=false memos below): the
+    * near-dup PAIR tables are the registry's most-consumed intermediates
+    * (the pair query itself, cluster resolution, the recall audit, and
+    * curate_corpus through the clusters) and their OUTPUT is tiny —
+    * O(duplicate pairs), not O(corpus). A production pipeline lands the
+    * pair table once and every downstream stage reads it; leaving the
+    * result unpersisted made each consumer re-run the band join + verify
+    * off the cached internals. */
   val dedupMinhash: (SparkSession, String) => DataFrame =
-    memoized("dedupMinhash") { (spark, sfDir) =>
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "minhashPairs") {
       Dedup.nearDupMinhashLsh(docs(spark, sfDir),
         sharedShingles = Some(sharedShingles(spark, sfDir)),
         sharedSignature = Some(sharedSignature(spark, sfDir)))
@@ -97,7 +105,9 @@ object DataPipelineQueries {
     * Memoized: the capped path persists its pruned inverted index at
     * build time. */
   val dedupJaccardCapped: (SparkSession, String) => DataFrame =
-    memoized("dedupJaccardCapped") { (spark, sfDir) =>
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "jaccardCappedPairs") {
+      // persisted pair table, same rationale as dedupMinhash: the recall
+      // audit consumes this exact frame as its reference set
       Dedup.jaccardPairsExact(docs(spark, sfDir),
         sharedShingles = Some(sharedShingles(spark, sfDir)),
         maxShingleDf = Some(jaccardDfCap))
@@ -235,7 +245,9 @@ object DataPipelineQueries {
       threshold = semanticTau)
 
   val dedupEmbedding: (SparkSession, String) => DataFrame =
-    memoized("dedupEmbedding") { (spark, sfDir) =>
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "embeddingPairs") {
+      // persisted pair table, same rationale as dedupMinhash: cluster
+      // resolution re-reads it every propagation round
       Similarity.signLshNearDupPairs(embs(spark, sfDir), threshold = 0.42)
     }
 
