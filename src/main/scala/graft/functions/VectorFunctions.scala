@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, MicroSquaredDistance}
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, MicroSquaredDistance, SubvectorDist2}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -24,4 +24,11 @@ object VectorFunctions {
     * whole-stage-codegen'd. */
   def l2mu(a: Column, b: Column): Column =
     ColumnShim.column(MicroSquaredDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Σ (a[offset+i] − b[i])² over i < len(b), left-assoc —
+    * whole-stage-codegen'd subvector distance (the PQ assignment
+    * scalar). */
+  def subdist2(a: Column, b: Column, offset: Column): Column =
+    ColumnShim.column(SubvectorDist2(ColumnShim.expression(a),
+      ColumnShim.expression(b), ColumnShim.expression(offset)))
 }

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /**
  * Native Catalyst expression for the dense-vector dot product — the hot
@@ -78,6 +78,84 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Squared L2 distance between a SUBVECTOR of `left` (starting at
+ * `offset`, 0-based) and the whole of `right`: Σᵢ (left[offset+i] −
+ * right[i])² over i < len(right), accumulated left-to-right — bit-equal
+ * to the explicit left-assoc `(a−b)·(a−b)` chain it replaces in the PQ
+ * assignment (and to the oracle's `list_sum(list_transform(range(...)))`
+ * element order).
+ *
+ * Why it exists: product quantization evaluates m·k of these per row
+ * with the codebook folded in as literals. As unrolled per-term chains
+ * that is an ~m·k·sub-node expression tree whose JANINO COMPILE takes
+ * seconds and re-runs whenever the codebook literals change (every new
+ * corpus/scale dir); as m·k small loops the generated source is ~60×
+ * smaller with identical arithmetic. Reading past the end of `left`
+ * yields null (element_at semantics would too) — the caller guarantees
+ * offset + len(right) <= len(left); null elements poison to null.
+ */
+case class SubvectorDist2(left: Expression, right: Expression, offset: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = offset
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType)
+
+  override def dataType: DataType = DoubleType
+
+  // see DotProduct: null on out-of-range / null elements keeps ev.isNull
+  // assignable even off non-nullable children
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_subdist2"
+
+  override protected def nullSafeEval(a: Any, b: Any, off: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val o = off.asInstanceOf[Int]
+    val n = y.numElements()
+    if (o < 0 || o + n > x.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(o + i) || y.isNullAt(i)) return null
+      val d = x.getDouble(o + i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, off) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $b.numElements();
+         |double $s = 0.0;
+         |if ($off < 0 || $off + $n > $a.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($off + $i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($off + $i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, offset = newThird)
 }
 
 /**

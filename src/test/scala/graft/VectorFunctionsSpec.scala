@@ -95,6 +95,37 @@ class VectorFunctionsSpec extends SparkSpec {
       Literal.create(Seq(3.0, 4.0), arr)).eval(InternalRow.empty) == null)
   }
 
+  test("subdist2: subvector distance bit-equal to the unrolled chain") {
+    import graft.functions.VectorFunctions.subdist2
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
+    for (off <- Seq(0, 16, 48)) {
+      val out = rows.toDF("v", "c")
+        .select(subdist2(col("v"), col("c"), lit(off)).as("d"),
+          aggregate(zip_with(slice(col("v"), off + 1, 16), col("c"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("f"))
+        .collect()
+      out.foreach(r => assert(
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("d")) ==
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("f")), s"offset $off"))
+    }
+    // out-of-range offset → null (both eval paths)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.SubvectorDist2
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val arr = ArrayType(DoubleType)
+    assert(SubvectorDist2(Literal.create(Seq(1.0, 2.0), arr),
+      Literal.create(Seq(1.0, 1.0), arr),
+      Literal.create(1, IntegerType)).eval(InternalRow.empty) == null)
+    assert(SubvectorDist2(Literal.create(Seq(1.0, 2.0), arr),
+      Literal.create(Seq(0.0, 0.0), arr),
+      Literal.create(0, IntegerType)).eval(InternalRow.empty) == 5.0)
+    val oob = rows.take(1).toDF("v", "c")
+      .select(subdist2(col("v"), col("c"), lit(60)).as("d")).head()
+    assert(oob.isNullAt(0))
+  }
+
   test("dotp survives both codegen and interpreted evaluation paths") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
