@@ -321,6 +321,23 @@ object DataPipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /**
+   * Cross-modal curation — [[curateCorpus]] with the SEMANTIC dedup tier
+   * stacked on top: additionally drop documents that are non-canonical
+   * members of an embedding near-dup cluster (vec_id keys documents —
+   * only embedded documents can be semantically deduped, which is
+   * exactly production reality when embedding coverage trails ingest).
+   * One more anti equi-join over the memoized cluster frame; everything
+   * upstream is the already-verified stages.
+   */
+  def curateCorpusSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val nonCanonical = embeddingClusters(spark, sfDir)
+      .filter(not(col("is_canonical")))
+      .select(col("vec_id").as("doc_id"))
+    curateCorpus(spark, sfDir).join(nonCanonical, Seq("doc_id"), "left_anti")
+  }
+
   def tfidfTopTermsQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(spark, sfDir))
 
@@ -1101,6 +1118,16 @@ object DataPipelineQueries {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM ($dedupClustersOracle) k
        |                       WHERE NOT is_canonical)""".stripMargin
 
+  /** The curate oracle with the semantic tier's anti-join stacked on —
+    * the same nesting-of-stage-oracles discipline as curate_corpus.
+    * lazy: embeddingClustersOracle is declared later in object-init
+    * order (an eager val would splice the string "null"). */
+  lazy val curateCorpusSemanticOracle: String =
+    s"""SELECT * FROM ($curateCorpusOracle) cc
+       |WHERE cc.doc_id NOT IN (
+       |  SELECT vec_id FROM ($embeddingClustersOracle) ec
+       |  WHERE NOT is_canonical)""".stripMargin
+
   /** Same tf · ln(N/df) scoring as `TextAnalysis.tfidfTopTerms`; the
     * corpus total is a computed scalar here where Spark folds it in as a
     * driver literal — same value, so the 6-dp-rounded scores agree. */
@@ -1415,6 +1442,9 @@ object DataPipelineQueries {
     // order is bench pipeline order, so the composite reuses the shared
     // frames its stages just built instead of absorbing their build cost
     NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
+    // after curate_corpus AND embedding_clusters: reuses both frames
+    NamedQuery("curate_corpus_semantic", curateCorpusSemantic,
+      Some(curateCorpusSemanticOracle)),
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
     NamedQuery("vocab_by_source", vocabBySourceQ, Some(vocabBySourceOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
