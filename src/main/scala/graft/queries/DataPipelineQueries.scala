@@ -305,7 +305,14 @@ object DataPipelineQueries {
    * session); the id-joins are all equi-joins on unique keys — semi/anti
    * shapes Catalyst plans as broadcast/hash joins, no fan-out.
    */
-  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    // persisted memo: the kept-set is O(kept docs) of three narrow
+    // columns, and since r8 it has a second consumer (the semantic
+    // variant) — same landed-table rationale as the pair frames
+    SharedFrames.memo(spark, sfDir, "curatedCorpus")(
+      curateCorpusBuild(spark, sfDir))
+
+  private def curateCorpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val d = docs(spark, sfDir)
     val pass = TextAnalysis.qualityGate(d).filter(col("keep")).select("doc_id")
