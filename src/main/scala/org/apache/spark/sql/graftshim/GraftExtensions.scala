@@ -42,7 +42,16 @@ object GraftFunctionRegistry {
   val l2muFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     binary("graft_l2mu", classOf[MicroSquaredDistance], MicroSquaredDistance.apply)
 
-  val all = Seq(dotFunction, hammingFunction, l2muFunction)
+  val subdist2Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_subdist2"),
+      new ExpressionInfo(classOf[SubvectorDist2].getName, "graft_subdist2"),
+      {
+        case Seq(a, b, off) => SubvectorDist2(a, b, off)
+        case other => throw new IllegalArgumentException(
+          s"graft_subdist2 expects exactly 3 arguments, got ${other.size}")
+      })
+
+  val all = Seq(dotFunction, hammingFunction, l2muFunction, subdist2Function)
 
   /** Install on a live session (the post-build twin of [[GraftExtensions]]). */
   def register(spark: SparkSession): Unit =

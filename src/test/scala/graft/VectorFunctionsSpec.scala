@@ -62,6 +62,9 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_l2mu(array(3.0D, 0.0D), array(1.0D, 2.0D)) AS m")
       .head().getLong(0) == 8000000L)
+    assert(spark.sql(
+      "SELECT graft_subdist2(array(9.0D, 1.0D, 2.0D), array(0.0D, 0.0D), 1) AS s")
+      .head().getDouble(0) == 5.0)
   }
 
   test("l2mu matches the interpreted µ-rounded fold; null element → null") {
