@@ -234,6 +234,15 @@ object DataPipelineQueries {
         sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
+  /** IVF-PQ composite search over the memoized codes — the coarse
+    * quantizer restricts candidates, ADC scores them off the stored
+    * codes. Memoized: centroid + query collects run at build time. */
+  val similarityIvfPq: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfPq") { (spark, sfDir) =>
+      Similarity.ivfPqTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
+        sharedCodes = Some(embeddingPq(spark, sfDir)))
+    }
+
   /** Eval-set split (vec_id % 11) and cosine floor shared with the
     * semantic-decontamination oracle SQL. */
   private val semanticEvalMod = 11
@@ -1437,6 +1446,8 @@ object DataPipelineQueries {
     NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),
     // right after embedding_pq: shares its memoized code assignment
     NamedQuery("similarity_pq", similarityPq, Some(Similarity.adcTopKOracleSql())),
+    NamedQuery("similarity_ivfpq", similarityIvfPq,
+      Some(Similarity.ivfPqTopKOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticOracle)),

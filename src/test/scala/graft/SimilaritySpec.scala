@@ -94,6 +94,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("label") == 0))
   }
 
+  test("IVF-PQ: neighbors come only from probed cells; probing every cell " +
+    "degenerates to exactly the full ADC scan") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = keys(Similarity.ivfPqTopK(embs, nQueries = 8, topK = 5))
+    assert(ivfpq.nonEmpty)
+    // every IVF-PQ neighbor must be a member of the plain-IVF candidate
+    // set (same coarse quantizer) — ADC only re-ranks within the probes
+    val ivfAll = keys(Similarity.ivfHashTopK(embs, nQueries = 8, k = 1000))
+    assert(ivfpq.subsetOf(ivfAll),
+      s"IVF-PQ produced out-of-probe neighbors: ${ivfpq -- ivfAll}")
+    // nProbe == nCells removes the coarse filter entirely: candidates are
+    // all non-self vectors, so the output must EQUAL adcTopK row-for-row
+    // (same codes, same µ-scaled LUTs, same (dist, id) tie rule). This is
+    // the sharp composition check — recall-vs-exact is untestable here
+    // because hash-sampled codebooks on iid random vectors quantize to
+    // chance level for ANY search stack.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).toSet
+    val full = rows(Similarity.ivfPqTopK(embs, nQueries = 8, topK = 5,
+      nCells = 16, nProbe = 16))
+    val adc = rows(Similarity.adcTopK(embs, nQueries = 8, topK = 5))
+    assert(full == adc,
+      s"all-probe IVF-PQ != ADC scan; only-ivf=${full -- adc} only-adc=${adc -- full}")
+  }
+
   test("LSH ANN: recall@5 >= 0.8 vs brute force on sf0.001 embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
