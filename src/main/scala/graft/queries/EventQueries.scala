@@ -110,6 +110,31 @@ object EventQueries {
   def anomalyAlerts(spark: SparkSession, sfDir: String): DataFrame =
     AnomalyDetect.alerts(ctrByCampaign(spark, sfDir))
 
+  /** Impression floor shared by the min-traffic query and its oracle.
+    * The reference suggests `> 10` for its 1-minute windows
+    * (flink/anomaly_job.sql:59); at the fixture's daily grain (below) 5
+    * is the value that actually discriminates — 101 of 300 windows
+    * filtered at sf0.01, alerts still emitted. */
+  private[queries] val anomalyMinImpressions: Long = 5L
+
+  /** The reference's OPTIONAL low-traffic noise filter, switched ON
+    * (`WHERE impression_count > N`, commented out at
+    * flink/anomaly_job.sql:58-60): low-traffic windows leave the series
+    * before the LAG, so alerts compare against the previous QUALIFYING
+    * window. Runs at daily grain — the fixture's events are ~1
+    * impression per (campaign, minute), so the reference's minute grain
+    * would filter EVERY window and prove nothing; daily windows give the
+    * floor a real distribution to cut (same operators, one parameter
+    * changed — grain and floor are both knobs, not new code). */
+  def anomalyAlertsMinTraffic(spark: SparkSession, sfDir: String): DataFrame =
+    AnomalyDetect.alerts(
+      WindowedCounts.ctrAgg(joined(spark, sfDir),
+        groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+        timeCol = col("i.event_time"), windowLength = "1 day",
+        distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+        withRatio = true),
+      minImpressions = anomalyMinImpressions)
+
   /**
    * As-of join over the raw events: each click attributed to the most
    * recent view by the same user at or before it — the reference's
@@ -169,16 +194,20 @@ object EventQueries {
       |     AND c.event_time BETWEEN i.event_time
       |                          AND i.event_time + INTERVAL 10 MINUTE)""".stripMargin
 
-  private val ctrSelect: String =
-    """SELECT CAST(date_trunc('minute', event_time) AS TIMESTAMP) AS window_start,
-      |       CAST(date_trunc('minute', event_time) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
-      |       campaign_id,
-      |       COUNT(DISTINCT impression_id) AS impression_count,
-      |       COUNT(DISTINCT click_id) AS click_count,
-      |       CASE WHEN COUNT(DISTINCT impression_id) > 0
-      |            THEN CAST(COUNT(DISTINCT click_id) AS DOUBLE) / COUNT(DISTINCT impression_id)
-      |            ELSE 0.0 END AS ctr
-      |FROM j GROUP BY 1, 2, 3""".stripMargin
+  /** The ctr aggregation CTE at a given tumble grain — minute for the
+    * reference-parity queries, day for the min-traffic variant. */
+  private def ctrSelectAt(grain: String, interval: String): String =
+    s"""SELECT CAST(date_trunc('$grain', event_time) AS TIMESTAMP) AS window_start,
+       |       CAST(date_trunc('$grain', event_time) + INTERVAL 1 $interval AS TIMESTAMP) AS window_end,
+       |       campaign_id,
+       |       COUNT(DISTINCT impression_id) AS impression_count,
+       |       COUNT(DISTINCT click_id) AS click_count,
+       |       CASE WHEN COUNT(DISTINCT impression_id) > 0
+       |            THEN CAST(COUNT(DISTINCT click_id) AS DOUBLE) / COUNT(DISTINCT impression_id)
+       |            ELSE 0.0 END AS ctr
+       |FROM j GROUP BY 1, 2, 3""".stripMargin
+
+  private val ctrSelect: String = ctrSelectAt("minute", "MINUTE")
 
   val ctrOracle: String =
     s"$mappingCtes\n$ctrSelect\nORDER BY window_start, campaign_id"
@@ -200,6 +229,26 @@ object EventQueries {
        |  SELECT window_end, campaign_id, ctr AS current_ctr,
        |         LAG(ctr, 1) OVER (PARTITION BY campaign_id ORDER BY window_end) AS previous_ctr
        |  FROM ctr_results)
+       |SELECT window_end AS alert_time, campaign_id, current_ctr, previous_ctr,
+       |       CASE WHEN previous_ctr > 0 AND current_ctr > previous_ctr * 2.0 THEN 'SPIKE'
+       |            WHEN current_ctr < previous_ctr * 0.5 THEN 'DROP' END AS alert_type
+       |FROM with_prev
+       |WHERE previous_ctr IS NOT NULL
+       |  AND ((previous_ctr > 0 AND current_ctr > previous_ctr * 2.0)
+       |       OR current_ctr < previous_ctr * 0.5)
+       |ORDER BY alert_time, campaign_id""".stripMargin
+
+  /** [[anomalyOracle]] at daily grain with the noise filter applied
+    * BEFORE the LAG — mirroring where the reference's commented WHERE
+    * would sit (inside the `ctr_with_previous` view's source,
+    * anomaly_job.sql:49-60). */
+  val anomalyMinTrafficOracle: String =
+    s"""$mappingCtes,
+       |ctr_results AS (${ctrSelectAt("day", "DAY")}),
+       |with_prev AS (
+       |  SELECT window_end, campaign_id, ctr AS current_ctr,
+       |         LAG(ctr, 1) OVER (PARTITION BY campaign_id ORDER BY window_end) AS previous_ctr
+       |  FROM ctr_results WHERE impression_count > $anomalyMinImpressions)
        |SELECT window_end AS alert_time, campaign_id, current_ctr, previous_ctr,
        |       CASE WHEN previous_ctr > 0 AND current_ctr > previous_ctr * 2.0 THEN 'SPIKE'
        |            WHEN current_ctr < previous_ctr * 0.5 THEN 'DROP' END AS alert_type
@@ -270,6 +319,8 @@ object EventQueries {
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
     NamedQuery("engagement_by_device", engagementByDevice, Some(engagementOracle)),
     NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)),
+    NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
+      Some(anomalyMinTrafficOracle)),
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
