@@ -79,6 +79,15 @@ object ScaleSmoke {
       pairFrame.count()
       val (tClusters, members) = timed { Dedup.clusters(pairFrame).count() }
       pairFrame.unpersist()
+      // the two inverted-index self-joins: cost is bounded by df-cap², so
+      // the trend across K is the sharpest quadratic-term detector here
+      val (tContain, containPairs) = timed {
+        Dedup.containmentPairs(docs, sharedShingles = Some(sh)).count()
+      }
+      val (tCapped, cappedPairs) = timed {
+        Dedup.jaccardPairsExact(docs, sharedShingles = Some(sh),
+          maxShingleDf = Some(100)).count()
+      }
       val (tVocab, vocabRows) = timed { TextAnalysis.vocabTopK(docs).count() }
       val (tGate, gateRows) = timed { TextAnalysis.qualityGate(docs).count() }
       val (tSpans, spanDocs) = timed {
@@ -108,12 +117,21 @@ object ScaleSmoke {
           isEval = col("vec_id") < 60L && col("vec_id") % 11 === 0,
           threshold = 0.25).count()
       }
+      // queries pinned to original ids: candidate volume grows with cell
+      // occupancy (linear in K), the probe/LUT sides stay constant
+      val (tIvfPq, ivfPqRows) = timed {
+        Similarity.ivfPqTopK(embs, nQueries = 8, topK = 5,
+          sharedCodes = Some(codes)).count()
+      }
       println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +
         s""""clusters_sec":$tClusters,"members":$members,""" +
+        s""""contain_sec":$tContain,"contain_pairs":$containPairs,""" +
+        s""""capped_sec":$tCapped,"capped_pairs":$cappedPairs,""" +
         s""""vocab_sec":$tVocab,"gate_sec":$tGate,""" +
         s""""spans_sec":$tSpans,"span_docs":$spanDocs,""" +
         s""""pq_sec":$tPq,"adc_sec":$tAdc,""" +
-        s""""semdecon_sec":$tSemDecon,"flagged":$flagged}""")
+        s""""semdecon_sec":$tSemDecon,"flagged":$flagged,""" +
+        s""""ivfpq_sec":$tIvfPq,"ivfpq_rows":$ivfPqRows}""")
       codes.unpersist(); embs.unpersist()
       sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
     }

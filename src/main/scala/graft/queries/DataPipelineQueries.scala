@@ -243,6 +243,12 @@ object DataPipelineQueries {
         sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
+  /** Cluster-balanced (semantic-mixing) sample: at most 25 vectors per
+    * IVF cell by deterministic hash rank — flattens over-represented
+    * modes before a training mix. */
+  val sampleClusterBalanced: (SparkSession, String) => DataFrame =
+    (spark, sfDir) => Similarity.clusterBalancedSample(embs(spark, sfDir))
+
   /** Eval-set split (vec_id % 11) and cosine floor shared with the
     * semantic-decontamination oracle SQL. */
   private val semanticEvalMod = 11
@@ -1448,6 +1454,8 @@ object DataPipelineQueries {
     NamedQuery("similarity_pq", similarityPq, Some(Similarity.adcTopKOracleSql())),
     NamedQuery("similarity_ivfpq", similarityIvfPq,
       Some(Similarity.ivfPqTopKOracleSql())),
+    NamedQuery("sample_cluster_balanced", sampleClusterBalanced,
+      Some(Similarity.clusterBalancedSampleOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),
     NamedQuery("decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticOracle)),

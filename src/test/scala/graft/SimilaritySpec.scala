@@ -122,6 +122,32 @@ class SimilaritySpec extends SparkSpec {
       s"all-probe IVF-PQ != ADC scan; only-ivf=${full -- adc} only-adc=${adc -- full}")
   }
 
+  test("cluster-balanced sample: per-cell cap enforced, full cells kept " +
+    "exactly perCell, ranks contiguous, reruns identical") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.clusterBalancedSample(embs, nCells = 16, perCell = 10)
+      .collect()
+    assert(out.nonEmpty)
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    for ((cell, rows) <- byCell) {
+      val n = rows.head.getAs[Long]("cell_n")
+      // every row of a cell reports the same pre-cap occupancy
+      assert(rows.forall(_.getAs[Long]("cell_n") == n))
+      // cap: full cells keep exactly perCell, small cells keep all
+      assert(rows.length == math.min(n, 10L).toInt,
+        s"cell $cell: kept ${rows.length} of $n with perCell=10")
+      // ranks are 1..kept with no gaps (the window is over the cell key)
+      assert(rows.map(_.getAs[Int]("cell_rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+    // occupancies must account for the whole corpus exactly once
+    assert(byCell.values.map(_.head.getAs[Long]("cell_n")).sum == embs.count())
+    // pure function of (data, salts): a rerun is row-identical
+    val rerun = Similarity.clusterBalancedSample(embs, nCells = 16, perCell = 10)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq == rerun.map(_.toString).sorted.toSeq)
+  }
+
   test("LSH ANN: recall@5 >= 0.8 vs brute force on sf0.001 embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
