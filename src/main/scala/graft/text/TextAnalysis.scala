@@ -513,32 +513,43 @@ object TextAnalysis {
    * ORDER is unusual (shuffled text, keyword stuffing) score low even
    * when their unigram profile looks normal.
    *
-   * Scale shape: the [[unigramLogProb]] template one level up — one
-   * bigram-count aggregation into a persisted model table (bigram vocab ≪
-   * corpus), prefix counts folded FROM the bigram counts (vocab-sized
-   * input, not a second corpus pass), then the exploded corpus joins the
-   * model (broadcast when it fits) and aggregates per doc. Documents
-   * under 2 tokens have no bigrams and are not emitted.
+   * Scale shape: the occurrence stream is shuffled ONCE — collapsed to a
+   * persisted (doc, bigram, k) frame whose map-side partial absorbs
+   * within-doc repeats. Bigram counts, prefix totals, and the per-bigram
+   * conditional log-prob are all folded from that frame and each other
+   * (vocab-sized inputs, never a second corpus pass), and the scoring
+   * join hits the (doc, bigram) frame against the vocab-sized model
+   * (broadcast when it fits). The per-occurrence mean is recovered
+   * exactly as Σk·lp / Σk. Documents under 2 tokens have no bigrams and
+   * are not emitted.
    */
   def bigramLogProb(docs: DataFrame): DataFrame = {
-    val bigr = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
-      .withColumn("__pfx", element_at(split(col("bigram"), " ", 2), 1))
-    val bc = graft.queries.SharedFrames.aux(
-      bigr.groupBy(col("bigram")).agg(count(lit(1)).as("__bc")))
+    // ONE occurrence-grain shuffle: occurrences collapse to (doc, bigram,
+    // k) first — map-side partial absorbs within-doc repeats and the
+    // explode runs once. The model (per-bigram conditional probability)
+    // is then derived from and joined against VOCAB-sized frames only;
+    // the per-occurrence avg is recovered exactly as Σk·lp / Σk.
+    val perDoc = graft.queries.SharedFrames.aux(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("__k")))
+    val bc = perDoc.groupBy(col("bigram")).agg(sum(col("__k")).as("__bc"))
     val pc = bc
       .groupBy(element_at(split(col("bigram"), " ", 2), 1).as("__pfx"))
       .agg(sum(col("__bc")).as("__pc"))
-    bigr
-      .join(bc, "bigram")
+    val lp = bc
+      .withColumn("__pfx", element_at(split(col("bigram"), " ", 2), 1))
       .join(pc, "__pfx")
-      .select(col("doc_id"),
+      .select(col("bigram"),
         log(col("__bc").cast("double") / col("__pc").cast("double")).as("__lp"))
+    perDoc
+      .join(lp, "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("__lp")), 6).as("avg_logprob"),
-        round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        round(sum(col("__k") * col("__lp")) / sum(col("__k")), 6).as("avg_logprob"),
+        round(exp(-sum(col("__k") * col("__lp")) / sum(col("__k"))), 6).as("perplexity"))
   }
 
   /**
