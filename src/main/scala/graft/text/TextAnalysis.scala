@@ -475,33 +475,40 @@ object TextAnalysis {
    * wrong-language, boilerplate) sit far from the corpus mode and a
    * curation pipeline drops the tails.
    *
-   * Scale shape: one token-count aggregation (map-side partial absorbs
-   * hot tokens) into a PERSISTED frequency table — vocab is orders of
-   * magnitude smaller than the corpus — whose total lands on the driver
-   * as ONE scalar (folded into the plan as a literal: a scalar
-   * cross-join would plan as a nested-loop join, the shape the plan
-   * guard bans); then the exploded corpus joins the frequency table
-   * (broadcast when it fits, hash otherwise) and aggregates per doc.
-   * The engines' float sums differ in the last ulp, so both score
-   * columns round to 6 dp.
+   * Scale shape: the occurrence stream is shuffled ONCE — collapsed to
+   * a persisted (doc, token, k) frame whose map-side partial absorbs
+   * within-doc repeats (hot tokens never dominate a shuffle key: the
+   * key is (doc, token)). The frequency table folds FROM that frame
+   * (vocab-sized, orders of magnitude smaller than the corpus), its
+   * total lands on the driver as ONE scalar (folded into the plan as a
+   * literal: a scalar cross-join would plan as a nested-loop join, the
+   * shape the plan guard bans), and the scoring join hits the
+   * (doc, token) frame against the vocab-sized model (broadcast when it
+   * fits, hash otherwise). The per-occurrence mean is recovered exactly
+   * as Σk·lp / Σk. The engines' float sums differ in the last ulp, so
+   * both score columns round to 6 dp.
    */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("token"))
+    val perDoc = graft.queries.SharedFrames.aux(
+      docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("__k")))
+    // persisted: consumed by the total-scalar action AND the scoring join
     val freqs = graft.queries.SharedFrames.aux(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("__tf")))
+      perDoc.groupBy(col("token")).agg(sum(col("__k")).as("__tf")))
     // sum over an empty vocab is a single null row; 1L keeps the plan
     // well-formed and the join below already yields zero rows
     val totalRow = freqs.agg(sum(col("__tf"))).first()
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
-    toks
+    perDoc
       .join(freqs, "token")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__k"),
         log(col("__tf").cast("double") / lit(total).cast("double")).as("__lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__lp")), 6).as("avg_logprob"),
-        round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        round(sum(col("__k") * col("__lp")) / sum(col("__k")), 6).as("avg_logprob"),
+        round(exp(-sum(col("__k") * col("__lp")) / sum(col("__k"))), 6).as("perplexity"))
   }
 
   /**
