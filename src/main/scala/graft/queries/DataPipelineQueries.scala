@@ -144,12 +144,21 @@ object DataPipelineQueries {
   def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityGate(docs(spark, sfDir))
 
+  /** Memoized (doc, token, count) frame — the ONE occurrence-grain
+    * shuffle shared by doc_logprob, doc_entropy, tfidf_topterms and
+    * vocab_topk; each consumer folds its vocab-sized model from it. */
+  val docTokenCounts: (SparkSession, String) => DataFrame =
+    memoized("docTokenCounts") { (spark, sfDir) =>
+      TextAnalysis.docTokenCounts(docs(spark, sfDir))
+    }
+
   /** Memoized: unigramLogProb persists its vocabulary frequency frame at
     * build time (ADVICE r6 — un-memoized, every warmup + timed rep
     * stacked a fresh persisted vocab copy for the session lifetime). */
   val docLogprob: (SparkSession, String) => DataFrame =
     memoized("docLogprob") { (spark, sfDir) =>
-      TextAnalysis.unigramLogProb(docs(spark, sfDir))
+      TextAnalysis.unigramLogProb(docs(spark, sfDir),
+        sharedTf = Some(docTokenCounts(spark, sfDir)))
     }
 
   /** Memoized for the same persisted-model reason as doc_logprob. */
@@ -301,7 +310,8 @@ object DataPipelineQueries {
     }
 
   def vocabTopKQ(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.vocabTopK(docs(spark, sfDir))
+    TextAnalysis.vocabTopK(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
 
   def vocabBySourceQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.vocabBySource(docs(spark, sfDir))
@@ -361,10 +371,12 @@ object DataPipelineQueries {
   }
 
   def tfidfTopTermsQ(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.tfidfTopTerms(docs(spark, sfDir))
+    TextAnalysis.tfidfTopTerms(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
 
   def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.tokenEntropy(docs(spark, sfDir))
+    TextAnalysis.tokenEntropy(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
 
   /** Memoized: the two-pass packer aux-persists its range-partitioned
     * frame at build time (TextAnalysis.packShards). */

@@ -211,12 +211,26 @@ object TextAnalysis {
    * `ORDER BY ... LIMIT k` — Spark plans TakeOrderedAndProject (per-
    * partition heaps + driver merge of k rows), never a global sort.
    */
-  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
-    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+  /**
+   * The (doc, token, occurrence-count) frame — the ONE occurrence-grain
+   * shuffle shared by [[unigramLogProb]], [[tokenEntropy]],
+   * [[tfidfTopTerms]] and [[vocabTopK]] (each takes it via `sharedTf`;
+   * the registry memoizes a single copy per session). Map-side partial
+   * aggregation absorbs within-doc repeats, and the shuffle key is
+   * (doc, token), so corpus-hot tokens never concentrate on one
+   * partition.
+   */
+  def docTokenCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__k"))
+
+  def vocabTopK(docs: DataFrame, k: Int = 100,
+                sharedTf: Option[DataFrame] = None): DataFrame =
+    sharedTf.getOrElse(docTokenCounts(docs))
       .groupBy(col("token"))
-      .agg(sum(col("__tf")).as("n_occurrences"),
+      .agg(sum(col("__k")).as("n_occurrences"),
         count(lit(1)).as("doc_freq"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
@@ -488,12 +502,10 @@ object TextAnalysis {
    * as Σk·lp / Σk. The engines' float sums differ in the last ulp, so
    * both score columns round to 6 dp.
    */
-  def unigramLogProb(docs: DataFrame): DataFrame = {
-    val perDoc = graft.queries.SharedFrames.aux(
-      docs.select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("__k")))
+  def unigramLogProb(docs: DataFrame,
+                     sharedTf: Option[DataFrame] = None): DataFrame = {
+    val perDoc = sharedTf.getOrElse(
+      graft.queries.SharedFrames.aux(docTokenCounts(docs)))
     // persisted: consumed by the total-scalar action AND the scoring join
     val freqs = graft.queries.SharedFrames.aux(
       perDoc.groupBy(col("token")).agg(sum(col("__k")).as("__tf")))
@@ -705,19 +717,18 @@ object TextAnalysis {
    * total N folds into the plan as a driver literal, the
    * [[unigramLogProb]] idiom.
    */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3,
+                    sharedTf: Option[DataFrame] = None): DataFrame = {
     val nRow = docs.filter(col("text").isNotNull)
       .agg(count(lit(1))).first()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
-    val tf = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = sharedTf.getOrElse(docTokenCounts(docs))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
     tf.join(dfreq, "token")
       .select(col("doc_id"), col("token"),
-        round(col("tf") * log(lit(n.toDouble) / col("__df")), 6).as("tfidf"))
+        round(col("__k") * log(lit(n.toDouble) / col("__df")), 6).as("tfidf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
@@ -737,15 +748,14 @@ object TextAnalysis {
    * map-side partials, nothing corpus-wide. Both entropy columns round
    * to 6 dp: the Σ tf·ln tf accumulation order is shuffle-dependent.
    */
-  def tokenEntropy(docs: DataFrame): DataFrame = {
-    val tf = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+  def tokenEntropy(docs: DataFrame,
+                   sharedTf: Option[DataFrame] = None): DataFrame = {
+    val tf = sharedTf.getOrElse(docTokenCounts(docs))
     val hRaw = log(col("n_tokens").cast("double")) - col("__stl") / col("n_tokens")
     tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
+      .agg(sum(col("__k")).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("__stl"))
+        sum(col("__k").cast("double") * log(col("__k").cast("double"))).as("__stl"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         round(hRaw, 6).as("entropy"),
         when(col("n_types") > 1,
