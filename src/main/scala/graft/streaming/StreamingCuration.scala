@@ -145,4 +145,28 @@ object StreamingCuration {
       .select(col("doc_id"), col(timeCol))
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
   }
+
+  /**
+   * Streaming SEMANTIC decontamination — the embedding-space sibling of
+   * [[decontaminateFlags]], catching paraphrased benchmark leakage whose
+   * n-grams don't overlap: each arriving vector is flagged if its cosine
+   * to any (static, benchmark-sized) eval vector reaches `threshold`.
+   *
+   * Unlike the n-gram flagger this needs NO watermark and NO state at
+   * all: [[graft.similarity.Similarity.semanticDecontaminateStateless]]
+   * folds the whole candidate-bucket → exact-verify pipeline into
+   * per-row expressions over plan-literal eval maps, so every microbatch
+   * is a pure projection (append-safe by construction, output row count
+   * ≤ input row count, nothing to GC). Same outputs and tie rules as the
+   * batch operator, row-for-row.
+   *
+   * @param embStream   streaming frame with (vec_id, embedding)
+   * @param evalVectors static (vec_id, embedding) eval/benchmark set
+   */
+  def semanticDecontaminateStream(embStream: DataFrame,
+                                  evalVectors: DataFrame,
+                                  threshold: Double, bits: Int = 8,
+                                  tables: Int = 8): DataFrame =
+    graft.similarity.Similarity.semanticDecontaminateStateless(
+      embStream, evalVectors, threshold, bits, tables)
 }

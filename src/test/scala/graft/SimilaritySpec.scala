@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("cosine") == 1.0)
   }
 
+  test("stateless semantic decontamination reproduces the batch operator " +
+    "row-for-row on sf0.001 embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isEval = col("vec_id") % 11 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_contaminants"),
+        r.getAs[Long]("contaminant_id"), r.getAs[Double]("cosine"))).toSet
+    val batch = rows(Similarity.semanticDecontaminate(embs,
+      isEval = isEval, threshold = 0.25))
+    val stateless = rows(Similarity.semanticDecontaminateStateless(
+      embs.filter(!isEval), embs.filter(isEval), threshold = 0.25))
+    assert(batch.nonEmpty) // the fixture must actually exercise the path
+    assert(stateless == batch,
+      s"only-stateless=${stateless -- batch} only-batch=${batch -- stateless}")
+  }
+
   test("adcTopK: with corpus == codebook, ADC distance is the exact L2²") {
     // 16 vectors at k=16 → every vector IS a codebook row: codes
     // reconstruct exactly and the ADC scan must reproduce brute-force L2²

@@ -18,6 +18,40 @@ class StreamingCurationSpec extends SparkSpec {
 
   private def ts(sec: Long) = new Timestamp(sec * 1000L)
 
+  test("streaming semantic decontamination: stateless per-microbatch, " +
+    "matches the batch operator on the streamed rows") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isEval = col("vec_id") % 11 === 0
+    val evalSet = all.filter(isEval)
+    val corpusRows = all.filter(!isEval).limit(120)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamingCuration.semanticDecontaminateStream(
+      stream.toDF().toDF("vec_id", "embedding"), evalSet, threshold = 0.25)
+    assert(out.isStreaming)
+    // two microbatches — stateless means batch boundaries can't matter
+    stream.addData(corpusRows.take(60).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(corpusRows.drop(60).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sdecon").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_contaminants"),
+          r.getAs[Long]("contaminant_id"), r.getAs[Double]("cosine"))).toSet
+      val streamedIds = corpusRows.map(_._1).toSet
+      val batch = graft.similarity.Similarity.semanticDecontaminate(
+        all, isEval = isEval, threshold = 0.25).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_contaminants"),
+          r.getAs[Long]("contaminant_id"), r.getAs[Double]("cosine")))
+        .filter(t => streamedIds(t._1)).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch, s"only-stream=${got -- batch} only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches batch fingerprints within the watermark") {
     val stream = MemoryStream[(Long, String, Timestamp)](spark)
     val out = StreamingCuration.exactDedup(
