@@ -37,7 +37,7 @@ object Bench {
     // tags each query touches (tags are dir-independent strings) yields
     // each memo's LAST consumer in pipeline order, so the timed loop can
     // release a family's caches the moment its final query has run —
-    // keeping all 47 queries' memos alive to the end is what turned a
+    // keeping every query's memos alive to the end is what turned a
     // memory-squeezed driver into eviction-and-recompute cascades at the
     // late composite queries (BENCH_r07's 28x curate_corpus spike).
     var lastUse = Map.empty[String, Int]

@@ -79,18 +79,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
   }
 
-  test("label centroids shuffle once on the (label, dim) key") {
+  // walk AQE's FINAL plan tree (the toString would double-count: it
+  // appends the initial plan as text). Query stages are LEAF nodes
+  // wrapping their real plan, so the walk must recurse through
+  // QueryStageExec.plan by hand; cache-build plans (InMemoryTableScan)
+  // stay excluded — only the query's own shuffles are counted.
+  private def hashShuffleCount(df: DataFrame): Int = {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = DataPipelineQueries.embeddingCentroids(spark, sf)
     df.collect()
-    // walk AQE's FINAL plan tree (the toString would double-count: it
-    // appends the initial plan as text). Query stages are LEAF nodes
-    // wrapping their real plan, so the walk must recurse through
-    // QueryStageExec.plan by hand; cache-build plans (InMemoryTableScan)
-    // stay excluded — only this query's own shuffles are counted.
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val through = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -99,11 +98,38 @@ class PlanShapeSpec extends SparkSpec {
       }
       p +: through.flatMap(walk)
     }
-    val hashShuffles = walk(df.queryExecution.executedPlan).count {
+    walk(df.queryExecution.executedPlan).count {
       case e: ShuffleExchangeLike => e.outputPartitioning.isInstanceOf[HashPartitioning]
       case _ => false
     }
-    assert(hashShuffles == 1,
-      s"expected exactly 1 hash shuffle (the (label, dim) agg), got $hashShuffles")
+  }
+
+  test("label centroids shuffle once on the (label, dim) key") {
+    val n = hashShuffleCount(DataPipelineQueries.embeddingCentroids(spark, sf))
+    assert(n == 1,
+      s"expected exactly 1 hash shuffle (the (label, dim) agg), got $n")
+  }
+
+  test("cluster-balanced sample shuffles once on the cell key") {
+    // assignment is map-side over plan-literal centroids; the rank and
+    // occupancy windows share the single cell-key exchange
+    val n = hashShuffleCount(
+      graft.similarity.Similarity.clusterBalancedSample(
+        spark.read.parquet(s"$sf/embeddings.parquet"), nCells = 16, perCell = 10))
+    assert(n == 1,
+      s"expected exactly 1 hash shuffle (the shared cell windows), got $n")
+  }
+
+  test("stateless semantic decontamination plans join- and shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isEval = col("vec_id") % 11 === 0
+    val df = graft.similarity.Similarity.semanticDecontaminateStateless(
+      embs.filter(!isEval), embs.filter(isEval), threshold = 0.25)
+    val n = hashShuffleCount(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(n == 0, s"stateless decontamination acquired a shuffle ($n):\n$plan")
+    assert(!plan.contains("Join"),
+      s"stateless decontamination acquired a join:\n$plan")
   }
 }
