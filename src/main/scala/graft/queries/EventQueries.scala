@@ -195,8 +195,10 @@ object EventQueries {
       |                          AND i.event_time + INTERVAL 10 MINUTE)""".stripMargin
 
   /** The ctr aggregation CTE at a given tumble grain — minute for the
-    * reference-parity queries, day for the min-traffic variant. */
-  private def ctrSelectAt(grain: String, interval: String): String =
+    * reference-parity queries, day for the min-traffic variant. The
+    * INTERVAL unit derives from the grain so the two can never desync. */
+  private def ctrSelectAt(grain: String): String = {
+    val interval = grain.toUpperCase
     s"""SELECT CAST(date_trunc('$grain', event_time) AS TIMESTAMP) AS window_start,
        |       CAST(date_trunc('$grain', event_time) + INTERVAL 1 $interval AS TIMESTAMP) AS window_end,
        |       campaign_id,
@@ -206,8 +208,9 @@ object EventQueries {
        |            THEN CAST(COUNT(DISTINCT click_id) AS DOUBLE) / COUNT(DISTINCT impression_id)
        |            ELSE 0.0 END AS ctr
        |FROM j GROUP BY 1, 2, 3""".stripMargin
+  }
 
-  private val ctrSelect: String = ctrSelectAt("minute", "MINUTE")
+  private val ctrSelect: String = ctrSelectAt("minute")
 
   val ctrOracle: String =
     s"$mappingCtes\n$ctrSelect\nORDER BY window_start, campaign_id"
@@ -244,7 +247,7 @@ object EventQueries {
     * anomaly_job.sql:49-60). */
   val anomalyMinTrafficOracle: String =
     s"""$mappingCtes,
-       |ctr_results AS (${ctrSelectAt("day", "DAY")}),
+       |ctr_results AS (${ctrSelectAt("day")}),
        |with_prev AS (
        |  SELECT window_end, campaign_id, ctr AS current_ctr,
        |         LAG(ctr, 1) OVER (PARTITION BY campaign_id ORDER BY window_end) AS previous_ctr

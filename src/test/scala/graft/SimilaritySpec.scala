@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkSpec {
       s"only-stateless=${stateless -- batch} only-batch=${batch -- stateless}")
   }
 
+  test("stateless decontamination scores id-colliding rows and fails " +
+    "loudly on narrow corpus vectors") {
+    val p = Array.fill(64)(1f)
+    // corpus/eval vec_id spaces are independent: a corpus row sharing an
+    // eval id must STILL be scored (dropping it would let contaminated
+    // rows through on id coincidence alone)
+    val out = Similarity.semanticDecontaminateStateless(
+      Seq((100L, p)).toDF("vec_id", "embedding"),
+      Seq((100L, p)).toDF("vec_id", "embedding"), threshold = 0.25).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("vec_id") == 100L)
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+    // a corpus vector narrower than bits*tables fails the job loudly —
+    // never silently hashes missing coordinates to '0' bits
+    val ex = intercept[Throwable] {
+      Similarity.semanticDecontaminateStateless(
+        Seq((1L, Array.fill(32)(1f))).toDF("vec_id", "embedding"),
+        Seq((100L, p)).toDF("vec_id", "embedding"), threshold = 0.25).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("bits*tables")),
+      s"expected the dim-guard raise_error, got: ${messages(ex)}")
+  }
+
   test("adcTopK: with corpus == codebook, ADC distance is the exact L2²") {
     // 16 vectors at k=16 → every vector IS a codebook row: codes
     // reconstruct exactly and the ADC scan must reproduce brute-force L2²
