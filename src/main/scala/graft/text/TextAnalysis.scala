@@ -633,26 +633,33 @@ object TextAnalysis {
    * ranges so both outcomes occur; a real pipeline tunes them per source.
    *
    * Purely narrow per-row expressions — no shuffle, scales by partition
-   * count. Gate comparisons run on the UNROUNDED doubles: both engines
-   * compute them from the same integers with correctly-rounded IEEE
-   * division, so the decisions are bit-identical; the emitted ratios are
-   * rounded to 6 dp for the driver compare.
+   * count (and therefore runs unchanged on a STREAMING frame — see
+   * [[graft.streaming.StreamingCurationJobs]]). Gate comparisons run on
+   * the UNROUNDED doubles: both engines compute them from the same
+   * integers with correctly-rounded IEEE division, so the decisions are
+   * bit-identical; the emitted ratios are rounded to 6 dp for the driver
+   * compare.
+   *
+   * @param passThrough input columns carried into the output verbatim
+   *                    (after doc_id) — lets a pipeline keep `text`/
+   *                    provenance through the gate without a join back
    */
   def qualityGate(docs: DataFrame,
                   minTokens: Int = 30, maxTokens: Int = 5000,
                   minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
                   minStopwordRatio: Double = 0.02,
-                  maxRepetitionRatio: Double = 0.05): DataFrame = {
+                  maxRepetitionRatio: Double = 0.05,
+                  passThrough: Seq[String] = Nil): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val sh = TextOps.shingles(toks, 3)
     val metered = docs.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      meanTokenLen(toks).as("__mtl"),
-      stopwordRatio(toks).as("__stop"),
+      col("doc_id") +: passThrough.map(col) :+
+      size(toks).as("n_tokens") :+
+      meanTokenLen(toks).as("__mtl") :+
+      stopwordRatio(toks).as("__stop") :+
       when(size(sh) > 0,
         lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-        .otherwise(0.0).as("__rep"))
+        .otherwise(0.0).as("__rep"): _*)
     val reason = when(col("n_tokens") < minTokens, "too_short")
       .when(col("n_tokens") > maxTokens, "too_long")
       .when(col("__mtl") < minMeanTokenLen || col("__mtl") > maxMeanTokenLen,
@@ -661,12 +668,12 @@ object TextAnalysis {
       .when(col("__rep") > maxRepetitionRatio, "repetitive")
       .otherwise("pass")
     metered.select(
-      col("doc_id"), col("n_tokens"),
-      round(col("__mtl"), 6).as("mean_token_len"),
-      round(col("__stop"), 6).as("stopword_ratio"),
-      round(col("__rep"), 6).as("rep_ratio"),
-      reason.as("reason"),
-      (reason === "pass").as("keep"))
+      col("doc_id") +: passThrough.map(col) :+ col("n_tokens") :+
+      round(col("__mtl"), 6).as("mean_token_len") :+
+      round(col("__stop"), 6).as("stopword_ratio") :+
+      round(col("__rep"), 6).as("rep_ratio") :+
+      reason.as("reason") :+
+      (reason === "pass").as("keep"): _*)
   }
 
   /**

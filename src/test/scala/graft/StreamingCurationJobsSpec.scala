@@ -1,0 +1,128 @@
+package graft
+
+import graft.streaming.StreamingCurationJobs
+import graft.text.{Dedup, TextAnalysis, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/**
+ * End-to-end streaming curation topology over file-backed topics: raw
+ * docs (with injected later-arriving duplicates) → ingest job (dedup →
+ * gate → benchmark exclusion) → curated topic → chained stats job →
+ * windowed token counts. The curated set and the emitted window counts
+ * are both compared against batch recomputations of the same stages.
+ */
+class StreamingCurationJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeWave(dir: Path, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+  }
+
+  private def jsonLines(df: DataFrame): Seq[String] = df.toJSON.collect().toIndexedSeq
+
+  test("ingest + chained stats jobs reproduce the batch curation stages") {
+    val root = Files.createTempDirectory("graft-curation-jobs")
+    val topic = root.resolve("docs")
+    val work = root.resolve("work").toString
+    val baseMs = 3600000L
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // benchmark set: a handful of real docs — they and their duplicates
+    // must be excluded from the curated output
+    val bench = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id"), col("text"))
+    // ingest times spread over 5 one-minute windows
+    val timed = docs.withColumn("ingest_time",
+      timestamp_millis(lit(baseMs) + (col("doc_id") % 5) * 60000L))
+    // duplicates: re-ingest 40 docs a minute later under fresh ids —
+    // the streaming dedup must keep the ORIGINALS (first arrival)
+    val dups = timed.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"),
+        timestamp_millis(unix_millis(col("ingest_time")) + 60000L)
+          .as("ingest_time"))
+
+    // wave 0 = originals, wave 1 = late duplicates, sentinel flushes the
+    // stats job's windows (dedup itself emits survivors immediately).
+    // The dedup horizon must cover the 1-minute re-ingest gap: with a
+    // short delay the originals' state is (correctly) GC'd before the
+    // duplicates arrive and they re-emit — the documented bounded-state
+    // trade, exercised in StreamingCurationSpec.
+    writeWave(topic, "wave0.json", jsonLines(timed))
+    val ingest = StreamingCurationJobs.runIngestJob(
+      spark, topic.toString, bench, work, watermarkDelay = "2 minutes")
+    val stats = StreamingCurationJobs.runStatsJob(
+      spark, work, windowLength = "1 minute", watermarkDelay = "5 seconds")
+    try {
+      def stepAll(): Unit = { ingest.processAllAvailable(); stats.processAllAvailable() }
+      stepAll()
+      writeWave(topic, "wave1.json", jsonLines(dups))
+      stepAll()
+      // the sentinel must PASS the gate (≥30 tokens, stopwords, no
+      // repetition) or it never reaches the curated topic and the stats
+      // job's windows never flush
+      val sentinelText = ("the and for with from" +:
+        (1 to 35).map(i => f"sw$i%03d")).mkString(" ")
+      writeWave(topic, "sentinel.json", jsonLines(
+        Seq((999999L, sentinelText, "en", "sentinel"))
+          .toDF("doc_id", "text", "lang", "source")
+          .withColumn("ingest_time", timestamp_millis(lit(baseMs + 86400000L)))))
+      stepAll()
+
+      val curated = spark.read
+        .schema(StreamingCurationJobs.curatedSchema)
+        .json(s"$work/curated")
+        .filter(col("doc_id") =!= 999999L)
+
+      // batch recomputation of the same stages over the ORIGINAL docs
+      // (the streaming dedup kept first arrivals = the originals)
+      val gateKeep = TextAnalysis.qualityGate(docs).filter(col("keep"))
+        .select(col("doc_id"))
+      val benchShingles = Dedup.shingleArrays(bench, 5)
+        .select(explode(col("sh")).as("shingle")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val clean = docs.filter(!arrays_overlap(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5)),
+        typedLit(benchShingles)))
+        .select(col("doc_id"))
+      val expected = gateKeep.join(clean, "doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+      val got = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(expected.nonEmpty && got == expected,
+        s"only-stream=${got -- expected} only-batch=${expected -- got}")
+      // no injected duplicate survived
+      assert(!got.exists(_ >= 1000000L))
+
+      // chained stats: every emitted (window, token) row must match the
+      // batch recomputation over the curated survivors
+      val emitted = spark.read.text(s"$work/token_stats")
+        .select(from_json(col("value"),
+          "window_start timestamp, window_end timestamp, token string, " +
+            "n_occurrences bigint, doc_freq bigint",
+          Map.empty[String, String]).as("e"))
+        .select("e.*")
+        .filter(col("window_start") < timestamp_millis(lit(baseMs + 86400000L)))
+      assert(emitted.count() > 0)
+      val batchCounts = curated
+        .select(col("doc_id"),
+          date_trunc("minute", col("ingest_time")).as("window_start"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("window_start"), col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("doc_freq"))
+      val mismatches = emitted.alias("s")
+        .join(batchCounts.alias("b"), Seq("window_start", "token"), "full_outer")
+        .filter(col("s.n_occurrences").isNull || col("b.n_occurrences").isNull ||
+          col("s.n_occurrences") =!= col("b.n_occurrences") ||
+          col("s.doc_freq") =!= col("b.doc_freq"))
+      assert(mismatches.count() == 0,
+        s"window-count mismatches:\n${mismatches.collect().mkString("\n")}")
+    } finally { ingest.stop(); stats.stop() }
+  }
+}
