@@ -44,6 +44,13 @@ object DataPipelineQueries {
   def spanBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.boilerplateSpans(docs(spark, sfDir), k = spanWindow)
 
+  /** Memoized: stripBoilerplate aux-persists its positional window frame
+    * at build time. */
+  val stripBoilerplateQ: (SparkSession, String) => DataFrame =
+    memoized("stripBoilerplate") { (spark, sfDir) =>
+      Dedup.stripBoilerplate(docs(spark, sfDir), k = spanWindow)
+    }
+
   /** One persisted word-3-gram per-doc shingle-array frame per (session,
     * sfDir), shared by the MinHash and exact-Jaccard dedup queries — both
     * would otherwise tokenize the whole corpus independently, and the
@@ -526,6 +533,38 @@ object DataPipelineQueries {
       |       round(count(d.h) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
       |FROM w LEFT JOIN d ON d.h = w.h
       |GROUP BY w.doc_id""".stripMargin
+
+  /** Replicates `Dedup.stripBoilerplate`: positional window hashes, the
+    * same ≥-minDocs boilerplate set, range-expanded coverage, anti-joined
+    * kept tokens re-joined in order under md5 — the digest pins the
+    * reconstruction value-for-value. */
+  val stripBoilerplateOracle: String = {
+    val k = spanWindow
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents
+       |           WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, unnest(list_transform(range(len(toks) - ${k - 1}),
+       |        i -> {'i': i, 'h': md5(array_to_string(toks[i+1 : i+$k], ' '))}),
+       |        recursive := true)
+       |      FROM t WHERE len(toks) >= $k),
+       |b AS (SELECT h FROM (SELECT h, doc_id FROM w GROUP BY 1, 2)
+       |      GROUP BY h HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |        SELECT doc_id, unnest(range(i, i + $k)) AS pos
+       |        FROM w JOIN b USING (h))),
+       |tok AS (SELECT doc_id, unnest(list_transform(range(len(toks)),
+       |        p -> {'pos': p, 'token': toks[p+1]}), recursive := true)
+       |      FROM t),
+       |ks AS (SELECT tok.doc_id, count(*) AS nk,
+       |         md5(string_agg(token, ' ' ORDER BY pos)) AS digest
+       |       FROM tok ANTI JOIN cov USING (doc_id, pos)
+       |       GROUP BY tok.doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       COALESCE(nk, 0) AS n_kept,
+       |       round(1.0 - COALESCE(nk, 0) / CAST(len(toks) AS DOUBLE), 6)
+       |         AS removed_frac,
+       |       COALESCE(digest, md5('')) AS clean_digest
+       |FROM t LEFT JOIN ks ON ks.doc_id = t.doc_id""".stripMargin
+  }
 
   /** The 8-lane minhash column list and the 4-band key SELECTs — shared
     * by the pair oracle and the bucket-stats oracle so both hash the
@@ -1437,6 +1476,7 @@ object DataPipelineQueries {
     NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
     NamedQuery("dedup_spans", dedupSpans, Some(dedupSpansOracle)),
     NamedQuery("span_boilerplate", spanBoilerplate, Some(spanBoilerplateOracle)),
+    NamedQuery("strip_boilerplate", stripBoilerplateQ, Some(stripBoilerplateOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,

@@ -277,10 +277,11 @@ object Dedup {
    * projection collapse into every slice reference, re-tokenizing the
    * document O(windows) times.
    */
-  /** (doc_id, h) — one md5 per k-token sliding window, multiplicity
-    * preserved. Shared upstream of [[duplicateSpanStats]] and
-    * [[boilerplateSpans]]. */
-  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, i, h) — one md5 per k-token sliding window with its
+    * 0-based start position, multiplicity preserved. Shared upstream of
+    * [[duplicateSpanStats]], [[boilerplateSpans]] (which drop `i`) and
+    * [[stripBoilerplate]] (which maps hits back to token coverage). */
+  private def spanWindowsPos(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span window must be >= 2 tokens, got $k")
     val windows = element_at(
       transform(array(TextOps.tokens(col("text"))), ts =>
@@ -288,8 +289,12 @@ object Dedup {
           i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))), 1)
     docs
       .filter(col("text").isNotNull && size(TextOps.tokens(col("text"))) >= k)
-      .select(col("doc_id"), explode(windows).as("h"))
+      .select(col("doc_id"), posexplode(windows).as(Seq("i", "h")))
   }
+
+  /** (doc_id, h) — the positional frame with the start dropped. */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame =
+    spanWindowsPos(docs, k).select(col("doc_id"), col("h"))
 
   def duplicateSpanStats(docs: DataFrame, k: Int = 12): DataFrame = {
     val w = spanWindows(docs, k)
@@ -329,6 +334,60 @@ object Dedup {
         col("example_doc"))
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_hash"))
       .limit(topK)
+
+  /**
+   * Boilerplate STRIP — the removal operator behind the span reports
+   * (RefinedWeb/CCNet line-dedup, done at k-token-window granularity):
+   * every token covered by a k-token window that appears in at least
+   * `minDocs` distinct documents is removed, and each document is
+   * summarized as (doc_id, n_tokens, n_kept, removed_frac,
+   * clean_digest) where `clean_digest` is the md5 of the kept tokens
+   * re-joined in order — the value-checkable stand-in for emitting the
+   * cleaned text itself (the driver compare hashes cells, so a digest
+   * pins the reconstruction exactly). Documents stripped to nothing
+   * keep a row with n_kept 0 and the empty-string digest.
+   *
+   * Scale shape: the boilerplate set is the same two-level (hash, doc) →
+   * hash aggregation as [[boilerplateSpans]] (map-side partial on a
+   * uniform md5 key, no COUNT DISTINCT); coverage expands matched
+   * windows to (doc, pos) pairs — output bounded by k × matched
+   * windows, matched being the signal itself — and the kept-token pass
+   * is one anti join at token grain plus a per-doc fold: everything is
+   * linear in corpus tokens with equi-keyed shuffles, nothing pairwise.
+   */
+  def stripBoilerplate(docs: DataFrame, k: Int = 12,
+                       minDocs: Int = 2): DataFrame = {
+    // persisted: consumed by the boilerplate-set agg AND the coverage join
+    val pw = graft.queries.SharedFrames.aux(spanWindowsPos(docs, k))
+    val bset = pw
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    val cov = pw.join(bset, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val keptStats = toks
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nk"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")))).as("__digest"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(keptStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        round(lit(1.0) - coalesce(col("__nk"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("removed_frac"),
+        coalesce(col("__digest"), md5(lit(""))).as("clean_digest"))
+  }
 
   /**
    * Incremental ingest dedup — the continuous-pipeline variant of the

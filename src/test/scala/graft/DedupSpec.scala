@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L)))  // "b c d": docs 1,2
   }
 
+  test("stripBoilerplate: covered tokens removed, kept text digest exact, " +
+    "fully-stripped and untouched docs both survive") {
+    val out = Dedup.stripBoilerplate(docsDF(
+      1L -> "a b c d",   // "a b c" shared with docs 2,3 → tokens 0-2 covered
+      2L -> "x a b c",   // tokens 1-3 covered
+      3L -> "a b c",     // the whole doc is the shared span → stripped empty
+      4L -> "p q r s"),  // no shared span → untouched
+      k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("removed_frac"), r.getAs[String]("clean_digest"))))
+      .toMap
+    def d(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(out(1L) == ((4L, 1L, 0.75, d("d"))))
+    assert(out(2L) == ((4L, 1L, 0.75, d("x"))))
+    assert(out(3L) == ((3L, 0L, 1.0, d(""))))
+    assert(out(4L) == ((4L, 4L, 0.0, d("p q r s"))))
+  }
+
   test("span/normalized operators tolerate empty and all-short corpora") {
     val empty = docsDF()
     assert(Dedup.normalizedExact(empty).count() == 0)
