@@ -399,6 +399,14 @@ object DataPipelineQueries {
       TextAnalysis.packShards(docs(spark, sfDir))
     }
 
+  /** Memoized like `pack_shards`: the two-pass global prefix sum
+    * aux-persists its range-partitioned frame at build time
+    * (TextAnalysis.packSequences). */
+  val packSequencesQ: (SparkSession, String) => DataFrame =
+    memoized("packSequences") { (spark, sfDir) =>
+      TextAnalysis.packSequences(docs(spark, sfDir))
+    }
+
   /** Memoized: the containment path persists its df-capped inverted
     * index at build time (same cap as the capped jaccard). */
   val dedupContainment: (SparkSession, String) => DataFrame =
@@ -1260,6 +1268,31 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Replicates [[graft.text.TextAnalysis.packSequences]]'s
+    * concat-and-chunk segment map: the same global (source, doc_id)
+    * token stream (one running-sum window — the oracle can afford the
+    * serial form), the same ⌊·/512⌋ sequence cuts, the same
+    * GREATEST/LEAST span clipping, zero-token documents dropped. */
+  val packSequencesOracle: String =
+    """WITH s AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+      |    ORDER BY source, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |  AS s0 FROM s),
+      |seg AS (SELECT doc_id, source, n_tokens, s0,
+      |    s0 + n_tokens AS e0,
+      |    unnest(generate_series(CAST(floor(s0 / 512.0) AS BIGINT),
+      |      CAST(floor((s0 + n_tokens - 1) / 512.0) AS BIGINT))) AS seq_id
+      |  FROM c WHERE n_tokens > 0)
+      |SELECT doc_id, source, n_tokens, seq_id,
+      |  GREATEST(s0, seq_id * 512) - seq_id * 512 AS seq_offset,
+      |  GREATEST(s0, seq_id * 512) - s0 AS doc_offset,
+      |  LEAST(e0, (seq_id + 1) * 512) - GREATEST(s0, seq_id * 512)
+      |    AS seg_tokens
+      |FROM seg""".stripMargin
+
   /** Same df-capped candidate generation as the capped-jaccard oracle,
     * then exact containments from the FULL shingle sets — values match
     * `Dedup.containmentPairs`'s array recompute, and the threshold is
@@ -1504,6 +1537,7 @@ object DataPipelineQueries {
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
     NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
+    NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
     NamedQuery("doc_percentile_gate", docPercentileGateQ,
       Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

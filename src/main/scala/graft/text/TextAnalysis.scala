@@ -844,6 +844,94 @@ object TextAnalysis {
   }
 
   /**
+   * Concat-and-chunk sequence packing — the OTHER half of context-length
+   * packing, complementing [[packShards]] (whole-document shards): lay
+   * every document's tokens end-to-end in one deterministic global
+   * (source, doc_id) stream and cut the stream at fixed `seqLen`-token
+   * boundaries, the way GPT-style pre-training builds its training
+   * sequences. Documents CROSS sequence boundaries (no padding waste);
+   * the output is the segment map a writer needs to emit each sequence:
+   * one row per (document × overlapped sequence) with
+   *
+   *  - `seq_id`        — which fixed-length sequence the segment lands in
+   *  - `seq_offset`    — where in that sequence the segment starts
+   *  - `doc_offset`    — where in the document the segment starts
+   *  - `seg_tokens`    — segment length (Σ per doc == n_tokens; Σ per
+   *                      seq == seqLen except the final partial sequence)
+   *
+   * Scale shape: the global token offset is the SAME distributed
+   * two-pass prefix sum as [[packShards]] — range-partition by
+   * (source, doc_id), per-partition token totals (a partition-count-row
+   * frame) windowed into per-partition base offsets, broadcast back,
+   * running sum within each partition. The segment fan-out
+   * (`explode(sequence(first_seq, last_seq))`) adds at most
+   * ⌈n_tokens/seqLen⌉ rows per document — output is linear,
+   * n_docs + total_tokens/seqLen rows, never quadratic.
+   *
+   * Assignment identical to the serial one-window form
+   * ([[packSequencesGlobalWindow]], the spec's equivalence baseline) and
+   * replicated value-for-value by the DuckDB oracle.
+   */
+  def packSequences(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = graft.queries.SharedFrames.aux(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .repartitionByRange(col("source"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    // global stream: ONE ordered window over the tiny per-partition
+    // totals frame (partition-count rows), not over the corpus
+    val wBase = W.orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    val wIn = W.partitionBy(col("__pid")).orderBy(col("source"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    segmentSpans(parts
+      .join(broadcast(bases), Seq("__pid"))
+      .withColumn("__s",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base")),
+      seqLen)
+  }
+
+  /** The one-window form of [[packSequences]] — a single global ordered
+    * running sum, serial by construction. Kept as the equivalence
+    * baseline the spec checks the two-pass default against. */
+  def packSequencesGlobalWindow(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("source"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    segmentSpans(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("__s", coalesce(sum(col("n_tokens")).over(w), lit(0L))),
+      seqLen)
+  }
+
+  /** Shared segment fan-out for the two [[packSequences]] forms: rows
+    * carry (doc_id, source, n_tokens, __s = global start offset); emit
+    * one row per overlapped `seqLen`-token sequence. Zero-token
+    * documents vanish (they contribute no tokens to any sequence). */
+  private def segmentSpans(withStart: DataFrame, seqLen: Long): DataFrame = {
+    val L = lit(seqLen)
+    withStart
+      .filter(col("n_tokens") > 0)
+      .withColumn("__e", col("__s") + col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__s") / lit(seqLen.toDouble)).cast("long"),
+        floor((col("__e") - 1) / lit(seqLen.toDouble)).cast("long"))))
+      .withColumn("__segs", greatest(col("__s"), col("seq_id") * L))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+        (col("__segs") - col("seq_id") * L).as("seq_offset"),
+        (col("__segs") - col("__s")).as("doc_offset"),
+        (least(col("__e"), (col("seq_id") + 1) * L) - col("__segs"))
+          .as("seg_tokens"))
+  }
+
+  /**
    * Per-source EXACT length-percentile gate — the distribution-aware
    * cousin of [[qualityGate]]'s fixed token bounds: a curation pipeline
    * trims each source's length tails ("drop the shortest 5% and longest

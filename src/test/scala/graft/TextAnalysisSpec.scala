@@ -364,6 +364,51 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("packSequences: cross-boundary segments, offsets, zero-token docs vanish") {
+    // global stream in (source, doc_id) order with seqLen=4:
+    //   (a,1) 3 toks  → span [0,3)   : seq0 off0, doc_off0, len3
+    //   (a,2) 6 toks  → span [3,9)   : seq0 off3 len1 | seq1 off0 len4 | seq2 off0 len1
+    //   (b,3) 0 toks  → no segments (empty text still yields 1 token; use null filter)
+    //   (b,4) 2 toks  → span [9,11)  : seq2 off1, doc_off0, len2
+    val df = Seq(
+      (1L, "a", "t t t"), (2L, "a", "t t t t t t"), (4L, "b", "u u"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(df, seqLen = 4L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id")) ->
+        ((r.getAs[Long]("seq_offset"), r.getAs[Long]("doc_offset"),
+          r.getAs[Long]("seg_tokens")))).toMap
+    assert(out((1L, 0L)) == ((0L, 0L, 3L)))
+    assert(out((2L, 0L)) == ((3L, 0L, 1L)))
+    assert(out((2L, 1L)) == ((0L, 1L, 4L)))
+    assert(out((2L, 2L)) == ((0L, 5L, 1L)))
+    assert(out((4L, 2L)) == ((1L, 0L, 2L)))
+    assert(out.size == 5)
+    // conservation: segments of each doc sum to its token count
+    val perDoc = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._3).sum)
+    assert(perDoc(1L) == 3L && perDoc(2L) == 6L && perDoc(4L) == 2L)
+    // every full sequence holds exactly seqLen tokens
+    val perSeq = out.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2._3).sum)
+    assert(perSeq(0L) == 4L && perSeq(1L) == 4L && perSeq(2L) == 3L)
+  }
+
+  test("packSequences two-pass prefix sum == global window, incl. boundary spans") {
+    // same 100 TB shape as the packShards equivalence: the global stream
+    // must not serialize into one window task; assignment (including
+    // docs straddling many sequence boundaries) bit-identical to the
+    // serial form
+    val giant = spark.range(0, 5000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'web' END AS source",
+      "repeat('t ', CAST(id % 23 + 1 AS INT)) AS text")
+    val twoPass = TextAnalysis.packSequences(giant, seqLen = 16L)
+    val oneWindow = TextAnalysis.packSequencesGlobalWindow(giant, seqLen = 16L)
+    assert(twoPass.exceptAll(oneWindow).isEmpty && oneWindow.exceptAll(twoPass).isEmpty,
+      "two-pass segment map diverged from the global-window baseline")
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"two-pass plan lost its range-partition-id windowing:\n$plan")
+  }
+
   test("lengthPercentileGate: exact ranks, keep bounds, singleton source") {
     val df = spark.range(0, 21).selectExpr(
       "id AS doc_id",
