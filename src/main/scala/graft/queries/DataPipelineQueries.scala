@@ -162,6 +162,12 @@ object DataPipelineQueries {
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "docTokenCounts")(
       TextAnalysis.docTokenCounts(docs(spark, sfDir)))
 
+  /** The model-based quality filter over the shared token frame; the
+    * broadcast weight table costs nothing to rebuild, so no memo. */
+  def qualityClassifierQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
+
   /** Memoized: unigramLogProb persists its vocabulary frequency frame at
     * build time (ADVICE r6 — un-memoized, every warmup + timed rep
     * stacked a fresh persisted vocab copy for the session lifetime). */
@@ -799,6 +805,31 @@ object DataPipelineQueries {
       |       round(stop, 6) AS stopword_ratio, round(rep, 6) AS rep_ratio,
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
+
+  /** Replicates [[graft.text.TextAnalysis.hashedLinearScore]] weight-
+    * for-weight: the same salted-md5 stub weight table (DuckDB's hex
+    * CAST equals Spark's `conv(_, 16, 10)` on the same 8 md5 hex
+    * chars), the same token→bucket hash, and the same integer-exact
+    * Σ count·w before the single IEEE division — scores match
+    * bit-for-bit, no float-sum order sensitivity. */
+  val qualityClassifierOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, token, count(*) AS c FROM t
+      |       GROUP BY doc_id, token),
+      |w AS (SELECT b,
+      |    CAST('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 2001 - 1000 AS w
+      |  FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
+      |h AS (SELECT doc_id, c,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS b
+      |  FROM tf)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(c * w.w) AS DOUBLE)
+      |    / (CAST(sum(c) AS BIGINT) * 1000.0), 6) AS logit,
+      |  round(CAST(sum(c * w.w) AS DOUBLE)
+      |    / (CAST(sum(c) AS BIGINT) * 1000.0), 6) >= 0.0 AS keep
+      |FROM h JOIN w USING (b) GROUP BY doc_id""".stripMargin
 
   val docLogprobOracle: String =
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1525,6 +1556,10 @@ object DataPipelineQueries {
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
+    // after quality_gate, before the LM queries: shares the persisted
+    // (doc, token, count) frame with doc_logprob/doc_entropy/tfidf/vocab
+    NamedQuery("quality_classifier", qualityClassifierQ,
+      Some(qualityClassifierOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),

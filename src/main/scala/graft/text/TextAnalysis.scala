@@ -226,6 +226,55 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__k"))
 
+  /**
+   * Model-based quality scoring — the hashed-feature LINEAR CLASSIFIER
+   * family (the fastText / logistic-regression quality filter every
+   * large corpus pipeline runs after the heuristic gates): each token
+   * hashes into one of `nBuckets` feature buckets, a weight-per-bucket
+   * model table scores the document as the token-frequency-weighted
+   * mean bucket weight, and documents at or above `threshold` (on the
+   * logit scale — sigmoid is monotone, so thresholding the logit IS
+   * thresholding the probability) are kept.
+   *
+   * The WEIGHTS here are a deterministic stub (bucket id → salted-md5 →
+   * integer in [-1000, 1000]) standing in for trained parameters — this
+   * container has no training data for a real quality model. Everything
+   * around them is the production shape: the weight table is a
+   * `nBuckets`-row frame broadcast to every executor (exactly how a
+   * quantized fastText/LR model deploys), token→bucket hashing is
+   * map-side over the shared (doc, token, count) frame, and the score
+   * aggregates in EXACT integer space (Σ count·w_int is
+   * order-independent, unlike a double sum), with ONE IEEE division at
+   * the end — so the DuckDB oracle reproduces scores bit-for-bit. Swap
+   * the stub generator for a `spark.read` of trained weights at
+   * deployment; the plan does not change.
+   *
+   * Plan: tokens → map-side bucket hash → broadcast-hash-join (the
+   * weight table never shuffles the corpus) → partial-aggregated
+   * groupBy(doc_id) — one shuffle at document grain.
+   */
+  def hashedLinearScore(docs: DataFrame, nBuckets: Int = 4096,
+                        threshold: Double = 0.0,
+                        sharedTf: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(nBuckets.toLong).select(
+      col("id").as("__b"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2001 - 1000).as("__w"))
+    sharedTf.getOrElse(docTokenCounts(docs))
+      .withColumn("__b",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__k") * col("__w")).as("__sw"),
+        sum(col("__k")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sw") / (col("n_tokens") * 1000.0), 6).as("logit"),
+        (round(col("__sw") / (col("n_tokens") * 1000.0), 6) >= threshold)
+          .as("keep"))
+  }
+
   def vocabTopK(docs: DataFrame, k: Int = 100,
                 sharedTf: Option[DataFrame] = None): DataFrame =
     sharedTf.getOrElse(docTokenCounts(docs))

@@ -364,6 +364,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("hashedLinearScore: matches a Scala re-derivation; weights broadcast") {
+    // independent re-derivation of the stub model in plain Scala — the
+    // operator must agree doc-for-doc, and the plan must broadcast the
+    // weight table (never shuffle the corpus against it)
+    def hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(b: Long): Long = hex8(s"w:$b") % 2001 - 1000
+    def score(text: String): (Long, Double) = {
+      val toks = text.split(" ", -1)
+      val sw = toks.map(t => weight(hex8(t) % 4096)).sum
+      (toks.length.toLong,
+        math.rint(sw.toDouble / (toks.length * 1000.0) * 1e6) / 1e6)
+    }
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "the the the"),
+      (3L, "lorem ipsum dolor sit amet"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("logit"),
+          r.getAs[Boolean]("keep")))).toMap
+    for ((id, text) <- Seq(1L -> "the quick brown fox", 2L -> "the the the",
+        3L -> "lorem ipsum dolor sit amet", 4L -> "x")) {
+      val (n, s) = score(text)
+      assert(out(id) == ((n, s, s >= 0.0)), s"doc $id: got ${out(id)}, want ($n, $s)")
+    }
+    val plan = TextAnalysis.hashedLinearScore(df)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight-table join must broadcast:\n$plan")
+  }
+
   test("packSequences: cross-boundary segments, offsets, zero-token docs vanish") {
     // global stream in (source, doc_id) order with seqLen=4:
     //   (a,1) 3 toks  → span [0,3)   : seq0 off0, doc_off0, len3
