@@ -93,6 +93,17 @@ object ScaleSmoke {
       val (tSpans, spanDocs) = timed {
         Dedup.duplicateSpanStats(docs, k = 12).count()
       }
+      // linear one-shuffle curation ops: the packer trend guards the
+      // two-pass prefix sum (a serialization cliff would show as
+      // super-linear growth at high K), the classifier trend the
+      // broadcast-model join; their internal aux persists are
+      // doc-count-sized and fall to the loop-end clearCache
+      val (tPackSeq, segRows) = timed {
+        TextAnalysis.packSequences(docs).count()
+      }
+      val (tQc, qcRows) = timed {
+        TextAnalysis.hashedLinearScore(docs).count()
+      }
       // embeddings side: exact copies under fresh ids — queries and the
       // decontamination eval set stay pinned to ORIGINAL ids so candidate
       // and output sizes grow linearly in K (eval × corpus, not K²) and
@@ -131,7 +142,9 @@ object ScaleSmoke {
         s""""spans_sec":$tSpans,"span_docs":$spanDocs,""" +
         s""""pq_sec":$tPq,"adc_sec":$tAdc,""" +
         s""""semdecon_sec":$tSemDecon,"flagged":$flagged,""" +
-        s""""ivfpq_sec":$tIvfPq,"ivfpq_rows":$ivfPqRows}""")
+        s""""ivfpq_sec":$tIvfPq,"ivfpq_rows":$ivfPqRows,""" +
+        s""""packseq_sec":$tPackSeq,"seg_rows":$segRows,""" +
+        s""""qclass_sec":$tQc,"qclass_rows":$qcRows}""")
       codes.unpersist(); embs.unpersist()
       sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
     }

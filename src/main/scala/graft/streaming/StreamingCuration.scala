@@ -169,4 +169,21 @@ object StreamingCuration {
                                   tables: Int = 8): DataFrame =
     graft.similarity.Similarity.semanticDecontaminateStateless(
       embStream, evalVectors, threshold, bits, tables)
+
+  /**
+   * Streaming model-based quality filter — the ingest-time shape of
+   * [[graft.text.TextAnalysis.hashedLinearScore]]: the broadcast weight
+   * table becomes one array literal in the plan and each document
+   * scores over its OWN tokens with a per-row fold
+   * ([[graft.text.TextAnalysis.hashedLinearScoreStateless]]) — a pure
+   * projection, so the stream holds zero state, needs no watermark, and
+   * is append-safe by construction. Scores match the batch operator
+   * row-for-row across microbatch boundaries (StreamingCurationSpec).
+   *
+   * @param docStream streaming frame with (doc_id, text)
+   */
+  def qualityClassifierStream(docStream: DataFrame, nBuckets: Int = 4096,
+                              threshold: Double = 0.0): DataFrame =
+    graft.text.TextAnalysis.hashedLinearScoreStateless(
+      docStream, nBuckets, threshold)
 }

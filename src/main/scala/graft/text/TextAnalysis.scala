@@ -275,6 +275,40 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /**
+   * Stateless per-row form of [[hashedLinearScore]] — the INGEST-time
+   * shape of the same model: the 4096-bucket weight table collapses to
+   * a single array literal in the plan (`typedlit`, one Literal node,
+   * not 4096), and the score folds over each row's own tokens with
+   * `aggregate(...)` — no explode, no join, no aggregation, so the
+   * operator is append-safe on an unbounded stream with ZERO state
+   * (see [[graft.streaming.StreamingCuration.qualityClassifierStream]]).
+   * Weights are the same salted-md5 stub computed driver-side
+   * (O(nBuckets) scalar work); scores are identical to the batch
+   * operator row-for-row (asserted in TextAnalysisSpec, incl. the
+   * integer-exact Σ count·w — the fold sums the same longs in document
+   * order, and long addition commutes exactly).
+   */
+  def hashedLinearScoreStateless(docs: DataFrame, nBuckets: Int = 4096,
+                                 threshold: Double = 0.0): DataFrame = {
+    def hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val w = typedlit((0 until nBuckets).map(b => hex8(s"w:$b") % 2001 - 1000))
+    val toks = TextOps.tokens(col("text"))
+    val sw = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(w,
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % nBuckets + 1)
+          .cast("int")))
+    docs.filter(col("text").isNotNull)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("logit", round(sw / (col("n_tokens") * 1000.0), 6))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        (col("logit") >= threshold).as("keep"))
+  }
+
   def vocabTopK(docs: DataFrame, k: Int = 100,
                 sharedTf: Option[DataFrame] = None): DataFrame =
     sharedTf.getOrElse(docTokenCounts(docs))

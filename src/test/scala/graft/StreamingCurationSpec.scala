@@ -187,6 +187,35 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality classifier: stateless, matches batch scores " +
+    "across microbatch boundaries") {
+    // the model filter at ingest: per-row fold over the literal weight
+    // array — batch boundaries can't matter, scores equal the
+    // broadcast-join batch operator on the same docs
+    val docRows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(80)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = StreamingCuration.qualityClassifierStream(
+      stream.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming)
+    stream.addData(docRows.take(40).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("sqclass")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(docRows.drop(40).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sqclass").collect().map(_.toSeq).toSet
+      val want = graft.text.TextAnalysis.hashedLinearScore(
+        docRows.toSeq.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+      assert(want.nonEmpty)
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+  }
+
   test("stateless pseudonymization runs on a stream unchanged") {
     // Privacy.pseudonymize is pure per-row projection — raw identifiers
     // can be scrubbed at INGEST, before anything lands; this pins that

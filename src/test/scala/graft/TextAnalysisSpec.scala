@@ -399,6 +399,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"weight-table join must broadcast:\n$plan")
   }
 
+  test("hashedLinearScoreStateless == batch operator row-for-row") {
+    // the per-row fold over the typedlit weight array must reproduce the
+    // broadcast-join batch scores exactly (same longs, exact addition)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(300)
+    val batch = TextAnalysis.hashedLinearScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    val stateless = TextAnalysis.hashedLinearScoreStateless(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(stateless == batch,
+      s"only-stateless=${stateless -- batch} only-batch=${batch -- stateless}")
+  }
+
   test("packSequences: cross-boundary segments, offsets, zero-token docs vanish") {
     // global stream in (source, doc_id) order with seqLen=4:
     //   (a,1) 3 toks  → span [0,3)   : seq0 off0, doc_off0, len3
