@@ -95,6 +95,12 @@ object DataPipelineQueries {
         sharedSignature = Some(sharedSignature(spark, sfDir)))
     }
 
+  /** Source-pair duplication matrix over the memoized minhash pair
+    * table — the "which feeds mirror each other" report. Runs after
+    * dedup_minhash in registry order, so the pair memo is warm. */
+  def crossSourceLeakageQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.crossSourceLeakage(dedupMinhash(spark, sfDir), docs(spark, sfDir))
+
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairsExact(docs(spark, sfDir),
       sharedShingles = Some(sharedShingles(spark, sfDir)))
@@ -591,7 +597,11 @@ object DataPipelineQueries {
     s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM mh")
     .mkString("\n  UNION ALL ")
 
-  val dedupMinhashOracle: String = {
+  /** The full minhash pair pipeline as CTEs ending in
+    * `pairs(doc_a, doc_b, jaccard)` — the pair oracle SELECTs it
+    * directly; the cross-source leakage oracle aggregates it (mirrors
+    * both Spark queries consuming the one memoized pair table). */
+  private val minhashPairCtes: String = {
     val mins = minhashMinsSql
     val bands0 = minhashBands0Sql
     val bands =
@@ -613,14 +623,33 @@ object DataPipelineQueries {
        |  FROM cand c
        |  JOIN shd sa ON sa.doc_id = c.da
        |  JOIN shd sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
-       |  GROUP BY c.da, c.db)
-       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |  GROUP BY c.da, c.db),
+       |pairs AS (SELECT i.da AS doc_a, i.db AS doc_b,
        |       round(CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i), 6) AS jaccard
        |FROM inter i
        |JOIN sizes za ON za.doc_id = i.da
        |JOIN sizes zb ON zb.doc_id = i.db
-       |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
+       |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5)""".stripMargin
   }
+
+  val dedupMinhashOracle: String =
+    s"$minhashPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** Same unordered-source-pair rollup as `Dedup.crossSourceLeakage`:
+    * micro-unit LONG summation keeps the mass order-independent and
+    * exact in both engines (each 6-dp jaccard rounds to the same
+    * integer count of 1e-6 units). */
+  val crossSourceLeakageOracle: String =
+    s"""$minhashPairCtes
+       |SELECT least(da.source, db.source) AS src_a,
+       |       greatest(da.source, db.source) AS src_b,
+       |       count(*) AS pair_count,
+       |       CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+       |         AS jaccard_mass_e6
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b
+       |GROUP BY 1, 2""".stripMargin
 
   val dedupJaccardOracle: String =
     s"""$shingleCtes,
@@ -825,10 +854,10 @@ object DataPipelineQueries {
       |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS b
       |  FROM tf)
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-      |  round(CAST(sum(c * w.w) AS DOUBLE)
-      |    / (CAST(sum(c) AS BIGINT) * 1000.0), 6) AS logit,
-      |  round(CAST(sum(c * w.w) AS DOUBLE)
-      |    / (CAST(sum(c) AS BIGINT) * 1000.0), 6) >= 0.0 AS keep
+      |  round(CAST(sum(c * w.w) * 1000 AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT)) / 1000000.0 AS logit,
+      |  round(CAST(sum(c * w.w) * 1000 AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT)) / 1000000.0 >= 0.0 AS keep
       |FROM h JOIN w USING (b) GROUP BY doc_id""".stripMargin
 
   val docLogprobOracle: String =
@@ -1542,6 +1571,8 @@ object DataPipelineQueries {
     NamedQuery("span_boilerplate", spanBoilerplate, Some(spanBoilerplateOracle)),
     NamedQuery("strip_boilerplate", stripBoilerplateQ, Some(stripBoilerplateOracle)),
     NamedQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle)),
+    NamedQuery("cross_source_leakage", crossSourceLeakageQ,
+      Some(crossSourceLeakageOracle)),
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),

@@ -224,6 +224,45 @@ object Dedup {
   }
 
   /**
+   * Cross-source duplication (leakage) matrix — which corpus SOURCES
+   * duplicate each other. Ingest pipelines crawl overlapping feeds
+   * (mirrors, aggregators, re-posts); per-pair dedup removes the rows
+   * but says nothing about WHERE the duplication concentrates. This
+   * rollup turns any near-dup pair table into a per-source-pair report
+   * — the input to "drop source B, it's 80% a mirror of A" decisions.
+   *
+   * Input: a `(doc_a, doc_b, jaccard)` pair table (e.g.
+   * [[nearDupMinhashLsh]]) plus `documents(doc_id, source)`. Output one
+   * row per unordered source pair that shares at least one near-dup:
+   * `(src_a, src_b, pair_count, jaccard_mass_e6)` — src_a <= src_b so
+   * the matrix is upper-triangular (self-pairs on the diagonal =
+   * WITHIN-source duplication), and the jaccard mass is summed in
+   * micro-units as a LONG so it is order-independent and exact
+   * (6-dp jaccards are integer multiples of 1e-6; double summation
+   * would be non-associative across partitions).
+   *
+   * Scale shape: the pair table is O(duplicate pairs) — tiny next to
+   * the corpus — so BOTH source-lookup joins broadcast the pair side
+   * and the 2-column (doc_id, source) projection of the corpus streams
+   * map-side through them; the corpus is never shuffled. The final
+   * aggregation is on source-pair keys (bounded by #sources²).
+   */
+  def crossSourceLeakage(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val withA = broadcast(pairs)
+      .join(srcs, col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("source").as("__srca"))
+    broadcast(withA)
+      .join(srcs, col("doc_id") === col("doc_b"))
+      .groupBy(
+        least(col("__srca"), col("source")).as("src_a"),
+        greatest(col("__srca"), col("source")).as("src_b"))
+      .agg(count(lit(1)).as("pair_count"),
+        sum(round(col("jaccard") * 1e6).cast("long")).as("jaccard_mass_e6"))
+  }
+
+  /**
    * Benchmark decontamination — the GPT-3/Pile-style n-gram overlap
    * check a training pipeline runs before every release: flag each
    * training document that shares at least one word n-gram with any

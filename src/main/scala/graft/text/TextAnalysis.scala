@@ -270,10 +270,22 @@ object TextAnalysis {
       .agg(sum(col("__k") * col("__w")).as("__sw"),
         sum(col("__k")).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__sw") / (col("n_tokens") * 1000.0), 6).as("logit"),
-        (round(col("__sw") / (col("n_tokens") * 1000.0), 6) >= threshold)
-          .as("keep"))
+        microLogit(col("__sw"), col("n_tokens")).as("logit"),
+        (microLogit(col("__sw"), col("n_tokens")) >= threshold).as("keep"))
   }
+
+  /** Tie-proof 6-dp logit: Σc·w / (n·1000) rounded via INTEGER
+    * micro-units. `round(x, 6)` scales before rounding, and the two
+    * engines scale differently (Java re-rounds the double's shortest
+    * decimal representation; DuckDB multiplies by 1e6 in floating
+    * point), so an exact-tie rational like S·1000/n = k + 1/2 can land
+    * on different sides (observed once at sf0.001). Both inputs are
+    * integers < 2^53, so `S·1000.0/n` is the identical IEEE division in
+    * both engines, single-argument round-half-away-from-zero agrees,
+    * and dividing the integer-valued result by 1e6 is again one shared
+    * IEEE op. */
+  private def microLogit(sw: Column, n: Column): Column =
+    round(sw * lit(1000.0) / n) / lit(1e6)
 
   /**
    * Stateless per-row form of [[hashedLinearScore]] — the INGEST-time
@@ -304,7 +316,7 @@ object TextAnalysis {
           .cast("int")))
     docs.filter(col("text").isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("logit", round(sw / (col("n_tokens") * 1000.0), 6))
+      .withColumn("logit", microLogit(sw, col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("logit"),
         (col("logit") >= threshold).as("keep"))
   }

@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("crossSourceLeakage: unordered source-pair rollup with exact micro-mass") {
+    // pairs: (1,2) across srcB/srcA → (srcA,srcB); (3,4) within srcA
+    // (diagonal); (5,6) across srcA/srcB again — accumulates with (1,2)
+    val pairs = Seq(
+      (1L, 2L, 0.51), (3L, 4L, 1.0), (5L, 6L, 0.666667))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val docs = Seq(
+      (1L, "srcB"), (2L, "srcA"), (3L, "srcA"), (4L, "srcA"),
+      (5L, "srcA"), (6L, "srcB"))
+      .toDF("doc_id", "source")
+    val out = Dedup.crossSourceLeakage(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    assert(out.toSeq == Seq(
+      ("srcA", "srcA", 1L, 1000000L),
+      ("srcA", "srcB", 2L, 510000L + 666667L)))
+  }
+
   test("candidate pairs are verified: low-jaccard collisions are filtered") {
     // even if a band collided by chance, threshold 0.9 must drop this pair
     val out = Dedup.nearDupMinhashLsh(docsDF(
