@@ -174,6 +174,16 @@ object DataPipelineQueries {
     TextAnalysis.hashedLinearScore(docs(spark, sfDir),
       sharedTf = Some(docTokenCounts(spark, sfDir)))
 
+  /** DSIR importance weights over the shared token frame. The target
+    * slice is the 'en' half of one source — standing in for the small
+    * curated reference corpus (wiki/books) a production run would pass.
+    * Model tables are bucket-grain and broadcast; no memo needed. */
+  def dsirWeightsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(spark, sfDir),
+      docs(spark, sfDir)
+        .filter("lang = 'en' AND source = 'src0'"),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
+
   /** Memoized: unigramLogProb persists its vocabulary frequency frame at
     * build time (ADVICE r6 — un-memoized, every warmup + timed rep
     * stacked a fresh persisted vocab copy for the session lifetime). */
@@ -859,6 +869,33 @@ object DataPipelineQueries {
       |  round(CAST(sum(c * w.w) * 1000 AS DOUBLE)
       |    / CAST(sum(c) AS BIGINT)) / 1000000.0 >= 0.0 AS keep
       |FROM h JOIN w USING (b) GROUP BY doc_id""".stripMargin
+
+  /** Same hashed-unigram DSIR construction as `TextAnalysis.dsirWeights`:
+    * identical md5 bucketing, add-one-smoothed target/raw multinomials
+    * with integer-exact numerators and denominators, ln of the same IEEE
+    * divisions, counts-weighted sum per doc. */
+  val dsirWeightsOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
+      |h AS (SELECT doc_id, c,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024 AS b
+      |  FROM tf),
+      |tc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM h
+      |       JOIN documents d USING (doc_id)
+      |       WHERE d.lang = 'en' AND d.source = 'src0' GROUP BY b),
+      |rc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM h GROUP BY b),
+      |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tT FROM tc),
+      |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS rT FROM rc),
+      |m AS (SELECT rc.b,
+      |    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+      |       / CAST(tT + 1024 AS DOUBLE))
+      |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(rT + 1024 AS DOUBLE)) AS lr
+      |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       round(sum(c * lr), 6) AS log_ratio,
+      |       round(sum(c * lr) / CAST(sum(c) AS BIGINT), 6) AS avg_log_ratio
+      |FROM h JOIN m USING (b) GROUP BY doc_id""".stripMargin
 
   val docLogprobOracle: String =
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1591,6 +1628,7 @@ object DataPipelineQueries {
     // (doc, token, count) frame with doc_logprob/doc_entropy/tfidf/vocab
     NamedQuery("quality_classifier", qualityClassifierQ,
       Some(qualityClassifierOracle)),
+    NamedQuery("dsir_weights", dsirWeightsQ, Some(dsirWeightsOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),

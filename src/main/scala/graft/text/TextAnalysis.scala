@@ -321,6 +321,60 @@ object TextAnalysis {
         (col("logit") >= threshold).as("keep"))
   }
 
+  /**
+   * DSIR-style importance weights for data selection (Xie et al. 2023,
+   * "Data Selection for Language Models via Importance Resampling"):
+   * score every raw document by how much it resembles a TARGET slice
+   * under two bag-of-hashed-features models. Each token hashes into one
+   * of `nBuckets` buckets; unigram bucket counts over the target slice
+   * and over the whole raw corpus become add-one-smoothed multinomials
+   * p (target) and q (raw), and a document's weight is its feature-count
+   * -weighted log-likelihood ratio Σ_b c_b·(ln p_b − ln q_b). Output
+   * `(doc_id, n_tokens, log_ratio, avg_log_ratio)` — the total ratio
+   * (DSIR's resampling weight) plus the per-token mean (length-
+   * debiased, the form to threshold on).
+   *
+   * Scale shape: both model tables are bucket-grain (≤ `nBuckets`
+   * rows), so the scoring join BROADCASTS the model and the token frame
+   * aggregates straight to doc grain — the corpus shuffles once at
+   * occurrence grain (shared with every other consumer of
+   * [[docTokenCounts]]) and once at doc grain. The target slice is
+   * identified by a semi-join on `targetIds`; DSIR targets are small
+   * curated sets (wiki/books-sized, not corpus-sized), so that join
+   * broadcasts too. Totals T and R enter via single-row cross joins,
+   * never a driver collect.
+   */
+  def dsirWeights(docs: DataFrame, targetIds: DataFrame, nBuckets: Int = 1024,
+                  sharedTf: Option[DataFrame] = None): DataFrame = {
+    val h = sharedTf.getOrElse(docTokenCounts(docs))
+      .withColumn("__b",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+    val tcnt = h.join(broadcast(targetIds.select(col("doc_id"))), Seq("doc_id"))
+      .groupBy(col("__b")).agg(sum(col("__k")).as("__ct"))
+    val rcnt = h.groupBy(col("__b")).agg(sum(col("__k")).as("__cr"))
+    val tTot = tcnt.agg(sum(col("__ct")).as("__tT"))
+    val rTot = rcnt.agg(sum(col("__cr")).as("__rT"))
+    // bucket-grain model: ≤ nBuckets rows; ln of identical IEEE
+    // divisions in both engines (integer numerators/denominators
+    // converted exactly to double)
+    val model = rcnt
+      .join(tcnt, Seq("__b"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double")
+            / (col("__tT") + nBuckets).cast("double"))
+          - log((col("__cr") + 1).cast("double")
+            / (col("__rT") + nBuckets).cast("double"))).as("__lr"))
+    h.join(broadcast(model), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        sum(col("__k") * col("__lr")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__s"), 6).as("log_ratio"),
+        round(col("__s") / col("n_tokens"), 6).as("avg_log_ratio"))
+  }
+
   def vocabTopK(docs: DataFrame, k: Int = 100,
                 sharedTf: Option[DataFrame] = None): DataFrame =
     sharedTf.getOrElse(docTokenCounts(docs))

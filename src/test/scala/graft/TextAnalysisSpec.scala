@@ -399,6 +399,52 @@ class TextAnalysisSpec extends SparkSpec {
       s"weight-table join must broadcast:\n$plan")
   }
 
+  test("dsirWeights: matches a Scala re-derivation; target docs rank higher") {
+    // independent re-derivation of the hashed-unigram DSIR models in
+    // plain Scala; docs 1-2 share the target vocabulary, 3-4 are alien —
+    // the operator must reproduce every weight and rank 1-2 above 3-4
+    def hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val corpus = Seq(
+      1L -> "alpha beta gamma alpha", 2L -> "beta gamma gamma delta",
+      3L -> "zork quux blarg", 4L -> "quux quux blarg zork zork")
+    val targetIds = Set(1L, 2L)
+    val b = 1024
+    def buckets(text: String): Seq[Long] =
+      text.split(" ", -1).toSeq.map(t => hex8(t) % b)
+    val tc = corpus.filter(c => targetIds(c._1))
+      .flatMap(c => buckets(c._2)).groupBy(identity).view.mapValues(_.size)
+    val rc = corpus.flatMap(c => buckets(c._2))
+      .groupBy(identity).view.mapValues(_.size)
+    val tT = tc.values.sum; val rT = rc.values.sum
+    def lr(bk: Long): Double =
+      math.log((tc.getOrElse(bk, 0) + 1).toDouble / (tT + b)) -
+        math.log((rc(bk) + 1).toDouble / (rT + b))
+    def want(text: String): (Long, Double, Double) = {
+      val bs = buckets(text)
+      val s = bs.map(lr).sum
+      (bs.size.toLong, math.rint(s * 1e6) / 1e6,
+        math.rint(s / bs.size * 1e6) / 1e6)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(df,
+      Seq(1L, 2L).toDF("doc_id"), nBuckets = b).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("log_ratio"),
+          r.getAs[Double]("avg_log_ratio")))).toMap
+    for ((id, text) <- corpus)
+      assert(out(id) == want(text), s"doc $id: got ${out(id)}, want ${want(text)}")
+    assert(Seq(1L, 2L).map(out(_)._3).min > Seq(3L, 4L).map(out(_)._3).max,
+      s"target-like docs must out-score alien docs: $out")
+    val plan = TextAnalysis.dsirWeights(df, Seq(1L).toDF("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+  }
+
   test("hashedLinearScoreStateless == batch operator row-for-row") {
     // the per-row fold over the typedlit weight array must reproduce the
     // broadcast-join batch scores exactly (same longs, exact addition)
