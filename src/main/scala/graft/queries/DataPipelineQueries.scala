@@ -504,6 +504,13 @@ object DataPipelineQueries {
   def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.propsAgg(Tables.eventsSpread(spark, sfDir))
 
+  /** CMS heavy-hitter audit over event user traffic: top talkers by
+    * exact count with their count-min estimates — the trust report run
+    * before the exact per-key path is dropped at scale. */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sketches.heavyHittersAudit(
+      Tables.eventsSpread(spark, sfDir), org.apache.spark.sql.functions.col("user_id"))
+
   def eventsPseudonymize(spark: SparkSession, sfDir: String): DataFrame =
     graft.privacy.Privacy.releaseAudit(Tables.eventsSpread(spark, sfDir))
 
@@ -1562,6 +1569,28 @@ object DataPipelineQueries {
       |  lang AS meta_lang, n_chars AS meta_n_chars
       |FROM documents""".stripMargin
 
+  /** Same salted-md5 CMS as `Sketches.heavyHittersAudit` (depth 4,
+    * width 64): identical cells, min-over-rows estimates, top-20 by
+    * (exact desc, item) so the boundary is deterministic. */
+  val cmsHeavyHittersOracle: String =
+    """WITH ids AS (SELECT unnest(range(4)) AS r),
+      |cells AS (SELECT r,
+      |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+      |      || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b,
+      |    count(*) AS c
+      |  FROM events CROSS JOIN ids GROUP BY 1, 2),
+      |items AS (SELECT user_id AS item, count(*) AS exact_count
+      |  FROM events GROUP BY 1),
+      |est AS (SELECT item, exact_count, min(c) AS cms_estimate
+      |  FROM items CROSS JOIN ids
+      |  JOIN cells ON cells.r = ids.r
+      |    AND cells.b = CAST('0x' || substr(md5(CAST(ids.r AS VARCHAR)
+      |      || ':' || CAST(item AS VARCHAR)), 1, 8) AS BIGINT) % 64
+      |  GROUP BY 1, 2)
+      |SELECT item, exact_count, cms_estimate,
+      |       cms_estimate - exact_count AS overestimate
+      |FROM est ORDER BY exact_count DESC, item LIMIT 20""".stripMargin
+
   val eventsPropsOracle: String =
     """WITH e AS (SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS INT) k FROM events)
@@ -1680,6 +1709,8 @@ object DataPipelineQueries {
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
+    NamedQuery("cms_heavy_hitters", cmsHeavyHitters,
+      Some(cmsHeavyHittersOracle)),
     NamedQuery("events_pseudonymize", eventsPseudonymize,
       Some(eventsPseudonymizeOracle)),
     NamedQuery("pii_scrub", piiScrub, Some(piiScrubOracle)))

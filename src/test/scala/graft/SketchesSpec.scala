@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: cell construction, estimate guarantees, the
+  * additive-merge property that makes it streamable, and agreement with
+  * a plain-Scala re-derivation of the salted-md5 hash family. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+  private def bucket(r: Int, item: Long, width: Int): Long =
+    hex8(s"$r:$item") % width
+
+  // skewed traffic: item 7 dominates, then 3, then a tail
+  private val traffic: Seq[Long] =
+    Seq.fill(30)(7L) ++ Seq.fill(12)(3L) ++ (100L to 119L)
+
+  test("heavyHittersAudit matches a Scala re-derivation of the sketch") {
+    val depth = 4; val width = 8 // tiny width forces collisions
+    val cells = traffic.flatMap(i => (0 until depth).map(r =>
+      (r, bucket(r, i, width)))).groupBy(identity).view.mapValues(_.size)
+    val exact = traffic.groupBy(identity).view.mapValues(_.size)
+    def est(i: Long): Long = (0 until depth)
+      .map(r => cells((r, bucket(r, i, width)))).min.toLong
+    val want = exact.toSeq
+      .map { case (i, n) => (i, n.toLong, est(i), est(i) - n) }
+      .sortBy { case (i, n, _, _) => (-n, i) }.take(5).toSet
+    val got = Sketches.heavyHittersAudit(
+      traffic.toDF("user_id"), col("user_id"), k = 5,
+      depth = depth, width = width)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"got $got want $want")
+    // CMS invariant: estimate never undercounts
+    assert(got.forall { case (_, n, e, _) => e >= n })
+    // the dominant items must surface
+    assert(got.map(_._1).intersect(Set(7L, 3L)) == Set(7L, 3L))
+  }
+
+  test("cells merge by addition: sketch(A ++ B) == sketch(A) + sketch(B)") {
+    // the property that makes the sketch a mergeable aggregation state —
+    // per-partition partial sketches combine to the global one
+    val (a, b) = traffic.splitAt(25)
+    def cellMap(xs: Seq[Long]) = Sketches
+      .countMinCells(xs.toDF("user_id"), col("user_id"), width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cellMap(a).keySet ++ cellMap(b).keySet).map(k =>
+      k -> (cellMap(a).getOrElse(k, 0L) + cellMap(b).getOrElse(k, 0L))).toMap
+    assert(cellMap(traffic) == merged)
+  }
+
+  test("estimate lookup broadcasts the cell table") {
+    val plan = Sketches.heavyHittersAudit(
+      traffic.toDF("user_id"), col("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell lookup must broadcast:\n$plan")
+  }
+}
