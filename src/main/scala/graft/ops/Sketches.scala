@@ -29,14 +29,25 @@ object Sketches {
     conv(substring(md5(concat(lit(s"$r:"), item.cast("string"))), 1, 8),
       16, 10).cast("long") % width
 
+  /** Per-input-row exploded `(r, b)` hash pairs with the source columns
+    * retained — shared by the batch aggregation below and the windowed
+    * streaming twin
+    * ([[graft.streaming.StreamingCuration.countMinCellsStream]], which
+    * needs the event-time column to survive into its window group). */
+  def explodedCells(rows: DataFrame, item: Column,
+                    depth: Int = 4, width: Int = 64): DataFrame =
+    rows
+      .select(col("*"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, item, width).as("b"))): _*)).as("rb"))
+      .select(col("*"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .drop("rb")
+
   /** The sketch itself: `(r, b, c)` cell counts, `depth × width` rows.
     * One exploded pass over the input, partial-aggregated map-side. */
   def countMinCells(rows: DataFrame, item: Column,
                     depth: Int = 4, width: Int = 64): DataFrame =
-    rows
-      .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), bucket(r, item, width).as("b"))): _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+    explodedCells(rows, item, depth, width)
+      .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
 
   /**

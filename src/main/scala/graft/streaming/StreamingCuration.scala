@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.text.{Dedup, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -169,6 +169,36 @@ object StreamingCuration {
                                   tables: Int = 8): DataFrame =
     graft.similarity.Similarity.semanticDecontaminateStateless(
       embStream, evalVectors, threshold, bits, tables)
+
+  /**
+   * Windowed count-min sketch over an event stream — the streaming twin
+   * of [[graft.ops.Sketches.countMinCells]]: per tumbling window, the
+   * `depth × width` cell table, emitted append-mode on window close.
+   * This is the canonical reason the CMS exists: per-window per-key
+   * exact counting holds unbounded state on a 100 TB/day stream, while
+   * the sketch holds exactly `depth × width` counters per open window
+   * regardless of key cardinality, and its cells ADD — partial cells
+   * from executors merge in the shuffle, emitted windows merge across
+   * restarts/backfills (merge property pinned in SketchesSpec; cell
+   * parity with the batch sketch per window in StreamingCurationSpec).
+   * Heavy-hitter estimation is a batch lookup over the emitted cells
+   * ([[graft.ops.Sketches.heavyHittersAudit]] runs the same hashes).
+   *
+   * @param events streaming frame with an event-time column `tsCol`
+   * @param item   the column to sketch (e.g. `col("user_id")`)
+   */
+  def countMinCellsStream(events: DataFrame, item: Column,
+                          windowLength: String = "1 minute",
+                          tsCol: String = "ts",
+                          watermarkDelay: String = "10 seconds",
+                          depth: Int = 4, width: Int = 64): DataFrame =
+    graft.ops.Sketches.explodedCells(
+      events.withWatermark(tsCol, watermarkDelay), item, depth, width)
+      .groupBy(window(col(tsCol), windowLength), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("r"), col("b"), col("c"))
 
   /**
    * Streaming model-based quality filter — the ingest-time shape of

@@ -187,6 +187,40 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed CMS cells match the batch sketch per window") {
+    import graft.streaming.StreamingCuration
+    // two 60s windows of skewed user traffic, split across microbatches
+    val w1 = (1 to 12).map(i => (7L, ts(5 + i))) ++ Seq((3L, ts(20)), (8L, ts(40)))
+    val w2 = Seq((7L, ts(70)), (3L, ts(80)), (3L, ts(90)), (41L, ts(110)))
+    val stream = MemoryStream[(Long, Timestamp)](spark)
+    val out = StreamingCuration.countMinCellsStream(
+      stream.toDF().toDF("user_id", "ts"), col("user_id"), width = 8)
+    stream.addData(w1: _*)
+    val q = out.writeStream.format("memory").queryName("scms")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(w2: _*); q.processAllAvailable()
+      stream.addData((999L, ts(10000))); q.processAllAvailable()
+
+      val got = spark.table("scms")
+        .filter(col("window_start") < ts(1000))
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 1000,
+          r.getAs[Int]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+      // batch sketch over each window's rows must yield identical cells
+      val want = Seq(0L -> w1, 60L -> w2).flatMap { case (ws, rows) =>
+        graft.ops.Sketches.countMinCells(
+          rows.map(_._1).toDF("user_id"), col("user_id"), width = 8)
+          .collect()
+          .map(r => (ws, r.getAs[Int]("r"), r.getAs[Long]("b")) ->
+            r.getAs[Long]("c"))
+      }.toMap
+      assert(want.nonEmpty && got == want,
+        s"only-stream=${got.toSet -- want.toSet} only-batch=${want.toSet -- got.toSet}")
+    } finally q.stop()
+  }
+
   test("streaming quality classifier: stateless, matches batch scores " +
     "across microbatch boundaries") {
     // the model filter at ingest: per-row fold over the literal weight
