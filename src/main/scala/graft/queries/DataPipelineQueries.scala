@@ -443,6 +443,13 @@ object DataPipelineQueries {
   private def isNewBatch =
     org.apache.spark.sql.functions.col("doc_id") % 10 === 0
 
+  /** Bloom membership audit on the same ingest-batch split as
+    * `dedup_incremental`: per incoming doc, the broadcast-sketch
+    * verdict next to the exact one — the FP-rate report for the chosen
+    * (k, m) before the exact path is dropped at scale. */
+  def dedupBloomAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.bloomDedupAudit(docs(spark, sfDir), isNewBatch)
+
   /** Memoized: the near tier persists its touched-bucket sliver; reuses
     * the session-shared shingle + signature frames. */
   val dedupIncremental: (SparkSession, String) => DataFrame =
@@ -1429,6 +1436,28 @@ object DataPipelineQueries {
     * same corpus-fingerprint min, same band keys (the shared minhash
     * SELECTs), same touched-bucket cap, same (jaccard desc, doc_id)
     * best-match tiebreak on the 6-dp-rounded value. */
+  /** Same k=5 salted-md5 positions, m=4096, same `%10` batch split as
+    * `Dedup.bloomDedupAudit`; a doc bloom-hits iff all 5 probe rows
+    * survive the position join. */
+  val dedupBloomAuditOracle: String =
+    """WITH f AS (SELECT doc_id, md5(text) AS fp, (doc_id % 10 = 0) AS nw
+      |  FROM documents WHERE text IS NOT NULL),
+      |cf AS (SELECT DISTINCT fp FROM f WHERE NOT nw),
+      |ks AS (SELECT unnest(range(5)) AS i),
+      |bits AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(i AS VARCHAR)
+      |    || ':' || fp), 1, 8) AS BIGINT) % 4096 AS pos
+      |  FROM cf CROSS JOIN ks),
+      |inc AS (SELECT doc_id, fp FROM f WHERE nw),
+      |hp AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(i AS VARCHAR)
+      |    || ':' || fp), 1, 8) AS BIGINT) % 4096 AS pos
+      |  FROM inc CROSS JOIN ks),
+      |hits AS (SELECT doc_id, count(*) AS h FROM hp JOIN bits USING (pos)
+      |  GROUP BY 1)
+      |SELECT inc.doc_id, COALESCE(h, 0) = 5 AS bloom_hit,
+      |       cf.fp IS NOT NULL AS exact_dup
+      |FROM inc LEFT JOIN hits ON hits.doc_id = inc.doc_id
+      |LEFT JOIN cf ON cf.fp = inc.fp""".stripMargin
+
   val dedupIncrementalOracle: String = {
     val mins = minhashMinsSql
     val bands0 = minhashBands0Sql
@@ -1642,6 +1671,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_jaccard", dedupJaccard, Some(dedupJaccardOracle)),
     NamedQuery("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),
+    NamedQuery("dedup_bloom_audit", dedupBloomAudit,
+      Some(dedupBloomAuditOracle)),
     NamedQuery("dedup_containment", dedupContainment,
       Some(dedupContainmentOracle)),
     NamedQuery("dedup_jaccard_capped", dedupJaccardCapped,

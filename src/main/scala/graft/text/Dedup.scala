@@ -224,6 +224,56 @@ object Dedup {
   }
 
   /**
+   * Bloom-filter membership audit for incremental exact dedup — the
+   * classic broadcast-sketch primitive for "have we already landed this
+   * content?" at 100 TB: the corpus side is summarized ONCE into a
+   * fixed-size bit set (k salted-md5 positions per distinct content
+   * fingerprint, `mBits` possible positions — represented as the
+   * distinct-position table, ≤ `mBits` rows, the relational form of the
+   * bit array), and every incoming document probes it map-side through
+   * a broadcast join — no shuffle of either corpus or batch. A Bloom
+   * filter admits false POSITIVES only, so the cheap membership test
+   * routes the (few) hits to the expensive exact path and everything
+   * else lands immediately.
+   *
+   * This operator is the AUDIT form (same design as [[lshRecallAudit]]):
+   * it reports, per incoming doc, both the bloom verdict and the exact
+   * verdict, so the false-positive rate of a chosen `(kHashes, mBits)`
+   * is measured before the exact path is dropped. The no-false-negative
+   * guarantee (exact_dup ⇒ bloom_hit) is pinned in DedupSpec.
+   *
+   * @param isNewBatch predicate splitting `docs` into the incoming
+   *                   batch (true) vs the landed corpus (false)
+   */
+  def bloomDedupAudit(docs: DataFrame, isNewBatch: Column,
+                      kHashes: Int = 5, mBits: Int = 4096): DataFrame = {
+    def pos(i: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$i:"), c)), 1, 8), 16, 10).cast("long") % mBits
+    def positions(c: Column): Column =
+      explode(array((0 until kHashes).map(i => pos(i, c)): _*))
+    val fp = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("__fp"), isNewBatch.as("__new"))
+    val corpusFps = fp.filter(!col("__new")).select(col("__fp")).distinct()
+    val bits = corpusFps.select(positions(col("__fp")).as("pos")).distinct()
+    val incoming = fp.filter(col("__new"))
+    // inner join: an unset position drops its row, so a doc reaches
+    // kHashes matched rows iff EVERY probe position is set (duplicate
+    // positions within one doc's k probes either all match or all drop)
+    val hits = incoming
+      .select(col("doc_id"), positions(col("__fp")).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+    incoming
+      .join(hits, Seq("doc_id"), "left")
+      .join(corpusFps.select(col("__fp"), lit(true).as("__in")),
+        Seq("__fp"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("__hits"), lit(0L)) === kHashes).as("bloom_hit"),
+        coalesce(col("__in"), lit(false)).as("exact_dup"))
+  }
+
+  /**
    * Cross-source duplication (leakage) matrix — which corpus SOURCES
    * duplicate each other. Ingest pipelines crawl overlapping feeds
    * (mirrors, aggregators, re-posts); per-pair dedup removes the rows

@@ -120,6 +120,40 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("bloomDedupAudit: no false negatives; verdicts match a Scala bloom") {
+    def hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val corpus = Seq(1L -> "a b c", 2L -> "d e f", 3L -> "g h i",
+      4L -> "j k l", 5L -> "m n o")
+    // incoming: 10 = exact dup of 1; the rest new (11 collides or not
+    // per the hash — the Scala re-derivation decides, not a guess)
+    val incoming = Seq(10L -> "a b c", 11L -> "p q r", 12L -> "s t u")
+    val mBits = 64 // tiny filter so false positives are plausible
+    val kH = 3
+    def posSet(texts: Seq[String]): Set[Long] =
+      texts.flatMap(t => (0 until kH).map(i =>
+        hex8(s"$i:${md5hex(t)}") % mBits)).toSet
+    val bits = posSet(corpus.map(_._2))
+    val want = incoming.map { case (id, t) =>
+      (id, (0 until kH).forall(i => bits(hex8(s"$i:${md5hex(t)}") % mBits)),
+        corpus.map(_._2).contains(t))
+    }.toSet
+    val df = (corpus ++ incoming).toDF("doc_id", "text")
+    val got = Dedup.bloomDedupAudit(df, col("doc_id") >= 10L,
+      kHashes = kH, mBits = mBits).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(got == want, s"got $got want $want")
+    // the bloom guarantee: every exact dup is a bloom hit
+    assert(got.forall { case (_, hit, dup) => !dup || hit })
+    assert(got.exists { case (_, hit, dup) => hit && dup }, "doc 10 must hit")
+  }
+
   test("crossSourceLeakage: unordered source-pair rollup with exact micro-mass") {
     // pairs: (1,2) across srcB/srcA → (srcA,srcB); (3,4) within srcA
     // (diagonal); (5,6) across srcA/srcB again — accumulates with (1,2)
