@@ -245,6 +245,23 @@ object DataPipelineQueries {
       Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
+  /** JL random projection (map-side, no shuffle) and its distortion
+    * audit over the smallest-id sample; dim pinned by RpConfig so a
+    * drifted corpus fails loudly, not as an oracle value mismatch.
+    * Registered in exploded (vec_id, comp, value) form — the driver's
+    * compare hashes scalar cells, not arrays; the array-valued operator
+    * is the library surface. */
+  def embeddingRp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    Similarity.randomProjection(embs(spark, sfDir))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        posexplode(org.apache.spark.sql.functions.col("rp")))
+      .toDF("vec_id", "comp", "value")
+  }
+
+  def rpDistortion(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.rpDistortionAudit(embs(spark, sfDir))
+
   /** Memoized: the per-dim range aggregation runs at build time. */
   val embeddingQuantize: (SparkSession, String) => DataFrame =
     memoized("embeddingQuantize") { (spark, sfDir) =>
@@ -1706,6 +1723,9 @@ object DataPipelineQueries {
       Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
+    NamedQuery("embedding_rp", embeddingRp, Some(Similarity.rpOracleSql())),
+    NamedQuery("rp_distortion", rpDistortion,
+      Some(Similarity.rpDistortionOracleSql())),
     NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),
     // right after embedding_pq: shares its memoized code assignment
     NamedQuery("similarity_pq", similarityPq, Some(Similarity.adcTopKOracleSql())),

@@ -37,8 +37,15 @@ class PlanShapeSpec extends SparkSpec {
     * the k-NN label audit votes over exactly that neighbor frame.
     * similarity_ivf left the whitelist in r7: its deterministic centroids
     * are plan literals, so assignment is map-side and the probe join is a
-    * broadcast EQUI join on the cell key. */
-  private val intentionalBnlj = Set("similarity_topk", "knn_label_audit")
+    * broadcast EQUI join on the cell key.
+    * dsir_weights attaches its two SINGLE-ROW corpus totals (T, R) to the
+    * bucket-grain model via cross joins — a broadcast of one row over
+    * ≤ nBuckets rows, O(model) work, kept relational so the build needs
+    * no driver action. rp_distortion pairs the nSample (8) projected
+    * vectors under `vec_a < vec_b` — an inequality self-join over a
+    * constant-size sample, never the corpus. */
+  private val intentionalBnlj =
+    Set("similarity_topk", "knn_label_audit", "dsir_weights", "rp_distortion")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —

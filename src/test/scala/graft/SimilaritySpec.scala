@@ -345,6 +345,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._1 == out(13L)._1 && out(0L)._2 == out(13L)._2)
   }
 
+  test("randomProjection: matches a Scala re-derivation, map-side only") {
+    val cfg = Similarity.RpConfig(kDims = 4, dim = 6, seed = 99L, nSample = 3)
+    val rows = Seq(
+      1L -> Array(1f, 2f, 3f, -1f, 0.5f, 4f),
+      2L -> Array(-2f, 0f, 1f, 1f, 1f, -3f))
+    val out = Similarity.randomProjection(
+      rows.toDF("vec_id", "embedding"), cfg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // identical fixed-seed matrix, identical fold order
+    val rnd = new scala.util.Random(99L)
+    val signs = Seq.fill(4)(Seq.fill(6)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    for ((id, v) <- rows) {
+      val want = signs.map { s =>
+        val acc = v.map(_.toDouble).zip(s).foldLeft(0.0) {
+          case (a, (x, w)) => a + x * w }
+        math.rint(acc / 2.0 * 1e6) / 1e6 // sqrt(4) = 2
+      }
+      assert(out(id) == want, s"vec $id: got ${out(id)}, want $want")
+    }
+    // projection must be pure map work: no exchange in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = Similarity.randomProjection(
+      rows.toDF("vec_id", "embedding"), cfg).queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"random projection must not shuffle:\n$plan")
+  }
+
+  test("rpDistortionAudit: JL ratios center on 1 on the real corpus") {
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.rpDistortionAudit(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.length == 28, s"8 sample vecs -> 28 pairs, got ${rows.length}")
+    val ratios = rows.map(_._3)
+    val mean = ratios.sum / ratios.length
+    // E[ratio] = 1 under JL; k=16 gives wide but centered spread
+    assert(mean > 0.6 && mean < 1.5, s"mean distortion ratio $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"pathological distortion: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("LSH ANN output is a subset of candidates re-ranked by true cosine") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(embs, nQueries = 2, k = 3).collect()
