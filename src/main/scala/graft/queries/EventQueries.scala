@@ -160,6 +160,14 @@ object EventQueries {
   /** Per-user sessions (6-hour inactivity gap) — persisted once per
     * (session, sfDir): `session_stats` is one tiny aggregation over the
     * same frame. */
+  /** Cohort retention matrix over the raw event stream. Registered with
+    * cohort_day cast DATE→TIMESTAMP (UTC midnight): the compare harness
+    * reads Spark DATE cells as python date objects but DuckDB DATE as
+    * datetime64, so same-day values would mis-compare as types. */
+  def userRetentionQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Retention.cohortMatrix(Tables.eventsSpread(spark, sfDir))
+      .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+
   def userSessionsQ(spark: SparkSession, sfDir: String): DataFrame =
     memo(spark, sfDir, "userSessions") {
       Sessionize.userSessions(
@@ -290,6 +298,19 @@ object EventQueries {
     * `ts - prev > gap` — STRICT, because Spark merges boundary-adjacent
     * windows (an event at exactly prev + gap extends the session);
     * session_end = last event + gap. */
+  /** Same distinct-activity → first-day → cohort rollup as
+    * `Retention.cohortMatrix`; the ms truncation mirrors Tables.events. */
+  val userRetentionOracle: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    CAST(make_timestamp(epoch_ms(ts) * 1000) AS DATE) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+      |       CAST(day - cohort_day AS INT) AS day_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f ON f.user_id = a.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val userSessionsOracle: String =
     s"""WITH e AS (SELECT user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
        |  event_type, value FROM events),
@@ -326,5 +347,6 @@ object EventQueries {
       Some(anomalyMinTrafficOracle)),
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
+    NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
 }

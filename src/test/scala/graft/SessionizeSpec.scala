@@ -69,6 +69,27 @@ class SessionizeSpec extends SparkSpec {
     assert(stats.head.getAs[Double]("max_span_sec") == 0.0)
   }
 
+  test("cohortMatrix: users bucket by first-active day, offsets count returns") {
+    import graft.ops.Retention
+    val day = 86400L
+    // u1 first active day 0, returns day 1 and day 3 (two events day 1 —
+    // distinct-day dedup); u2 first day 0 only; u3 first day 1, returns day 3
+    val df = events(
+      (1L, 10L, "view", 1.0), (1L, day + 5L, "view", 1.0),
+      (1L, day + 9L, "click", 1.0), (1L, 3 * day + 1L, "view", 1.0),
+      (2L, 20L, "view", 1.0),
+      (3L, day + 50L, "view", 1.0), (3L, 3 * day + 2L, "view", 1.0))
+    val got = Retention.cohortMatrix(df).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("1970-01-01", 0, 2L), // u1, u2 on their first day
+      ("1970-01-01", 1, 1L), // u1 back on day 1
+      ("1970-01-01", 3, 1L), // u1 back on day 3
+      ("1970-01-02", 0, 1L), // u3's cohort
+      ("1970-01-02", 2, 1L)  // u3 back two days after ITS first day
+    ), s"got $got")
+  }
+
   test("sessionStats buckets cap at 5 and spans are event spans") {
     val manyEvents = (0L until 7L).map(i => (7L, 100L + i * 10L, "view", 1.0))
     val twoEvents = Seq((8L, 100L, "view", 1.0), (8L, 130L, "purchase", 2.0))
