@@ -151,6 +151,26 @@ object DataPipelineQueries {
   def docSplit(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.splitSummary(docs(spark, sfDir))
 
+  /** Per-source quality drilldown — "which feed is garbage": gate
+    * reject reasons counted per source. Composes the verified gate
+    * (passThrough carries source with no extra join). */
+  def qualityBySource(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityGate(docs(spark, sfDir), passThrough = Seq("source"))
+      .groupBy("source", "reason")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang — the
+    * classifier-trust audit before the labels drive mixing/filtering. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(docs(spark, sfDir))
+      .select("doc_id", "predicted_lang")
+      .join(docs(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(org.apache.spark.sql.functions.col("lang").as("label_lang"),
+        org.apache.spark.sql.functions.col("predicted_lang"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+
   def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(docs(spark, sfDir))
 
@@ -848,6 +868,13 @@ object DataPipelineQueries {
        |FROM s""".stripMargin
   }
 
+  /** The lang-id oracle as a subquery + the label lookup. */
+  val langConfusionOracle: String =
+    s"""SELECT d.lang AS label_lang, p.predicted_lang, count(*) AS n_docs
+       |FROM ($langIdOracle) p
+       |JOIN documents d ON d.doc_id = p.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Same signals, thresholds, and rule order as
     * `TextAnalysis.qualityGate`'s defaults; gates compare the unrounded
     * doubles (identical IEEE divisions on both engines). */
@@ -875,6 +902,14 @@ object DataPipelineQueries {
       |       round(stop, 6) AS stopword_ratio, round(rep, 6) AS rep_ratio,
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
+
+  /** The gate oracle as a subquery + the source lookup — same
+    * composition as the Spark side (passThrough ≡ the doc_id join). */
+  val qualityBySourceOracle: String =
+    s"""SELECT d.source, g.reason, count(*) AS n_docs
+       |FROM ($qualityGateOracle) g
+       |JOIN documents d ON d.doc_id = g.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   /** Replicates [[graft.text.TextAnalysis.hashedLinearScore]] weight-
     * for-weight: the same salted-md5 stub weight table (DuckDB's hex
@@ -1700,7 +1735,10 @@ object DataPipelineQueries {
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
+    NamedQuery("lang_confusion", langConfusion, Some(langConfusionOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
+    NamedQuery("quality_by_source", qualityBySource,
+      Some(qualityBySourceOracle)),
     // after quality_gate, before the LM queries: shares the persisted
     // (doc, token, count) frame with doc_logprob/doc_entropy/tfidf/vocab
     NamedQuery("quality_classifier", qualityClassifierQ,

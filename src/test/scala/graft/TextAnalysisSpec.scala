@@ -399,6 +399,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"weight-table join must broadcast:\n$plan")
   }
 
+  test("quality/lang rollups: drilldown totals reconcile with the corpus") {
+    // the two audit rollups are set partitions of the corpus — their
+    // counts must sum exactly to the doc count, per source and per lang
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bySource = graft.queries.DataPipelineQueries
+      .qualityBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(bySource.map(_._3).sum == docs.count())
+    val perSource = bySource.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val wantSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.toMap == wantSource)
+    val conf = graft.queries.DataPipelineQueries
+      .langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(conf.map(_._3).sum == docs.count())
+    val perLang = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val wantLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.toMap == wantLang)
+    // NOTE deliberately no diagonal-dominance assertion: the synthetic
+    // corpus's lang column is metadata uncorrelated with the generated
+    // token stream, and surfacing exactly that label/content mismatch is
+    // the audit's purpose. Classifier accuracy itself is pinned on
+    // crafted fixtures in the langId tests above.
+    assert(conf.map(_._2).distinct.length > 1,
+      s"degenerate predictions: ${conf.toSeq}")
+  }
+
   test("dsirWeights: matches a Scala re-derivation; target docs rank higher") {
     // independent re-derivation of the hashed-unigram DSIR models in
     // plain Scala; docs 1-2 share the target vocabulary, 3-4 are alien —
