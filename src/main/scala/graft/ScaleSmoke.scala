@@ -104,6 +104,13 @@ object ScaleSmoke {
       val (tQc, qcRows) = timed {
         TextAnalysis.hashedLinearScore(docs).count()
       }
+      // bloom probe: the position set is bounded by mBits however large
+      // the corpus grows, so the trend must stay linear in K (broadcast
+      // build + map-side probes); super-linear growth would mean the
+      // membership join stopped broadcasting
+      val (tBloom, bloomRows) = timed {
+        Dedup.bloomDedupAudit(docs, col("doc_id") % 10 === 0).count()
+      }
       // embeddings side: exact copies under fresh ids — queries and the
       // decontamination eval set stay pinned to ORIGINAL ids so candidate
       // and output sizes grow linearly in K (eval × corpus, not K²) and
@@ -134,6 +141,10 @@ object ScaleSmoke {
         Similarity.ivfPqTopK(embs, nQueries = 8, topK = 5,
           sharedCodes = Some(codes)).count()
       }
+      // pure map work: RP must track the scan cost (linear, no shuffle)
+      val (tRp, rpRows) = timed {
+        Similarity.randomProjection(embs).count()
+      }
       println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +
         s""""clusters_sec":$tClusters,"members":$members,""" +
         s""""contain_sec":$tContain,"contain_pairs":$containPairs,""" +
@@ -144,7 +155,9 @@ object ScaleSmoke {
         s""""semdecon_sec":$tSemDecon,"flagged":$flagged,""" +
         s""""ivfpq_sec":$tIvfPq,"ivfpq_rows":$ivfPqRows,""" +
         s""""packseq_sec":$tPackSeq,"seg_rows":$segRows,""" +
-        s""""qclass_sec":$tQc,"qclass_rows":$qcRows}""")
+        s""""qclass_sec":$tQc,"qclass_rows":$qcRows,""" +
+        s""""bloom_sec":$tBloom,"bloom_rows":$bloomRows,""" +
+        s""""rp_sec":$tRp,"rp_rows":$rpRows}""")
       codes.unpersist(); embs.unpersist()
       sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
     }

@@ -160,6 +160,11 @@ object EventQueries {
   /** Per-user sessions (6-hour inactivity gap) — persisted once per
     * (session, sfDir): `session_stats` is one tiny aggregation over the
     * same frame. */
+  /** First-touch conversion funnel view → click → purchase. */
+  def funnelStagesQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Funnel.stages(Tables.eventsSpread(spark, sfDir),
+      Seq("view", "click", "purchase"))
+
   /** Cohort retention matrix over the raw event stream. Registered with
     * cohort_day cast DATE→TIMESTAMP (UTC midnight): the compare harness
     * reads Spark DATE cells as python date objects but DuckDB DATE as
@@ -298,6 +303,26 @@ object EventQueries {
     * `ts - prev > gap` — STRICT, because Spark merges boundary-adjacent
     * windows (an event at exactly prev + gap extends the session);
     * session_end = last event + gap. */
+  /** Same chained conditional-min construction as `Funnel.stages`
+    * (at-or-after `>=` hop rule); lag averages exact integer ms. */
+  val funnelStagesOracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    make_timestamp(epoch_ms(ts) * 1000) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, t1, min(ts) AS t2 FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE event_type = 'click' AND ts >= t1 GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, t2, min(ts) AS t3 FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1, 2)
+      |SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users,
+      |       CAST(NULL AS DOUBLE) AS mean_lag_ms FROM s1
+      |UNION ALL SELECT 2, 'click', count(*),
+      |       round(avg(epoch_ms(t2) - epoch_ms(t1)), 6) FROM s2
+      |UNION ALL SELECT 3, 'purchase', count(*),
+      |       round(avg(epoch_ms(t3) - epoch_ms(t2)), 6) FROM s3""".stripMargin
+
   /** Same distinct-activity → first-day → cohort rollup as
     * `Retention.cohortMatrix`; the ms truncation mirrors Tables.events. */
   val userRetentionOracle: String =
@@ -348,5 +373,6 @@ object EventQueries {
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
+    NamedQuery("funnel_stages", funnelStagesQ, Some(funnelStagesOracle)),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
 }

@@ -90,6 +90,29 @@ class SessionizeSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("funnel stages: order matters, ties qualify, lags average the hops") {
+    import graft.ops.Funnel
+    val df = events(
+      // u1 completes in order: view@10 click@40 purchase@100
+      (1L, 10L, "view", 1.0), (1L, 40L, "click", 1.0), (1L, 100L, "purchase", 1.0),
+      // u2: click BEFORE first view never counts; no click after → stage 1 only
+      (2L, 50L, "view", 1.0), (2L, 20L, "click", 1.0),
+      // u3: click ties the view timestamp (>= qualifies), no purchase
+      (3L, 30L, "view", 1.0), (3L, 30L, "click", 1.0),
+      // u4: purchase before click → stops at stage 2
+      (4L, 10L, "view", 1.0), (4L, 90L, "click", 1.0), (4L, 60L, "purchase", 1.0),
+      // u5: never views — invisible to the funnel
+      (5L, 10L, "click", 1.0), (5L, 20L, "purchase", 1.0))
+    val got = Funnel.stages(df, Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "view", 4L, None),                       // u1-u4
+      (2, "click", 3L, // u1, u3, u4 — 6-dp rounded mean of the hops
+        Some(math.rint((30000.0 + 0.0 + 80000.0) / 3 * 1e6) / 1e6)),
+      (3, "purchase", 1L, Some(60000.0))))         // u1 only
+  }
+
   test("sessionStats buckets cap at 5 and spans are event spans") {
     val manyEvents = (0L until 7L).map(i => (7L, 100L + i * 10L, "view", 1.0))
     val twoEvents = Seq((8L, 100L, "view", 1.0), (8L, 130L, "purchase", 2.0))
