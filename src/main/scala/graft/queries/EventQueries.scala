@@ -160,6 +160,11 @@ object EventQueries {
   /** Per-user sessions (6-hour inactivity gap) — persisted once per
     * (session, sfDir): `session_stats` is one tiny aggregation over the
     * same frame. */
+  /** Ingest-health column profile of the raw event feed. */
+  def profileEventsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.columns(Tables.eventsSpread(spark, sfDir),
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+
   /** First-touch conversion funnel view → click → purchase. */
   def funnelStagesQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Funnel.stages(Tables.eventsSpread(spark, sfDir),
@@ -303,6 +308,15 @@ object EventQueries {
     * `ts - prev > gap` — STRICT, because Spark merges boundary-adjacent
     * windows (an event at exactly prev + gap extends the session);
     * session_end = last event + gap. */
+  /** One UNION ALL arm per profiled column, counts exact. */
+  val profileEventsOracle: String = {
+    val armFor = Seq("event_id", "user_id", "event_type", "value", "props")
+      .map(c => s"""SELECT '$c' AS column, count(*) AS n_rows,
+                   |  count(*) - count($c) AS n_nulls,
+                   |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+    armFor.mkString("\nUNION ALL ")
+  }
+
   /** Same chained conditional-min construction as `Funnel.stages`
     * (at-or-after `>=` hop rule); lag averages exact integer ms. */
   val funnelStagesOracle: String =
@@ -374,5 +388,6 @@ object EventQueries {
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
     NamedQuery("funnel_stages", funnelStagesQ, Some(funnelStagesOracle)),
+    NamedQuery("profile_events", profileEventsQ, Some(profileEventsOracle)),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
 }

@@ -90,6 +90,22 @@ class SessionizeSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("profile: per-column rows/nulls/distinct, exact and approx agree here") {
+    import graft.ops.Profile
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = Profile.columns(df, Seq("k", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("k", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+    // the HLL form keeps the shape; tiny cardinalities are exact in HLL++
+    val approx = Profile.columns(df, Seq("k", "s"), exact = false).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(approx == Set(("k", 2L), ("s", 2L)))
+  }
+
   test("funnel stages: order matters, ties qualify, lags average the hops") {
     import graft.ops.Funnel
     val df = events(
