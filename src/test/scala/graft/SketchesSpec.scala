@@ -56,6 +56,35 @@ class SketchesSpec extends SparkSpec {
     assert(cellMap(traffic) == merged)
   }
 
+  test("late-r8 operators tolerate empty inputs (schema kept, no crash)") {
+    import org.apache.spark.sql.functions.col
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noSrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val noEmbs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "jaccard")
+    assert(Sketches.heavyHittersAudit(noEvents, col("user_id")).count() == 0)
+    assert(graft.ops.Retention.cohortMatrix(noEvents).count() == 0)
+    assert(graft.text.Dedup.bloomDedupAudit(noDocs,
+      col("doc_id") % 10 === 0).count() == 0)
+    assert(graft.text.Dedup.crossSourceLeakage(noPairs, noSrcDocs).count() == 0)
+    assert(graft.similarity.Similarity.randomProjection(noEmbs).count() == 0)
+    assert(graft.similarity.Similarity.rpDistortionAudit(noEmbs).count() == 0)
+    assert(graft.text.TextAnalysis.dsirWeights(noDocs,
+      noDocs.select(col("doc_id"))).count() == 0)
+    // aggregation-rooted reports emit their report rows even on empty
+    // input — one per stage/column, zero counts — not zero rows
+    val funnel = graft.ops.Funnel.stages(noEvents, Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(funnel == Set((1, 0L), (2, 0L)))
+    val prof = graft.ops.Profile.columns(noEvents, Seq("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(prof == Set(("user_id", 0L, 0L)))
+  }
+
   test("estimate lookup broadcasts the cell table") {
     val plan = Sketches.heavyHittersAudit(
       traffic.toDF("user_id"), col("user_id"))
