@@ -443,6 +443,31 @@ object DataPipelineQueries {
     curateCorpus(spark, sfDir).join(nonCanonical, Seq("doc_id"), "left_anti")
   }
 
+  /** Embedding-coverage audit under the same vec_id-keys-documents
+    * convention as [[curateCorpusSemantic]]: per source, how much of
+    * the corpus the embedding table actually covers — the number that
+    * decides whether semantic dedup/search can be trusted corpus-wide
+    * or only on the embedded slice. LEFT join doc→vec on the id key
+    * (both sides hash-partitioned on it), then a tiny per-source
+    * rollup; coverage in exact micro-units (bp_e2 = basis points ×100,
+    * an integer) so the ratio is engine-portable without float rounding
+    * concerns. */
+  def embeddingCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val vecIds = embs(spark, sfDir).select(col("vec_id").as("doc_id"),
+      lit(1L).as("__has")).distinct()
+    docs(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(vecIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__has").isNotNull, 1L).otherwise(0L)).as("n_embedded"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        // SQL `div` = integer division (Column./ would widen to double
+        // and lose exactness past 2^53)
+        org.apache.spark.sql.functions
+          .expr("n_embedded * 1000000 div n_docs").as("coverage_ppm"))
+  }
+
   def tfidfTopTermsQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(spark, sfDir),
       sharedTf = Some(docTokenCounts(spark, sfDir)))
@@ -867,6 +892,18 @@ object DataPipelineQueries {
        |    ELSE 'und' END AS predicted_lang
        |FROM s""".stripMargin
   }
+
+  /** LEFT join on the shared id key + per-source rollup; the ppm ratio
+    * uses integer division on both engines (DuckDB `//` floors, Spark
+    * long/long truncates — identical on non-negative counts). */
+  val embeddingCoverageOracle: String =
+    """WITH v AS (SELECT DISTINCT vec_id FROM embeddings)
+      |SELECT d.source, count(*) AS n_docs,
+      |       count(v.vec_id) AS n_embedded,
+      |       CAST(count(v.vec_id) * 1000000 // count(*) AS BIGINT)
+      |         AS coverage_ppm
+      |FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id
+      |GROUP BY 1""".stripMargin
 
   /** The lang-id oracle as a subquery + the label lookup. */
   val langConfusionOracle: String =
@@ -1786,6 +1823,8 @@ object DataPipelineQueries {
     // after curate_corpus AND embedding_clusters: reuses both frames
     NamedQuery("curate_corpus_semantic", curateCorpusSemantic,
       Some(curateCorpusSemanticOracle)),
+    NamedQuery("embedding_coverage", embeddingCoverage,
+      Some(embeddingCoverageOracle)),
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
     NamedQuery("vocab_by_source", vocabBySourceQ, Some(vocabBySourceOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),

@@ -427,6 +427,14 @@ class TextAnalysisSpec extends SparkSpec {
     // crafted fixtures in the langId tests above.
     assert(conf.map(_._2).distinct.length > 1,
       s"degenerate predictions: ${conf.toSeq}")
+    // embedding coverage is a partition of the corpus too, and each
+    // source's embedded count can never exceed its doc count
+    val cov = graft.queries.DataPipelineQueries
+      .embeddingCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cov.map(_._2).sum == docs.count())
+    assert(cov.forall { case (_, n, e, ppm) =>
+      e <= n && ppm == e * 1000000L / n })
   }
 
   test("dsirWeights: matches a Scala re-derivation; target docs rank higher") {
