@@ -33,12 +33,16 @@ object Profile {
         (if (exact) count_distinct(col(c))
          else approx_count_distinct(col(c))).as(s"__dist_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      wide.select(lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"),
-        col(s"__dist_$c").as("n_distinct"))
-    }.reduce(_ unionAll _)
+    // ONE aggregation, then the single wide row explodes into the
+    // per-column report — a per-column union of selects would re-run
+    // the whole aggregation once per column
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(s"__n_$c").as("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"))
   }
 }

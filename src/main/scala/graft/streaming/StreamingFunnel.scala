@@ -18,10 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * ([[Funnel.chainTimes]], order-insensitive by construction) and the
  * user's stage rows are emitted append-mode.
  *
- * State is bounded by each user's event count inside their activity
- * horizon — the watermark GC's every finalized user, and a user quiet
- * for longer than the finalize delay is flushed. This is the standard
- * sessionization-class state budget, NOT per-key-forever state.
+ * State is bounded by each user's STAGE-TYPE event count inside their
+ * activity horizon (non-stage events never enter the buffer) — the
+ * watermark GC's every finalized user, and a user quiet for longer
+ * than the finalize delay is flushed. This is the standard
+ * sessionization-class state budget, NOT per-key-forever state; a user
+ * continuously active for an unbounded horizon keeps extending their
+ * own buffer, the same pathological-key budget as an unbounded
+ * session, and gets the same operational answer (cap the horizon
+ * upstream if that population exists).
  * Batch row parity (including cross-microbatch out-of-order arrivals)
  * is pinned in StreamingFunnelSpec.
  */
@@ -35,9 +40,12 @@ object StreamingFunnel {
     val spark = events.sparkSession
     import spark.implicits._
     // the watermark column itself must reach the stateful operator — a
-    // unix_millis projection would strip the event-time tag
+    // unix_millis projection would strip the event-time tag. Only stage
+    // types enter the buffer: other event types can never affect the
+    // chain, so buffering them would inflate state for nothing.
     val typed = events
       .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(stageTypes: _*))
       .select(col("user_id").cast("long"), col("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)]
     def flush(user: Long, buf: Seq[(Long, String)]) = {
