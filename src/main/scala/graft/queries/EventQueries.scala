@@ -189,6 +189,10 @@ object EventQueries {
   def sessionStatsQ(spark: SparkSession, sfDir: String): DataFrame =
     Sessionize.sessionStats(userSessionsQ(spark, sfDir), sessionGapSeconds)
 
+  /** Per-user Markov transition matrix over the raw event stream. */
+  def eventTransitionsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Transitions.matrix(Tables.eventsSpread(spark, sfDir))
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prefix mirroring impressions/clicks/join above. */
@@ -378,6 +382,21 @@ object EventQueries {
        |      FROM ($userSessionsOracle) z) y
        |GROUP BY 1""".stripMargin
 
+  /** Same `(ts, event_id)` tie-pinned lag as `Transitions.matrix`. */
+  val eventTransitionsOracle: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    make_timestamp(epoch_ms(ts) * 1000) AS ts, event_type FROM events),
+      |h AS (SELECT coalesce(lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id), '__start') AS prev_type,
+      |    event_type FROM e),
+      |c AS (SELECT prev_type, event_type, count(*) AS n_transitions
+      |      FROM h GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE)
+      |        / sum(n_transitions) OVER (PARTITION BY prev_type), 6)
+      |    AS p_transition
+      |FROM c""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
     NamedQuery("engagement_by_device", engagementByDevice, Some(engagementOracle)),
@@ -389,5 +408,7 @@ object EventQueries {
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
     NamedQuery("funnel_stages", funnelStagesQ, Some(funnelStagesOracle)),
     NamedQuery("profile_events", profileEventsQ, Some(profileEventsOracle)),
-    NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)))
+    NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)),
+    NamedQuery("event_transitions", eventTransitionsQ,
+      Some(eventTransitionsOracle)))
 }
