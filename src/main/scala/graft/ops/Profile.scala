@@ -45,4 +45,23 @@ object Profile {
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"))
   }
+
+  /** Per-group quantile profile of one numeric column: `(group, n_rows,
+    * mean, p10, p25, ...)` — the length/score-distribution audit run per
+    * source before mixing a corpus. Exact linear-interpolated
+    * `percentile` (same definition as DuckDB `quantile_cont`, so the
+    * oracle replicates it value-for-value); ONE hash shuffle on the
+    * group key with per-group sorted-buffer percentiles. At 100 TB swap
+    * in `percentile_approx` (t-digest-style fixed-size partials) — same
+    * report shape, tolerance-grade values. */
+  def quantiles(df: DataFrame, valueCol: String, groupCol: String,
+                probs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+      : DataFrame = {
+    require(probs.nonEmpty, "quantile profile needs at least one prob")
+    def label(p: Double) = s"p${math.round(p * 100)}"
+    val aggs = round(avg(col(valueCol)), 6).as("mean") +:
+      probs.map(p => round(percentile(col(valueCol), lit(p)), 6).as(label(p)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }

@@ -105,6 +105,10 @@ object DataPipelineQueries {
     Dedup.jaccardPairsExact(docs(spark, sfDir),
       sharedShingles = Some(sharedShingles(spark, sfDir)))
 
+  /** Per-doc corpus-unique-shingle novelty over the shared index. */
+  def ngramNoveltyQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramNovelty(sharedShingles(spark, sfDir))
+
   /** Stop-shingle df cap shared by the capped query and its oracle. */
   private val jaccardDfCap = 100
 
@@ -150,6 +154,10 @@ object DataPipelineQueries {
 
   def docSplit(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.splitSummary(docs(spark, sfDir))
+
+  /** Per-source length-distribution profile (exact quantiles). */
+  def docLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.quantiles(docs(spark, sfDir), "n_chars", "source")
 
   /** Per-source quality drilldown — "which feed is garbage": gate
     * reject reasons counted per source. Composes the verified gate
@@ -751,6 +759,18 @@ object DataPipelineQueries {
        |JOIN sizes zb ON zb.doc_id = i.db
        |WHERE CAST(i.i AS DOUBLE)/(za.n + zb.n - i.i) >= 0.5""".stripMargin
 
+  /** Same shingle grain as the jaccard oracles; novelty = share of the
+    * doc's distinct shingles with corpus df = 1. */
+  val ngramNoveltyOracle: String =
+    s"""$shingleCtes,
+       |dfreq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY 1)
+       |SELECT shd.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS novelty
+       |FROM shd JOIN dfreq ON dfreq.shingle = shd.shingle
+       |GROUP BY 1""".stripMargin
+
   /** Same stop-shingle pruning as `Dedup.jaccardPairsExact(maxShingleDf)`:
     * shingles over the df cap leave candidate GENERATION only; surviving
     * pairs re-score against the FULL shingle sets, so values match the
@@ -855,6 +875,20 @@ object DataPipelineQueries {
       |  round(avg(n_chars), 6) AS mean_chars,
       |  round(median(n_chars), 6) AS median_chars
       |FROM t GROUP BY ROLLUP(lang)""".stripMargin
+
+  /** `quantile_cont` is DuckDB's linear-interpolated quantile — the
+    * same definition as Spark's exact `percentile`, so values match
+    * bit-for-bit after the shared round-6. */
+  val docLengthQuantilesOracle: String =
+    """SELECT source, count(*) AS n_rows,
+      |  round(avg(n_chars), 6) AS mean,
+      |  round(quantile_cont(n_chars, 0.10), 6) AS p10,
+      |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+      |  round(quantile_cont(n_chars, 0.90), 6) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+      |FROM documents GROUP BY source""".stripMargin
 
   /** Same md5-prefix thresholds as `TextAnalysis.hashSplit`. */
   val docSplitOracle: String =
@@ -1766,11 +1800,14 @@ object DataPipelineQueries {
       Some(dedupContainmentOracle)),
     NamedQuery("dedup_jaccard_capped", dedupJaccardCapped,
       Some(dedupJaccardCappedOracle)),
+    NamedQuery("ngram_novelty", ngramNoveltyQ, Some(ngramNoveltyOracle)),
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
+    NamedQuery("doc_length_quantiles", docLengthQuantiles,
+      Some(docLengthQuantilesOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("lang_confusion", langConfusion, Some(langConfusionOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),

@@ -104,6 +104,35 @@ object Dedup {
   }
 
   /**
+   * Per-document n-gram novelty — the diversity twin of the duplication
+   * detectors: of a document's distinct shingles, how many appear in NO
+   * other document (corpus df = 1)? Low novelty means the document is
+   * assembled from text the corpus already has (boilerplate, templates,
+   * near-dups that slipped the pair detectors); data-selection recipes
+   * use it as an upsampling/downsampling signal. Documents with an
+   * empty shingle set are excluded, matching the oracle's
+   * `WHERE len(toks) >= n`.
+   *
+   * Scale shape: explode → df aggregation (map-side partials; hot
+   * boilerplate shingles collapse before the shuffle) → equi-join back
+   * on the shingle → per-doc rollup. Two hash shuffles, both on keys
+   * with bounded skew (df of the hottest shingle caps the join's
+   * biggest task — the same budget as the inverted-index detectors,
+   * without their pairing quadratic).
+   */
+  def ngramNovelty(docShingles: DataFrame): DataFrame = {
+    val ds = explodeShingles(docShingles)
+    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    ds.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        round(avg(when(col("__df") === 1, 1.0d).otherwise(0.0d)), 6)
+          .as("novelty"))
+  }
+
+  /**
    * k lexicographic-min MinHashes per document, columns h0..h{k-1},
    * computed map-side from the shingle array (array_min over a transform)
    * — no explode, no aggregation shuffle. Hash family: each salted md5

@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(m(2L).isEmpty)
   }
 
+  test("ngramNovelty: corpus-unique shingles counted per doc; short docs excluded") {
+    // doc 1 and 2 share "a b c"; doc 1's "b c d" is unique; doc 3 is
+    // all-unique; doc 4 is too short to shingle (no output row)
+    val out = Dedup.ngramNovelty(Dedup.shingleArrays(docsDF(
+      1L -> "a b c d", 2L -> "a b c", 3L -> "x y z", 4L -> "p q"), n = 3))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
   test("identical docs always collide in LSH (jaccard 1.0)") {
     val out = Dedup.nearDupMinhashLsh(docsDF(
       1L -> "one two three four five six",

@@ -85,6 +85,19 @@ class SketchesSpec extends SparkSpec {
     assert(prof == Set(("user_id", 0L, 0L)))
   }
 
+  test("quantile profile: exact linear-interpolated percentiles per group") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
+      .toDF("v", "g")
+    val out = graft.ops.Profile.quantiles(df, "v", "g", Seq(0.25, 0.5))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("mean"), r.getAs[Double]("p25"),
+        r.getAs[Double]("p50")))
+      .sortBy(_._1)
+    // [1,2,3,4]: p25 = 1 + 0.25*3 = 1.75, p50 = 2.5 (interpolated)
+    assert(out.toSeq == Seq(("a", 4L, 2.5, 1.75, 2.5), ("b", 1L, 10.0, 10.0, 10.0)))
+  }
+
   test("estimate lookup broadcasts the cell table") {
     val plan = Sketches.heavyHittersAudit(
       traffic.toDF("user_id"), col("user_id"))
