@@ -46,4 +46,16 @@ object Transitions {
       round(col("n_transitions").cast("double") /
         sum(col("n_transitions")).over(totals), 6))
   }
+
+  /** Scala twin of the window-lag hop extraction, shared with
+    * [[graft.streaming.StreamingTransitions]]: one finalized user
+    * buffer `(tsMs, event_id, event_type)` → its `(prev_type,
+    * event_type, tsMs)` hops under the same `(ts, event_id)` tie
+    * order and `__start` entry state. Sorting makes it
+    * arrival-order-insensitive by construction. */
+  def hopSeq(buf: Seq[(Long, Long, String)]): Seq[(String, String, Long)] = {
+    val sorted = buf.sortBy(e => (e._1, e._2))
+    sorted.zip("__start" +: sorted.map(_._3))
+      .map { case ((ts, _, cur), prev) => (prev, cur, ts) }
+  }
 }
