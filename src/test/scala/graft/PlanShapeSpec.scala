@@ -117,6 +117,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 hash shuffle (the (label, dim) agg), got $n")
   }
 
+  test("quantile profile shuffles once on the group key") {
+    // count + mean + every percentile are one aggregation over the same
+    // grouping — a second exchange would mean the percentiles stopped
+    // sharing the count/mean pass
+    val n = hashShuffleCount(DataPipelineQueries.docLengthQuantiles(spark, sf))
+    assert(n == 1,
+      s"expected exactly 1 hash shuffle (the source-key agg), got $n")
+  }
+
   test("cluster-balanced sample shuffles once on the cell key") {
     // assignment is map-side over plan-literal centroids; the rank and
     // occupancy windows share the single cell-key exchange
