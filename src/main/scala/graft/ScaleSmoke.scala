@@ -88,6 +88,11 @@ object ScaleSmoke {
         Dedup.jaccardPairsExact(docs, sharedShingles = Some(sh),
           maxShingleDf = Some(100)).count()
       }
+      // novelty: two bounded-skew shuffles over the exploded shingles;
+      // its trend must track the shingle volume (linear in K) — growth
+      // past that means the df join's hottest key stopped being absorbed
+      // by map-side partials
+      val (tNovelty, noveltyRows) = timed { Dedup.ngramNovelty(sh).count() }
       val (tVocab, vocabRows) = timed { TextAnalysis.vocabTopK(docs).count() }
       val (tGate, gateRows) = timed { TextAnalysis.qualityGate(docs).count() }
       val (tSpans, spanDocs) = timed {
@@ -149,6 +154,7 @@ object ScaleSmoke {
         s""""clusters_sec":$tClusters,"members":$members,""" +
         s""""contain_sec":$tContain,"contain_pairs":$containPairs,""" +
         s""""capped_sec":$tCapped,"capped_pairs":$cappedPairs,""" +
+        s""""novelty_sec":$tNovelty,"novelty_rows":$noveltyRows,""" +
         s""""vocab_sec":$tVocab,"gate_sec":$tGate,""" +
         s""""spans_sec":$tSpans,"span_docs":$spanDocs,""" +
         s""""pq_sec":$tPq,"adc_sec":$tAdc,""" +
