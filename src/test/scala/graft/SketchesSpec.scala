@@ -83,6 +83,14 @@ class SketchesSpec extends SparkSpec {
     val prof = graft.ops.Profile.columns(noEvents, Seq("user_id"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
     assert(prof == Set(("user_id", 0L, 0L)))
+    // groupBy-rooted reports yield zero rows on empty input
+    val noIdEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.ops.Transitions.matrix(noIdEvents).count() == 0)
+    assert(graft.ops.Profile.quantiles(noEvents, "user_id", "event_type")
+      .count() == 0)
+    assert(graft.text.Dedup.ngramNovelty(
+      graft.text.Dedup.shingleArrays(noDocs, n = 3)).count() == 0)
   }
 
   test("quantile profile: exact linear-interpolated percentiles per group") {
