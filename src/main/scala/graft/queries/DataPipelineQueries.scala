@@ -159,6 +159,20 @@ object DataPipelineQueries {
   def docLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Profile.quantiles(docs(spark, sfDir), "n_chars", "source")
 
+  /** Top-3 longest docs per source (deterministic: doc_id tie-break);
+    * the rank filter must plan a map-side WindowGroupLimit — asserted
+    * in PlanShapeSpec. */
+  def topDocsPerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TopK.perGroup(docs(spark, sfDir), "source",
+      Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Per-label embedding L2-norm distribution profile. */
+  def embeddingNormProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.normProfile(embs(spark, sfDir))
+
   /** Per-source quality drilldown — "which feed is garbage": gate
     * reject reasons counted per source. Composes the verified gate
     * (passThrough carries source with no extra join). */
@@ -875,6 +889,32 @@ object DataPipelineQueries {
       |  round(avg(n_chars), 6) AS mean_chars,
       |  round(median(n_chars), 6) AS median_chars
       |FROM t GROUP BY ROLLUP(lang)""".stripMargin
+
+  /** Same total order (n_chars DESC, doc_id) as the Spark window. */
+  val topDocsPerSourceOracle: String =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS INT) AS "rank"
+      |  FROM documents)
+      |SELECT source, "rank", doc_id, n_chars FROM r WHERE "rank" <= 3""".stripMargin
+
+  /** Norms rounded to 6 dp on BOTH sides before the percentiles, so
+    * the interpolation runs over bit-identical inputs (same float→
+    * double cast + x*x sum as the centroids oracle, whose mean_norm
+    * pins the equivalence). */
+  val embeddingNormProfileOracle: String =
+    """WITH v AS (SELECT label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT label,
+      |  round(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS nrm FROM v)
+      |SELECT label, count(*) AS n_rows, round(avg(nrm), 6) AS mean,
+      |  round(quantile_cont(nrm, 0.10), 6) AS p10,
+      |  round(quantile_cont(nrm, 0.25), 6) AS p25,
+      |  round(quantile_cont(nrm, 0.50), 6) AS p50,
+      |  round(quantile_cont(nrm, 0.75), 6) AS p75,
+      |  round(quantile_cont(nrm, 0.90), 6) AS p90,
+      |  round(quantile_cont(nrm, 0.99), 6) AS p99
+      |FROM n GROUP BY label""".stripMargin
 
   /** `quantile_cont` is DuckDB's linear-interpolated quantile — the
     * same definition as Spark's exact `percentile`, so values match
@@ -1808,6 +1848,8 @@ object DataPipelineQueries {
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("doc_length_quantiles", docLengthQuantiles,
       Some(docLengthQuantilesOracle)),
+    NamedQuery("top_docs_per_source", topDocsPerSource,
+      Some(topDocsPerSourceOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
     NamedQuery("lang_confusion", langConfusion, Some(langConfusionOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
@@ -1865,6 +1907,8 @@ object DataPipelineQueries {
     NamedQuery("vocab_topk", vocabTopKQ, Some(vocabTopKOracle)),
     NamedQuery("vocab_by_source", vocabBySourceQ, Some(vocabBySourceOracle)),
     NamedQuery("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsOracle)),
+    NamedQuery("embedding_norm_profile", embeddingNormProfile,
+      Some(embeddingNormProfileOracle)),
     NamedQuery("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     NamedQuery("text_winnow", textWinnow, Some(textWinnowOracle)),
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),

@@ -117,6 +117,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 hash shuffle (the (label, dim) agg), got $n")
   }
 
+  test("grouped top-k pushes the rank filter into a map-side WindowGroupLimit") {
+    // the window+filter shape is only scale-right because Catalyst
+    // rewrites it: each input partition keeps <= k rows per group BEFORE
+    // the exchange. If the rewrite breaks (Spark upgrade, ordering expr
+    // change), the plan degrades to a full per-group sort silently.
+    val plan = finalPlan(DataPipelineQueries.topDocsPerSource(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter lost its WindowGroupLimit pushdown:\n$plan")
+  }
+
   test("quantile profile shuffles once on the group key") {
     // count + mean + every percentile are one aggregation over the same
     // grouping — a second exchange would mean the percentiles stopped

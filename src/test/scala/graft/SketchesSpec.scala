@@ -93,6 +93,18 @@ class SketchesSpec extends SparkSpec {
       graft.text.Dedup.shingleArrays(noDocs, n = 3)).count() == 0)
   }
 
+  test("grouped top-k: deterministic k rows per group under ties") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 5L), (4L, "a", 20L),
+      (5L, "b", 1L)).toDF("doc_id", "source", "n_chars")
+    val out = graft.ops.TopK.perGroup(df, "source",
+      Seq(col("n_chars").desc, col("doc_id").asc), k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    // the 10-char tie resolves to the smaller doc_id (1, not 2)
+    assert(out == Set(("a", 1, 4L), ("a", 2, 1L), ("b", 1, 5L)))
+  }
+
   test("quantile profile: exact linear-interpolated percentiles per group") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
       .toDF("v", "g")
