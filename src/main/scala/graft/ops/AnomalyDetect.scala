@@ -61,4 +61,60 @@ object AnomalyDetect {
         col("previous_ctr"),
         when(spike, lit("SPIKE")).when(drop, lit("DROP")).as("alert_type"))
   }
+
+  /**
+   * Rolling z-score anomaly detector over any per-key windowed metric
+   * series (ctr, impression volume, …) — a second detector family beside
+   * the reference's ratio classifier (flink/anomaly_job.sql:63-75).
+   * The ratio rule compares each window only to its immediate predecessor
+   * (LAG 1), so one noisy window both alerts and poisons the next
+   * comparison; this scores each window against the MEAN and SPREAD of
+   * the preceding `lookback` windows, so gradual drift stays quiet while
+   * a genuine outlier alerts. (The registered query scores hourly
+   * impression VOLUME rather than ctr: on a sparse fixture — and on any
+   * campaign whose per-window click counts are mostly zero — the ctr
+   * series is almost-everywhere 0 and a rate z-score can never fire,
+   * while traffic volume always carries a distribution.)
+   *
+   * Semantics:
+   *  - statistics are frame-bounded window aggregates (`ROWS BETWEEN
+   *    lookback PRECEDING AND 1 PRECEDING`) over the same per-campaign
+   *    event-time ordering as [[alerts]] — current window excluded, so a
+   *    spike can't mask itself by inflating its own baseline;
+   *  - warm-up: no alert until `minPoints` prior windows exist (the
+   *    z-score of a 1-2 point baseline is noise);
+   *  - a zero-variance baseline never alerts (z undefined) — the
+   *    LAG-ratio detector covers the flat-then-jump case;
+   *  - `mean_ctr`/`std_ctr`/`zscore` are rounded to 6 decimals BEFORE
+   *    the threshold filter, so the alert decision is made on exactly
+   *    the values the DuckDB oracle compares — no float-boundary
+   *    flicker between engines.
+   *
+   * Scale: one shuffle on campaign_id (same WindowExec shape as the LAG
+   * detector — Catalyst collapses all four aggregates into one window
+   * frame pass), no self-join, state O(lookback) per key.
+   */
+  def zscoreAlerts(series: DataFrame, valueCol: String = "ctr",
+                   keyCol: String = "campaign_id",
+                   timeCol: String = "window_end",
+                   lookback: Int = 8, minPoints: Int = 3,
+                   threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("alert_time"))
+      .rowsBetween(-lookback, -1)
+    val mu = avg(col("current_value")).over(w)
+    val sigma = stddev_samp(col("current_value")).over(w)
+    series
+      .select(col(timeCol).as("alert_time"), col(keyCol),
+        col(valueCol).cast("double").as("current_value"))
+      .withColumn("n_prior", count(col("current_value")).over(w))
+      .withColumn("mean_value", round(mu, 6))
+      .withColumn("std_value", round(sigma, 6))
+      .withColumn("zscore", round((col("current_value") - mu) / sigma, 6))
+      .filter(col("n_prior") >= minPoints && col("std_value") > 0.0 &&
+        abs(col("zscore")) > threshold)
+      .select(col("alert_time"), col(keyCol), col("current_value"),
+        col("mean_value"), col("std_value"), col("zscore"),
+        when(col("zscore") > 0, lit("HIGH")).otherwise(lit("LOW"))
+          .as("alert_type"))
+  }
 }

@@ -135,6 +135,30 @@ object EventQueries {
         withRatio = true),
       minImpressions = anomalyMinImpressions)
 
+  /** Z-score knobs shared by the Spark query and its oracle — ONE set of
+    * constants so the frame bounds, warm-up gate and threshold can never
+    * disagree between engines. */
+  private[queries] val zscoreLookback = 8
+  private[queries] val zscoreMinPoints = 3
+  private[queries] val zscoreThreshold = 2.0
+
+  /** Rolling z-score detector over hourly impression VOLUME per campaign
+    * — the distribution-baseline companion of the reference's LAG-ratio
+    * rule (see [[AnomalyDetect.zscoreAlerts]] for why volume, not ctr,
+    * is the scored series). One count-aggregate shuffle + one window
+    * shuffle, both on campaign_id. */
+  def anomalyZscoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = impressions(spark, sfDir)
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("campaign_id"))
+      // impression_id := event_id is unique per row, so count(*) ==
+      // count(distinct) without the expand
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.end").as("window_end"), col("campaign_id"), col("n"))
+    AnomalyDetect.zscoreAlerts(hourly, valueCol = "n",
+      lookback = zscoreLookback, minPoints = zscoreMinPoints,
+      threshold = zscoreThreshold)
+  }
+
   /**
    * As-of join over the raw events: each click attributed to the most
    * recent view by the same user at or before it — the reference's
@@ -283,6 +307,35 @@ object EventQueries {
        |       OR current_ctr < previous_ctr * 0.5)
        |ORDER BY alert_time, campaign_id""".stripMargin
 
+  /** Same frame-bounded aggregates and round-before-filter decision rule
+    * as [[AnomalyDetect.zscoreAlerts]] — the 6-decimal rounding happens
+    * on BOTH sides before the threshold compare, so the emitted row set
+    * is decided on identical values. */
+  val anomalyZscoreOracle: String =
+    s"""$mappingCtes,
+       |hourly AS (
+       |  SELECT CAST(date_trunc('hour', event_time) + INTERVAL 1 HOUR AS TIMESTAMP)
+       |           AS window_end,
+       |         campaign_id, CAST(count(*) AS DOUBLE) AS v
+       |  FROM i GROUP BY 1, 2),
+       |w AS (
+       |  SELECT window_end, campaign_id, v,
+       |         count(v) OVER pw AS n_prior,
+       |         round(avg(v) OVER pw, 6) AS mean_value,
+       |         round(stddev_samp(v) OVER pw, 6) AS std_value,
+       |         round((v - avg(v) OVER pw) / stddev_samp(v) OVER pw, 6)
+       |           AS zscore
+       |  FROM hourly
+       |  WINDOW pw AS (PARTITION BY campaign_id ORDER BY window_end
+       |                ROWS BETWEEN $zscoreLookback PRECEDING
+       |                         AND 1 PRECEDING))
+       |SELECT window_end AS alert_time, campaign_id, v AS current_value,
+       |       mean_value, std_value, zscore,
+       |       CASE WHEN zscore > 0 THEN 'HIGH' ELSE 'LOW' END AS alert_type
+       |FROM w
+       |WHERE n_prior >= $zscoreMinPoints AND std_value > 0
+       |  AND abs(zscore) > $zscoreThreshold""".stripMargin
+
   /** Replicates [[AsOfJoin.lastBefore]]'s union-scan construction — the
     * same tagged union, the same (ts, side, leftId) order, the same
     * ignore-nulls last-value carry — rather than DuckDB's native ASOF
@@ -403,6 +456,7 @@ object EventQueries {
     NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)),
     NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
       Some(anomalyMinTrafficOracle)),
+    NamedQuery("anomaly_zscore", anomalyZscoreQ, Some(anomalyZscoreOracle)),
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),

@@ -77,6 +77,61 @@ class AnomalyDetectSpec extends SparkSpec {
 
   private def ts(minute: Long) = new Timestamp(minute * 60000L)
 
+  test("zscore: outlier vs noisy baseline alerts HIGH; baseline rows stay quiet") {
+    // baseline ~0.10 with spread, then a clear outlier at minute 6
+    val frame = ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.12), ("camp-1", 2, 0.09),
+      ("camp-1", 3, 0.11), ("camp-1", 4, 0.10), ("camp-1", 5, 0.12),
+      ("camp-1", 6, 0.50)))
+    val alerts = AnomalyDetect.zscoreAlerts(frame).collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.getAs[String]("alert_type") == "HIGH")
+    assert(alerts.head.getAs[Timestamp]("alert_time").getTime / 60000L == 7L)
+    // z = (0.50 - mean(prior 6)) / stddev_samp(prior 6), both rounded
+    val prior = Seq(0.10, 0.12, 0.09, 0.11, 0.10, 0.12)
+    val mu = prior.sum / prior.size
+    val sd = math.sqrt(prior.map(x => (x - mu) * (x - mu)).sum / (prior.size - 1))
+    assert(alerts.head.getAs[Double]("mean_value") ==
+      BigDecimal(mu).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(alerts.head.getAs[Double]("zscore") - (0.50 - mu) / sd) < 1e-5)
+  }
+
+  test("zscore: low outlier alerts LOW") {
+    val alerts = AnomalyDetect.zscoreAlerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.50), ("camp-1", 1, 0.52), ("camp-1", 2, 0.49),
+      ("camp-1", 3, 0.51), ("camp-1", 4, 0.01)))).collect()
+    assert(alerts.map(_.getAs[String]("alert_type")).toSeq == Seq("LOW"))
+  }
+
+  test("zscore: warm-up gate — no alert until minPoints prior windows") {
+    // second row is wildly off but has only 1 prior point
+    val alerts = AnomalyDetect.zscoreAlerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.90), ("camp-1", 2, 0.10)))).collect()
+    assert(alerts.isEmpty)
+  }
+
+  test("zscore: zero-variance baseline never alerts (flat-then-jump is the LAG rule's case)") {
+    val alerts = AnomalyDetect.zscoreAlerts(ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.10), ("camp-1", 2, 0.10),
+      ("camp-1", 3, 0.10), ("camp-1", 4, 0.90)))).collect()
+    assert(alerts.isEmpty)
+  }
+
+  test("zscore: lookback bounds the baseline frame") {
+    // early regime is wild (0.10/0.50 swings), recent regime is tight
+    // (~0.30-0.31); current 0.40 is an outlier ONLY against the tight
+    // recent frame — a short lookback fires, the default-8 frame still
+    // contains the wild era's spread and stays quiet
+    val series = ctrFrame(Seq(
+      ("camp-1", 0, 0.10), ("camp-1", 1, 0.50), ("camp-1", 2, 0.10),
+      ("camp-1", 3, 0.30), ("camp-1", 4, 0.31), ("camp-1", 5, 0.30),
+      ("camp-1", 6, 0.31), ("camp-1", 7, 0.40)))
+    val short = AnomalyDetect.zscoreAlerts(series, lookback = 3).collect()
+    assert(short.map(r => (r.getAs[Timestamp]("alert_time").getTime / 60000L,
+      r.getAs[String]("alert_type"))).toSeq == Seq((8L, "HIGH")))
+    assert(AnomalyDetect.zscoreAlerts(series).collect().isEmpty)
+  }
+
   test("partitions are independent per campaign") {
     val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
       ("camp-1", 0, 0.10), ("camp-2", 1, 0.50), ("camp-1", 2, 0.10)))).collect()
