@@ -147,17 +147,32 @@ object EventQueries {
     * rule (see [[AnomalyDetect.zscoreAlerts]] for why volume, not ctr,
     * is the scored series). One count-aggregate shuffle + one window
     * shuffle, both on campaign_id. */
-  def anomalyZscoreQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = impressions(spark, sfDir)
-      .groupBy(window(col("event_time"), "1 hour").as("w"), col("campaign_id"))
-      // impression_id := event_id is unique per row, so count(*) ==
-      // count(distinct) without the expand
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.end").as("window_end"), col("campaign_id"), col("n"))
-    AnomalyDetect.zscoreAlerts(hourly, valueCol = "n",
+  /** Hourly impression volume per campaign — one count-aggregate shuffle
+    * shared by the z-score detector (reads window_end) and the dense
+    * rate series (reads window_start). impression_id := event_id is
+    * unique per row, so count(*) == count(distinct) without the expand. */
+  private def hourlyVolume(spark: SparkSession, sfDir: String): DataFrame =
+    memo(spark, sfDir, "hourlyVolume") {
+      impressions(spark, sfDir)
+        .groupBy(window(col("event_time"), "1 hour").as("w"), col("campaign_id"))
+        .agg(count(lit(1)).as("n_impressions"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("campaign_id"), col("n_impressions"))
+    }
+
+  def anomalyZscoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    AnomalyDetect.zscoreAlerts(hourlyVolume(spark, sfDir),
+      valueCol = "n_impressions",
       lookback = zscoreLookback, minPoints = zscoreMinPoints,
       threshold = zscoreThreshold)
-  }
+
+  /** Gap-filled hourly rate series per campaign — silence made visible
+    * (see [[graft.ops.DenseSeries]]): every hour between a campaign's
+    * first and last active hour, zero-filled with an `is_gap` marker. */
+  def rateSeriesDenseQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.DenseSeries.fill(hourlyVolume(spark, sfDir),
+      keyCol = "campaign_id", timeCol = "window_start",
+      valueCol = "n_impressions", stepExpr = "interval 1 hour")
 
   /**
    * As-of join over the raw events: each click attributed to the most
@@ -336,6 +351,29 @@ object EventQueries {
        |WHERE n_prior >= $zscoreMinPoints AND std_value > 0
        |  AND abs(zscore) > $zscoreThreshold""".stripMargin
 
+  /** Same bounds → generate_series axis → LEFT join construction as
+    * [[graft.ops.DenseSeries.fill]]; `is_gap` is the join's null marker
+    * on both sides, and both `sequence()` and `generate_series()` are
+    * inclusive of the upper bound. */
+  val rateSeriesDenseOracle: String =
+    s"""$mappingCtes,
+       |hourly AS (
+       |  SELECT CAST(date_trunc('hour', event_time) AS TIMESTAMP) AS window_start,
+       |         campaign_id, count(*) AS n_impressions
+       |  FROM i GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT campaign_id, min(window_start) AS mn, max(window_start) AS mx
+       |  FROM hourly GROUP BY 1),
+       |axis AS (
+       |  SELECT campaign_id,
+       |         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS window_start
+       |  FROM bounds)
+       |SELECT a.campaign_id, CAST(a.window_start AS TIMESTAMP) AS window_start,
+       |       coalesce(h.n_impressions, 0) AS n_impressions,
+       |       h.n_impressions IS NULL AS is_gap
+       |FROM axis a LEFT JOIN hourly h
+       |  ON h.campaign_id = a.campaign_id AND h.window_start = a.window_start""".stripMargin
+
   /** Replicates [[AsOfJoin.lastBefore]]'s union-scan construction — the
     * same tagged union, the same (ts, side, leftId) order, the same
     * ignore-nulls last-value carry — rather than DuckDB's native ASOF
@@ -457,6 +495,8 @@ object EventQueries {
     NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
       Some(anomalyMinTrafficOracle)),
     NamedQuery("anomaly_zscore", anomalyZscoreQ, Some(anomalyZscoreOracle)),
+    NamedQuery("rate_series_dense", rateSeriesDenseQ,
+      Some(rateSeriesDenseOracle)),
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
