@@ -43,6 +43,38 @@ object DenseSeries {
    * @param valueCol  metric column in `counts` to carry (filled with 0
    *                  on gap windows)
    */
+  /**
+   * Maximal silence runs over a [[fill]]ed series: consecutive `is_gap`
+   * windows collapsed to one row per run — the "this campaign went dark
+   * for 6 hours" alert the per-window detectors can't express.
+   *
+   * Gaps-and-islands on a REGULAR axis: because `fill` emits one row per
+   * `step`, the island id is `window_index - row_number()` over the gap
+   * rows alone (no LAG chain, no self-join) — one window shuffle on the
+   * key, then one map-side-partial aggregate per (key, island).
+   *
+   * @param stepSeconds the axis step of the `fill` that produced `dense`
+   * @param minLen      emit only runs of at least this many windows
+   */
+  def gapRuns(dense: DataFrame, keyCol: String, timeCol: String,
+              stepSeconds: Long, minLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    dense.filter(col("is_gap"))
+      .select(col(keyCol), col(timeCol))
+      // integer floor-division: (t0 + k*step) div step == (t0 div step) + k
+      // exactly, for ANY axis offset — a double `/` here would hash-split
+      // islands on the last-ulp jitter of ts/step
+      .withColumn("__island",
+        expr(s"CAST($timeCol AS LONG) DIV $stepSeconds") -
+          row_number().over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(timeCol)).as("run_start"), max(col(timeCol)).as("run_end"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minLen)
+      .select(col(keyCol), col("run_start"), col("run_end"), col("run_len"))
+  }
+
   def fill(counts: DataFrame, keyCol: String, timeCol: String,
            valueCol: String, stepExpr: String): DataFrame = {
     val bounds = counts.groupBy(col(keyCol))

@@ -168,11 +168,36 @@ object EventQueries {
 
   /** Gap-filled hourly rate series per campaign — silence made visible
     * (see [[graft.ops.DenseSeries]]): every hour between a campaign's
-    * first and last active hour, zero-filled with an `is_gap` marker. */
+    * first and last active hour, zero-filled with an `is_gap` marker.
+    * Memoized: the silence-run query consumes this frame. */
   def rateSeriesDenseQ(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.DenseSeries.fill(hourlyVolume(spark, sfDir),
+    memo(spark, sfDir, "rateDense") {
+      graft.ops.DenseSeries.fill(hourlyVolume(spark, sfDir),
+        keyCol = "campaign_id", timeCol = "window_start",
+        valueCol = "n_impressions", stepExpr = "interval 1 hour")
+    }
+
+  /** Silence-run floor shared by the Spark query and its oracle. */
+  private[queries] val silenceMinLen = 2
+
+  /** Maximal dark stretches (>= 2 consecutive silent hours) per campaign
+    * — the "went dark" alert built on the dense series. */
+  def rateSilenceRunsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.DenseSeries.gapRuns(rateSeriesDenseQ(spark, sfDir),
       keyCol = "campaign_id", timeCol = "window_start",
-      valueCol = "n_impressions", stepExpr = "interval 1 hour")
+      stepSeconds = 3600L, minLen = silenceMinLen)
+
+  /** Pairwise device-audience overlap (shared users + Jaccard). The
+    * campaign axis is useless here BY CONSTRUCTION — campaign_id is a
+    * function of user_id (`camp-` || user_id % 10), so campaign
+    * audiences are disjoint; device audiences genuinely overlap because
+    * device derives from the per-event `value`. */
+  def audienceOverlapQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.AudienceOverlap.jaccard(
+      impressions(spark, sfDir).select(
+        coalesce(col("device_type"), lit("Unknown")).as("device_type"),
+        col("user_id")),
+      segCol = "device_type", memberCol = "user_id")
 
   /**
    * As-of join over the raw events: each click attributed to the most
@@ -354,8 +379,9 @@ object EventQueries {
   /** Same bounds → generate_series axis → LEFT join construction as
     * [[graft.ops.DenseSeries.fill]]; `is_gap` is the join's null marker
     * on both sides, and both `sequence()` and `generate_series()` are
-    * inclusive of the upper bound. */
-  val rateSeriesDenseOracle: String =
+    * inclusive of the upper bound. Shared by the dense-series oracle and
+    * the silence-run oracle built on top of it. */
+  private val denseSeriesCtes: String =
     s"""$mappingCtes,
        |hourly AS (
        |  SELECT CAST(date_trunc('hour', event_time) AS TIMESTAMP) AS window_start,
@@ -367,12 +393,51 @@ object EventQueries {
        |axis AS (
        |  SELECT campaign_id,
        |         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS window_start
-       |  FROM bounds)
-       |SELECT a.campaign_id, CAST(a.window_start AS TIMESTAMP) AS window_start,
-       |       coalesce(h.n_impressions, 0) AS n_impressions,
-       |       h.n_impressions IS NULL AS is_gap
-       |FROM axis a LEFT JOIN hourly h
-       |  ON h.campaign_id = a.campaign_id AND h.window_start = a.window_start""".stripMargin
+       |  FROM bounds),
+       |dense AS (
+       |  SELECT a.campaign_id, CAST(a.window_start AS TIMESTAMP) AS window_start,
+       |         coalesce(h.n_impressions, 0) AS n_impressions,
+       |         h.n_impressions IS NULL AS is_gap
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON h.campaign_id = a.campaign_id AND h.window_start = a.window_start)""".stripMargin
+
+  val rateSeriesDenseOracle: String =
+    s"""$denseSeriesCtes
+       |SELECT campaign_id, window_start, n_impressions, is_gap FROM dense""".stripMargin
+
+  /** Same regular-axis island id (`epoch DIV step - row_number`) as
+    * [[graft.ops.DenseSeries.gapRuns]] — integer floor-division on both
+    * sides, so the island key can never hash-split on float jitter. */
+  val rateSilenceRunsOracle: String =
+    s"""$denseSeriesCtes,
+       |g AS (
+       |  SELECT campaign_id, window_start,
+       |         CAST(epoch(window_start) AS BIGINT) // 3600
+       |           - row_number() OVER (PARTITION BY campaign_id
+       |                                ORDER BY window_start) AS island
+       |  FROM dense WHERE is_gap)
+       |SELECT campaign_id, min(window_start) AS run_start,
+       |       max(window_start) AS run_end, count(*) AS run_len
+       |FROM g GROUP BY campaign_id, island
+       |HAVING count(*) >= $silenceMinLen""".stripMargin
+
+  /** Same distinct-first incidence, `seg_a < seg_b` self-join, and
+    * broadcast size attach as [[graft.ops.AudienceOverlap.jaccard]]. */
+  val audienceOverlapOracle: String =
+    s"""$mappingCtes,
+       |inc AS (SELECT DISTINCT coalesce(device_type, 'Unknown') AS seg,
+       |               user_id AS member FROM i),
+       |sizes AS (SELECT seg, count(*) AS sz FROM inc GROUP BY 1),
+       |common AS (
+       |  SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_common
+       |  FROM inc a JOIN inc b ON a.member = b.member AND a.seg < b.seg
+       |  GROUP BY 1, 2)
+       |SELECT seg_a, seg_b, sa.sz AS size_a, sb.sz AS size_b, n_common,
+       |       round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6)
+       |         AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.seg = seg_a
+       |JOIN sizes sb ON sb.seg = seg_b""".stripMargin
 
   /** Replicates [[AsOfJoin.lastBefore]]'s union-scan construction — the
     * same tagged union, the same (ts, side, leftId) order, the same
@@ -497,6 +562,10 @@ object EventQueries {
     NamedQuery("anomaly_zscore", anomalyZscoreQ, Some(anomalyZscoreOracle)),
     NamedQuery("rate_series_dense", rateSeriesDenseQ,
       Some(rateSeriesDenseOracle)),
+    NamedQuery("rate_silence_runs", rateSilenceRunsQ,
+      Some(rateSilenceRunsOracle)),
+    NamedQuery("audience_overlap", audienceOverlapQ,
+      Some(audienceOverlapOracle)),
     NamedQuery("asof_join", asofClickView, Some(asofOracle)),
     NamedQuery("user_sessions", userSessionsQ, Some(userSessionsOracle)),
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),

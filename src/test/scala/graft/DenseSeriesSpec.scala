@@ -48,4 +48,37 @@ class DenseSeriesSpec extends SparkSpec {
   test("empty input yields empty output") {
     assert(filled(Seq.empty) == Seq.empty)
   }
+
+  private def runs(rows: Seq[(String, Long, Long)], minLen: Int = 1) =
+    DenseSeries.gapRuns(
+      DenseSeries.fill(counts(rows), "campaign_id", "window_start", "n",
+        "interval 1 hour"),
+      "campaign_id", "window_start", 3600L, minLen)
+      .collect()
+      .map(r => (r.getAs[String]("campaign_id"),
+        r.getAs[Timestamp]("run_start").getTime / 3600000L,
+        r.getAs[Timestamp]("run_end").getTime / 3600000L,
+        r.getAs[Long]("run_len")))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("gapRuns: two separate holes collapse to two maximal runs") {
+    // active 0, gap 1-2, active 3, gap 4, active 5
+    assert(runs(Seq(("a", 0L, 1L), ("a", 3L, 1L), ("a", 5L, 1L))) == Seq(
+      ("a", 1L, 2L, 2L), ("a", 4L, 4L, 1L)))
+  }
+
+  test("gapRuns: minLen filters short runs") {
+    assert(runs(Seq(("a", 0L, 1L), ("a", 3L, 1L), ("a", 5L, 1L)), minLen = 2) ==
+      Seq(("a", 1L, 2L, 2L)))
+  }
+
+  test("gapRuns: runs never span keys") {
+    // a: gap at 1; b: gap at 2 — adjacent in time but different keys
+    assert(runs(Seq(("a", 0L, 1L), ("a", 2L, 1L), ("b", 1L, 1L), ("b", 3L, 1L)))
+      == Seq(("a", 1L, 1L, 1L), ("b", 2L, 2L, 1L)))
+  }
+
+  test("gapRuns: gapless series yields no runs") {
+    assert(runs(Seq(("a", 0L, 1L), ("a", 1L, 1L))) == Seq.empty)
+  }
 }
