@@ -94,6 +94,59 @@ object AnomalyDetect {
    * detector — Catalyst collapses all four aggregates into one window
    * frame pass), no self-join, state O(lookback) per key.
    */
+  /**
+   * Seasonal (hour-of-day) baseline detector — the third detector
+   * family: where the LAG-ratio rule reads one predecessor and the
+   * rolling z-score reads a recent frame, this compares each window to
+   * ALL windows sharing its hour-of-day, so a quiet 3 a.m. is judged
+   * against other 3 a.m.s and daily periodicity stops masquerading as
+   * anomaly (a traffic curve that halves every night would page the
+   * rolling detector twice a day, and this one never).
+   *
+   * Semantics:
+   *  - baseline cell = (key, hour-of-day); mean/stddev_samp are computed
+   *    over the WHOLE cell, current window included (leave-one-in — at a
+   *    month of history one point shifts a 30-point cell's mean by ~3%,
+   *    and including it keeps the statistic a plain unordered aggregate
+   *    on both engines);
+   *  - warm-up: cells with fewer than `minPoints` windows never alert;
+   *  - round-to-6-before-filter, zero-variance gate, HIGH/LOW labeling
+   *    exactly as [[zscoreAlerts]];
+   *  - `hour_of_day` derives from `timeCol`: with window END as the time
+   *    column the label is shifted one hour from the window's span —
+   *    for aligned tumbling windows that's a constant relabeling of the
+   *    cells (a mod-24 bijection), never a change in which windows share
+   *    a baseline.
+   *
+   * Scale: ONE shuffle on (key, hod) — the stats are unordered partition
+   * aggregates, so Catalyst plans a WindowExec with no sort-frame state;
+   * no self-join of the series against its baseline.
+   */
+  def seasonalAlerts(series: DataFrame, valueCol: String = "ctr",
+                     keyCol: String = "campaign_id",
+                     timeCol: String = "window_end",
+                     minPoints: Int = 4,
+                     threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("hour_of_day"))
+    val mu = avg(col("current_value")).over(w)
+    val sigma = stddev_samp(col("current_value")).over(w)
+    series
+      .select(col(timeCol).as("alert_time"), col(keyCol),
+        hour(col(timeCol)).as("hour_of_day"),
+        col(valueCol).cast("double").as("current_value"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("mean_value", round(mu, 6))
+      .withColumn("std_value", round(sigma, 6))
+      .withColumn("zscore", round((col("current_value") - mu) / sigma, 6))
+      .filter(col("n_cell") >= minPoints && col("std_value") > 0.0 &&
+        abs(col("zscore")) > threshold)
+      .select(col("alert_time"), col(keyCol), col("hour_of_day"),
+        col("current_value"), col("mean_value"), col("std_value"),
+        col("zscore"),
+        when(col("zscore") > 0, lit("HIGH")).otherwise(lit("LOW"))
+          .as("alert_type"))
+  }
+
   def zscoreAlerts(series: DataFrame, valueCol: String = "ctr",
                    keyCol: String = "campaign_id",
                    timeCol: String = "window_end",

@@ -166,6 +166,17 @@ object EventQueries {
       lookback = zscoreLookback, minPoints = zscoreMinPoints,
       threshold = zscoreThreshold)
 
+  /** Seasonal floor shared by the Spark query and its oracle. */
+  private[queries] val seasonalMinPoints = 4
+
+  /** Hour-of-day baseline detector over the same hourly volume — the
+    * periodicity-aware third detector (see
+    * [[AnomalyDetect.seasonalAlerts]]). */
+  def anomalySeasonalQ(spark: SparkSession, sfDir: String): DataFrame =
+    AnomalyDetect.seasonalAlerts(hourlyVolume(spark, sfDir),
+      valueCol = "n_impressions", minPoints = seasonalMinPoints,
+      threshold = zscoreThreshold)
+
   /** Gap-filled hourly rate series per campaign — silence made visible
     * (see [[graft.ops.DenseSeries]]): every hour between a campaign's
     * first and last active hour, zero-filled with an `is_gap` marker.
@@ -376,6 +387,36 @@ object EventQueries {
        |WHERE n_prior >= $zscoreMinPoints AND std_value > 0
        |  AND abs(zscore) > $zscoreThreshold""".stripMargin
 
+  /** Same leave-one-in (key, hour-of-day) cell statistics and
+    * round-before-filter rule as [[AnomalyDetect.seasonalAlerts]]. The
+    * cell aggregates are UNORDERED on both engines, so the only
+    * permissible cross-engine difference is summation-order float
+    * jitter — absorbed by the 6-decimal rounding that both sides apply
+    * before the threshold compare. */
+  val anomalySeasonalOracle: String =
+    s"""$mappingCtes,
+       |hourly AS (
+       |  SELECT CAST(date_trunc('hour', event_time) + INTERVAL 1 HOUR AS TIMESTAMP)
+       |           AS window_end,
+       |         campaign_id, CAST(count(*) AS DOUBLE) AS v
+       |  FROM i GROUP BY 1, 2),
+       |w AS (
+       |  SELECT window_end, campaign_id, hour(window_end) AS hour_of_day, v,
+       |         count(*) OVER pw AS n_cell,
+       |         round(avg(v) OVER pw, 6) AS mean_value,
+       |         round(stddev_samp(v) OVER pw, 6) AS std_value,
+       |         round((v - avg(v) OVER pw) / stddev_samp(v) OVER pw, 6)
+       |           AS zscore
+       |  FROM hourly
+       |  WINDOW pw AS (PARTITION BY campaign_id, hour(window_end)))
+       |SELECT window_end AS alert_time, campaign_id,
+       |       CAST(hour_of_day AS INT) AS hour_of_day, v AS current_value,
+       |       mean_value, std_value, zscore,
+       |       CASE WHEN zscore > 0 THEN 'HIGH' ELSE 'LOW' END AS alert_type
+       |FROM w
+       |WHERE n_cell >= $seasonalMinPoints AND std_value > 0
+       |  AND abs(zscore) > $zscoreThreshold""".stripMargin
+
   /** Same bounds → generate_series axis → LEFT join construction as
     * [[graft.ops.DenseSeries.fill]]; `is_gap` is the join's null marker
     * on both sides, and both `sequence()` and `generate_series()` are
@@ -560,6 +601,8 @@ object EventQueries {
     NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
       Some(anomalyMinTrafficOracle)),
     NamedQuery("anomaly_zscore", anomalyZscoreQ, Some(anomalyZscoreOracle)),
+    NamedQuery("anomaly_seasonal", anomalySeasonalQ,
+      Some(anomalySeasonalOracle)),
     NamedQuery("rate_series_dense", rateSeriesDenseQ,
       Some(rateSeriesDenseOracle)),
     NamedQuery("rate_silence_runs", rateSilenceRunsQ,

@@ -132,6 +132,55 @@ class AnomalyDetectSpec extends SparkSpec {
     assert(AnomalyDetect.zscoreAlerts(series).collect().isEmpty)
   }
 
+  // (campaign, day, hour-of-day, value) → hourly series frame
+  private def hourFrame(rows: Seq[(String, Int, Int, Double)]) =
+    rows.map { case (c, d, h, v) =>
+      (new Timestamp((d * 24L + h) * 3600000L), c, v)
+    }.toDF("window_end", "campaign_id", "v")
+
+  test("seasonal: outlier alerts against its own hour-of-day cell only") {
+    // 8 days, two active hours: hod 0 ~100, hod 12 ~50, both with ±1
+    // alternation; day 2's hod-0 window spikes to 500
+    val rows = (0 until 8).flatMap { d =>
+      Seq(("camp-1", d, 0, if (d == 2) 500.0 else 100.0 + (d % 2)),
+        ("camp-1", d, 12, 50.0 + (d % 2)))
+    }
+    val alerts = AnomalyDetect.seasonalAlerts(hourFrame(rows), valueCol = "v")
+      .collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.getAs[String]("alert_type") == "HIGH")
+    assert(alerts.head.getAs[Int]("hour_of_day") == 0)
+    assert(alerts.head.getAs[Timestamp]("alert_time").getTime ==
+      2L * 24 * 3600000L)
+  }
+
+  test("seasonal: strict daily periodicity is NOT an anomaly (zero-variance cells)") {
+    val rows = (0 until 8).flatMap { d =>
+      Seq(("camp-1", d, 0, 100.0), ("camp-1", d, 12, 50.0))
+    }
+    assert(AnomalyDetect.seasonalAlerts(hourFrame(rows), valueCol = "v")
+      .collect().isEmpty)
+  }
+
+  test("seasonal: warm-up gate — cells under minPoints never alert") {
+    // 3 days < default minPoints 4, outlier included
+    val rows = (0 until 3).flatMap { d =>
+      Seq(("camp-1", d, 0, if (d == 2) 500.0 else 100.0 + (d % 2)))
+    }
+    assert(AnomalyDetect.seasonalAlerts(hourFrame(rows), valueCol = "v")
+      .collect().isEmpty)
+  }
+
+  test("seasonal: cells are per-campaign — another campaign's outlier can't leak") {
+    val rows = (0 until 8).flatMap { d =>
+      Seq(("camp-1", d, 0, 100.0 + (d % 2)),
+        ("camp-2", d, 0, if (d == 2) 500.0 else 100.0 + (d % 2)))
+    }
+    val alerts = AnomalyDetect.seasonalAlerts(hourFrame(rows), valueCol = "v")
+      .collect()
+    assert(alerts.map(_.getAs[String]("campaign_id")).toSeq == Seq("camp-2"))
+  }
+
   test("partitions are independent per campaign") {
     val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
       ("camp-1", 0, 0.10), ("camp-2", 1, 0.50), ("camp-1", 2, 0.10)))).collect()
