@@ -111,6 +111,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("z-score and seasonal detectors plan exactly one hash shuffle each") {
+    import spark.implicits._
+    val series = (1 to 50).map(i =>
+      (new java.sql.Timestamp(i * 3600000L), s"c${i % 3}", (i % 7).toDouble))
+      .toDF("window_end", "campaign_id", "v")
+    // rolling: one exchange on campaign_id feeds the ordered frame
+    assert(hashShuffleCount(
+      graft.ops.AnomalyDetect.zscoreAlerts(series, valueCol = "v")) == 1)
+    // seasonal: one exchange on (campaign_id, hour-of-day), no sort frame
+    assert(hashShuffleCount(
+      graft.ops.AnomalyDetect.seasonalAlerts(series, valueCol = "v")) == 1)
+  }
+
+  test("audience overlap attaches segment sizes by broadcast, joins members equi") {
+    val plan = finalPlan(graft.queries.EventQueries.audienceOverlapQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"segment-size attach lost its broadcast:\n$plan")
+  }
+
   test("label centroids shuffle once on the (label, dim) key") {
     val n = hashShuffleCount(DataPipelineQueries.embeddingCentroids(spark, sf))
     assert(n == 1,
