@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, Retrieval, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -265,6 +265,22 @@ object DataPipelineQueries {
 
   def knnLabelAuditQ(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.knnLabelAudit(embs(spark, sfDir), nQueries = 8, k = 5)
+
+  /** BM25 more-like-this off the shared token frame (8 query docs, 5
+    * TF-IDF query terms each, top-5). */
+  def bm25TopkQ(spark: SparkSession, sfDir: String): DataFrame =
+    Retrieval.bm25MoreLikeThis(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)))
+
+  /** Hybrid lexical ⊕ vector retrieval: RRF-fuse the BM25 and cosine
+    * top-10 lists for the same 8 query docs (doc_id ≡ vec_id by the
+    * generator's construction, asserted by embedding_coverage) into a
+    * hybrid top-5. */
+  def hybridRrfQ(spark: SparkSession, sfDir: String): DataFrame =
+    Retrieval.rrfFuse(
+      Retrieval.bm25MoreLikeThis(docs(spark, sfDir), k = 10,
+        sharedTf = Some(docTokenCounts(spark, sfDir))),
+      Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 10))
 
   val similarityAnn: (SparkSession, String) => DataFrame =
     memoized("similarityAnn") { (spark, sfDir) =>
@@ -1508,6 +1524,87 @@ object DataPipelineQueries {
       |  ORDER BY tfidf DESC, token) AS rank FROM sc)
       |WHERE rank <= 3""".stripMargin
 
+  /** The shared CTE chain of `Retrieval.bm25MoreLikeThis` (8 query docs,
+    * 5 TF-IDF terms, k1=1.2, b=0.75, Lucene `+1` idf), parameterized by
+    * the per-query cutoff so bm25_topk (k=5) and the hybrid fusion
+    * (k=10 inputs) nest the same text. All literals are IEEE-exact
+    * twins of the Scala side (1.2+1.0 == 2.2, 1.0-0.75 == 0.25 bit-for-
+    * bit), per-term contributions round to integer micro-units before
+    * the order-independent integer sum — the microLogit discipline. */
+  private def bm25Ctes(k: Int): String =
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |  FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+       |  FROM lens),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT doc_id AS query_id, tf.token, df,
+       |    round(tf * ln(nn.n / df), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+       |  WHERE doc_id < 8),
+       |qsel AS (SELECT query_id, token,
+       |    ln(1.0 + (nn.n - df + 0.5) / (df + 0.5)) AS idf
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY tfidf DESC, token) AS r FROM qt)
+       |  CROSS JOIN nn WHERE r <= 5),
+       |cand AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+       |    CAST(round(q.idf * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / nn.avglen))
+       |      * 1e6) AS BIGINT) AS c
+       |  FROM tf JOIN qsel q USING (token)
+       |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN nn
+       |  WHERE tf.doc_id <> q.query_id),
+       |bm AS (SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(sum(c) AS BIGINT) DESC, neighbor_id) AS INT)
+       |      AS rank
+       |  FROM cand GROUP BY query_id, neighbor_id
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  val bm25TopkOracle: String =
+    s"""WITH ${bm25Ctes(5)}
+       |SELECT query_id, neighbor_id, s / 1000000.0 AS bm25, rank
+       |FROM bm""".stripMargin
+
+  /** RRF fusion oracle: the bm25 chain (k=10) ⊕ the cosine chain (k=10,
+    * the similarity_topk construction verbatim), each rank mapped to the
+    * micro-unit term round(1e6/(60+rank)), integer-summed, top-5. */
+  val hybridRrfOracle: String =
+    s"""WITH ${bm25Ctes(10)},
+       |e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 8),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id neighbor_id,
+       |    list_sum(list_transform(range(64), i -> qv[i+1] * v[i+1])) dot,
+       |    sqrt(list_sum(list_transform(qv, x -> x*x))) nq,
+       |    sqrt(list_sum(list_transform(v, x -> x*x))) nv
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+       |cos AS (SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(dot/(nq*nv), 6) DESC, neighbor_id) AS INT)
+       |      AS rank
+       |  FROM pairs QUALIFY rank <= 10),
+       |contrib AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(round(1e6 / (60 + rank)) AS BIGINT) AS c FROM bm
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id,
+       |    CAST(round(1e6 / (60 + rank)) AS BIGINT) AS c FROM cos),
+       |fused AS (SELECT query_id, neighbor_id,
+       |    CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(sum(c) AS BIGINT) DESC, neighbor_id) AS INT)
+       |      AS rank
+       |  FROM contrib GROUP BY query_id, neighbor_id
+       |  QUALIFY rank <= 5)
+       |SELECT query_id, neighbor_id, s / 1000000.0 AS rrf, rank
+       |FROM fused""".stripMargin
+
   /** Same single-pass entropy algebra (`ln n − Σ tf·ln tf / n`) as
     * `TextAnalysis.tokenEntropy`; both entropy columns round to 6 dp and
     * the ratio is NULL for single-type documents on both engines. */
@@ -1914,6 +2011,10 @@ object DataPipelineQueries {
     NamedQuery("media_frames", mediaFrames, Some(mediaFramesOracle)),
     NamedQuery("similarity_topk", similarityTopK, Some(similarityTopKOracle)),
     NamedQuery("knn_label_audit", knnLabelAuditQ, Some(knnLabelAuditOracle)),
+    // retrieval family: bm25 reuses the docTokenCounts memo built by the
+    // token-frame consumers above; the hybrid fuses bm25 ⊕ cosine lists
+    NamedQuery("bm25_topk", bm25TopkQ, Some(bm25TopkOracle)),
+    NamedQuery("hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),

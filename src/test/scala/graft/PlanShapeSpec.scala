@@ -43,9 +43,12 @@ class PlanShapeSpec extends SparkSpec {
     * ≤ nBuckets rows, O(model) work, kept relational so the build needs
     * no driver action. rp_distortion pairs the nSample (8) projected
     * vectors under `vec_a < vec_b` — an inequality self-join over a
-    * constant-size sample, never the corpus. */
+    * constant-size sample, never the corpus. hybrid_rrf nests the
+    * brute-force list as its vector side, inheriting exactly that
+    * broadcast-8-queries BNLJ; its own fusion joins are equi. */
   private val intentionalBnlj =
-    Set("similarity_topk", "knn_label_audit", "dsir_weights", "rp_distortion")
+    Set("similarity_topk", "knn_label_audit", "dsir_weights",
+      "rp_distortion", "hybrid_rrf")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —
@@ -62,6 +65,20 @@ class PlanShapeSpec extends SparkSpec {
     // window's, the same shape as brute-force)
     val plan = finalPlan(DataPipelineQueries.similarityPq(spark, sf))
     assert(!plan.contains("Join"), s"ADC scan acquired a join:\n$plan")
+  }
+
+  test("bm25 broadcasts the query-term table; corpus never token-shuffled") {
+    // candidate generation must be a broadcast hash join of the tiny
+    // (query, term, idf) table into the token-frame scan — a sort-merge
+    // join keyed on `token` would sort the corpus by token and
+    // concentrate stopword posting lists. (The dfreq aggregation's own
+    // token-keyed exchange is fine: map-side partials absorb hot tokens
+    // before it, the vocab-table build every consumer shares.)
+    val plan = finalPlan(DataPipelineQueries.bm25TopkQ(spark, sf))
+    assert(plan.contains("BroadcastHashJoin [token"),
+      s"query-term join lost its broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin [token"),
+      s"corpus sort-merge-joined by token:\n$plan")
   }
 
   test("decontaminate_semantic broadcasts the eval side, never shuffles it") {
