@@ -216,4 +216,21 @@ object StreamingCuration {
                               threshold: Double = 0.0): DataFrame =
     graft.text.TextAnalysis.hashedLinearScoreStateless(
       docStream, nBuckets, threshold)
+
+  /**
+   * Streaming BM25 standing-query router — the ingest-time shape of
+   * [[graft.text.Retrieval.bm25MoreLikeThis]]: a frozen
+   * [[graft.text.Retrieval.Bm25Model]] (query terms + idf + corpus mean
+   * length, collected once from a corpus snapshot) folds into the plan
+   * as literals and every arriving document is scored per-row against
+   * each query it shares a term with — a pure projection, zero state, no
+   * watermark, append-safe. Scores equal the batch operator's for the
+   * same (query, doc) pair across microbatch boundaries
+   * (StreamingCurationSpec).
+   *
+   * @param docStream streaming frame with (doc_id, text)
+   */
+  def bm25RouteStream(docStream: DataFrame,
+                      model: graft.text.Retrieval.Bm25Model): DataFrame =
+    graft.text.Retrieval.bm25ScoreStateless(docStream, model)
 }

@@ -58,32 +58,27 @@ object Retrieval {
    *    length join and the (query, doc) aggregation — at 100 TB the
    *    posting lists of a few dozen terms, not the corpus.
    */
-  def bm25MoreLikeThis(docs: DataFrame, nQueries: Int = 8, nTerms: Int = 5,
-                       k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
-                       sharedTf: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
-    val tf = sharedTf.getOrElse(TextAnalysis.docTokenCounts(docs))
+  /** (lens frame, N docs, mean length) — avglen is the single IEEE
+    * division of two integer-valued operands, bit-identical in any
+    * engine. N == 0 signals an empty corpus. */
+  private def corpusStats(tf: DataFrame): (DataFrame, Long, Double) = {
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("__k")).as("__len"))
-
-    // Corpus scalars: N docs and mean token length, folded as literals.
-    // Both engines derive avglen with the same single IEEE division of
-    // two integer-valued operands, so the literal is bit-identical.
     val nRow = lens.agg(count(lit(1)), sum(col("__len"))).first()
     val n = nRow.getLong(0)
-    if (n == 0L) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val avgLen = nRow.getLong(1).toDouble / n.toDouble
+    (lens, n, if (n == 0L) 0.0 else nRow.getLong(1).toDouble / n.toDouble)
+  }
 
+  /** Query-term table (query_id, token, __idf): top-nTerms TF-IDF tokens
+    * of each query doc — the tfidfTopTerms ranking verbatim (6-dp round
+    * before ranking, ties lexicographic) — each with its Robertson-`+1`
+    * BM25 idf. ≤ nQueries·nTerms rows; broadcast by every consumer. */
+  private def queryTerms(tf: DataFrame, n: Long, nQueries: Int,
+                         nTerms: Int): DataFrame = {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-
-    // Query terms: top-nTerms TF-IDF tokens of each query doc, the
-    // tfidfTopTerms ranking verbatim (6-dp round before ranking, ties
-    // lexicographic). Broadcast both ways: the query slice into the
-    // df join, the finished term table into candidate generation.
     val qtf = tf.filter(col("doc_id") < nQueries)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__tfidf").desc, col("token"))
-    val qterms = dfreq.join(broadcast(qtf), "token")
+    dfreq.join(broadcast(qtf), "token")
       .select(col("doc_id").as("query_id"), col("token"), col("__df"),
         round(col("__k") * log(lit(n.toDouble) / col("__df")), 6)
           .as("__tfidf"))
@@ -92,6 +87,17 @@ object Retrieval {
       .select(col("query_id"), col("token"),
         log(lit(1.0) + (lit(n.toDouble) - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
+  }
+
+  def bm25MoreLikeThis(docs: DataFrame, nQueries: Int = 8, nTerms: Int = 5,
+                       k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                       sharedTf: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = sharedTf.getOrElse(TextAnalysis.docTokenCounts(docs))
+    val (lens, n, avgLen) = corpusStats(tf)
+    if (n == 0L) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val qterms = queryTerms(tf, n, nQueries, nTerms)
 
     // Candidate scoring: per-term micro-unit contribution, integer sum.
     val contrib = tf.join(broadcast(qterms), "token")
@@ -128,6 +134,75 @@ object Retrieval {
    * end — the fusion itself can never be the bottleneck; the upstream
    * retrievers are.
    */
+  /** A frozen BM25 retrieval model: the query-term table (query_id,
+    * token, idf) plus the corpus mean length — everything
+    * [[bm25ScoreStateless]] needs to score a document in isolation.
+    * O(nQueries·nTerms) driver scalars, the plan-literal model idiom
+    * (similarity_ann's planes, quality_classifier's weights). */
+  final case class Bm25Model(avgLen: Double,
+                             terms: Seq[(Long, String, Double)])
+
+  /** Freeze the retrieval model from a corpus snapshot — the batch side
+    * of the ingest-time router: collect the ≤ nQueries·nTerms query-term
+    * rows (idf from the same snapshot) and the mean length. */
+  def bm25Model(docs: DataFrame, nQueries: Int = 8, nTerms: Int = 5,
+                sharedTf: Option[DataFrame] = None): Bm25Model = {
+    val tf = sharedTf.getOrElse(TextAnalysis.docTokenCounts(docs))
+    val (_, n, avgLen) = corpusStats(tf)
+    if (n == 0L) return Bm25Model(0.0, Seq.empty)
+    val rows = queryTerms(tf, n, nQueries, nTerms)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    Bm25Model(avgLen, rows.toSeq)
+  }
+
+  /**
+   * Stateless per-row BM25 scoring against a frozen [[Bm25Model]] — the
+   * INGEST-time twin of [[bm25MoreLikeThis]] (standing-query routing:
+   * every arriving document is scored against each stored query it
+   * shares a term with). The model folds into the plan as literals and
+   * each row is scored by folding over its OWN tokens — no explode to
+   * occurrence grain, no join, no aggregation, so the operator is
+   * append-safe on an unbounded stream with ZERO state (see
+   * [[graft.streaming.StreamingCuration.bm25RouteStream]]).
+   *
+   * Per-term micro-unit contributions are the batch arithmetic verbatim
+   * (same association order, same HALF_UP micro rounding), so scores are
+   * identical to [[bm25MoreLikeThis]] rows for the same (query, doc)
+   * pair — asserted in RetrievalSpec. No rank column: a global top-k is
+   * meaningless on an unbounded stream; route on a score threshold or
+   * window downstream.
+   */
+  def bm25ScoreStateless(docs: DataFrame, model: Bm25Model,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val len = size(toks).cast("long")
+    val entries = model.terms.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (qid, ts) =>
+        val s = ts.map { case (_, term, idf) =>
+          val tf = size(filter(toks, t => t === lit(term))).cast("long")
+          when(tf > 0L,
+            round(lit(idf) * (tf * lit(k1 + 1.0))
+              / (tf + lit(k1) * (lit(1.0 - b)
+                + lit(b) * len / lit(model.avgLen)))
+              * lit(1e6)).cast("long"))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(qid).as("query_id"), s.as("__s"))
+    }
+    if (entries.isEmpty)
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("bm25", DoubleType))))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array(entries: _*)).as("q"))
+      .filter(col("q.__s") > 0L && col("doc_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"),
+        col("doc_id").as("neighbor_id"),
+        (col("q.__s") / lit(1e6)).as("bm25"))
+  }
+
   def rrfFuse(a: DataFrame, bFrame: DataFrame, k: Int = 5,
               kRrf: Int = 60): DataFrame = {
     val term = round(lit(1e6) / (lit(kRrf) + col("rank"))).cast("long")

@@ -67,6 +67,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("bm25 stateless scorer matches the aggregated batch scores exactly") {
+    // the ingest-time router's per-row fold must reproduce the batch
+    // operator's micro-unit arithmetic bit-for-bit on the real corpus
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val model = Retrieval.bm25Model(docs)
+    assert(model.terms.nonEmpty && model.avgLen > 0.0)
+    val want = Retrieval.bm25MoreLikeThis(docs, k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "bm25")
+      .collect().map(_.toSeq).toSet
+    val got = Retrieval.bm25ScoreStateless(docs, model)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"only-stateless=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
+  test("bm25 stateless scorer: empty model yields an empty typed frame") {
+    val out = Retrieval.bm25ScoreStateless(corpus,
+      Retrieval.Bm25Model(0.0, Seq.empty))
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "bm25"))
+    assert(out.count() === 0L)
+  }
+
   test("rrf: both-list docs outrank single-list docs; exact micro terms") {
     val listA = Seq((0L, 1L, 1), (0L, 2L, 2))
       .toDF("query_id", "neighbor_id", "rank")

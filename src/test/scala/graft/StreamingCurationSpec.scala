@@ -250,6 +250,38 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bm25 router: stateless, matches batch scores " +
+    "across microbatch boundaries") {
+    // standing-query routing at ingest: the frozen model is plan
+    // literals, scoring is a per-row fold — batch boundaries can't
+    // matter, and scores equal the batch operator's pair-for-pair
+    import graft.text.Retrieval
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(80)
+      .select("doc_id", "text")
+    val model = Retrieval.bm25Model(docs)
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = StreamingCuration.bm25RouteStream(
+      stream.toDF().toDF("doc_id", "text"), model)
+    assert(out.isStreaming)
+    stream.addData(docRows.take(40).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("sbm25")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(docRows.drop(40).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sbm25").collect().map(_.toSeq).toSet
+      val want = Retrieval.bm25ScoreStateless(
+        docRows.toSeq.toDF("doc_id", "text"), model)
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty)
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+  }
+
   test("stateless pseudonymization runs on a stream unchanged") {
     // Privacy.pseudonymize is pure per-row projection — raw identifiers
     // can be scrubbed at INGEST, before anything lands; this pins that
