@@ -359,6 +359,18 @@ object DataPipelineQueries {
         sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
+  /** Batch-standing-query ADC search — the LUT-table form
+    * ([[Similarity.adcTopKBatch]]) at a query count (128, vs the literal
+    * form's 8) where per-query plan literals would bloat codegen: the
+    * lookup tables travel as a broadcast frame, the plan stays bounded
+    * by the codebook. Serves off the same memoized codes as
+    * `similarity_pq`. Memoized: the codebook collect runs at build. */
+  val similarityPqBatchq: (SparkSession, String) => DataFrame =
+    memoized("similarityPqBatchq") { (spark, sfDir) =>
+      Similarity.adcTopKBatch(embs(spark, sfDir), nQueries = 128, topK = 5,
+        sharedCodes = Some(embeddingPq(spark, sfDir)))
+    }
+
   /** Cluster-balanced (semantic-mixing) sample: at most 25 vectors per
     * IVF cell by deterministic hash rank — flattens over-represented
     * modes before a training mix. Memoized like the other
@@ -1980,6 +1992,10 @@ object DataPipelineQueries {
     NamedQuery("embedding_pq", embeddingPq, Some(Similarity.productQuantizeOracleSql())),
     // right after embedding_pq: shares its memoized code assignment
     NamedQuery("similarity_pq", similarityPq, Some(Similarity.adcTopKOracleSql())),
+    // the LUT-table twin at 128 standing queries: same oracle shape,
+    // query count where the literal form would bloat the plan
+    NamedQuery("similarity_pq_batchq", similarityPqBatchq,
+      Some(Similarity.adcTopKOracleSql(nQueries = 128))),
     NamedQuery("similarity_ivfpq", similarityIvfPq,
       Some(Similarity.ivfPqTopKOracleSql())),
     NamedQuery("sample_cluster_balanced", sampleClusterBalanced,

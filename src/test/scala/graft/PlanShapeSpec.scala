@@ -45,10 +45,14 @@ class PlanShapeSpec extends SparkSpec {
     * vectors under `vec_a < vec_b` — an inequality self-join over a
     * constant-size sample, never the corpus. hybrid_rrf nests the
     * brute-force list as its vector side, inheriting exactly that
-    * broadcast-8-queries BNLJ; its own fusion joins are equi. */
+    * broadcast-8-queries BNLJ; its own fusion joins are equi.
+    * similarity_pq_batchq is the LUT-TABLE ADC form: its entire design is
+    * a broadcast cross join of the small standing-query LUT frame against
+    * the codes scan (so the plan stays codebook-bounded however many
+    * queries stand) — the dedicated test below asserts the broadcast. */
   private val intentionalBnlj =
     Set("similarity_topk", "knn_label_audit", "dsir_weights",
-      "rp_distortion", "hybrid_rrf")
+      "rp_distortion", "hybrid_rrf", "similarity_pq_batchq")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —
@@ -65,6 +69,19 @@ class PlanShapeSpec extends SparkSpec {
     // window's, the same shape as brute-force)
     val plan = finalPlan(DataPipelineQueries.similarityPq(spark, sf))
     assert(!plan.contains("Join"), s"ADC scan acquired a join:\n$plan")
+  }
+
+  test("similarity_pq_batchq: the LUT table joins as a BROADCAST — the " +
+    "codes scan is never shuffled for scoring") {
+    // the LUT-table ADC form must keep the literal form's scale shape:
+    // the corpus-side codes stream map-side through a broadcast of the
+    // standing-query LUT frame; a shuffle-side join here would repartition
+    // the whole codes table per query batch
+    val plan = finalPlan(DataPipelineQueries.similarityPqBatchq(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"LUT join lost its broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"batchq scoring acquired a shuffle join:\n$plan")
   }
 
   test("bm25 broadcasts the query-term table; corpus never token-shuffled") {

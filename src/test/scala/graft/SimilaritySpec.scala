@@ -118,6 +118,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("adcTopKBatch: LUT-table form equals the literal form row-for-row, " +
+    "and the plan does not grow with the query count") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).toSet
+    // same codebook, same µ-rounding, same tie rule → identical output
+    val lit8 = rows(Similarity.adcTopK(embs, nQueries = 8, topK = 5))
+    val bat8 = rows(Similarity.adcTopKBatch(embs, nQueries = 8, topK = 5))
+    assert(lit8 == bat8,
+      s"batch != literal; only-batch=${bat8 -- lit8} only-lit=${lit8 -- bat8}")
+    // the whole point of the LUT-table form: the analyzed plan is bounded
+    // by the codebook, not the query set — 16× the queries may not even
+    // double the plan text (the literal form grows ~linearly: each query
+    // adds its own m×k literal arrays)
+    val small = Similarity.adcTopKBatch(embs, nQueries = 8)
+      .queryExecution.analyzed.toString.length
+    val large = Similarity.adcTopKBatch(embs, nQueries = 128)
+      .queryExecution.analyzed.toString.length
+    assert(large < small * 2,
+      s"batch-form plan grew with nQueries: 8q=$small chars, 128q=$large chars")
+    // sanity on the comparison itself: the literal form DOES grow with
+    // the query count (each query adds its own m×k LUT arrays — hundreds
+    // of chars per query on top of the fixed codebook text), while the
+    // batch form's growth per added query is ~zero
+    val litSmall = Similarity.adcTopK(embs, nQueries = 2)
+      .queryExecution.analyzed.toString.length
+    val litLarge = Similarity.adcTopK(embs, nQueries = 32)
+      .queryExecution.analyzed.toString.length
+    assert((litLarge - litSmall) / 30 > 200,
+      s"expected literal-form plan growth: 2q=$litSmall, 32q=$litLarge")
+    assert((litLarge - litSmall) / 30 > 20 * math.max(1, (large - small) / 120),
+      s"batch form should grow far slower per query: literal " +
+        s"Δ=${litLarge - litSmall}/30q, batch Δ=${large - small}/120q")
+  }
+
   test("centroidOutliers: farthest-from-centroid ranks first, ties to smaller id") {
     // label 0 centroid = (3, 3, 2.5, 2.5); dist²: id3=210.5, id0=30.5,
     // id1=id2=22.5 (tie → smaller id ranks ahead)
