@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.text.{TextAnalysis, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
@@ -54,30 +54,100 @@ object StreamingCurationJobs {
 
   /**
    * The stateless benchmark-overlap exclusion: drops every row sharing a
-   * word `shingleWidth`-gram with the benchmark set, whose distinct
-   * shingles are collected ONCE and folded into the plan as a literal
-   * array (`arrays_overlap` per row — no join, no state, no watermark
-   * interaction). The inline sibling of [[StreamingCuration
-   * .decontaminateFlags]]: the flagger REPORTS matches (and needs per-doc
-   * dedup state); this FILTERS them, which a pure projection can do.
+   * word `shingleWidth`-gram with the benchmark set. Two cooperating
+   * stateless stages (no state, no watermark interaction — the inline
+   * sibling of [[StreamingCuration.decontaminateFlags]]: the flagger
+   * REPORTS matches and needs per-doc dedup state; this FILTERS, which
+   * pure per-microbatch operators can do):
+   *
+   *  1. a BLOOM pre-filter projection: the benchmark shingles' k salted
+   *     hash positions are folded into ONE fixed-size bitmap literal
+   *     (`mBits/64` longs — a MEMORY-BUDGET knob, NOT a function of the
+   *     eval-suite size; same position scheme as
+   *     [[graft.text.Dedup.bloomDedupAudit]]). A document none of whose
+   *     shingles fully hit the bitmap provably shares no benchmark
+   *     shingle (Bloom admits no false negatives) and passes immediately
+   *     — the overwhelming majority of a clean corpus, at k md5 probes
+   *     per shingle regardless of benchmark size.
+   *  2. exact verification of the (rare) bitmap candidates: a per-
+   *     microbatch LEFT ANTI join against the BROADCAST benchmark
+   *     shingle index (`array_contains` condition — a broadcast
+   *     nested-loop over candidates only). True matches drop; Bloom
+   *     false positives survive, so the output is EXACTLY the old
+   *     `arrays_overlap`-against-literal semantics.
+   *
+   * The pre-r9 form folded every distinct benchmark shingle into the
+   * plan as a string-array literal — correct for benchmark-sized sets,
+   * but plan/codegen size grew linearly with the eval suite (megabytes
+   * at a real multi-benchmark suite). Here the plan carries only the
+   * bitmap; the full shingle set travels once as a data-plane BROADCAST
+   * to the anti join. Exactness + the plan-size bound are pinned in
+   * StreamingCurationJobsSpec.
+   *
+   * @param benchIndex a [[StreamingCuration.benchShingleIndex]] frame
+   *                   built with the SAME `shingleWidth`; caller-persisted
+   *                   for multi-batch streams (the exact-verify side
+   *                   re-reads it every microbatch)
+   * @param mBits      bitmap width in bits (multiple of 64); defaults to
+   *                   ~16 bits per benchmark shingle (≈0.1% false-positive
+   *                   rate at k=5), clamped to [2^16, 2^23] — 8 KiB to
+   *                   1 MiB of plan literal, whatever the suite size
    */
-  def decontaminateExclude(docStream: DataFrame, benchDocs: DataFrame,
-                           shingleWidth: Int = 5): DataFrame = {
-    val bench = graft.text.Dedup.shingleArrays(benchDocs, shingleWidth)
-      .select(explode(col("sh")).as("shingle")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (bench.isEmpty) docStream
-    else docStream.filter(!arrays_overlap(
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)),
-      typedLit(bench)))
+  def decontaminateExclude(docStream: DataFrame, benchIndex: DataFrame,
+                           shingleWidth: Int = 5, kHashes: Int = 5,
+                           mBits: Option[Int] = None): DataFrame = {
+    val nShingles = benchIndex.count()
+    if (nShingles == 0L) return docStream
+    val m = mBits.getOrElse {
+      var p = 1 << 16
+      while (p < 16L * nShingles && p < (1 << 23)) p <<= 1
+      p
+    }
+    require(m > 0 && m % 64 == 0, s"mBits $m must be a positive multiple of 64")
+    def pos(i: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$i:"), c)), 1, 8), 16, 10).cast("long") % m
+    // driver-side bitmap build: ≤ m distinct positions collected once at
+    // job build (the same bounded collect shape as the PQ codebook)
+    val words = new Array[Long](m / 64)
+    benchIndex
+      .select(explode(array((0 until kHashes).map(i =>
+        pos(i, col("shingle"))): _*)).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= (1L << (p & 63).toInt)
+      }
+    val bm = typedLit(words.toSeq)
+    // positions are < 2^23 so the double division is exact; getbit reads
+    // the word's bit map-side — O(1) per probe, no join for clean rows
+    def bitSet(p: Column): Column =
+      call_function("getbit",
+        element_at(bm, (p / 64).cast("int") + 1), (p % 64).cast("int")) === 1
+    val shingleArr = array_distinct(
+      TextOps.shingles(TextOps.tokens(col("text")), shingleWidth))
+    // the k probes nest as `forall` over a positions ARRAY so the bitmap
+    // literal occurs ONCE per consumer (an unrolled k-way AND would embed
+    // k copies of the literal in the plan/codegen — 5× the plan text for
+    // the same result)
+    val candidate = exists(shingleArr, s =>
+      forall(array((0 until kHashes).map(i => pos(i, s)): _*), p => bitSet(p)))
+    val clean = docStream.filter(!candidate)
+    val verified = docStream.filter(candidate)
+      .withColumn("__sh", shingleArr)
+      .join(broadcast(benchIndex),
+        array_contains(col("__sh"), col("shingle")), "left_anti")
+      .drop("__sh")
+    clean.unionByName(verified)
   }
 
   /**
    * Ingest job: `docsTopic` (JSON-lines, [[docSchema]]) → dedup → gate →
    * benchmark exclusion → `<workDir>/curated`. Returns the started query.
    *
-   * @param benchDocs static benchmark frame (doc_id, text) — collected
-   *                  once at job build for the exclusion literal
+   * @param benchDocs static benchmark frame (doc_id, text) — its shingle
+   *                  index is built once at job build, persisted for the
+   *                  job's lifetime (the exclusion's exact-verify side
+   *                  re-reads it every microbatch), and its Bloom bitmap
+   *                  folded into the plan
    */
   def runIngestJob(spark: SparkSession, docsTopic: String,
                    benchDocs: DataFrame, workDir: String,
@@ -95,7 +165,14 @@ object StreamingCurationJobs {
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_time"),
         col("fingerprint"), col("n_tokens").cast("long").as("n_tokens"))
-    val curated = decontaminateExclude(gated, benchDocs, shingleWidth)
+    // job-scoped cache: the index outlives this builder (every microbatch
+    // of the exclusion's anti join probes it), so it is persisted here
+    // once per STARTED JOB — not per operator call — and released with
+    // the session, the same ownership as the job's checkpoint state
+    val benchIndex = StreamingCuration
+      .benchShingleIndex(benchDocs, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val curated = decontaminateExclude(gated, benchIndex, shingleWidth)
     // json-format topic (like the ad pipeline's materialized join): the
     // chained stats job re-reads it with the declared curatedSchema
     JsonStreams.writeTopic(curated,

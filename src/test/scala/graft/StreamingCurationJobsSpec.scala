@@ -24,6 +24,70 @@ class StreamingCurationJobsSpec extends SparkSpec {
 
   private def jsonLines(df: DataFrame): Seq[String] = df.toJSON.collect().toIndexedSeq
 
+  test("decontaminateExclude: Bloom+anti-join form is exact (even with a " +
+    "pathological bitmap), and the plan stays bitmap-bounded as the " +
+    "benchmark suite grows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // amplified benchmark suite: the raw matching docs plus k mutated
+    // copies (per-copy token suffix → all-new shingles) — inflates the
+    // index size without changing WHICH corpus docs overlap it, exactly
+    // how a multi-benchmark eval suite grows
+    def benchAt(k: Int) = (0 to k).map { i =>
+      docs.filter(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + i * 1000000L).as("doc_id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", "$1" + s"b$i")).as("text"))
+    }.reduce(_ unionAll _)
+    // materialized as a local relation: in production the index is a
+    // TABLE (one scan of constant plan text); building it as a k-way
+    // union here would grow the plan string with the UNION subtree and
+    // mask what this test isolates — the operator's own contribution
+    def index(k: Int) = graft.streaming.StreamingCuration
+      .benchShingleIndex(benchAt(k), 5)
+      .collect().map(_.getString(0)).toSeq.toDF("shingle")
+    // ground truth: the pre-r9 literal semantics, computed inline
+    val benchShingles = index(0).collect().map(_.getString(0)).toSeq
+    val expected = docs.filter(!arrays_overlap(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5)),
+        typedLit(benchShingles)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < docs.count(),
+      "test needs both survivors and exclusions")
+    def got(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // default bitmap: the Bloom routes almost everything straight through
+    assert(got(StreamingCurationJobs.decontaminateExclude(
+      docs, index(0))) == expected)
+    // pathological 64-bit bitmap: EVERY doc collides into the candidate
+    // path, so exactness now rests entirely on the anti-join verify —
+    // false positives must survive, true matches must drop
+    assert(got(StreamingCurationJobs.decontaminateExclude(
+      docs, index(0), mBits = Some(64))) == expected)
+    // amplified suite, same corpus overlap: output unchanged
+    assert(got(StreamingCurationJobs.decontaminateExclude(
+      docs, index(8))) == expected)
+    // plan-size bound: at a FIXED memory budget the plan is O(mBits),
+    // not O(suite) — the bitmap WORD COUNT is constant; only the printed
+    // digit length of denser words can drift, so allow 1.5× — while the
+    // old form's literal grows by the full serialized shingle set (~9×
+    // the shingles here)
+    val m = Some(1 << 17)
+    val planBase = StreamingCurationJobs.decontaminateExclude(
+      docs, index(0), mBits = m).queryExecution.analyzed.toString.length
+    val planBig = StreamingCurationJobs.decontaminateExclude(
+      docs, index(8), mBits = m).queryExecution.analyzed.toString.length
+    assert(planBig < (planBase * 1.5).toInt,
+      s"plan grew with the benchmark suite: base=$planBase big=$planBig")
+    val oldFormBig = docs.filter(!arrays_overlap(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 5)),
+        typedLit(index(8).collect().map(_.getString(0)).toSeq)))
+      .queryExecution.analyzed.toString.length
+    assert(planBig * 3 < oldFormBig,
+      s"bitmap form should be far smaller than the literal form at an " +
+        s"amplified suite: bitmap=$planBig literal=$oldFormBig")
+  }
+
   test("ingest + chained stats jobs reproduce the batch curation stages") {
     val root = Files.createTempDirectory("graft-curation-jobs")
     val topic = root.resolve("docs")
