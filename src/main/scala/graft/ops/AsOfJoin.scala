@@ -42,6 +42,31 @@ object AsOfJoin {
    *         leftId as `matched_<leftId>`, left ts as `matched_ts`,
    *         lag in milliseconds)
    */
+  /**
+   * The per-key matching chain as plain Scala, shared verbatim by the
+   * streaming twin ([[graft.streaming.StreamingAsOfJoin]]) so batch and
+   * stream can never diverge on sort or tie rules: sort one key's
+   * buffered events by the batch window's exact order key — (ts asc,
+   * left-before-right at equal ts, left id asc so the LARGEST equal-ts
+   * left id is carried last) — then one linear scan carries the latest
+   * left row onto each right row. Input tuples are (epoch-ms ts, isLeft,
+   * id); left rows with a null id must be dropped BEFORE buffering, as
+   * [[lastBefore]] drops them before the window. Returns one
+   * (rightId, rightTsMs, Option[(leftId, leftTsMs)]) per right row.
+   * Arrival-order insensitivity and equivalence to [[lastBefore]] are
+   * pinned in AsOfJoinSpec.
+   */
+  def matchSeq(buf: Seq[(Long, Boolean, Long)])
+      : Seq[(Long, Long, Option[(Long, Long)])] = {
+    val sorted = buf.sortBy { case (t, isL, id) => (t, if (isL) 0 else 1, id) }
+    var carry: Option[(Long, Long)] = None
+    val out = Seq.newBuilder[(Long, Long, Option[(Long, Long)])]
+    sorted.foreach { case (t, isL, id) =>
+      if (isL) carry = Some((id, t)) else out += ((id, t, carry))
+    }
+    out.result()
+  }
+
   def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
                  leftId: String, rightId: String): DataFrame = {
     val tagged = left.filter(col(leftId).isNotNull).select(col(key), col(ts),

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/**
+ * Streaming twin of [[graft.ops.AsOfJoin]] — ingest-time attribution
+ * (click → last preceding view by the same user) with EXACT batch
+ * semantics under any arrival order. A right row's match depends on the
+ * latest left row AT OR BEFORE it, so an incremental "remember the last
+ * left" fold is wrong the moment a left event arrives late: it would
+ * attribute a click to a view that a still-in-flight earlier view should
+ * have displaced — and, once emitted, never repair. The correct
+ * streaming form is the same buffer-until-finalized shape as
+ * [[StreamingFunnel]]/[[StreamingTransitions]] (the neighbor dependency
+ * is the same): per-key events from BOTH sides accumulate in
+ * `flatMapGroupsWithState` state; when the watermark passes the key's
+ * last event + `finalizeDelayMs`, the buffer runs once through the
+ * shared [[AsOfJoin.matchSeq]] chain — the batch operator's exact sort
+ * and tie rules — and one attributed row per right event is emitted
+ * append-mode.
+ *
+ * State budget: sessionization-class — each key's events inside its
+ * activity horizon, GC'd at finalize; same bound and the same
+ * pathological-key caveat as the streaming funnel. The horizon is the
+ * trade: a right event arriving after its key finalized starts a fresh
+ * buffer and cannot see the previous epoch's left rows (the streaming
+ * dedup documents the identical bounded-state trade); size
+ * `watermarkDelay`/`finalizeDelayMs` to the attribution window.
+ * Batch parity (cross-microbatch late left rows, equal-ts ties,
+ * unmatched rights) is pinned in StreamingAsOfJoinSpec.
+ */
+object StreamingAsOfJoin {
+
+  /**
+   * @param left    streaming frame providing the carried columns
+   * @param right   streaming frame whose every row is emitted once
+   * @param key     equi key column (both sides; cast to long)
+   * @param ts      event-time column name (both sides)
+   * @param leftId  left row id carried onto matches (null rows dropped,
+   *                as in the batch operator)
+   * @param rightId right row id preserved in the output
+   * @return append-mode stream, one row per FINALIZED right row:
+   *         (rightId, key, right ts as `ts`, leftId as
+   *         `matched_<leftId>`, left ts as `matched_ts`, lag in ms) —
+   *         the batch operator's exact output shape
+   */
+  def lastBeforeStream(left: DataFrame, right: DataFrame,
+                       key: String, ts: String,
+                       leftId: String, rightId: String,
+                       watermarkDelay: String = "10 seconds",
+                       finalizeDelayMs: Long = 10000L): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.filter(col(leftId).isNotNull)
+      .select(col(key).cast("long").as("k"), col(ts).as("t"),
+        lit(true).as("isl"), col(leftId).cast("long").as("id"))
+    val r = right
+      .select(col(key).cast("long").as("k"), col(ts).as("t"),
+        lit(false).as("isl"), col(rightId).cast("long").as("id"))
+    // watermark AFTER the union so one horizon governs both sides (a
+    // per-side watermark would anyway combine as the min; this keeps the
+    // single knob explicit)
+    val typed = l.unionByName(r)
+      .withWatermark("t", watermarkDelay)
+      .as[(Long, Timestamp, Boolean, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Boolean, Long)],
+        (Long, Long, Timestamp, Option[Long], Option[Timestamp], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(Long, Timestamp, Boolean, Long)],
+         state: GroupState[Seq[(Long, Boolean, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            AsOfJoin.matchSeq(buf).iterator.map { case (rid, rts, m) =>
+              (rid, k, new Timestamp(rts), m.map(_._1),
+                m.map(p => new Timestamp(p._2)), m.map(rts - _._2))
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Seq.empty) ++
+              it.map(e => (e._2.getTime, e._3, e._4))
+            state.update(buf)
+            state.setTimeoutTimestamp(math.max(
+              buf.map(_._1).max + finalizeDelayMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF(rightId, key, ts, s"matched_$leftId", "matched_ts", "lag_ms")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.AsOfJoin
+import graft.streaming.StreamingAsOfJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/**
+ * The buffered streaming as-of join must reproduce the batch operator
+ * exactly — including when a VIEW arrives in a later microbatch than the
+ * click it should attribute (the case an incremental last-left fold
+ * emits wrong and can never repair), at equal-ts ties, and for
+ * unmatched rights.
+ */
+class StreamingAsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("streamed attribution equals the batch as-of join, out-of-order " +
+    "across microbatches") {
+    // (event_id, user_id, ts)
+    val views = Seq(
+      (1L, 7L, ts(10)), (2L, 7L, ts(20)),
+      // u8's view at 30 arrives AFTER its click at 40 (later batch):
+      // buffering must still attribute the click to it
+      (4L, 8L, ts(30)),
+      // u9: two equal-ts views — largest id (12) must win
+      (11L, 9L, ts(50)), (12L, 9L, ts(50)))
+    val clicks = Seq(
+      (100L, 7L, ts(15)), (101L, 7L, ts(25)),
+      (102L, 8L, ts(40)),
+      // at-or-before: click exactly at the views' ts sees them
+      (103L, 9L, ts(50)),
+      // u10 has no view at all: null match
+      (104L, 10L, ts(60)))
+    val vStream = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cStream = MemoryStream[(Long, Long, Timestamp)](spark)
+    def df(s: MemoryStream[(Long, Long, Timestamp)]) =
+      s.toDF().toDF("event_id", "user_id", "ts")
+    val out = StreamingAsOfJoin.lastBeforeStream(
+      df(vStream), df(cStream),
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      watermarkDelay = "1 hour")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    try {
+      // batch 1: everything EXCEPT u8's view, which arrives after the
+      // click it must match
+      vStream.addData(views.filterNot(_._1 == 4L): _*)
+      cStream.addData(clicks: _*)
+      q.processAllAvailable()
+      vStream.addData(views.filter(_._1 == 4L): _*)
+      q.processAllAvailable()
+      // sentinels advance the watermark past every key's finalize horizon
+      vStream.addData((900L, 999L, ts(100000)))
+      q.processAllAvailable()
+      vStream.addData((901L, 999L, ts(200000)))
+      q.processAllAvailable()
+
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("ts"),
+          Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong),
+          Option(r.getAs[Timestamp]("matched_ts")),
+          Option(r.getAs[java.lang.Long]("lag_ms")).map(_.toLong))
+      val got = spark.table("sasof")
+        .filter(col("user_id") =!= 999L).collect().map(keyOf).toSet
+      val want = AsOfJoin.lastBefore(
+        views.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id")
+        .collect().map(keyOf).toSet
+      assert(want.size == clicks.size)
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+      // the late-view case specifically: u8's click attributes to view 4
+      assert(got.exists(r => r._1 == 102L && r._4.contains(4L)))
+      // tie cases: largest equal-ts view id wins; at-or-before visibility
+      assert(got.exists(r => r._1 == 103L && r._4.contains(12L) &&
+        r._6.contains(0L)))
+      // unmatched right carries nulls
+      assert(got.exists(r => r._1 == 104L && r._4.isEmpty && r._5.isEmpty))
+    } finally q.stop()
+  }
+
+  test("matchSeq equals lastBefore on randomized inputs, any arrival order") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 30) {
+      val lefts = Seq.tabulate(rnd.nextInt(8))(i =>
+        (i.toLong + 1, 7L, rnd.nextInt(40).toLong))
+      val rights = Seq.tabulate(1 + rnd.nextInt(8))(i =>
+        (i.toLong + 100, 7L, rnd.nextInt(40).toLong))
+      val buf = rnd.shuffle(
+        lefts.map(l => (l._3 * 1000L, true, l._1)) ++
+          rights.map(r => (r._3 * 1000L, false, r._1)))
+      val viaSeq = AsOfJoin.matchSeq(buf)
+        .map { case (rid, rts, m) => (rid, rts, m) }.toSet
+      val viaBatch = AsOfJoin.lastBefore(
+        lefts.map { case (id, u, s) => (id, u, ts(s)) }
+          .toDF("event_id", "user_id", "ts"),
+        rights.map { case (id, u, s) => (id, u, ts(s)) }
+          .toDF("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id")
+        .collect().map { r =>
+          val m = Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)
+            .map(mid => (mid, r.getAs[Timestamp]("matched_ts").getTime))
+          (r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts").getTime, m)
+        }.toSet
+      assert(viaSeq == viaBatch,
+        s"matchSeq != lastBefore; lefts=$lefts rights=$rights " +
+          s"only-seq=${viaSeq -- viaBatch} only-batch=${viaBatch -- viaSeq}")
+    }
+  }
+}
