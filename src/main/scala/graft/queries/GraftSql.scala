@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.GraftFunctionRegistry
+
+/**
+ * SQL entry surface — the reference's user surface is SQL (its two jobs
+ * are Flink SQL scripts, README.md:21-27), while this engine's primary
+ * surface is the builder API. This registrar closes the gap: it mounts
+ * the base tables, the native graft_* functions, and any subset of the
+ * registered pipeline queries as TEMP VIEWS on a live session, so the
+ * whole engine drives end-to-end from `spark.sql`:
+ *
+ *   GraftSql.register(spark, sfDir, Seq("ctr_by_campaign"))
+ *   spark.sql("SELECT * FROM ctr_by_campaign WHERE campaign_id = 7")
+ *
+ * Views are LAZY plans — registering does not execute them, and a query
+ * over a view composes with further SQL (filters/joins/aggregations on
+ * top) under the same Catalyst optimization as the builder form; some
+ * builders run their bounded index-build collects (PQ codebooks, IVF
+ * centroids) at registration, which is the documented
+ * collect-at-build contract of those operators. Temp views are
+ * session-scoped: per-session registration, exactly like the
+ * reference's per-session `CREATE TABLE` DDL preamble.
+ *
+ * SQL-vs-builder identity for the reference's event pipeline is pinned
+ * in GraftSqlSpec (hash-identical results through `spark.sql`).
+ */
+object GraftSql {
+
+  /** The driver-provided base tables ([[Tables.table]] names). */
+  val baseTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents", "embeddings")
+
+  /**
+   * Mount base tables + native SQL functions + the named pipeline
+   * queries (default: the full registry) as temp views over `sfDir`.
+   *
+   * @param names registry names to mount (unknown names raise); pass a
+   *              subset to skip builders whose index-build collects you
+   *              don't want to pay at registration
+   */
+  def register(spark: SparkSession, sfDir: String,
+               names: Seq[String] = null): Unit = {
+    baseTables.foreach(t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    // events needs its epoch-ms normalization (TESTDATA nanos parquet)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    GraftFunctionRegistry.register(spark)
+    val registry = graft.SparkEntry.queries
+    val wanted = Option(names).map(_.toSeq).getOrElse(registry.keys.toSeq)
+    val unknown = wanted.filterNot(registry.contains)
+    require(unknown.isEmpty, s"unknown registry queries: $unknown")
+    wanted.foreach(n => registry(n)(spark, sfDir).createOrReplaceTempView(n))
+  }
+}

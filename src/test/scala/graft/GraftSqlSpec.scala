@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{EventQueries, GraftSql}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * The SQL entry surface must drive the reference's event pipeline
+ * end-to-end through `spark.sql` with results hash-identical to the
+ * builder API, and compose with further SQL on top of the views.
+ */
+class GraftSqlSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+      .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+      .sortBy(_.mkString("")).toSeq
+  }
+
+  test("Q1/Q2/anomaly run through spark.sql with builder-identical results") {
+    GraftSql.register(spark, sf,
+      Seq("ctr_by_campaign", "engagement_by_device", "anomaly_alerts"))
+    val pairs = Seq(
+      "ctr_by_campaign" -> EventQueries.ctrByCampaign(spark, sf),
+      "engagement_by_device" -> EventQueries.engagementByDevice(spark, sf),
+      "anomaly_alerts" -> EventQueries.anomalyAlerts(spark, sf))
+    for ((view, builder) <- pairs) {
+      val viaSql = canon(spark.sql(s"SELECT * FROM $view"))
+      val viaBuilder = canon(builder)
+      assert(viaSql.nonEmpty && viaSql == viaBuilder,
+        s"$view: SQL surface diverged from the builder API")
+    }
+  }
+
+  test("views compose: SQL aggregation over the ctr view, base tables " +
+    "and native functions are mounted") {
+    GraftSql.register(spark, sf, Seq("ctr_by_campaign"))
+    // aggregate ON TOP of the pipeline view — the user's ad-hoc SQL case
+    val top = spark.sql("""
+      SELECT campaign_id, count(*) AS n_windows, sum(impression_count) AS impr
+      FROM ctr_by_campaign GROUP BY campaign_id
+      ORDER BY impr DESC, campaign_id LIMIT 5""").collect()
+    assert(top.length == 5 && top.head.getLong(2) >= top.last.getLong(2))
+    // base tables answer plain SQL
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    // native functions are SQL-callable
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) == 11.0)
+    // unknown names are rejected loudly, not silently skipped
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.register(spark, sf, Seq("no_such_query"))
+    }
+    assert(ex.getMessage.contains("no_such_query"))
+  }
+}
