@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -51,16 +51,25 @@ object Profile {
     * source before mixing a corpus. Exact linear-interpolated
     * `percentile` (same definition as DuckDB `quantile_cont`, so the
     * oracle replicates it value-for-value); ONE hash shuffle on the
-    * group key with per-group sorted-buffer percentiles. At 100 TB swap
-    * in `percentile_approx` (t-digest-style fixed-size partials) — same
-    * report shape, tolerance-grade values. */
+    * group key with per-group sorted-buffer percentiles. `exact = false`
+    * IS the 100 TB escape hatch: `percentile_approx` (Greenwald-Khanna
+    * fixed-size partials, rank error ≤ 1/`accuracy`) — same report
+    * shape, tolerance-grade values, per-group memory bounded by the
+    * sketch instead of the group (registered as the
+    * `doc_length_quantiles_approx` bench row; tolerance vs exact pinned
+    * in TextAnalysisSpec). */
   def quantiles(df: DataFrame, valueCol: String, groupCol: String,
-                probs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+                probs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+                exact: Boolean = true, accuracy: Int = 10000)
       : DataFrame = {
     require(probs.nonEmpty, "quantile profile needs at least one prob")
     def label(p: Double) = s"p${math.round(p * 100)}"
+    def pct(p: Double): Column =
+      if (exact) percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .cast("double")
     val aggs = round(avg(col(valueCol)), 6).as("mean") +:
-      probs.map(p => round(percentile(col(valueCol), lit(p)), 6).as(label(p)))
+      probs.map(p => round(pct(p), 6).as(label(p)))
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }

@@ -159,6 +159,14 @@ object DataPipelineQueries {
   def docLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Profile.quantiles(docs(spark, sfDir), "n_chars", "source")
 
+  /** The quantile profile's declared 100 TB escape hatch
+    * (`percentile_approx`, fixed-size partials) — bench-row-only, no
+    * oracle (sketch values are engine-specific); tolerance vs exact
+    * pinned in TextAnalysisSpec. */
+  def docLengthQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.quantiles(docs(spark, sfDir), "n_chars", "source",
+      exact = false)
+
   /** Top-3 longest docs per source (deterministic: doc_id tie-break);
     * the rank filter must plan a map-side WindowGroupLimit — asserted
     * in PlanShapeSpec. */
@@ -1955,6 +1963,7 @@ object DataPipelineQueries {
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
+    NamedQuery("doc_length_quantiles_approx", docLengthQuantilesApprox, None),
     NamedQuery("doc_length_quantiles", docLengthQuantiles,
       Some(docLengthQuantilesOracle)),
     NamedQuery("top_docs_per_source", topDocsPerSource,

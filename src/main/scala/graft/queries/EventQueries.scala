@@ -240,6 +240,26 @@ object EventQueries {
     graft.ops.Profile.columns(Tables.eventsSpread(spark, sfDir),
       Seq("event_id", "user_id", "event_type", "value", "props"))
 
+  /** The profile's declared 100 TB escape hatch (HLL distinct counts,
+    * fixed-size partials) — registered WITHOUT an oracle (sketch values
+    * are engine-specific) so the bench times it every round next to the
+    * exact form; tolerance vs exact is pinned in spec. */
+  def profileEventsApproxQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profile.columns(Tables.eventsSpread(spark, sfDir),
+      Seq("event_id", "user_id", "event_type", "value", "props"),
+      exact = false)
+
+  /** Q1's declared 100 TB escape hatch ([[WindowedCounts.ctrAggApprox]]:
+    * HLL++ distinct counts, no Expand blow-up) — bench-row-only for the
+    * same reason as [[profileEventsApproxQ]]; tolerance pinned in
+    * WindowedCountsSpec. */
+  def ctrByCampaignApprox(spark: SparkSession, sfDir: String): DataFrame =
+    WindowedCounts.ctrAggApprox(joined(spark, sfDir),
+      groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+      timeCol = col("i.event_time"), windowLength = "1 minute",
+      distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+      withRatio = true)
+
   /** First-touch conversion funnel view → click → purchase. */
   def funnelStagesQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Funnel.stages(Tables.eventsSpread(spark, sfDir),
@@ -596,6 +616,10 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
+    // the declared scale escape hatches, timed every round: no oracle
+    // (sketch values are engine-specific) → the driver's weaker
+    // rows-only check; exact-vs-approx tolerance is spec-pinned
+    NamedQuery("ctr_by_campaign_approx", ctrByCampaignApprox, None),
     NamedQuery("engagement_by_device", engagementByDevice, Some(engagementOracle)),
     NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)),
     NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
@@ -614,6 +638,7 @@ object EventQueries {
     NamedQuery("user_retention", userRetentionQ, Some(userRetentionOracle)),
     NamedQuery("funnel_stages", funnelStagesQ, Some(funnelStagesOracle)),
     NamedQuery("profile_events", profileEventsQ, Some(profileEventsOracle)),
+    NamedQuery("profile_events_approx", profileEventsApproxQ, None),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)),
     NamedQuery("event_transitions", eventTransitionsQ,
       Some(eventTransitionsOracle)))

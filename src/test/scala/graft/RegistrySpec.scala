@@ -6,12 +6,28 @@ import org.apache.spark.sql.functions._
 /** Contract guards for the driver-facing registry and the raw scan path. */
 class RegistrySpec extends SparkSpec {
 
-  test("every registered query has an oracle") {
+  /** The declared bench-only rows: approx/sketch escape hatches whose
+    * values are engine-specific (HLL++, Greenwald-Khanna) so a value
+    * oracle cannot exist — each is tolerance-pinned against its exact
+    * twin in sbt instead (WindowedCountsSpec, SessionizeSpec,
+    * SketchesSpec). Anything NOT on this list must have an oracle. */
+  private val benchOnly = Set(
+    "ctr_by_campaign_approx", "profile_events_approx",
+    "doc_length_quantiles_approx")
+
+  test("every registered query has an oracle (bench-only sketch rows " +
+    "whitelisted, each with a spec-pinned exact twin)") {
     // since r7 even similarity_ivf is oracle-checked (deterministic
     // hash-sampled centroids); a new oracle-less query downgrades the
     // driver gate to rows-only silently — fail here instead
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- benchOnly
     assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
+    // the whitelist must stay honest: every bench-only row exists and
+    // its exact twin IS oracle-checked
+    assert(benchOnly.subsetOf(SparkEntry.queries.keySet))
+    Seq("ctr_by_campaign", "profile_events", "doc_length_quantiles")
+      .foreach(t => assert(SparkEntry.oracleSql.contains(t), s"exact twin $t"))
   }
 
   test("oracle SQL references only tables the driver provides") {

@@ -118,6 +118,48 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 4L, 2.5, 1.75, 2.5), ("b", 1L, 10.0, 10.0, 10.0)))
   }
 
+  test("quantile profile approx switch: same report shape, values within " +
+    "the sketch's rank-error tolerance of exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.ops.Profile.quantiles(docs, "n_chars", "source")
+    val approx = graft.ops.Profile.quantiles(docs, "n_chars", "source",
+      exact = false)
+    assert(exact.columns.toSeq == approx.columns.toSeq)
+    val e = exact.collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = approx.collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    // percentile_approx is NEAREST-RANK (returns an actual sample) while
+    // the exact form interpolates, so value distance is unbounded on
+    // sparse data — the sketch's contract is about RANK: the returned
+    // sample's rank must be within the GK error (<= n/accuracy, i.e.
+    // rounding slack at this scale) of p·n. Verify against the true
+    // sorted values per group.
+    val byGroup = docs.select("source", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_chars")).sorted.toIndexedSeq)
+      .toMap
+    for (g <- e.keySet; (c, p) <- Seq("p10" -> 0.1, "p25" -> 0.25,
+      "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)) {
+      val av = a(g).getAs[Double](c)
+      val vs = byGroup(g)
+      val n = vs.size
+      // rank interval occupied by the returned value in the true order
+      val lo = vs.count(_ < av)
+      val hi = vs.count(_ <= av)
+      assert(hi > lo, s"group $g $c: approx $av is not a sample value")
+      val target = p * n
+      val slack = 1.0 + n.toDouble / 10000
+      assert(target >= lo - slack && target <= hi + slack,
+        s"group $g $c: approx $av occupies ranks ($lo, $hi] of $n, " +
+          s"target ${target}")
+    }
+    // n_rows and mean are exact in both forms
+    for (g <- e.keySet) {
+      assert(e(g).getAs[Long]("n_rows") == a(g).getAs[Long]("n_rows"))
+      assert(e(g).getAs[Double]("mean") == a(g).getAs[Double]("mean"))
+    }
+  }
+
   test("estimate lookup broadcasts the cell table") {
     val plan = Sketches.heavyHittersAudit(
       traffic.toDF("user_id"), col("user_id"))
