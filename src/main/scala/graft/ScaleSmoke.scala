@@ -170,3 +170,144 @@ object ScaleSmoke {
     spark.stop()
   }
 }
+
+/**
+ * Event-side scale-trend smoke — the ad-pipeline complement of
+ * [[ScaleSmoke]]: amplifies the `events` stream table K× and times the
+ * four operators a production user hits first (the bucketed interval
+ * join + windowed distinct ctr, the union-scan as-of join,
+ * session_window sessionization, and the first-touch funnel), each in
+ * two key regimes:
+ *
+ *  - UNIFORM: every copy gets fresh user/event ids — the user population
+ *    grows K×, per-user event density (the per-key work) stays constant.
+ *    Expected trend: linear in K for every operator; a super-linear term
+ *    here means a shuffle or sort stopped scaling with the key space.
+ *  - SKEWED: additionally, `skewShare` of EVERY copy's rows are
+ *    reassigned to one hot user — the hot key's event count grows K×
+ *    while everything else matches the uniform run. This is the
+ *    deliberately pathological distribution: the bucketed interval join
+ *    must keep its output (and time) bounded by genuine within-bucket
+ *    pairs rather than a per-key cross product, and the window-pass
+ *    operators (as-of, sessions, funnel) must degrade as the hot key's
+ *    O(h log h) single-task sort — not quadratically, and without
+ *    serializing the other keys' partitions.
+ *
+ * Pair/row counts are printed next to the seconds so output growth is
+ * separable from operator overhead. Usage:
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.EventScaleSmoke 1 2 4 8"
+ *
+ * One JSON line per (K, regime).
+ */
+object EventScaleSmoke {
+
+  private val hotUser = 0L
+
+  /** K copies under fresh ids; `skewShare` of each copy's rows rerouted
+    * to the single hot user. Id shifts keep `user_id % 10` (the campaign
+    * mapping) intact, so the ctr group-key space stays constant. */
+  private def amplify(ev: DataFrame, k: Int, skewShare: Double): DataFrame =
+    (0 until k).map { i =>
+      val shifted = ev.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      if (skewShare <= 0) shifted
+      else shifted.withColumn("user_id",
+        when(pmod(col("event_id"), lit(1000)) < (skewShare * 1000).toInt,
+          lit(hotUser)).otherwise(col("user_id")))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val skewShare = sys.env.getOrElse("SPARK_GRAFT_SKEW", "0.2").toDouble
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.queries.Tables.events(spark, sfDir)
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def deviceExpr = when(col("value") < 50, "mobile")
+      .when(col("value") < 100, "desktop")
+      .when(col("value") < 150, lit(null: String))
+      .otherwise("tablet")
+
+    def measure(k: Int, skew: Double): Unit = {
+      val ev = amplify(base, k, skew)
+        .repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = ev.count()
+      val impr = ev.filter(col("event_type") === "view").select(
+        col("event_id").as("impression_id"), col("user_id"),
+        concat(lit("camp-"), (col("user_id") % 10).cast("string"))
+          .as("campaign_id"),
+        deviceExpr.as("device_type"), col("ts").as("event_time"))
+      val clk = ev.filter(col("event_type") === "click").select(
+        col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("event_time"))
+      // join timed apart from the ctr agg so quadratic pair growth (a
+      // semantic property of a hot key: its in-bucket views × clicks
+      // genuinely pair) is visible separately from aggregation cost
+      val joined = graft.ops.IntervalJoin.leftOuterWithinBucketed(
+        impr, clk, leftKey = "user_id", rightKey = "user_id",
+        leftTime = "event_time", rightTime = "event_time",
+        intervalMs = 10L * 60 * 1000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tJoin, joinRows) = timed { joined.count() }
+      val (tCtr, ctrRows) = timed {
+        graft.ops.WindowedCounts.ctrAgg(joined,
+          groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+          timeCol = col("i.event_time"), windowLength = "1 minute",
+          distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+          withRatio = true).count()
+      }
+      joined.unpersist()
+      val (tAsof, asofRows) = timed {
+        graft.ops.AsOfJoin.lastBefore(
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          key = "user_id", ts = "ts",
+          leftId = "event_id", rightId = "event_id").count()
+      }
+      val (tSess, sessRows) = timed {
+        graft.ops.Sessionize.userSessions(
+          ev.select(col("user_id"), col("ts"), col("event_type"),
+            col("value")), 21600L).count()
+      }
+      val (tFunnel, funnelRows) = timed {
+        graft.ops.Funnel.stages(ev,
+          Seq("view", "click", "purchase")).count()
+      }
+      println(s"""{"k":$k,"skew":$skew,"events":$n,""" +
+        s""""join_sec":$tJoin,"join_rows":$joinRows,""" +
+        s""""ctr_sec":$tCtr,"ctr_rows":$ctrRows,""" +
+        s""""asof_sec":$tAsof,"asof_rows":$asofRows,""" +
+        s""""sessions_sec":$tSess,"session_rows":$sessRows,""" +
+        s""""funnel_sec":$tFunnel,"funnel_rows":$funnelRows}""")
+      ev.unpersist(); spark.catalog.clearCache()
+    }
+
+    // warm pass compiles every operator's generated code at tiny scale
+    measure(1, 0.0)
+    println("""{"warmup_done":true}""")
+    for (k <- ks) measure(k, 0.0)
+    for (k <- ks) measure(k, skewShare)
+    spark.stop()
+  }
+}
