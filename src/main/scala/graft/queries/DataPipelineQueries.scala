@@ -379,6 +379,16 @@ object DataPipelineQueries {
         sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
+  /** Batch-standing-query IVF-PQ — the LUT-table strategy composed with
+    * the coarse quantizer ([[Similarity.ivfPqTopKBatch]]); all equi
+    * joins, plan bounded by centroid/codebook literals at 128 standing
+    * queries. Shares the memoized codes. */
+  val similarityIvfPqBatchq: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfPqBatchq") { (spark, sfDir) =>
+      Similarity.ivfPqTopKBatch(embs(spark, sfDir), nQueries = 128,
+        topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)))
+    }
+
   /** Cluster-balanced (semantic-mixing) sample: at most 25 vectors per
     * IVF cell by deterministic hash rank — flattens over-represented
     * modes before a training mix. Memoized like the other
@@ -2007,6 +2017,8 @@ object DataPipelineQueries {
       Some(Similarity.adcTopKOracleSql(nQueries = 128))),
     NamedQuery("similarity_ivfpq", similarityIvfPq,
       Some(Similarity.ivfPqTopKOracleSql())),
+    NamedQuery("similarity_ivfpq_batchq", similarityIvfPqBatchq,
+      Some(Similarity.ivfPqTopKOracleSql(nQueries = 128))),
     NamedQuery("sample_cluster_balanced", sampleClusterBalanced,
       Some(Similarity.clusterBalancedSampleOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),

@@ -154,6 +154,24 @@ class SimilaritySpec extends SparkSpec {
         s"Δ=${litLarge - litSmall}/30q, batch Δ=${large - small}/120q")
   }
 
+  test("ivfPqTopKBatch: LUT-table IVF-PQ equals the literal form " +
+    "row-for-row, and the plan does not grow with the query count") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).toSet
+    val lit8 = rows(Similarity.ivfPqTopK(embs, nQueries = 8, topK = 5))
+    val bat8 = rows(Similarity.ivfPqTopKBatch(embs, nQueries = 8, topK = 5))
+    assert(lit8.nonEmpty && lit8 == bat8,
+      s"batch != literal; only-batch=${bat8 -- lit8} only-lit=${lit8 -- bat8}")
+    val small = Similarity.ivfPqTopKBatch(embs, nQueries = 8)
+      .queryExecution.analyzed.toString.length
+    val large = Similarity.ivfPqTopKBatch(embs, nQueries = 128)
+      .queryExecution.analyzed.toString.length
+    assert(large < small * 2,
+      s"batch-form plan grew with nQueries: 8q=$small chars, 128q=$large chars")
+  }
+
   test("centroidOutliers: farthest-from-centroid ranks first, ties to smaller id") {
     // label 0 centroid = (3, 3, 2.5, 2.5); dist²: id3=210.5, id0=30.5,
     // id1=id2=22.5 (tie → smaller id ranks ahead)
