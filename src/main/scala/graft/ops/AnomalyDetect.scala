@@ -147,6 +147,58 @@ object AnomalyDetect {
           .as("alert_type"))
   }
 
+  /**
+   * MAD (modified z-score) detector — the ROBUST fourth detector
+   * family: where [[zscoreAlerts]]/[[seasonalAlerts]] judge against
+   * mean/stddev, this judges against the per-key median and the median
+   * absolute deviation. The difference matters exactly when anomalies
+   * are present: one extreme point inflates a mean/std baseline enough
+   * to MASK itself (and its neighbors), while the median/MAD baseline
+   * moves by at most one rank — the standard Iglewicz–Hoaglin modified
+   * z-score `M = 0.6745·(x − median) / MAD`, alerting at `|M| > 3.5`.
+   *
+   * Semantics (the [[seasonalAlerts]] conventions):
+   *  - baseline cell = the key's WHOLE series, current point included
+   *    (leave-one-in — both statistics are plain unordered aggregates
+   *    on both engines, and a median moves at most one rank per point);
+   *  - warm-up: keys with fewer than `minPoints` windows never alert;
+   *  - `MAD == 0` never alerts (a majority-constant series makes every
+   *    deviation infinite — the zero-variance gate's robust analogue);
+   *  - `robust_z` is rounded to 6 decimals BEFORE the threshold filter;
+   *    median/MAD are exact Spark `percentile` == DuckDB
+   *    `quantile_cont` (integer-count inputs interpolate identically),
+   *    rounded only for output.
+   *
+   * Scale: ONE shuffle on the key — two chained WindowExec passes over
+   * the same unordered partition (median, then MAD of the residuals),
+   * no sort frame, no self-join. At 100 TB the same switch as the
+   * quantile profile applies: `percentile` → `approx_percentile` for
+   * fixed-size partials at tolerance-grade values.
+   */
+  def madAlerts(series: DataFrame, valueCol: String = "ctr",
+                keyCol: String = "campaign_id",
+                timeCol: String = "window_end",
+                minPoints: Int = 6, threshold: Double = 3.5): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    series
+      .select(col(timeCol).as("alert_time"), col(keyCol),
+        col(valueCol).cast("double").as("current_value"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("__med", percentile(col("current_value"), lit(0.5)).over(w))
+      .withColumn("__mad",
+        percentile(abs(col("current_value") - col("__med")), lit(0.5)).over(w))
+      .withColumn("robust_z", round(
+        lit(0.6745) * (col("current_value") - col("__med")) / col("__mad"), 6))
+      .filter(col("n_cell") >= minPoints && col("__mad") > 0.0 &&
+        abs(col("robust_z")) > threshold)
+      .select(col("alert_time"), col(keyCol), col("current_value"),
+        round(col("__med"), 6).as("median_value"),
+        round(col("__mad"), 6).as("mad_value"),
+        col("robust_z"),
+        when(col("robust_z") > 0, lit("HIGH")).otherwise(lit("LOW"))
+          .as("alert_type"))
+  }
+
   def zscoreAlerts(series: DataFrame, valueCol: String = "ctr",
                    keyCol: String = "campaign_id",
                    timeCol: String = "window_end",

@@ -33,14 +33,18 @@ object WindowedCounts {
     when(denominator > 0, numerator.cast("double") / denominator.cast("double"))
       .otherwise(0.0)
 
-  /** Shared scaffolding of the exact and sketch variants: tumble + two
-    * count aggregates + window-bound projection + optional ctr. */
+  /** Shared scaffolding of the exact and sketch variants: tumble (or
+    * hop, when `slide` is set) + two count aggregates + window-bound
+    * projection + optional ctr. */
   private def windowedAgg(joined: DataFrame, groupKey: Column, keyOut: String,
                           timeCol: Column, windowLength: String,
                           countA: Column, countB: Column,
-                          withRatio: Boolean): DataFrame = {
+                          withRatio: Boolean,
+                          slide: Option[String] = None): DataFrame = {
+    val win = slide.map(s => window(timeCol, windowLength, s))
+      .getOrElse(window(timeCol, windowLength))
     val agg = joined
-      .groupBy(window(timeCol, windowLength), groupKey.as("__key"))
+      .groupBy(win, groupKey.as("__key"))
       .agg(countA.as("impression_count"), countB.as("click_count"))
     val base = agg.select(
       col("window.start").as("window_start"),
@@ -63,6 +67,26 @@ object WindowedCounts {
              withRatio: Boolean): DataFrame =
     windowedAgg(joined, groupKey, keyOut, timeCol, windowLength,
       count_distinct(distinctA), count_distinct(distinctB), withRatio)
+
+  /**
+   * HOPPING (sliding) window twin of [[ctrAgg]] — the windowing form the
+   * reference's TUMBLE cannot express: overlapping windows of
+   * `windowLength` advancing every `slide`, so a short burst is visible
+   * in every window that covers it instead of being split at an aligned
+   * tumble boundary. Each event lands in `windowLength / slide` windows
+   * — Spark's `window(col, len, slide)` expands exactly those
+   * assignments before the aggregation (the documented cost of hop:
+   * input rows × overlap factor into the shuffle, partial aggregation
+   * still applies). Same exact distinct counts, same guarded ratio,
+   * same output shape as [[ctrAgg]].
+   */
+  def ctrAggHopping(joined: DataFrame, groupKey: Column, keyOut: String,
+                    timeCol: Column, windowLength: String, slide: String,
+                    distinctA: Column, distinctB: Column,
+                    withRatio: Boolean): DataFrame =
+    windowedAgg(joined, groupKey, keyOut, timeCol, windowLength,
+      count_distinct(distinctA), count_distinct(distinctB), withRatio,
+      slide = Some(slide))
 
   /**
    * Sketch twin of [[ctrAgg]]: HLL++ `approx_count_distinct` instead of

@@ -96,6 +96,24 @@ object EventQueries {
         withRatio = true)
     }
 
+  /** Hopping-window knobs shared by the Spark query and its oracle. */
+  private[queries] val hopLengthMs = 120000L
+  private[queries] val hopSlideMs = 60000L
+
+  /** Q1 on HOPPING windows (2-minute length, 1-minute slide) — the
+    * overlapping-window form the reference's TUMBLE cannot express
+    * ([[WindowedCounts.ctrAggHopping]]): a burst near a minute boundary
+    * is seen whole by the window that covers it instead of being split.
+    * Each impression lands in length/slide = 2 windows. */
+  def ctrHoppingQ(spark: SparkSession, sfDir: String): DataFrame =
+    WindowedCounts.ctrAggHopping(joined(spark, sfDir),
+      groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+      timeCol = col("i.event_time"),
+      windowLength = s"${hopLengthMs / 1000} seconds",
+      slide = s"${hopSlideMs / 1000} seconds",
+      distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+      withRatio = true)
+
   /** Q2: engagement per (window, device) — flink_job.sql:100-118. */
   def engagementByDevice(spark: SparkSession, sfDir: String): DataFrame =
     WindowedCounts.ctrAgg(joined(spark, sfDir),
@@ -168,6 +186,33 @@ object EventQueries {
 
   /** Seasonal floor shared by the Spark query and its oracle. */
   private[queries] val seasonalMinPoints = 4
+
+  /** MAD-detector knobs shared by the Spark query and its oracle. The
+    * canonical Iglewicz–Hoaglin cutoff is 3.5; the registered query runs
+    * at DAILY grain with threshold 2.0 because the fixture's hourly
+    * volumes are ~1/campaign-hour — median 1, MAD 0, so the zero-MAD
+    * gate (correctly) suppresses every hourly window and proves nothing.
+    * Daily volumes have a real distribution: 35 of 300 windows alert at
+    * 2.0 — same knob-not-code reasoning as [[anomalyMinImpressions]]'s
+    * daily grain. */
+  private[queries] val madMinPoints = 6
+  private[queries] val madThreshold = 2.0
+
+  /** Daily impression volume per campaign — the MAD detector's series
+    * (hourly is degenerate on this fixture, see [[madThreshold]]). */
+  private def dailyVolume(spark: SparkSession, sfDir: String): DataFrame =
+    impressions(spark, sfDir)
+      .groupBy(window(col("event_time"), "1 day").as("w"), col("campaign_id"))
+      .agg(count(lit(1)).as("n_impressions"))
+      .select(col("w.end").as("window_end"),
+        col("campaign_id"), col("n_impressions"))
+
+  /** Robust (median/MAD) detector over daily volume — the
+    * heavy-tail-safe fourth detector ([[AnomalyDetect.madAlerts]]). */
+  def anomalyMadQ(spark: SparkSession, sfDir: String): DataFrame =
+    AnomalyDetect.madAlerts(dailyVolume(spark, sfDir),
+      valueCol = "n_impressions", minPoints = madMinPoints,
+      threshold = madThreshold)
 
   /** Hour-of-day baseline detector over the same hourly volume — the
     * periodicity-aware third detector (see
@@ -288,6 +333,17 @@ object EventQueries {
   def eventTransitionsQ(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Transitions.matrix(Tables.eventsSpread(spark, sfDir))
 
+  /** Embargo knobs shared by the Spark query and its oracle. */
+  private[queries] val splitTrainFrac = 0.8
+  private[queries] val splitEmbargoMs = 3600000L
+
+  /** Purged temporal train/test split over the event stream — 80% of
+    * rows by event time into train, a 1-hour embargo band dropped, the
+    * rest test ([[graft.ops.TemporalSplit]]). */
+  def eventsTemporalSplitQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TemporalSplit.splitByTime(Tables.eventsSpread(spark, sfDir),
+      trainFrac = splitTrainFrac, embargoMs = splitEmbargoMs)
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prefix mirroring impressions/clicks/join above. */
@@ -331,6 +387,33 @@ object EventQueries {
 
   val ctrOracle: String =
     s"$mappingCtes\n$ctrSelect\nORDER BY window_start, campaign_id"
+
+  /** Hopping-window twin of [[ctrOracle]]: each joined row expands to
+    * its length/slide covering windows via generate_series over the
+    * slide-aligned window INDEX (integer floor-division in epoch-ms, so
+    * boundary semantics — start inclusive, end exclusive — are decided
+    * in exact integer math on both engines; Spark's `window(col, len,
+    * slide)` uses the same epoch-aligned starts). */
+  val ctrHoppingOracle: String = {
+    val (l, s) = (hopLengthMs, hopSlideMs)
+    s"""$mappingCtes,
+       |hop AS (
+       |  SELECT j.*,
+       |         make_timestamp(g.widx * $s * 1000) AS window_start,
+       |         make_timestamp((g.widx * $s + $l) * 1000) AS window_end
+       |  FROM j, LATERAL (
+       |    SELECT unnest(generate_series(
+       |      (epoch_ms(j.event_time) - $l) // $s + 1,
+       |      epoch_ms(j.event_time) // $s)) AS widx) g)
+       |SELECT window_start, window_end, campaign_id,
+       |       COUNT(DISTINCT impression_id) AS impression_count,
+       |       COUNT(DISTINCT click_id) AS click_count,
+       |       CASE WHEN COUNT(DISTINCT impression_id) > 0
+       |            THEN CAST(COUNT(DISTINCT click_id) AS DOUBLE)
+       |                 / COUNT(DISTINCT impression_id)
+       |            ELSE 0.0 END AS ctr
+       |FROM hop GROUP BY 1, 2, 3""".stripMargin
+  }
 
   val engagementOracle: String =
     s"""$mappingCtes
@@ -436,6 +519,54 @@ object EventQueries {
        |FROM w
        |WHERE n_cell >= $seasonalMinPoints AND std_value > 0
        |  AND abs(zscore) > $zscoreThreshold""".stripMargin
+
+  /** Same leave-one-in per-key median/MAD statistics and
+    * round-before-filter rule as [[AnomalyDetect.madAlerts]]: DuckDB
+    * `quantile_cont` == Spark `percentile` (identical linear
+    * interpolation over the identical integer counts), the modified
+    * z-score rounded to 6 dp on both sides before the threshold. */
+  val anomalyMadOracle: String =
+    s"""$mappingCtes,
+       |daily AS (
+       |  SELECT CAST(date_trunc('day', event_time) + INTERVAL 1 DAY AS TIMESTAMP)
+       |           AS window_end,
+       |         campaign_id, CAST(count(*) AS DOUBLE) AS v
+       |  FROM i GROUP BY 1, 2),
+       |w AS (
+       |  SELECT window_end, campaign_id, v,
+       |         count(*) OVER pw AS n_cell,
+       |         quantile_cont(v, 0.5) OVER pw AS med
+       |  FROM daily
+       |  WINDOW pw AS (PARTITION BY campaign_id)),
+       |m AS (
+       |  SELECT *, quantile_cont(abs(v - med), 0.5) OVER pw AS mad,
+       |         round(0.6745 * (v - med) / quantile_cont(abs(v - med), 0.5)
+       |           OVER pw, 6) AS robust_z
+       |  FROM w
+       |  WINDOW pw AS (PARTITION BY campaign_id))
+       |SELECT window_end AS alert_time, campaign_id, v AS current_value,
+       |       round(med, 6) AS median_value, round(mad, 6) AS mad_value,
+       |       robust_z,
+       |       CASE WHEN robust_z > 0 THEN 'HIGH' ELSE 'LOW' END AS alert_type
+       |FROM m
+       |WHERE n_cell >= $madMinPoints AND mad > 0
+       |  AND abs(robust_z) > $madThreshold""".stripMargin
+
+  /** Same floored-percentile cutoff and integer-ms boundary comparisons
+    * as [[graft.ops.TemporalSplit.splitByTime]]: DuckDB `quantile_cont`
+    * == Spark `percentile` over the identical epoch-ms longs, floored to
+    * a BIGINT before any comparison, so the split decision is integer-
+    * exact on both engines. */
+  val eventsTemporalSplitOracle: String =
+    s"""WITH cut AS (
+       |  SELECT CAST(floor(quantile_cont(epoch_ms(ts), $splitTrainFrac))
+       |    AS BIGINT) AS c
+       |  FROM events)
+       |SELECT event_id, user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
+       |       CASE WHEN epoch_ms(ts) <= c THEN 'train'
+       |            WHEN epoch_ms(ts) <= c + $splitEmbargoMs THEN 'embargo'
+       |            ELSE 'test' END AS split
+       |FROM events, cut""".stripMargin
 
   /** Same bounds → generate_series axis → LEFT join construction as
     * [[graft.ops.DenseSeries.fill]]; `is_gap` is the join's null marker
@@ -620,6 +751,7 @@ object EventQueries {
     // (sketch values are engine-specific) → the driver's weaker
     // rows-only check; exact-vs-approx tolerance is spec-pinned
     NamedQuery("ctr_by_campaign_approx", ctrByCampaignApprox, None),
+    NamedQuery("ctr_hopping", ctrHoppingQ, Some(ctrHoppingOracle)),
     NamedQuery("engagement_by_device", engagementByDevice, Some(engagementOracle)),
     NamedQuery("anomaly_alerts", anomalyAlerts, Some(anomalyOracle)),
     NamedQuery("anomaly_min_traffic", anomalyAlertsMinTraffic,
@@ -627,6 +759,7 @@ object EventQueries {
     NamedQuery("anomaly_zscore", anomalyZscoreQ, Some(anomalyZscoreOracle)),
     NamedQuery("anomaly_seasonal", anomalySeasonalQ,
       Some(anomalySeasonalOracle)),
+    NamedQuery("anomaly_mad", anomalyMadQ, Some(anomalyMadOracle)),
     NamedQuery("rate_series_dense", rateSeriesDenseQ,
       Some(rateSeriesDenseOracle)),
     NamedQuery("rate_silence_runs", rateSilenceRunsQ,
@@ -641,5 +774,7 @@ object EventQueries {
     NamedQuery("profile_events_approx", profileEventsApproxQ, None),
     NamedQuery("session_stats", sessionStatsQ, Some(sessionStatsOracle)),
     NamedQuery("event_transitions", eventTransitionsQ,
-      Some(eventTransitionsOracle)))
+      Some(eventTransitionsOracle)),
+    NamedQuery("events_temporal_split", eventsTemporalSplitQ,
+      Some(eventsTemporalSplitOracle)))
 }

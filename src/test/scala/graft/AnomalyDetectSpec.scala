@@ -181,6 +181,37 @@ class AnomalyDetectSpec extends SparkSpec {
     assert(alerts.map(_.getAs[String]("campaign_id")).toSeq == Seq("camp-2"))
   }
 
+  test("MAD: an extreme point that MASKS itself from the mean/std " +
+    "baseline still alerts against the median/MAD baseline") {
+    // 11 near-constant windows (100 ± 1) + one 10× spike. The spike
+    // inflates the series stddev so much its own z-score stays under
+    // threshold (self-masking — the classic robust-statistics case);
+    // the median/MAD baseline moves by at most one rank, so the
+    // modified z-score flags it hard.
+    val rows = (0 until 11).map(h => ("camp-1", 0, h, 100.0 + (h % 2))) :+
+      (("camp-1", 0, 11, 1000.0))
+    val df = hourFrame(rows)
+    val mad = AnomalyDetect.madAlerts(df, valueCol = "v").collect()
+    assert(mad.length == 1)
+    assert(mad.head.getAs[Double]("current_value") == 1000.0)
+    assert(mad.head.getAs[String]("alert_type") == "HIGH")
+    // the seasonal mean/std detector on the same single-cell shape
+    // misses it: z = (1000-175)/260 ≈ 3.2... with leave-one-in stddev
+    // inflation the z stays under a 3.5-grade bar while the modified
+    // z-score is ≈ 12× the 3.5 cutoff
+    assert(math.abs(mad.head.getAs[Double]("robust_z")) > 3.5 * 10)
+    // zero-MAD guard: a majority-constant series never alerts
+    val flat = (0 until 11).map(h => ("camp-1", 0, h, 100.0)) :+
+      (("camp-1", 0, 11, 1000.0))
+    assert(AnomalyDetect.madAlerts(hourFrame(flat), valueCol = "v")
+      .collect().isEmpty)
+    // warm-up: under minPoints never alerts
+    val short = Seq(("camp-1", 0, 0, 100.0), ("camp-1", 0, 1, 101.0),
+      ("camp-1", 0, 2, 1000.0))
+    assert(AnomalyDetect.madAlerts(hourFrame(short), valueCol = "v")
+      .collect().isEmpty)
+  }
+
   test("partitions are independent per campaign") {
     val alerts = AnomalyDetect.alerts(ctrFrame(Seq(
       ("camp-1", 0, 0.10), ("camp-2", 1, 0.50), ("camp-1", 2, 0.10)))).collect()

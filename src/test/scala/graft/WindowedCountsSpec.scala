@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.EventTime
+import graft.ops.{EventTime, WindowedCounts}
 import graft.pipelines.AdPipelines
 import graft.schema.AdModel.{Click, Impression}
 import org.apache.spark.sql.DataFrame
@@ -109,5 +109,34 @@ class WindowedCountsSpec extends SparkSpec {
       assert(math.abs(ai - ei) <= math.max(1L, (ei * 0.05).toLong), s"$key impressions $ai vs $ei")
       assert(math.abs(ac - ec) <= math.max(1L, (ec * 0.05).toLong), s"$key clicks $ac vs $ec")
     }
+  }
+
+  test("hopping windows: every impression covered by exactly length/slide " +
+    "overlapping windows, each window's counts equal its own span's") {
+    import org.apache.spark.sql.functions.col
+    // impressions at 59_999 / 60_000 / 90_000 ms; 2-min windows sliding
+    // every 1 min. 59_999 → windows starting at -60_000 and 0;
+    // 60_000 and 90_000 → windows at 0 and 60_000.
+    val i = EventTime.withEventTime(Seq(
+      imp("a", 59999L), imp("b", 60000L), imp("c", 90000L)).toDF())
+    val c = EventTime.withEventTime(
+      Seq(Click("c1", "a", "user-1", 61000L)).toDF())
+    val j = AdPipelines.joined(i, c)
+    val hop = WindowedCounts.ctrAggHopping(j,
+      groupKey = col("i.campaign_id"), keyOut = "campaign_id",
+      timeCol = col("i.event_time"), windowLength = "120 seconds",
+      slide = "60 seconds",
+      distinctA = col("i.impression_id"), distinctB = col("c.click_id"),
+      withRatio = true).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime ->
+        (r.getAs[Long]("impression_count"), r.getAs[Long]("click_count"))).toMap
+    assert(hop == Map(
+      -60000L -> (1L, 1L),     // covers only a (and a's click)
+      0L -> (3L, 1L),          // covers a, b, c
+      60000L -> (2L, 0L)))     // covers b, c — a (and its click) aged out
+    // every impression appears in exactly windowLength/slide = 2 windows
+    assert(hop.values.map(_._1).sum == 3 * 2)
+    // sanity: window spans are length-wide, slide-spaced
+    assert(hop.keySet.toSeq.sorted == Seq(-60000L, 0L, 60000L))
   }
 }
