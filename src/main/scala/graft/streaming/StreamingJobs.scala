@@ -100,6 +100,43 @@ object StreamingJobs {
     Seq(joinQuery, ctrQuery, engagementQuery)
   }
 
+  /** Raw event-stream topic schema (the `events` table shape, JSON-lines
+    * in the Kafka value envelope) — input of [[runAttributionJob]]. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", org.apache.spark.sql.types.LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", org.apache.spark.sql.types.LongType),
+    StructField("event_type", StringType)))
+
+  /**
+   * Attribution job — the topology home of the streaming as-of join
+   * ([[StreamingAsOfJoin]]): consumes a raw events topic, splits it into
+   * the view/click sides (the registered `asof_join` mapping), and
+   * emits one attributed row per click (click → last preceding view by
+   * the same user, batch-exact tie rules) to `<workDir>/attributions`,
+   * append-on-finalize. Third job in the reference-shaped topology
+   * beside the ctr and anomaly jobs, with the same checkpoint/recovery
+   * contract (T6); golden streaming-vs-batch parity over file topics is
+   * pinned in StreamingAsOfJoinSpec.
+   */
+  def runAttributionJob(spark: SparkSession, eventsTopic: String,
+                        workDir: String,
+                        watermarkDelay: String = "10 seconds",
+                        finalizeDelayMs: Long = 10000L,
+                        maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val ev = JsonStreams.decode(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(eventsTopic), eventSchema)
+    def side(t: String) = ev.filter(org.apache.spark.sql.functions.col("event_type") === t)
+      .select("event_id", "user_id", "ts")
+    val attributed = StreamingAsOfJoin.lastBeforeStream(
+      side("view"), side("click"),
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      watermarkDelay = watermarkDelay, finalizeDelayMs = finalizeDelayMs)
+    JsonStreams.writeValueTopic(JsonStreams.encode(attributed),
+      s"$workDir/attributions", s"$workDir/_checkpoints/attributions")
+  }
+
   /**
    * Anomaly job (flink/anomaly_job.sql): reads the ctr_results topic in its
    * sink envelope (S3; `scan.startup.mode = latest-offset` maps to starting
