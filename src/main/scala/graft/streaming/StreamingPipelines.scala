@@ -99,4 +99,34 @@ object StreamingPipelines {
   def engagementByDevice(joined: DataFrame, windowLength: String = "1 minute"): DataFrame =
     twoPhaseCtr(joined, col("device_type"), "device_type", windowLength)
       .withColumn("device_type", coalesce(col("device_type"), lit("Unknown")))
+
+  /**
+   * HOPPING-window streaming ctr — the sliding twin of
+   * [[graft.ops.WindowedCounts.ctrAggHopping]] in its streaming-legal
+   * form: overlapping windows rule out the two-phase exact-distinct
+   * rewrite (the second aggregation would have to re-derive hop windows
+   * from the first's window STRUCTS, which re-expands them), so the
+   * sliding stream uses the HLL++ sketch escape hatch in a SINGLE
+   * stateful aggregation — `window(col, len, slide)` assigns each row
+   * its len/slide covering windows, `approx_count_distinct` merges
+   * map-side in constant space per open window, append on window close.
+   * HLL++ is deterministic over a given input set, so the batch twin
+   * with the same rsd produces IDENTICAL counts per window — pinned in
+   * StreamingSemanticsSpec, not just within tolerance.
+   */
+  def ctrByCampaignHopping(joined: DataFrame,
+                           windowLength: String = "2 minutes",
+                           slide: String = "1 minute",
+                           rsd: Double = 0.01): DataFrame =
+    joined
+      .groupBy(window(col("event_time"), windowLength, slide),
+        col("campaign_id"))
+      .agg(approx_count_distinct(col("impression_id"), rsd).as("impression_count"),
+        approx_count_distinct(col("click_id"), rsd).as("click_count"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("campaign_id"), col("impression_count"), col("click_count"),
+        WindowedCounts.guardedRatio(col("click_count"), col("impression_count"))
+          .as("ctr"))
 }

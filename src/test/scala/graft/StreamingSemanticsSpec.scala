@@ -111,6 +111,61 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping streaming ctr: per-window counts IDENTICAL to the batch " +
+    "twin (HLL++ determinism), overlap factor respected") {
+    val imprStream = MemoryStream[String](spark)
+    val clickStream = MemoryStream[String](spark)
+    val h = 3600000L
+    def impr(id: String, ts: Long) =
+      s"""{"impression_id":"$id","user_id":"u","campaign_id":"camp-1","ad_id":"ad-1","device_type":"mobile","browser":"chrome","event_timestamp":$ts,"cost":0.1}"""
+    def clkFor(id: String, imprId: String, ts: Long) =
+      s"""{"click_id":"$id","impression_id":"$imprId","user_id":"u","event_timestamp":$ts}"""
+    val imprRows = Seq(impr("a", h + 10000L), impr("b", h + 70000L),
+      impr("c", h + 130000L))
+    val clickRows = Seq(clkFor("k1", "a", h + 15000L))
+    val joined = StreamingPipelines.joinedStream(
+      JsonStreams.decode(imprStream.toDF().select(col("value")), AdModel.impressionSchema),
+      JsonStreams.decode(clickStream.toDF().select(col("value")), AdModel.clickSchema),
+      watermarkDelay = "2 seconds")
+    imprStream.addData(imprRows: _*)
+    clickStream.addData(clickRows: _*)
+    val q = StreamingPipelines.ctrByCampaignHopping(joined)
+      .writeStream.format("memory").queryName("hop_ctr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      (1 to 3).foreach { s =>
+        imprStream.addData(impr(s"s$s", h + s * 86400000L))
+        clickStream.addData(clkFor(s"ks$s", "none", h + s * 86400000L))
+        q.processAllAvailable()
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("window_start") < to_timestamp(lit("1970-01-02")))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Long]("impression_count"), r.getAs[Long]("click_count"),
+          r.getAs[Double]("ctr"))).toSet
+      val got = canon(spark.table("hop_ctr"))
+      // batch twin: the SAME operator over the batch form of the same
+      // joined rows — HLL++ is deterministic, so counts match exactly
+      val batchJoined = graft.pipelines.AdPipelines.joined(
+        graft.ops.EventTime.withEventTime(
+          JsonStreams.decode(imprRows.toDF("value"), AdModel.impressionSchema)),
+        graft.ops.EventTime.withEventTime(
+          JsonStreams.decode(clickRows.toDF("value"), AdModel.clickSchema)))
+        .select(col("i.impression_id"), col("i.campaign_id"),
+          col("i.event_time"), col("c.click_id"))
+      val want = canon(StreamingPipelines.ctrByCampaignHopping(batchJoined))
+      assert(want.nonEmpty && got == want,
+        s"only-stream=${got -- want} only-batch=${want -- got}")
+      // 3 impressions × overlap 2 = 6 window-assignments
+      assert(got.toSeq.map(_._2).sum == 6L)
+      // the window covering both a and its click reports ctr 1/2 when b
+      // joins it (a,b with one click) — sanity that hop windows overlap
+      assert(got.exists(r => r._2 == 2L))
+    } finally q.stop()
+  }
+
   test("streaming pipeline clears the reference's ~55 ev/s envelope") {
     // 20 minutes × 5 campaigns × 60 impressions (+clicks) ≈ 6.6k events
     val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 20,
