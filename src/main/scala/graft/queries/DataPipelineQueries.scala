@@ -600,6 +600,32 @@ object DataPipelineQueries {
       TextAnalysis.lengthPercentileGate(docs(spark, sfDir), pctLow, pctHigh)
     }
 
+  /** Robust-gate threshold shared by the query and its oracle. The
+    * canonical 3.5 keeps everything on this fixture's near-uniform
+    * lengths; 1.5 is the value that discriminates here (flags real
+    * tails in every source) — knob, not code. */
+  private val robustGateThreshold = 1.5
+
+  /** MAD length gate over the documents corpus
+    * ([[TextAnalysis.robustLengthGate]]). */
+  def docLengthMadGateQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.robustLengthGate(docs(spark, sfDir), robustGateThreshold)
+
+  val docLengthMadGateOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, source, v,
+       |  quantile_cont(v, 0.5) OVER pw AS med
+       |  FROM t WINDOW pw AS (PARTITION BY source)),
+       |m AS (SELECT doc_id, source, v, med,
+       |  quantile_cont(abs(v - med), 0.5) OVER pw AS mad
+       |  FROM w WINDOW pw AS (PARTITION BY source))
+       |SELECT doc_id, source, CAST(v AS BIGINT) AS n_chars,
+       |  round(0.6745 * (v - med) / nullif(mad, 0), 6) AS robust_z,
+       |  (mad <= 0 OR abs(round(0.6745 * (v - med) / nullif(mad, 0), 6))
+       |    <= $robustGateThreshold) AS keep
+       |FROM m""".stripMargin
+
   /** Sketch-QA summary over the two memoized pair pipelines — the LSH
     * and exact-Jaccard frames each build once per session, so the audit
     * itself costs one tiny join + aggregate. The exact side is the
@@ -2001,6 +2027,8 @@ object DataPipelineQueries {
     NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
     NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
+    NamedQuery("doc_length_mad_gate", docLengthMadGateQ,
+      Some(docLengthMadGateOracle)),
     NamedQuery("doc_percentile_gate", docPercentileGateQ,
       Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -1147,4 +1147,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"),
         (col("pr") >= pLow && col("pr") <= pHigh).as("keep"))
   }
+
+  /**
+   * ROBUST per-source length gate — the MAD sibling of
+   * [[lengthPercentileGate]]: where the percentile gate trims fixed
+   * tail FRACTIONS (always removes `pLow + (1−pHigh)` of every source,
+   * outliers or not), this flags documents whose length is
+   * statistically anomalous FOR THEIR SOURCE by the Iglewicz–Hoaglin
+   * modified z-score `0.6745·(n_chars − median) / MAD` (the
+   * [[graft.ops.AnomalyDetect.madAlerts]] statistic, applied as a
+   * curation gate): a clean source loses nothing, a contaminated one
+   * loses exactly its anomalies. Mean/std would not do here — corpus
+   * length distributions are heavy-tailed, and the outliers being
+   * hunted inflate a stddev baseline enough to mask themselves.
+   *
+   * Emits every document with its `robust_z` and a keep flag:
+   *  - `keep = |robust_z| ≤ threshold`, robust_z rounded to 6 dp BEFORE
+   *    the comparison (both engines decide on the same value);
+   *  - a zero-MAD source (majority-identical lengths) keeps everything
+   *    and emits NULL robust_z — a degenerate scale statistic is no
+   *    evidence against any row, and the percentile gate covers
+   *    fraction-based trimming there.
+   *
+   * Scale: ONE shuffle on `source` — two chained unordered WindowExec
+   * passes (median, then MAD of residuals), no sort frame, no rank
+   * chain; the `approx_percentile` switch applies at 100 TB as usual.
+   */
+  def robustLengthGate(docs: DataFrame, threshold: Double = 3.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("n_chars"))
+      .withColumn("__med", percentile(col("n_chars"), lit(0.5)).over(w))
+      .withColumn("__mad",
+        percentile(abs(col("n_chars") - col("__med")), lit(0.5)).over(w))
+      .withColumn("robust_z", when(col("__mad") > 0.0, round(
+        lit(0.6745) * (col("n_chars") - col("__med")) / col("__mad"), 6)))
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        col("robust_z"),
+        (col("__mad") <= 0.0 || abs(col("robust_z")) <= threshold).as("keep"))
+  }
 }

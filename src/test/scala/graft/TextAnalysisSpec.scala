@@ -594,4 +594,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "und")
     assert(out(5L) == "en") // 1-1 tie: declaration order wins
   }
+
+  test("robustLengthGate: per-source outlier flagged, clean source " +
+    "untouched, zero-MAD source keeps all with NULL robust_z") {
+    def doc(id: Long, src: String, n: Long) =
+      (id, s"text $id", src, n)
+    // src-a: 11 docs around 1000 chars ±10 plus one 20k outlier;
+    // src-b: clean; src-c: ALL identical lengths (MAD 0)
+    val rows = (0 until 11).map(i => doc(i, "a", 1000L + i % 3 * 10)) ++
+      Seq(doc(11, "a", 20000L)) ++
+      (20 until 26).map(i => doc(i, "b", 500L + (i % 4) * 20)) ++
+      (30 until 35).map(i => doc(i, "c", 777L))
+    val out = TextAnalysis.robustLengthGate(
+      rows.toDF("doc_id", "text", "source", "n_chars"), threshold = 3.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), Option(r.getAs[java.lang.Double]("robust_z")),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == rows.size) // every doc emitted, flag not filter
+    assert(!out(11L)._3 && out(11L)._2.exists(_ > 3.5)) // the outlier
+    assert((0 until 11).forall(i => out(i.toLong)._3), "clean src-a docs kept")
+    assert((20 until 26).forall(i => out(i.toLong)._3), "src-b untouched")
+    (30 until 35).foreach { i =>
+      assert(out(i.toLong)._3 && out(i.toLong)._2.isEmpty,
+        s"zero-MAD doc $i should keep with NULL robust_z")
+    }
+  }
 }
