@@ -135,6 +135,18 @@ object ScaleSmoke {
         Similarity.adcTopK(embs, nQueries = 8, topK = 5,
           sharedCodes = Some(codes)).count()
       }
+      // batch-standing-query LUT-table forms at 128 queries (16× the
+      // literal forms' 8): the query set is pinned to ORIGINAL ids, so
+      // per-K growth measures the corpus-side scan/candidate cost alone —
+      // the trend must stay flat-to-linear like the literal forms'
+      val (tAdcBatch, adcBatchRows) = timed {
+        Similarity.adcTopKBatch(embs, nQueries = 128, topK = 5,
+          sharedCodes = Some(codes)).count()
+      }
+      val (tIvfPqBatch, ivfPqBatchRows) = timed {
+        Similarity.ivfPqTopKBatch(embs, nQueries = 128, topK = 5,
+          sharedCodes = Some(codes)).count()
+      }
       val (tSemDecon, flagged) = timed {
         Similarity.semanticDecontaminate(embs,
           isEval = col("vec_id") < 60L && col("vec_id") % 11 === 0,
@@ -158,6 +170,8 @@ object ScaleSmoke {
         s""""vocab_sec":$tVocab,"gate_sec":$tGate,""" +
         s""""spans_sec":$tSpans,"span_docs":$spanDocs,""" +
         s""""pq_sec":$tPq,"adc_sec":$tAdc,""" +
+        s""""adc_batchq_sec":$tAdcBatch,"adc_batchq_rows":$adcBatchRows,""" +
+        s""""ivfpq_batchq_sec":$tIvfPqBatch,"ivfpq_batchq_rows":$ivfPqBatchRows,""" +
         s""""semdecon_sec":$tSemDecon,"flagged":$flagged,""" +
         s""""ivfpq_sec":$tIvfPq,"ivfpq_rows":$ivfPqRows,""" +
         s""""packseq_sec":$tPackSeq,"seg_rows":$segRows,""" +
