@@ -444,6 +444,31 @@ object DataPipelineQueries {
   def clusterSizeHist(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.clusterSizeHistogram(dedupClusters(spark, sfDir))
 
+  /** Leakage-safe split over the memoized cluster membership — near-dup
+    * clusters cross the train/eval boundary atomically
+    * ([[TextAnalysis.clusterSafeSplit]]); registry order puts it after
+    * dedup_clusters so the propagation never re-runs. */
+  def docSplitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.clusterSafeSplit(docs(spark, sfDir),
+      dedupClusters(spark, sfDir))
+
+  /** The clusters oracle's membership nested under the hashSplit
+    * thresholds, keyed by the canonical member's content — NULL h2
+    * (never possible here: text is non-null) would fall to 'test' on
+    * both engines. LAZY: `dedupClustersOracle` initializes later in the
+    * object (a plain val here interpolates null). */
+  lazy val docSplitLeakageSafeOracle: String =
+    s"""WITH m AS (SELECT doc_id, cluster_id FROM ($dedupClustersOracle) cl),
+       |k AS (SELECT d.doc_id, m.cluster_id,
+       |        coalesce(m.cluster_id, d.doc_id) AS kid
+       |      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id),
+       |s AS (SELECT k.doc_id, k.cluster_id, substring(md5(kd.text), 1, 2) AS h2
+       |      FROM k JOIN documents kd ON kd.doc_id = k.kid)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN h2 < 'cd' THEN 'train'
+       |            WHEN h2 < 'e6' THEN 'val' ELSE 'test' END AS split
+       |FROM s""".stripMargin
+
   /** Memoized: the labelCentroids collect runs at build time. */
   val embeddingOutliers: (SparkSession, String) => DataFrame =
     memoized("embeddingOutliers") { (spark, sfDir) =>
@@ -2054,6 +2079,9 @@ object DataPipelineQueries {
       Some(decontaminateSemanticOracle)),
     NamedQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     NamedQuery("cluster_size_hist", clusterSizeHist, Some(clusterSizeHistOracle)),
+    // after dedup_clusters: shares the memoized membership
+    NamedQuery("doc_split_leakage_safe", docSplitLeakageSafe,
+      Some(docSplitLeakageSafeOracle)),
     NamedQuery("dedup_lsh_audit", dedupLshAudit, Some(dedupLshAuditOracle)),
     NamedQuery("embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),
     NamedQuery("lsh_bucket_stats", lshBucketStatsQ, Some(lshBucketStatsOracle)),

@@ -190,6 +190,55 @@ object TextAnalysis {
       when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
   }
 
+  /**
+   * Leakage-SAFE train/val/test split — [[hashSplit]] hardened against
+   * NEAR-duplicates. Content keying already pins exact copies to one
+   * split, but near-duplicate documents differ in content, hash
+   * independently, and can straddle the train/eval boundary — the
+   * leakage vector the dedup pipeline exists to close, reopened by the
+   * split itself. Here every member of a near-dup cluster
+   * ([[graft.text.Dedup.clusters]] membership) splits by its cluster
+   * CANONICAL's content, so a cluster crosses the boundary atomically;
+   * unclustered documents key on their own content and get exactly
+   * their [[hashSplit]] assignment (the two operators agree wherever
+   * leakage is impossible).
+   *
+   * Scale: two equi joins on doc ids — the membership side holds only
+   * docs that appear in the pair graph (≪ corpus), and the canonical-
+   * content lookup joins the corpus to itself on the key id; the split
+   * itself stays a projection.
+   *
+   * @param membership a [[graft.text.Dedup.clusters]] output over the
+   *                   same corpus (doc_id, cluster_id, ...)
+   */
+  /**
+   * Streaming note: the operator is two stream-static LEFT equi joins
+   * plus a projection, so it runs UNCHANGED on a streaming `docs` with
+   * static `membership`/`canonDocs` sides (no state, no watermark) —
+   * parity pinned in StreamingCurationSpec. A streamed document absent
+   * from the membership snapshot keys on its own content (the canon
+   * lookup coalesces back to the row's own text) — routing NEW
+   * near-dups of landed clusters is the incremental-dedup operator's
+   * job, not the split's.
+   *
+   * @param canonDocs where to resolve canonical members' content —
+   *                  defaults to `docs` (the batch form); a streaming
+   *                  caller passes the landed corpus snapshot
+   */
+  def clusterSafeSplit(docs: DataFrame, membership: DataFrame,
+                       canonDocs: DataFrame = null): DataFrame = {
+    val member = membership.select(col("doc_id"), col("cluster_id"))
+    val canon = Option(canonDocs).getOrElse(docs)
+      .select(col("doc_id").as("__kid"), col("text").as("__ktext"))
+    hashSplit(
+      docs.select(col("doc_id"), col("text"))
+        .join(member, Seq("doc_id"), "left")
+        .withColumn("__kid", coalesce(col("cluster_id"), col("doc_id")))
+        .join(canon, Seq("__kid"), "left"),
+      coalesce(col("__ktext"), col("text")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** Corpus-level split summary (one shuffle on the 3-value key). */
   def splitSummary(docs: DataFrame): DataFrame =
     hashSplit(docs)

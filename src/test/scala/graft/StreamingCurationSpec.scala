@@ -327,6 +327,43 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leakage-safe split runs on a stream unchanged; unseen docs key " +
+    "on their own content") {
+    // clusterSafeSplit is two stream-static LEFT joins + projection —
+    // split assignment can happen at INGEST against a landed membership
+    // snapshot; this pins statelessness AND the unseen-doc fallback
+    import graft.text.TextAnalysis
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta x"),
+      (10L, "completely different text")).toDF("doc_id", "text")
+    val membership = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val streamed = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x"),
+      (10L, "completely different text"),
+      (99L, "brand new never landed doc")) // absent from corpus+membership
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = TextAnalysis.clusterSafeSplit(
+      stream.toDF().toDF("doc_id", "text"), membership, canonDocs = corpus)
+    stream.addData(streamed: _*)
+    val q = out.writeStream.format("memory").queryName("ssplit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssplit").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      val want = TextAnalysis.clusterSafeSplit(
+        streamed.toDF("doc_id", "text"), membership, canonDocs = corpus)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      assert(got == want && got.size == 4)
+      // cluster members agree; the unseen doc got ITS OWN content's split
+      assert(got(1L) == got(2L))
+      val own = TextAnalysis.hashSplit(
+        Seq((99L, "brand new never landed doc")).toDF("doc_id", "text"))
+        .collect().head.getAs[String]("split")
+      assert(got(99L) == own)
+    } finally q.stop()
+  }
+
   test("windowed token counts match the batch vocabulary per window") {
     import graft.streaming.StreamingCuration
     // two 60s windows of docs, split across microbatches

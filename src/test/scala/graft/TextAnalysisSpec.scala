@@ -595,6 +595,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == "en") // 1-1 tie: declaration order wins
   }
 
+  test("clusterSafeSplit: near-dup cluster members land in ONE split " +
+    "(the canonical's), unclustered docs keep their hashSplit") {
+    import org.apache.spark.sql.functions.col
+    // find two texts whose independent hashSplit assignments DIFFER, so
+    // the test can't pass by accident of equal hashes
+    def splitOf(t: String): String = {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+    }
+    val base = "alpha beta gamma delta epsilon zeta"
+    val variant = (1 to 50).map(i => s"$base variant$i")
+      .find(v => splitOf(v) != splitOf(base)).get
+    val docs = Seq(
+      (1L, base), (2L, variant),        // near-dups, different raw splits
+      (10L, "lone wolf document one"), (11L, "another unclustered text"))
+      .toDF("doc_id", "text")
+    // membership as Dedup.clusters would emit it: canonical = min id
+    val membership = Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false))
+      .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    val out = TextAnalysis.clusterSafeSplit(docs, membership).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("cluster_id")).map(_.toLong),
+          r.getAs[String]("split"))).toMap
+    assert(out.size == 4)
+    // both cluster members take the CANONICAL's split — and would have
+    // diverged without the operator (that's what `variant` guarantees)
+    assert(out(1L)._2 == splitOf(base) && out(2L)._2 == splitOf(base))
+    assert(splitOf(variant) != splitOf(base))
+    assert(out(2L)._1.contains(1L))
+    // unclustered docs: exactly hashSplit, null cluster_id
+    for (id <- Seq(10L, 11L)) {
+      val t = docs.filter(col("doc_id") === id).head().getString(1)
+      assert(out(id) == (None, splitOf(t)))
+    }
+  }
+
   test("robustLengthGate: per-source outlier flagged, clean source " +
     "untouched, zero-MAD source keeps all with NULL robust_z") {
     def doc(id: Long, src: String, n: Long) =
