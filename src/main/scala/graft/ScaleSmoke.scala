@@ -248,6 +248,14 @@ object EventScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = graft.queries.Tables.events(spark, sfDir)
+    // the amplify id shifts assume ids below these bounds; a base table
+    // that exceeds them would alias copies into each other and silently
+    // FLATTEN the measured trend — fail loudly instead
+    val mx = base.agg(max(col("event_id")), max(col("user_id"))).head()
+    require(mx.getLong(0) < 100000000L && mx.getLong(1) < 10000000L,
+      s"base ids exceed the amplify shift bounds: event_id max " +
+        s"${mx.getLong(0)} (< 1e8 required), user_id max ${mx.getLong(1)} " +
+        "(< 1e7 required)")
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -8,8 +8,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names — dump only those
     // (local iteration on one operator; the driver passes two args and
-    // always gets the full registry)
+    // always gets the full registry). Unknown names fail loudly — a typo
+    // would otherwise dump nothing and quietly verify nothing.
     val only = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown registry queries: $unknown")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -33,25 +33,29 @@ object GraftSql {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "documents", "embeddings")
 
+  /** Mount base tables + native SQL functions + the FULL registry as
+    * temp views over `sfDir`. */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    register(spark, sfDir, graft.SparkEntry.queries.keys.toSeq)
+
   /**
    * Mount base tables + native SQL functions + the named pipeline
-   * queries (default: the full registry) as temp views over `sfDir`.
+   * queries as temp views over `sfDir`.
    *
    * @param names registry names to mount (unknown names raise); pass a
    *              subset to skip builders whose index-build collects you
    *              don't want to pay at registration
    */
   def register(spark: SparkSession, sfDir: String,
-               names: Seq[String] = null): Unit = {
+               names: Seq[String]): Unit = {
     baseTables.foreach(t =>
       Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
     // events needs its epoch-ms normalization (TESTDATA nanos parquet)
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     GraftFunctionRegistry.register(spark)
     val registry = graft.SparkEntry.queries
-    val wanted = Option(names).map(_.toSeq).getOrElse(registry.keys.toSeq)
-    val unknown = wanted.filterNot(registry.contains)
+    val unknown = names.filterNot(registry.contains)
     require(unknown.isEmpty, s"unknown registry queries: $unknown")
-    wanted.foreach(n => registry(n)(spark, sfDir).createOrReplaceTempView(n))
+    names.foreach(n => registry(n)(spark, sfDir).createOrReplaceTempView(n))
   }
 }

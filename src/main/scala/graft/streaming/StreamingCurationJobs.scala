@@ -11,13 +11,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * [[StreamingJobs]]'s ad pipeline, composed from the verified stage
  * operators and wired over the same file-backed topics:
  *
- *  - [[runIngestJob]]: raw docs topic → watermarked exact dedup
+ *  - [[runIngestJob]]: raw docs topic → benchmark n-gram exclusion
+ *    ([[decontaminateExclude]]: a Bloom-bitmap pre-filter literal —
+ *    mBits-bounded, NOT suite-sized — plus a broadcast anti-join exact
+ *    verify of the rare candidates; stateless, and deliberately FIRST:
+ *    its clean/candidate split duplicates its upstream subtree per
+ *    microbatch, so it runs where upstream is just the decode, see the
+ *    method doc) → watermarked exact dedup
  *    ([[StreamingCuration.exactDedup]], bounded state) → Gopher quality
  *    gate ([[TextAnalysis.qualityGate]], stateless per-row rules with
- *    `text` passed through) → benchmark n-gram exclusion (stateless:
- *    the benchmark shingle set folds into the plan as a literal — the
- *    eval side is benchmark-sized by definition, the same contract as
- *    the stateless semantic decontamination) → `curated` topic.
+ *    `text` passed through) → `curated` topic. The exclusion commutes
+ *    with both later stages — its verdict is a deterministic function
+ *    of content, so excluding before dedup drops a duplicate pair
+ *    together and excluding before the gate intersects the same sets.
  *  - [[runStatsJob]]: consumes the curated topic — the cross-job
  *    dataflow edge, the T5 shape on the curation side — and emits
  *    windowed token counts ([[StreamingCuration.windowedTokenCounts]],
@@ -83,6 +89,14 @@ object StreamingCurationJobs {
    * bitmap; the full shingle set travels once as a data-plane BROADCAST
    * to the anti join. Exactness + the plan-size bound are pinned in
    * StreamingCurationJobsSpec.
+   *
+   * PLACEMENT: the clean/candidate split is a union of two filters over
+   * `docStream`, and a streaming self-union re-plans the upstream
+   * subtree once per branch — apply this operator EARLY, upstream of
+   * any stateful stage (as [[runIngestJob]] does, right after decode):
+   * there the duplication costs one extra stateless decode pass per
+   * microbatch, while downstream of a stateful dedup it would double
+   * the state stores and change the checkpoint operator layout.
    *
    * @param benchIndex a [[StreamingCuration.benchShingleIndex]] frame
    *                   built with the SAME `shingleWidth`; caller-persisted
@@ -158,13 +172,6 @@ object StreamingCurationJobs {
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(docsTopic),
       docSchema)
-    val deduped = StreamingCuration.exactDedup(raw,
-      timeCol = "ingest_time", watermarkDelay = watermarkDelay)
-    val gated = TextAnalysis.qualityGate(deduped,
-        passThrough = Seq("text", "ingest_time", "fingerprint"))
-      .filter(col("keep"))
-      .select(col("doc_id"), col("text"), col("ingest_time"),
-        col("fingerprint"), col("n_tokens").cast("long").as("n_tokens"))
     // job-scoped cache: the index outlives this builder (every microbatch
     // of the exclusion's anti join probes it), so it is persisted here
     // once per STARTED JOB — not per operator call — and released with
@@ -172,7 +179,16 @@ object StreamingCurationJobs {
     val benchIndex = StreamingCuration
       .benchShingleIndex(benchDocs, shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val curated = decontaminateExclude(gated, benchIndex, shingleWidth)
+    // exclusion FIRST (see its PLACEMENT note): upstream of the split is
+    // only the decode, so the branch duplication never touches state
+    val cleanRaw = decontaminateExclude(raw, benchIndex, shingleWidth)
+    val deduped = StreamingCuration.exactDedup(cleanRaw,
+      timeCol = "ingest_time", watermarkDelay = watermarkDelay)
+    val curated = TextAnalysis.qualityGate(deduped,
+        passThrough = Seq("text", "ingest_time", "fingerprint"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("ingest_time"),
+        col("fingerprint"), col("n_tokens").cast("long").as("n_tokens"))
     // json-format topic (like the ad pipeline's materialized join): the
     // chained stats job re-reads it with the declared curatedSchema
     JsonStreams.writeTopic(curated,

@@ -228,8 +228,15 @@ object TextAnalysis {
   def clusterSafeSplit(docs: DataFrame, membership: DataFrame,
                        canonDocs: DataFrame = null): DataFrame = {
     val member = membership.select(col("doc_id"), col("cluster_id"))
+    // canon lookup restricted to CANONICAL ids before joining: only
+    // cluster canonicals are ever resolved (unclustered rows coalesce to
+    // their own text), so the right side is membership-sized — without
+    // the semi join it would be the whole corpus joined against itself,
+    // defeating the membership ≪ corpus scale claim
     val canon = Option(canonDocs).getOrElse(docs)
       .select(col("doc_id").as("__kid"), col("text").as("__ktext"))
+      .join(member.select(col("cluster_id").as("__kid")).distinct(),
+        Seq("__kid"), "left_semi")
     hashSplit(
       docs.select(col("doc_id"), col("text"))
         .join(member, Seq("doc_id"), "left")
