@@ -211,6 +211,59 @@ object TextAnalysis {
    * @param membership a [[graft.text.Dedup.clusters]] output over the
    *                   same corpus (doc_id, cluster_id, ...)
    */
+  /** Per-source (median, MAD) of `n_chars` — the frozen baseline a
+    * streaming [[robustLengthGateStream]] scores against: computed ONCE
+    * over a landed corpus snapshot (one source-key shuffle, the same
+    * two chained unordered window passes as [[robustLengthGate]],
+    * de-windowed to a tiny per-source aggregate frame). */
+  def sourceLengthStats(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+      .groupBy(col("source"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"),
+        count(lit(1)).as("n_docs"))
+      .join(
+        docs.filter(col("text").isNotNull)
+          .select(col("source"), col("n_chars").cast("double").as("v")),
+        Seq("source"))
+      .groupBy(col("source"), col("med"), col("n_docs"))
+      .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+      .select(col("source"), col("med"), col("mad"), col("n_docs"))
+
+  /**
+   * Ingest-time robust length gate — the streaming shape of
+   * [[robustLengthGate]], on the broadcast-model pattern of
+   * `hashedLinearScoreStateless`: the per-source (median, MAD) baseline
+   * is a FROZEN [[sourceLengthStats]] snapshot of the landed corpus,
+   * broadcast into every microbatch (stream-static equi join — no
+   * state, no watermark, append-safe), and each arriving document
+   * scores against its source's landed statistics in a pure projection.
+   * Same modified z-score, same round-before-compare, same zero-MAD
+   * keep-with-NULL rule as the batch gate; a document from a source
+   * ABSENT from the snapshot keeps with NULL robust_z (no baseline is
+   * no evidence — the batch gate over the landed corpus catches it next
+   * pass). Batch-formula parity is pinned in StreamingCurationSpec.
+   *
+   * The deliberate difference from the batch operator: the batch gate's
+   * baseline includes the scored documents themselves (leave-one-in
+   * over the corpus), while this scores NEW arrivals against the landed
+   * snapshot — exactly the semantics an ingest filter wants (arrivals
+   * must not move the bar they are judged by).
+   */
+  def robustLengthGateStream(docStream: DataFrame, stats: DataFrame,
+                             threshold: Double = 3.5): DataFrame =
+    docStream.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("n_chars"))
+      .join(broadcast(stats.select(col("source"), col("med"), col("mad"))),
+        Seq("source"), "left")
+      .withColumn("robust_z", when(col("mad") > 0.0, round(
+        lit(0.6745) * (col("n_chars") - col("med")) / col("mad"), 6)))
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), col("robust_z"),
+        (col("mad").isNull || col("mad") <= 0.0 ||
+          abs(col("robust_z")) <= threshold).as("keep"))
+
   /**
    * Streaming note: the operator is two stream-static LEFT equi joins
    * plus a projection, so it runs UNCHANGED on a streaming `docs` with

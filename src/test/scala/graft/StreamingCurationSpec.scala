@@ -364,6 +364,46 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest-time robust length gate scores against the frozen landed " +
+    "baseline, stateless on a stream; unseen sources keep with NULL z") {
+    import graft.text.TextAnalysis
+    // landed corpus: src-a docs around 1000 chars (one mild wobble)
+    val landed = ((0 until 11).map(i => (i.toLong, s"t$i", "a", 1000L + (i % 3) * 10)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val stats = TextAnalysis.sourceLengthStats(landed)
+    // arrivals: one normal src-a doc, one wild outlier vs the LANDED
+    // baseline, one doc from a source the snapshot has never seen
+    val arrivals = Seq(
+      (100L, "x", "a", 1005L), (101L, "x", "a", 50000L),
+      (102L, "x", "brandnew", 123L))
+    val stream = MemoryStream[(Long, String, String, Long)](spark)
+    val out = TextAnalysis.robustLengthGateStream(
+      stream.toDF().toDF("doc_id", "text", "source", "n_chars"), stats)
+    stream.addData(arrivals: _*)
+    val q = out.writeStream.format("memory").queryName("srgate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (Option(r.getAs[java.lang.Double]("robust_z")),
+            r.getAs[Boolean]("keep"))).toMap
+      val got = canon(spark.table("srgate"))
+      // stateless: identical to the same operator over a batch frame
+      val want = canon(TextAnalysis.robustLengthGateStream(
+        arrivals.toDF("doc_id", "text", "source", "n_chars"), stats))
+      assert(got == want && got.size == 3)
+      assert(got(100L)._2, "normal arrival kept")
+      assert(!got(101L)._2 && got(101L)._1.exists(_ > 3.5), "outlier dropped")
+      assert(got(102L)._2 && got(102L)._1.isEmpty, "unseen source kept, NULL z")
+      // the frozen-baseline point: the outlier did NOT move the bar —
+      // its own robust_z is computed against the landed median, not a
+      // baseline containing itself
+      val med = stats.filter(col("source") === "a").head().getAs[Double]("med")
+      assert(med == 1010.0 || med == 1000.0 || (med > 999 && med < 1011))
+    } finally q.stop()
+  }
+
   test("windowed token counts match the batch vocabulary per window") {
     import graft.streaming.StreamingCuration
     // two 60s windows of docs, split across microbatches
