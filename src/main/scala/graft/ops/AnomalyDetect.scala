@@ -199,6 +199,65 @@ object AnomalyDetect {
           .as("alert_type"))
   }
 
+  /** Frozen per-key (median, MAD, n_points) baseline snapshot —
+    * what [[madAlertsStream]] scores arriving windows against: computed
+    * once over a LANDED series (two tiny per-key aggregates; the med
+    * frame broadcasts into the residual pass). */
+  def madBaseline(series: DataFrame, valueCol: String = "ctr",
+                  keyCol: String = "campaign_id"): DataFrame = {
+    val vals = series.select(col(keyCol),
+      col(valueCol).cast("double").as("__v"))
+    vals
+      .groupBy(col(keyCol))
+      .agg(percentile(col("__v"), lit(0.5)).as("med"),
+        count(lit(1)).as("n_points"))
+      .join(vals, Seq(keyCol))
+      .groupBy(col(keyCol), col("med"), col("n_points"))
+      .agg(percentile(abs(col("__v") - col("med")), lit(0.5)).as("mad"))
+      .select(col(keyCol), col("med"), col("mad"), col("n_points"))
+  }
+
+  /**
+   * Ingest-time MAD detector — the streaming shape of [[madAlerts]] on
+   * the frozen-baseline pattern ([[graft.text.TextAnalysis
+   * .robustLengthGateStream]]'s): the per-key (median, MAD) comes from a
+   * [[madBaseline]] snapshot of the LANDED series and broadcasts into
+   * every microbatch (stream-static equi join — no state, no watermark,
+   * append-safe); each arriving window scores in a pure projection.
+   * Same modified z-score, round-before-filter, zero-MAD and warm-up
+   * gates, HIGH/LOW labels as the batch detector.
+   *
+   * The deliberate semantic difference: the batch detector's baseline
+   * is leave-one-in over the whole series, while this judges NEW
+   * windows against the frozen landed statistics — an arriving anomaly
+   * burst cannot move the bar it is judged by, which is exactly what a
+   * live detector wants (and why a self-updating streaming median —
+   * unbounded per-key value state — is not the right construction).
+   * Windows from keys absent from the snapshot never alert (no
+   * baseline is no evidence). Formula parity with the batch detector at
+   * the same statistics is pinned in StreamingAnomalySpec.
+   */
+  def madAlertsStream(seriesStream: DataFrame, baseline: DataFrame,
+                      valueCol: String = "ctr",
+                      keyCol: String = "campaign_id",
+                      timeCol: String = "window_end",
+                      minPoints: Int = 6,
+                      threshold: Double = 3.5): DataFrame =
+    seriesStream
+      .select(col(timeCol).as("alert_time"), col(keyCol),
+        col(valueCol).cast("double").as("current_value"))
+      .join(broadcast(baseline), Seq(keyCol), "left")
+      .withColumn("robust_z", round(
+        lit(0.6745) * (col("current_value") - col("med")) / col("mad"), 6))
+      .filter(col("n_points") >= minPoints && col("mad") > 0.0 &&
+        abs(col("robust_z")) > threshold)
+      .select(col("alert_time"), col(keyCol), col("current_value"),
+        round(col("med"), 6).as("median_value"),
+        round(col("mad"), 6).as("mad_value"),
+        col("robust_z"),
+        when(col("robust_z") > 0, lit("HIGH")).otherwise(lit("LOW"))
+          .as("alert_type"))
+
   def zscoreAlerts(series: DataFrame, valueCol: String = "ctr",
                    keyCol: String = "campaign_id",
                    timeCol: String = "window_end",
