@@ -171,6 +171,30 @@ object StreamingCuration {
       embStream, evalVectors, threshold, bits, tables)
 
   /**
+   * The EVAL-SUITE-scale sibling of [[semanticDecontaminateStream]]:
+   * where the stateless form folds the eval vectors into the plan
+   * (right for benchmark-sized suites), this joins a BROADCAST
+   * [[graft.similarity.Similarity.evalBucketIndex]] — plan size
+   * constant, eval suite on the data plane, watermark-bounded per-doc
+   * flag dedup as the only state (the [[decontaminateFlags]] shape in
+   * embedding space). Flagged-id parity with the stateless form is
+   * pinned in StreamingCurationSpec.
+   *
+   * @param evalIndex an [[graft.similarity.Similarity.evalBucketIndex]]
+   *                  built with the SAME (bits, tables); caller-persisted
+   *                  for multi-batch streams
+   */
+  def semanticDecontaminateStreamBroadcast(embStream: DataFrame,
+                                           evalIndex: DataFrame,
+                                           threshold: Double,
+                                           bits: Int = 8, tables: Int = 8,
+                                           timeCol: String = "ingest_time",
+                                           watermarkDelay: String = "10 seconds")
+      : DataFrame =
+    graft.similarity.Similarity.semanticDecontaminateFlags(
+      embStream, evalIndex, threshold, bits, tables, timeCol, watermarkDelay)
+
+  /**
    * Windowed count-min sketch over an event stream — the streaming twin
    * of [[graft.ops.Sketches.countMinCells]]: per tumbling window, the
    * `depth × width` cell table, emitted append-mode on window close.

@@ -52,6 +52,54 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("broadcast-index semantic decontamination flags the same vectors " +
+    "as the stateless form; plan stays constant as the eval suite grows") {
+    import graft.similarity.Similarity
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isEval = col("vec_id") % 11 === 0
+    val evalSet = all.filter(isEval)
+    val index = Similarity.evalBucketIndex(evalSet)
+    val base = 3600000L
+    val corpusRows = all.filter(!isEval).limit(120)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+          new java.sql.Timestamp(base + i * 1000L))
+      }
+    val stream = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+    val out = StreamingCuration.semanticDecontaminateStreamBroadcast(
+      stream.toDF().toDF("vec_id", "embedding", "ingest_time"), index,
+      threshold = 0.25, watermarkDelay = "1 hour")
+    assert(out.isStreaming)
+    stream.addData(corpusRows.take(60).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("sdeconb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(corpusRows.drop(60).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sdeconb").collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      // the stateless literal form over the same streamed rows is the
+      // reference: identical buckets, identical rounded-cosine verify
+      val streamedIds = corpusRows.map(_._1).toSet
+      val want = Similarity.semanticDecontaminateStateless(
+        all.filter(!isEval), evalSet, threshold = 0.25).collect()
+        .map(_.getAs[Long]("vec_id")).toSet.intersect(streamedIds)
+      assert(want.nonEmpty && got == want,
+        s"only-broadcast=${got -- want} only-stateless=${want -- got}")
+      // the point of the broadcast form: plan text is bounded by the
+      // sign-key projection, not the eval suite (index as local data)
+      def planLen(n: Int) = Similarity.semanticDecontaminateFlags(
+        all.filter(!isEval).withColumn("ingest_time",
+          org.apache.spark.sql.functions.to_timestamp(lit("2024-01-01"))),
+        Similarity.evalBucketIndex(all.limit(n)), threshold = 0.25)
+        .queryExecution.analyzed.toString.length
+      assert(planLen(50) < (planLen(5) * 1.3).toInt,
+        s"plan grew with the eval suite: 5=${planLen(5)} 50=${planLen(50)}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches batch fingerprints within the watermark") {
     val stream = MemoryStream[(Long, String, Timestamp)](spark)
     val out = StreamingCuration.exactDedup(
