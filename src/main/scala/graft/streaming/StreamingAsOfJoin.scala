@@ -33,6 +33,17 @@ import java.sql.Timestamp
  * `watermarkDelay`/`finalizeDelayMs` to the attribution window.
  * Batch parity (cross-microbatch late left rows, equal-ts ties,
  * unmatched rights) is pinned in StreamingAsOfJoinSpec.
+ *
+ * Null handling: rows with a null key, null event time, or null id are
+ * DROPPED on both sides before the typed cast. The JSON decode layer
+ * deliberately passes valid-JSON-with-missing-fields rows through as
+ * nulls; an unfiltered null here would throw at Dataset deserialization
+ * and — because the poison row sits in the source — re-kill the job on
+ * every checkpoint restart. The batch twin keeps null-key/ts rows (its
+ * window just sorts them first), but a null event time is meaningless
+ * under a watermark, so the streaming form treats all three as malformed
+ * input, same as the decode layer's parse-error skip (SURVEY S4).
+ * Pinned in StreamingAsOfJoinSpec.
  */
 object StreamingAsOfJoin {
 
@@ -56,10 +67,14 @@ object StreamingAsOfJoin {
                        finalizeDelayMs: Long = 10000L): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    val l = left.filter(col(leftId).isNotNull)
+    // null key/ts/id rows dropped (see scaladoc): one poison row must not
+    // permanently kill the job at deserialization on every restart
+    val l = left.filter(col(leftId).isNotNull &&
+        col(key).isNotNull && col(ts).isNotNull)
       .select(col(key).cast("long").as("k"), col(ts).as("t"),
         lit(true).as("isl"), col(leftId).cast("long").as("id"))
-    val r = right
+    val r = right.filter(col(rightId).isNotNull &&
+        col(key).isNotNull && col(ts).isNotNull)
       .select(col(key).cast("long").as("k"), col(ts).as("t"),
         lit(false).as("isl"), col(rightId).cast("long").as("id"))
     // watermark AFTER the union so one horizon governs both sides (a
@@ -68,26 +83,32 @@ object StreamingAsOfJoin {
     val typed = l.unionByName(r)
       .withWatermark("t", watermarkDelay)
       .as[(Long, Timestamp, Boolean, Long)]
+    // state carries (buffer, maxTs): the timeout horizon needs the key's
+    // latest event time, and rescanning the whole buffer every microbatch
+    // would cost O(B·n) on a hot key alive across B batches. Fresh rows
+    // are PREPENDED (List :::) so the old buffer is shared, not copied —
+    // matchSeq sorts, so buffer order is free.
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Boolean, Long)],
+      .flatMapGroupsWithState[(List[(Long, Boolean, Long)], Long),
         (Long, Long, Timestamp, Option[Long], Option[Timestamp], Option[Long])](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (k: Long, it: Iterator[(Long, Timestamp, Boolean, Long)],
-         state: GroupState[Seq[(Long, Boolean, Long)]]) =>
+         state: GroupState[(List[(Long, Boolean, Long)], Long)]) =>
           if (state.hasTimedOut) {
-            val buf = state.get
+            val buf = state.get._1
             state.remove()
             AsOfJoin.matchSeq(buf).iterator.map { case (rid, rts, m) =>
               (rid, k, new Timestamp(rts), m.map(_._1),
                 m.map(p => new Timestamp(p._2)), m.map(rts - _._2))
             }
           } else {
-            val buf = state.getOption.getOrElse(Seq.empty) ++
-              it.map(e => (e._2.getTime, e._3, e._4))
-            state.update(buf)
+            val (old, oldMax) = state.getOption.getOrElse((Nil, Long.MinValue))
+            val fresh = it.map(e => (e._2.getTime, e._3, e._4)).toList
+            val maxTs = fresh.foldLeft(oldMax)((m, e) => math.max(m, e._1))
+            state.update((fresh ::: old, maxTs))
             state.setTimeoutTimestamp(math.max(
-              buf.map(_._1).max + finalizeDelayMs,
+              maxTs + finalizeDelayMs,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }

@@ -143,6 +143,47 @@ class StreamingAsOfJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null key/ts/id rows are dropped, not poison: the job survives " +
+    "malformed-but-valid events and still attributes the valid ones") {
+    // JsonStreams.decode passes valid JSON with missing fields through as
+    // nulls; before the null filter these rows threw at Dataset
+    // deserialization and re-killed the job on every checkpoint restart
+    val vStream = MemoryStream[(Option[Long], Option[Long], Option[Timestamp])](spark)
+    val cStream = MemoryStream[(Option[Long], Option[Long], Option[Timestamp])](spark)
+    def df(s: MemoryStream[(Option[Long], Option[Long], Option[Timestamp])]) =
+      s.toDF().toDF("event_id", "user_id", "ts")
+    val out = StreamingAsOfJoin.lastBeforeStream(
+      df(vStream), df(cStream),
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sasofnull")
+      .outputMode("append").start()
+    try {
+      vStream.addData(
+        (Some(1L), Some(7L), Some(ts(10))),
+        (None, Some(7L), Some(ts(11))),     // null left id
+        (Some(2L), None, Some(ts(12))),     // null key
+        (Some(3L), Some(7L), None))         // null ts
+      cStream.addData(
+        (Some(100L), Some(7L), Some(ts(15))),
+        (None, Some(7L), Some(ts(16))),     // null right id
+        (Some(101L), None, Some(ts(17))),   // null key
+        (Some(102L), Some(7L), None))       // null ts
+      q.processAllAvailable()
+      vStream.addData((Some(900L), Some(999L), Some(ts(100000))))
+      q.processAllAvailable()
+      vStream.addData((Some(901L), Some(999L), Some(ts(200000))))
+      q.processAllAvailable()
+      val got = spark.table("sasofnull")
+        .filter(col("user_id") =!= 999L).collect()
+      // exactly the one fully-valid click, attributed to the one valid
+      // view; every null-bearing row dropped rather than crashing the job
+      assert(got.length == 1, s"got ${got.toSeq}")
+      assert(got.head.getAs[Long]("event_id") == 100L)
+      assert(got.head.getAs[java.lang.Long]("matched_event_id") == 1L)
+    } finally q.stop()
+  }
+
   test("matchSeq equals lastBefore on randomized inputs, any arrival order") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 30) {
