@@ -120,16 +120,19 @@ object StreamingCurationJobs {
     require(m > 0 && m % 64 == 0, s"mBits $m must be a positive multiple of 64")
     def pos(i: Int, c: Column): Column =
       conv(substring(md5(concat(lit(s"$i:"), c)), 1, 8), 16, 10).cast("long") % m
-    // driver-side bitmap build: ≤ m distinct positions collected once at
-    // job build (the same bounded collect shape as the PQ codebook)
+    // distributed bitmap build: positions group by WORD index and OR into
+    // that word's bits executor-side (bit_or partials combine map-side, so
+    // the shuffle carries ≤ m/64 rows), and the driver collects one
+    // already-OR'd long per non-empty word — a ≤ m/64-row bounded collect
+    // (the same shape as the PQ codebook), with no per-position driver
+    // loop. bit_or is idempotent, so no distinct pass is needed.
     val words = new Array[Long](m / 64)
     benchIndex
       .select(explode(array((0 until kHashes).map(i =>
-        pos(i, col("shingle"))): _*)).as("p")).distinct()
-      .collect().foreach { r =>
-        val p = r.getLong(0)
-        words((p >> 6).toInt) |= (1L << (p & 63).toInt)
-      }
+        pos(i, col("shingle"))): _*)).as("p"))
+      .groupBy((col("p") / 64).cast("int").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, cast(p % 64 as int))")).as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
     val bm = typedLit(words.toSeq)
     // positions are < 2^23 so the double division is exact; getbit reads
     // the word's bit map-side — O(1) per probe, no join for clean rows
@@ -167,7 +170,9 @@ object StreamingCurationJobs {
                    benchDocs: DataFrame, workDir: String,
                    watermarkDelay: String = "10 seconds",
                    shingleWidth: Int = 5,
-                   maxFilesPerTrigger: Int = 8): StreamingQuery = {
+                   maxFilesPerTrigger: Int = 8,
+                   stateStoreProvider: Option[String] = None): StreamingQuery =
+    StateBackend.withProvider(spark, stateStoreProvider) {
     val raw = JsonStreams.decode(
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(docsTopic),
@@ -203,7 +208,9 @@ object StreamingCurationJobs {
    */
   def runStatsJob(spark: SparkSession, workDir: String,
                   windowLength: String = "1 minute",
-                  watermarkDelay: String = "10 seconds"): StreamingQuery = {
+                  watermarkDelay: String = "10 seconds",
+                  stateStoreProvider: Option[String] = None): StreamingQuery =
+    StateBackend.withProvider(spark, stateStoreProvider) {
     val curated = JsonStreams.readTopic(spark, s"$workDir/curated", curatedSchema)
     JsonStreams.writeValueTopic(
       JsonStreams.encode(StreamingCuration.windowedTokenCounts(
