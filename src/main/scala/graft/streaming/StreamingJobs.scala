@@ -72,7 +72,9 @@ object StreamingJobs {
                  joinInterval: String = "INTERVAL 10 MINUTES",
                  windowLength: String = "1 minute",
                  chainedWatermarkDelay: String = "11 minutes",
-                 maxFilesPerTrigger: Int = 8): Seq[StreamingQuery] = {
+                 maxFilesPerTrigger: Int = 8,
+                 stateStoreProvider: Option[String] = None): Seq[StreamingQuery] =
+    StateBackend.withProvider(spark, stateStoreProvider) {
     def readValues(topic: String) = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger).text(topic)
     val impressions = JsonStreams.decode(readValues(imprTopic), AdModel.impressionSchema)
@@ -123,7 +125,9 @@ object StreamingJobs {
                         workDir: String,
                         watermarkDelay: String = "10 seconds",
                         finalizeDelayMs: Long = 10000L,
-                        maxFilesPerTrigger: Int = 8): StreamingQuery = {
+                        maxFilesPerTrigger: Int = 8,
+                        stateStoreProvider: Option[String] = None): StreamingQuery =
+    StateBackend.withProvider(spark, stateStoreProvider) {
     val ev = JsonStreams.decode(
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(eventsTopic), eventSchema)
@@ -144,7 +148,9 @@ object StreamingJobs {
    * applies the streaming LAG (§7.5), and writes anomaly_alerts (S9).
    */
   def runAnomalyJob(spark: SparkSession, ctrTopic: String, workDir: String,
-                    watermarkDelay: String = "5 seconds"): StreamingQuery = {
+                    watermarkDelay: String = "5 seconds",
+                    stateStoreProvider: Option[String] = None): StreamingQuery =
+    StateBackend.withProvider(spark, stateStoreProvider) {
     val ctr = JsonStreams.decode(
       spark.readStream.text(ctrTopic), AdModel.ctrResultSchema)
     JsonStreams.writeValueTopic(

@@ -112,6 +112,16 @@ class StreamingJobsSpec extends SparkSpec {
   }
 
   test("checkpoint recovery: restart mid-stream resumes exactly-once (T6)") {
+    recoveryRoundTrip(stateStoreProvider = None)
+  }
+
+  test("checkpoint recovery under the RocksDB state store provider — the " +
+    "reference's state backend (T6), exercised not just cited") {
+    recoveryRoundTrip(stateStoreProvider =
+      Some(graft.streaming.StateBackend.RocksDb))
+  }
+
+  private def recoveryRoundTrip(stateStoreProvider: Option[String]): Unit = {
     val root = Files.createTempDirectory("graft-stream-recovery")
     val imprTopic = root.resolve("impressions")
     val clickTopic = root.resolve("clicks")
@@ -128,7 +138,8 @@ class StreamingJobsSpec extends SparkSpec {
 
     def launch() = StreamingJobs.runMainJob(
       spark, imprTopic.toString, clickTopic.toString, work,
-      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes")
+      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes",
+      stateStoreProvider = stateStoreProvider)
 
     // phase 1: first half of the events, then STOP all queries —
     // dedup/join/agg state at this point lives only in the checkpoints
