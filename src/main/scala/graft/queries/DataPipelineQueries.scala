@@ -389,6 +389,18 @@ object DataPipelineQueries {
         topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
+  /** Incremental ANN ingest ([[Similarity.incrementalAssign]]): every
+    * 10th vector plays the newly-arrived batch (the `dedup_incremental`
+    * split convention, vec_id-keyed), the rest the landed corpus whose
+    * IVF centroids + PQ codebook are FROZEN; the new rows get cells and
+    * codes in one map-side pass. Memoized: the two bounded index
+    * collects (nCells + k rows) run at build time. */
+  val similarityIncremental: (SparkSession, String) => DataFrame =
+    memoized("similarityIncremental") { (spark, sfDir) =>
+      Similarity.incrementalAssign(embs(spark, sfDir),
+        org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+    }
+
   /** Cluster-balanced (semantic-mixing) sample: at most 25 vectors per
     * IVF cell by deterministic hash rank — flattens over-represented
     * modes before a training mix. Memoized like the other
@@ -2072,6 +2084,8 @@ object DataPipelineQueries {
       Some(Similarity.ivfPqTopKOracleSql())),
     NamedQuery("similarity_ivfpq_batchq", similarityIvfPqBatchq,
       Some(Similarity.ivfPqTopKOracleSql(nQueries = 128))),
+    NamedQuery("similarity_incremental", similarityIncremental,
+      Some(Similarity.incrementalAssignOracleSql())),
     NamedQuery("sample_cluster_balanced", sampleClusterBalanced,
       Some(Similarity.clusterBalancedSampleOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),

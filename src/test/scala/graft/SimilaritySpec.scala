@@ -399,6 +399,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._1 == out(13L)._1 && out(0L)._2 == out(13L)._2)
   }
 
+  test("incrementalAssign: appending the new batch's codes to the frozen " +
+    "codes table equals re-indexing the whole corpus") {
+    // fixture built so the union's hash samples (IVF centroids + PQ
+    // codebook) contain NO new-batch ids — the frozen-index premise made
+    // literal, so "rebuild from scratch over the union" is a valid ground
+    // truth for the incremental path
+    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq")
+    val nCells = 4
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 11 + d * 3) % 17) - 8).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    def topIds(salt: String, n: Int): Set[Long] = emb
+      .select(col("vec_id"),
+        md5(concat(lit(salt + ":"), col("vec_id").cast("string"))).as("ck"))
+      .orderBy(col("ck"), col("vec_id")).limit(n)
+      .collect().map(_.getLong(0)).toSet
+    val sampled = topIds("pq", cfg.k) ++ topIds("ivf", nCells)
+    val newIds = (0L until 40L).filterNot(sampled).take(8)
+    val isNew = col("vec_id").isin(newIds: _*)
+    val inc = Similarity.incrementalAssign(emb, isNew, nCells = nCells, cfg = cfg)
+    val corpCodes = Similarity.productQuantize(emb.filter(!isNew), cfg)
+    val fullCodes = Similarity.productQuantize(emb, cfg)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(inc.count() == newIds.size)
+    // codes-table APPEND parity: frozen corpus codes + incremental codes
+    // == the codes of a from-scratch rebuild over the union
+    assert(rows(corpCodes.unionByName(
+        inc.select(corpCodes.columns.map(col).toIndexedSeq: _*))) ==
+      rows(fullCodes), "appended codes table != from-scratch rebuild")
+    // cell parity: the new rows land in the same IVF cells the union
+    // assignment gives them (centroids are frozen AND stable here)
+    val viaUnion = Similarity.clusterBalancedSample(emb,
+        nCells = nCells, perCell = 1000000)
+      .filter(col("vec_id").isin(newIds: _*))
+      .select(col("vec_id"), col("cell"))
+    assert(rows(inc.select(col("vec_id"), col("cell"))) == rows(viaUnion),
+      "incremental cell assignment != union cell assignment")
+  }
+
   test("randomProjection: matches a Scala re-derivation, map-side only") {
     val cfg = Similarity.RpConfig(kDims = 4, dim = 6, seed = 99L, nSample = 3)
     val rows = Seq(
