@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.StreamThroughput
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Streaming throughput benchmark main — the streaming sibling of
+ * [[Bench]]: runs [[graft.streaming.StreamThroughput]] steps for the
+ * main ad job and the curation ingest job at stepped input rates and
+ * prints ONE JSON line with the per-step results and the max sustained
+ * events/s per job. The reference's only published operating point is
+ * its EVENT_RATE=50 generator envelope (`docker-compose.yml:121`);
+ * results are recorded as the streaming table in BASELINE.md.
+ *
+ * Knobs (env): SPARK_GRAFT_CPUS (default 32),
+ * SPARK_GRAFT_STREAM_RATES / SPARK_GRAFT_INGEST_RATES (comma-separated
+ * events-per-second steps), SPARK_GRAFT_FEED_MS (feed window per step).
+ */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val feedMs = sys.env.getOrElse("SPARK_GRAFT_FEED_MS", "20000").toLong
+    def rates(env: String, dflt: String): Seq[Int] =
+      sys.env.getOrElse(env, dflt).split(",").map(_.trim.toInt).toSeq
+    val mainRates = rates("SPARK_GRAFT_STREAM_RATES", "5000,20000,80000")
+    val ingestRates = rates("SPARK_GRAFT_INGEST_RATES", "2000,8000,32000")
+    // Streaming microbatches pay a per-partition state-commit floor on
+    // every stateful operator each trigger; at these per-batch volumes 8
+    // state partitions is the deployment-correct tuning (32 would spend
+    // more time committing stores than aggregating). Batch Bench keeps
+    // partitions = cpus; this is the streaming sibling's knob.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one throwaway warm step per job: first-query codegen/planning is a
+    // per-process constant the steady-state steps shouldn't be billed for
+    StreamThroughput.mainJobStep(spark, rate = 1000, feedMs = 4000L)
+    StreamThroughput.ingestJobStep(spark, rate = 500, feedMs = 4000L)
+
+    val mainSteps = mainRates.map(r =>
+      StreamThroughput.mainJobStep(spark, r, feedMs))
+    val ingestSteps = ingestRates.map(r =>
+      StreamThroughput.ingestJobStep(spark, r, feedMs))
+
+    def maxSustained(steps: Seq[StreamThroughput.StepResult]): Long =
+      steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
+        .foldLeft(0L)(math.max)
+    val allSteps = (mainSteps ++ ingestSteps).map(_.json).mkString(",")
+    println(
+      s"""{"metric":"stream_max_sustained_events_per_sec",""" +
+      s""""value":${maxSustained(mainSteps)},"unit":"events_per_sec",""" +
+      s""""ingest_value":${maxSustained(ingestSteps)},""" +
+      s""""feed_ms":$feedMs,"cpus":$cpus,""" +
+      s""""reference_envelope_events_per_sec":50,""" +
+      s""""steps":[$allSteps]}""")
+    spark.stop()
+  }
+}

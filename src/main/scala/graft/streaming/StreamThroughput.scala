@@ -1,0 +1,207 @@
+package graft.streaming
+
+import graft.fixtures.StreamingEventGenerator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.nio.file.{Files, Path}
+
+/**
+ * Rate-driven streaming throughput harness — the measurement the
+ * reference publishes exactly one operating point for (its generator's
+ * EVENT_RATE=50 envelope, reference `docker-compose.yml:121`). Each step
+ * runs a REAL producer/consumer topology at a target input rate:
+ *
+ *  1. a feeder query — [[StreamingEventGenerator]]'s `rate` source (or
+ *     [[docStream]] for the curation side) encoded to JSON and written to
+ *     the same file-backed topics the jobs deploy against — produces at
+ *     `rate` rows per wall-second for `feedMs`;
+ *  2. the job under test ([[StreamingJobs.runMainJob]] /
+ *     [[StreamingCurationJobs.runIngestJob]]) consumes CONCURRENTLY,
+ *     exactly as deployed (same decode, same checkpoints, same sinks);
+ *  3. when the feeder stops, the consumer drains its backlog; the step's
+ *     verdict is how much backlog accumulated.
+ *
+ * A step is SUSTAINED when the post-feed drain takes at most
+ * [[drainBudgetMs]] — i.e. the job kept pace with the offered rate
+ * instead of queueing it. `ratePerSec` reports end-to-end events/s over
+ * the whole feed+drain wall window (input-row throughput of the job as
+ * deployed, file-sink I/O included); `p95BatchMs` the 95th-percentile
+ * microbatch duration across the job's queries.
+ *
+ * Event time is decoupled from wall time (`simMsPerRow`) so watermarks,
+ * window closes, and join-state GC run at a realistic event-time pace
+ * regardless of the wall rate — state stays bounded by the same horizon
+ * arithmetic as production, which is what makes a 20-second step
+ * representative of a day-long run.
+ */
+object StreamThroughput {
+
+  /** One rate step's measurements. `eventsIn` counts rows actually
+    * landed on the input topics (impressions + clicks, or docs).
+    * `ratePerSec` is end-to-end events/s over feed+drain (a lower bound
+    * on capacity whether or not the step kept pace); [[sustainedRate]]
+    * is the throughput the step demonstrates: the offered load when the
+    * job kept pace, the measured drain-inclusive rate when it queued. */
+  final case class StepResult(job: String, rate: Int, eventsIn: Long,
+                              feedMs: Long, drainMs: Long,
+                              ratePerSec: Double, p95BatchMs: Long,
+                              batches: Int, sustained: Boolean) {
+    def sustainedRate: Double =
+      if (sustained) eventsIn * 1000.0 / math.max(feedMs, 1L) else ratePerSec
+    def json: String =
+      s"""{"job":"$job","rate":$rate,"events_in":$eventsIn,""" +
+        s""""feed_ms":$feedMs,"drain_ms":$drainMs,""" +
+        s""""events_per_sec":${math.round(ratePerSec)},""" +
+        s""""sustained_events_per_sec":${math.round(sustainedRate)},""" +
+        s""""p95_batch_ms":$p95BatchMs,"batches":$batches,""" +
+        s""""sustained":$sustained}"""
+  }
+
+  /** Backlog-drain budget for a step to count as sustained: a quarter of
+    * the feed window plus one scheduling grace, plus the topology's
+    * FIXED latency tail (`tailAllowanceMs`) — a kept-pace consumer
+    * drains in about one microbatch per query in the chain, a
+    * falling-behind one queues a backlog proportional to the feed
+    * duration. The tail allowance exists because a chained topology's
+    * drain contains several serialized in-flight microbatches however
+    * low the rate is (measured rate-INDEPENDENT across a 13× rate span
+    * on the main job); it must NOT scale with observed batch duration,
+    * or an overloaded run would inflate its own budget. */
+  def drainBudgetMs(feedMs: Long, tailAllowanceMs: Long): Long =
+    feedMs / 4 + 3000L + tailAllowanceMs
+
+  private def p95(xs: Seq[Long]): Long =
+    if (xs.isEmpty) 0L
+    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 95) / 100))
+
+  /** Blocks until the feeder's first file commit so the consumer's
+    * source directory exists (the file source lists it at start). */
+  private def awaitTopic(dir: Path, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!Files.isDirectory(dir.resolve("_spark_metadata")) &&
+           System.nanoTime() < deadline)
+      Thread.sleep(50L)
+    require(Files.isDirectory(dir.resolve("_spark_metadata")),
+      s"feeder produced no commit into $dir within ${timeoutMs}ms")
+  }
+
+  /** Synthetic curation-ingest document stream off the `rate` source, in
+    * [[StreamingCurationJobs.docSchema]] shape: ~40-word texts drawn
+    * from a small vocabulary by per-(row, position) hash — varied enough
+    * to exercise shingling/fingerprinting, with natural duplicates so
+    * the dedup stage does real work. Event time advances `simMsPerRow`
+    * ms per row from `startMs`, independent of wall pace. */
+  def docStream(spark: SparkSession, rowsPerSecond: Int,
+                startMs: Long = 0L, simMsPerRow: Long = 20L,
+                vocab: Int = 64, wordsPerDoc: Int = 40): DataFrame = {
+    val words = array((0 until vocab).map(i => lit(s"w$i")): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("value").as("idx"))
+      .select(
+        col("idx").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(wordsPerDoc)),
+          j => element_at(words,
+            (pmod(xxhash64(col("idx") % 5000, j), lit(vocab)) + 1).cast("int"))))
+          .as("text"),
+        lit("en").as("lang"),
+        concat(lit("src-"), pmod(xxhash64(col("idx"), lit(7)), lit(4))).as("source"),
+        timestamp_millis(lit(startMs) + col("idx") * simMsPerRow).as("ingest_time"))
+  }
+
+  /** Small static benchmark set for the ingest job's decontamination
+    * stage — same vocabulary family as [[docStream]] so the Bloom
+    * pre-filter sees realistic (mostly-miss) probe traffic. */
+  def benchDocs(spark: SparkSession, n: Int = 32): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i =>
+        (i.toLong, (0 until 12).map(j => s"bench${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  private def runStep(job: String, rate: Int, feedMs: Long,
+                      tailAllowanceMs: Long,
+                      feeders: Seq[StreamingQuery],
+                      topics: Seq[Path],
+                      startConsumer: () => Seq[StreamingQuery],
+                      spark: SparkSession): StepResult = {
+    topics.foreach(awaitTopic(_))
+    val consumers = startConsumer()
+    try {
+      val feedStart = System.nanoTime()
+      Thread.sleep(feedMs)
+      feeders.foreach(_.stop())
+      val feedEnd = System.nanoTime()
+      // chained queries: drain in topology order, twice, so downstream
+      // consumes what upstream wrote during the first drain pass
+      consumers.foreach(_.processAllAvailable())
+      consumers.foreach(_.processAllAvailable())
+      val drainEnd = System.nanoTime()
+      val eventsIn = topics.map(t => spark.read.text(t.toString).count()).sum
+      val batchMs = consumers.flatMap(_.recentProgress.toSeq)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      val feedWallMs = (feedEnd - feedStart) / 1000000L
+      val drainMs = (drainEnd - feedEnd) / 1000000L
+      StepResult(job, rate, eventsIn, feedWallMs, drainMs,
+        ratePerSec = eventsIn * 1000.0 / math.max(feedWallMs + drainMs, 1L),
+        p95BatchMs = p95(batchMs), batches = batchMs.size,
+        sustained = drainMs <= drainBudgetMs(feedMs, tailAllowanceMs))
+    } finally {
+      feeders.foreach(f => if (f.isActive) f.stop())
+      consumers.foreach(_.stop())
+    }
+  }
+
+  /** One main-job step: generator → impressions/clicks topics →
+    * [[StreamingJobs.runMainJob]] (join + two windowed aggregations over
+    * three chained queries), measured as deployed. */
+  def mainJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
+                  simMsPerRow: Long = 20L,
+                  stateStoreProvider: Option[String] = None): StepResult = {
+    val root = Files.createTempDirectory("graft-sthr-main")
+    val impr = root.resolve("impressions")
+    val clk = root.resolve("clicks")
+    val (iStream, cStream) = StreamingEventGenerator.events(spark, rate,
+      startMs = 0L, simMsPerRow = simMsPerRow)
+    // coalesce: the rate source defaults to one partition per core; at
+    // these volumes 32 files per topic per microbatch is pure listing
+    // overhead for the consumer
+    val f1 = JsonStreams.writeValueTopic(JsonStreams.encode(iStream).coalesce(2),
+      impr.toString, root.resolve("_ck/impr").toString)
+    val f2 = JsonStreams.writeValueTopic(JsonStreams.encode(cStream).coalesce(2),
+      clk.toString, root.resolve("_ck/clk").toString)
+    // 12s tail: three chained queries drained twice in topology order,
+    // each with a multi-second state-commit batch floor — measured
+    // rate-independent (no backlog component) across 5k..80k ev/s
+    runStep("main", rate, feedMs, tailAllowanceMs = 12000L,
+      Seq(f1, f2), Seq(impr, clk),
+      () => StreamingJobs.runMainJob(spark, impr.toString, clk.toString,
+        root.resolve("work").toString, maxFilesPerTrigger = 10000,
+        stateStoreProvider = stateStoreProvider),
+      spark)
+  }
+
+  /** One curation-ingest step: [[docStream]] → docs topic →
+    * [[StreamingCurationJobs.runIngestJob]] (Bloom decontamination →
+    * watermarked exact dedup → quality gate), measured as deployed. */
+  def ingestJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
+                    simMsPerRow: Long = 20L,
+                    stateStoreProvider: Option[String] = None): StepResult = {
+    val root = Files.createTempDirectory("graft-sthr-ingest")
+    val docs = root.resolve("docs")
+    val feeder = JsonStreams.writeValueTopic(
+      JsonStreams.encode(docStream(spark, rate, simMsPerRow = simMsPerRow)).coalesce(2),
+      docs.toString, root.resolve("_ck/docs").toString)
+    // single-query topology: one batch of tail is enough
+    runStep("ingest", rate, feedMs, tailAllowanceMs = 3000L,
+      Seq(feeder), Seq(docs),
+      () => Seq(StreamingCurationJobs.runIngestJob(spark, docs.toString,
+        benchDocs(spark), root.resolve("work").toString,
+        maxFilesPerTrigger = 10000,
+        stateStoreProvider = stateStoreProvider)),
+      spark)
+  }
+}
