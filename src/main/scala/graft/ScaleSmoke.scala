@@ -61,6 +61,38 @@ object ScaleSmoke {
     TextAnalysis.qualityGate(warm).count()
     warm.unpersist()
 
+    // SPARK_GRAFT_SCALE_OPS=invidx: only the three inverted-index
+    // operators — the suite's sharpest quadratic-term detectors — so
+    // high-K runs (32/64 ≈ 160k/320k docs) don't pay for the full
+    // battery. Trend contract: pair counts exactly linear in K, time
+    // bounded by the df-cap² per-bucket work.
+    if (sys.env.get("SPARK_GRAFT_SCALE_OPS").contains("invidx")) {
+      for (k <- ks) {
+        val docs = amplify(base, k)
+          .repartition(cpus.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        val sh = Dedup.shingleArrays(docs, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (tMinhash, pairs) = timed {
+          Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh)).count()
+        }
+        val (tContain, containPairs) = timed {
+          Dedup.containmentPairs(docs, sharedShingles = Some(sh)).count()
+        }
+        val (tCapped, cappedPairs) = timed {
+          Dedup.jaccardPairsExact(docs, sharedShingles = Some(sh),
+            maxShingleDf = Some(100)).count()
+        }
+        println(s"""{"k":$k,"docs":$n,"minhash_sec":$tMinhash,"pairs":$pairs,""" +
+          s""""contain_sec":$tContain,"contain_pairs":$containPairs,""" +
+          s""""capped_sec":$tCapped,"capped_pairs":$cappedPairs}""")
+        sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     for (k <- ks) {
       val docs = amplify(base, k)
         .repartition(cpus.toInt)
