@@ -33,8 +33,16 @@ import org.apache.spark.sql.functions._
 object TemporalSplit {
 
   /**
+   * Rows with a NULL event time get the distinct `unsplit` label: a
+   * timestamp-less row cannot be placed on the time axis, and a
+   * leakage-prevention operator must not silently default it into the
+   * EVAL side (the pre-r10 when-chain fallthrough did exactly that) —
+   * downstream decides whether unsplit rows are dropped or repaired.
+   * Null timestamps also do not participate in the percentile cutoff
+   * (both engines' percentile functions skip nulls).
+   *
    * @return the input rows (id/key columns preserved via `keep`) plus a
-   *         `split` column ∈ {train, embargo, test}
+   *         `split` column ∈ {train, embargo, test, unsplit}
    */
   def splitByTime(events: DataFrame, tsCol: String = "ts",
                   keep: Seq[String] = Seq("event_id", "user_id"),
@@ -50,7 +58,8 @@ object TemporalSplit {
       else cutRow(0).getLong(0)
     val ms = unix_millis(col(tsCol))
     events.select(keep.map(col) :+ col(tsCol) :+
-      when(ms <= cut, "train")
+      when(ms.isNull, "unsplit")
+        .when(ms <= cut, "train")
         .when(ms <= cut + embargoMs, "embargo")
         .otherwise("test").as("split"): _*)
   }

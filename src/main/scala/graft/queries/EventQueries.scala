@@ -563,7 +563,8 @@ object EventQueries {
        |    AS BIGINT) AS c
        |  FROM events)
        |SELECT event_id, user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
-       |       CASE WHEN epoch_ms(ts) <= c THEN 'train'
+       |       CASE WHEN ts IS NULL THEN 'unsplit'
+       |            WHEN epoch_ms(ts) <= c THEN 'train'
        |            WHEN epoch_ms(ts) <= c + $splitEmbargoMs THEN 'embargo'
        |            ELSE 'test' END AS split
        |FROM events, cut""".stripMargin

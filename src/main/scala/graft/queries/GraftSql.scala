@@ -33,6 +33,30 @@ object GraftSql {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "documents", "embeddings")
 
+  /**
+   * Knob-variant SQL views — the resolution of "parameterized queries
+   * from pure SQL". Spark (this version) exposes no SQL table-function
+   * REGISTRATION surface: built-in TVFs (`range(...)`) are hardwired in
+   * the parser/analyzer, and `SparkSessionExtensions` injects scalar/agg
+   * functions and rules, not parameterized relations — so a knob the
+   * builder API takes as a parameter (`windowLength = "5 minutes"`)
+   * cannot become `ctr_by_campaign(window => '5 minutes')` in SQL. The
+   * idiomatic warehouse form is the one shipped here: NAMED VIEW
+   * VARIANTS, one view per supported knob setting (`_5m` the way rollup
+   * marts ship `_5m`/`_1h` tables), declared in this table so adding a
+   * knob setting is one data row, not registrar code. Anything beyond
+   * the declared settings stays a one-line builder call +
+   * `createOrReplaceTempView` — per-session registration, the same
+   * lifecycle as the reference's per-session DDL preamble.
+   */
+  val variants: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "ctr_by_campaign_5m" -> ((s: SparkSession, dir: String) =>
+      graft.pipelines.AdPipelines.ctrByCampaign(
+        EventQueries.joined(s, dir), windowLength = "5 minutes")),
+    "engagement_by_device_5m" -> ((s: SparkSession, dir: String) =>
+      graft.pipelines.AdPipelines.engagementByDevice(
+        EventQueries.joined(s, dir), windowLength = "5 minutes")))
+
   /** Mount base tables + native SQL functions + the FULL registry as
     * temp views over `sfDir`. */
   def register(spark: SparkSession, sfDir: String): Unit =
@@ -57,5 +81,10 @@ object GraftSql {
     val unknown = names.filterNot(registry.contains)
     require(unknown.isEmpty, s"unknown registry queries: $unknown")
     names.foreach(n => registry(n)(spark, sfDir).createOrReplaceTempView(n))
+    // knob-variant views are lazy plans over the same shared join memo —
+    // mounting them costs nothing until queried
+    variants.foreach { case (n, build) =>
+      build(spark, sfDir).createOrReplaceTempView(n)
+    }
   }
 }

@@ -34,6 +34,27 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("knob-variant views: the _5m forms answer pure SQL with the " +
+    "5-minute builder's exact results and coarser windows than the base") {
+    GraftSql.register(spark, sf, Seq("ctr_by_campaign"))
+    // the variant IS the builder at the 5-minute knob
+    val viaSql = canon(spark.sql("SELECT * FROM ctr_by_campaign_5m"))
+    val viaBuilder = canon(graft.pipelines.AdPipelines.ctrByCampaign(
+      EventQueries.joined(spark, sf), windowLength = "5 minutes"))
+    assert(viaSql.nonEmpty && viaSql == viaBuilder,
+      "ctr_by_campaign_5m diverged from the 5-minute builder form")
+    // and it really is a different knob: every window spans 300 s, not
+    // the base view's 60 (row counts can coincide on a sparse fixture,
+    // window width cannot)
+    val spans = spark.sql(
+      """SELECT DISTINCT unix_timestamp(window_end) - unix_timestamp(window_start)
+        |FROM ctr_by_campaign_5m""".stripMargin).collect().map(_.getLong(0)).toSet
+    assert(spans == Set(300L), s"expected 300s windows, got $spans")
+    // second knob-variant family mounts too
+    assert(spark.sql("SELECT count(*) FROM engagement_by_device_5m")
+      .head().getLong(0) > 0)
+  }
+
   test("views compose: SQL aggregation over the ctr view, base tables " +
     "and native functions are mounted") {
     GraftSql.register(spark, sf, Seq("ctr_by_campaign"))

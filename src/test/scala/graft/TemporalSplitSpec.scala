@@ -55,6 +55,26 @@ class TemporalSplitSpec extends SparkSpec {
     assert(out.filter(col("split") === "embargo").count() == 0)
   }
 
+  test("null event time lands in 'unsplit', never on the eval side, and " +
+    "does not move the cutoff") {
+    val timed = (0 until 10).map(_ * 60000L)
+    val withNulls = timed.zipWithIndex.map { case (m, i) =>
+        (i.toLong, 7L, new Timestamp(m): Timestamp)
+      } ++ Seq((100L, 7L, null.asInstanceOf[Timestamp]),
+               (101L, 7L, null.asInstanceOf[Timestamp]))
+    val df = withNulls.toDF("event_id", "user_id", "ts")
+    val out = TemporalSplit.splitByTime(df, trainFrac = 0.8, embargoMs = 0L)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("split")))
+    assert(out.count(_._2 == "unsplit") == 2)
+    assert(out.filter(t => t._1 >= 100L).forall(_._2 == "unsplit"))
+    // the cutoff ignores nulls: same labels as the null-free frame
+    val clean = TemporalSplit.splitByTime(
+        frame(timed), trainFrac = 0.8, embargoMs = 0L)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("split")))
+      .toSet
+    assert(out.filter(_._1 < 100L).toSet == clean)
+  }
+
   test("empty input yields an empty frame with the split column") {
     val out = TemporalSplit.splitByTime(frame(Seq.empty))
     assert(out.columns.contains("split") && out.count() == 0)
