@@ -51,11 +51,20 @@ object JsonStreams {
     parsed
       .filter(clean || get_json_object(col("__v"), "$").isNotNull)
       .select(schema.fields.map { f =>
-        when(clean, col("e").getField(f.name))
+        val fragment = get_json_object(col("__v"), s"$$.${f.name}")
+        val salvaged = f.dataType match {
+          // complex types can't try_cast from a string; re-parse the
+          // extracted fragment (from_json nulls out what doesn't parse —
+          // the same field-level tolerance as the atomic branch)
+          case t @ (_: org.apache.spark.sql.types.ArrayType |
+                    _: org.apache.spark.sql.types.MapType |
+                    _: org.apache.spark.sql.types.StructType) =>
+            from_json(fragment, t)
           // try_cast: an unconvertible field nulls out instead of failing
           // the query under ANSI mode — that IS the Flink behavior
-          .otherwise(get_json_object(col("__v"), s"$$.${f.name}").try_cast(f.dataType))
-          .as(f.name)
+          case t => fragment.try_cast(t)
+        }
+        when(clean, col("e").getField(f.name)).otherwise(salvaged).as(f.name)
       }.toIndexedSeq: _*)
   }
 

@@ -257,4 +257,25 @@ object StreamingCuration {
   def bm25RouteStream(docStream: DataFrame,
                       model: graft.text.Retrieval.Bm25Model): DataFrame =
     graft.text.Retrieval.bm25ScoreStateless(docStream, model)
+
+  /**
+   * Streaming ANN ingest — the living-index twin of
+   * [[graft.similarity.Similarity.incrementalAssign]] at the ingest
+   * boundary: every arriving vector is assigned its IVF cell and PQ
+   * codes against a FROZEN [[graft.similarity.Similarity.AnnIndexModel]]
+   * (coarse centroids + codebook collected once from the landed corpus
+   * snapshot and folded into the plan as literals). A pure projection —
+   * no join, no aggregation, zero state, no watermark, append-safe —
+   * so appending the emitted (vec_id, cell, code*) rows to the frozen
+   * codes table keeps the [[graft.similarity.Similarity.ivfPqTopK]]
+   * serving structure current at O(arrival rate), never O(corpus).
+   * Codes match the batch operator row-for-row across microbatch
+   * boundaries (StreamingAnnIngestSpec).
+   *
+   * @param embStream streaming frame with (vec_id, embedding)
+   */
+  def annIngestStream(embStream: DataFrame,
+                      model: graft.similarity.Similarity.AnnIndexModel)
+      : DataFrame =
+    graft.similarity.Similarity.annAssignStateless(embStream, model)
 }

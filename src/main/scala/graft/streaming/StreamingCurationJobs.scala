@@ -200,6 +200,40 @@ object StreamingCurationJobs {
       s"$workDir/curated", s"$workDir/_checkpoints/curated")
   }
 
+  /** Embedding ingest topic schema (JSON-lines in the Kafka value shape). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))))
+
+  /**
+   * ANN ingest job: `embTopic` (JSON-lines, [[embSchema]]) →
+   * [[StreamingCuration.annIngestStream]] against the frozen `model` →
+   * `<workDir>/codes` (JSON topic of (vec_id, cell, code*, recon_error)
+   * rows, ready to append to the serving codes table). A fully stateless
+   * topology — decode + projection + append sink — so the checkpoint
+   * carries only source offsets; null/malformed vectors are dropped at
+   * decode (vec_id or embedding missing ⇒ no assignment is meaningful).
+   *
+   * @param model a [[graft.similarity.Similarity.freezeAnnIndex]] of the
+   *              landed corpus snapshot — frozen at job build, exactly
+   *              like the BM25 router's model
+   */
+  def runAnnIngestJob(spark: SparkSession, embTopic: String,
+                      model: graft.similarity.Similarity.AnnIndexModel,
+                      workDir: String,
+                      maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val raw = JsonStreams.decode(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(embTopic),
+      embSchema)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === model.cfg.dim)
+    JsonStreams.writeTopic(
+      StreamingCuration.annIngestStream(raw, model),
+      s"$workDir/codes", s"$workDir/_checkpoints/codes")
+  }
+
   /**
    * Stats job: consumes `<workDir>/curated` (fresh checkpoint = start at
    * the current end, the latest-offset analogue) and emits per-window

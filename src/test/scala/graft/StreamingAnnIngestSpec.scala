@@ -1,0 +1,95 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.streaming.{JsonStreams, StreamingCuration, StreamingCurationJobs}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/**
+ * Streaming ANN ingest vs batch parity: assignment against a frozen
+ * [[Similarity.AnnIndexModel]] is a stateless projection, so microbatch
+ * boundaries cannot change a single code, and the deployed job topology
+ * (JSON topic → decode → assign → JSON codes topic) emits exactly the
+ * batch operator's rows.
+ */
+class StreamingAnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def codeRow(r: org.apache.spark.sql.Row): (Long, Long, Int, Int, Int, Int, Double) =
+    (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+      r.getAs[Int]("code0"), r.getAs[Int]("code1"),
+      r.getAs[Int]("code2"), r.getAs[Int]("code3"),
+      r.getAs[Double]("recon_error"))
+
+  test("annIngestStream matches incrementalAssign across microbatch " +
+    "boundaries with zero state") {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val model = Similarity.freezeAnnIndex(all.filter(!isNew)).get
+
+    val newRows = all.filter(isNew).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    assert(newRows.length > 10)
+
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamingCuration.annIngestStream(
+      stream.toDF().toDF("vec_id", "embedding"), model)
+    assert(out.isStreaming)
+    stream.addData(newRows.take(newRows.length / 2).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("ann_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(newRows.drop(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      // stateless topology: no state operators at all
+      assert(q.lastProgress.stateOperators.isEmpty)
+      val got = spark.table("ann_ingest").collect().map(codeRow).toSet
+      val batch = Similarity.incrementalAssign(all, isNew)
+        .collect().map(codeRow).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"only-stream=${got -- batch} only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
+  test("runAnnIngestJob: topic-to-topic codes equal the batch assignment; " +
+    "malformed and wrong-dim vectors are dropped") {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val model = Similarity.freezeAnnIndex(all.filter(!isNew)).get
+
+    val work = Files.createTempDirectory("ann_ingest_job").toString
+    val topic = s"$work/emb_topic"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+    // feed: the new batch encoded exactly as a producer would, plus junk
+    // lines the decode/guard must drop
+    val feed = JsonStreams.encode(
+        all.filter(isNew).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+      .collect().map(_.getString(0)) ++ Seq(
+        "not json at all",
+        """{"vec_id": 999999}""",
+        """{"vec_id": 999998, "embedding": [1.0, 2.0]}""")
+    Files.write(java.nio.file.Paths.get(s"$topic/part-0.json"),
+      String.join("\n", feed: _*).getBytes)
+
+    val q = StreamingCurationJobs.runAnnIngestJob(spark, topic, model, work)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.schema(
+        "vec_id LONG, cell LONG, code0 INT, code1 INT, code2 INT, " +
+          "code3 INT, recon_error DOUBLE")
+      .json(s"$work/codes").collect().map(codeRow).toSet
+    val batch = Similarity.incrementalAssign(all, isNew)
+      .collect().map(codeRow).toSet
+    assert(batch.nonEmpty)
+    assert(got == batch,
+      s"only-stream=${got -- batch} only-batch=${batch -- got}")
+  }
+}
