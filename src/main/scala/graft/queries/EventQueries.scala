@@ -344,6 +344,23 @@ object EventQueries {
     graft.ops.TemporalSplit.splitByTime(Tables.eventsSpread(spark, sfDir),
       trainFrac = splitTrainFrac, embargoMs = splitEmbargoMs)
 
+  /** One week's daily rollup over the DATE-PARTITIONED events layout
+    * ([[graft.sources.TableLayout.eventsDatePartitioned]]): the date
+    * filter prunes at FILE LISTING — 7 of 30 date directories, before
+    * any I/O (PartitionFilters + file counts asserted in
+    * TableLayoutSpec) — and the aggregate reads only those files. The
+    * oracle runs the same rollup over the RAW table: layout moves
+    * bytes, never values. Value totals sum in integer micro-units so
+    * the result is shuffle-order-independent. */
+  def eventsLayoutPruneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = graft.sources.TableLayout.eventsDatePartitioned(spark, sfDir)
+    part.filter(col("event_date").between("2024-01-08", "2024-01-14"))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prefix mirroring impressions/clicks/join above. */
@@ -746,6 +763,17 @@ object EventQueries {
       |    AS p_transition
       |FROM c""".stripMargin
 
+  /** Same rollup over the raw table — the layout must not change values.
+    * Date grain is unaffected by the ms truncation, so plain
+    * CAST(ts AS DATE) matches `to_date` on the normalized column. */
+  val eventsLayoutPruneOracle: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |  event_type, count(*) AS n_events,
+      |  sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
     // the declared scale escape hatches, timed every round: no oracle
@@ -777,5 +805,7 @@ object EventQueries {
     NamedQuery("event_transitions", eventTransitionsQ,
       Some(eventTransitionsOracle)),
     NamedQuery("events_temporal_split", eventsTemporalSplitQ,
-      Some(eventsTemporalSplitOracle)))
+      Some(eventsTemporalSplitOracle)),
+    NamedQuery("events_layout_prune", eventsLayoutPruneQ,
+      Some(eventsLayoutPruneOracle)))
 }

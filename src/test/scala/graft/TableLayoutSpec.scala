@@ -1,0 +1,120 @@
+package graft
+
+import graft.queries.{EventQueries, Tables}
+import graft.sources.TableLayout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Physical-layout guarantees: date partitioning prunes at file listing,
+ * sort-within-files clusters rows, bucketing elides the join shuffle —
+ * and none of it changes a single value.
+ */
+class TableLayoutSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // AQE query stages are LEAF nodes wrapping their real plan — recurse
+  // through QueryStageExec.plan by hand (the PlanShapeSpec walk)
+  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: through.flatMap(walk)
+  }
+
+  private def scanNodes(df: DataFrame): Seq[FileSourceScanExec] =
+    walk(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+
+  test("date-partitioned layout: the week filter prunes 7 of 30 date " +
+    "directories at listing time and values match the raw table") {
+    val pruned = EventQueries.eventsLayoutPruneQ(spark, sfDir)
+    val rows = pruned.collect()
+
+    // plan carries the partition filter, not a post-scan predicate
+    val scans = scanNodes(pruned)
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    // listing-time pruning: only the 7 selected date directories' files
+    // are read (one file per date at the default filesPerPartition=1)
+    assert(scan.metrics("numFiles").value == 7, scan.metrics("numFiles"))
+
+    // values identical to the raw-table rollup
+    val raw = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
+      .collect()
+    assert(rows.map(_.toSeq).toSet == raw.map(_.toSeq).toSet)
+    assert(rows.length == 7 * 5) // 7 days x 5 event types
+  }
+
+  test("sort-within-files clusters rows on (user_id, ts) for row-group " +
+    "stat pruning") {
+    val part = TableLayout.eventsDatePartitioned(spark, sfDir)
+    val oneDay = part.filter(col("event_date") === "2024-01-03")
+    // within the single file of that date, rows must be non-decreasing
+    // on user_id (the clustering key row-group stats prune on)
+    val ids = oneDay.select(col("user_id")).collect().map(_.getLong(0))
+    assert(ids.length > 10)
+    assert(ids.sameElements(ids.sorted), "rows not clustered by user_id")
+  }
+
+  test("filesPerPartition spreads each date directory into hash-split " +
+    "files without changing the data") {
+    val out = Files.createTempDirectory("layout_spread").toString
+    TableLayout.writeDatePartitioned(
+      Tables.events(spark, sfDir), out, filesPerPartition = 3)
+    val dayDir = Paths.get(out, "event_date=2024-01-03")
+    val nFiles = Files.list(dayDir).filter(_.toString.endsWith(".parquet")).count()
+    assert(nFiles >= 2 && nFiles <= 3, s"expected 2-3 files, got $nFiles")
+    val readBack = TableLayout.readDatePartitioned(spark, out)
+    assert(readBack.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("bucketed tables joined on the bucket key plan no shuffle " +
+    "exchange; the unbucketed join does") {
+    val work = Files.createTempDirectory("layout_bucketed").toString
+    val events = Tables.events(spark, sfDir)
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    try {
+      TableLayout.writeBucketed(events, "ev_bucketed",
+        s"$work/ev", "user_id", 4, Seq("user_id", "ts"))
+      TableLayout.writeBucketed(perUser, "usr_bucketed",
+        s"$work/usr", "user_id", 4)
+
+      val bucketed = spark.table("ev_bucketed")
+        .join(spark.table("usr_bucketed"), "user_id")
+      val got = bucketed.count()
+
+      def shuffles(df: DataFrame): Int =
+        walk(df.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles(bucketed) == 0,
+        bucketed.queryExecution.executedPlan.toString)
+
+      // the same join over plain parquet shuffles both sides — the
+      // assertion above bites
+      val plain = events.join(perUser, "user_id")
+      assert(plain.count() == got)
+      assert(shuffles(plain) > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS usr_bucketed")
+    }
+  }
+}
