@@ -76,9 +76,18 @@ object TableLayout {
   }
 
   /** Read a [[writeDatePartitioned]] layout back; `event_date` returns
-    * as a DATE partition column — filter on it for listing-time pruning. */
+    * as a DATE partition column — filter on it for listing-time pruning.
+    *
+    * Reads the partition DIRECTORIES (glob + basePath), not the root:
+    * the directory tree is the single source of truth. A root read of a
+    * [[streamToDatePartitioned]]-landed layout would instead consult
+    * the sink's `_spark_metadata` file log — which a maintenance
+    * rewrite ([[compactDatePartitions]]/[[upsertDatePartitions]])
+    * deliberately invalidates. Under directory-as-truth the sink log
+    * governs only the sink's own append recovery (its exactly-once
+    * contract), and maintenance passes own the files. */
   def readDatePartitioned(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.option("basePath", dir).parquet(s"$dir/$dateCol=*")
 
   /**
    * The driver-testdata `events` table in the date-partitioned layout,
@@ -105,6 +114,129 @@ object TableLayout {
       }
       readDatePartitioned(spark, dst.toString)
     }
+
+  /**
+   * Land a STREAM into the date-partitioned layout: the streaming side
+   * of [[writeDatePartitioned]], so ingest lands directly in the form
+   * time-bounded readers prune. Append-mode file sink with a checkpoint
+   * (exactly-once across restarts); each microbatch writes only the
+   * date directories its rows touch. Microbatch-sized files are the
+   * cost of streaming landing — [[compactDatePartitions]] is the
+   * matching maintenance pass (run it on CLOSED dates: past the
+   * watermark horizon no new rows can arrive for a day, so compaction
+   * never races an appending writer).
+   */
+  def streamToDatePartitioned(df: DataFrame, dir: String, checkpoint: String,
+                              tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.withColumn(dateCol, to_date(col(tsCol)))
+      .writeStream.format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(dateCol)
+      .outputMode("append")
+      .start()
+
+  /**
+   * Compact the small files of selected date partitions into
+   * `filesPerPartition` sorted files each — the maintenance pass that
+   * keeps a streaming-landed or incrementally-appended layout readable
+   * (a 100 TB table accreting microbatch files degrades to
+   * listing-bound scans; per-file row-group clustering also decays when
+   * every file holds a minute of data). Rewrites ONLY the partitions
+   * `predicate` selects — dynamic partition overwrite leaves every
+   * other date directory untouched (byte-identical files, asserted in
+   * TableLayoutSpec) — so the pass is O(touched days), never O(table).
+   *
+   * Run on closed (past-watermark) dates; the rewrite of a partition is
+   * atomic at commit but readers racing a compaction of a STILL-OPEN
+   * partition could see a day twice or not at all.
+   */
+  def compactDatePartitions(spark: SparkSession, dir: String,
+                            predicate: Column,
+                            sortCols: Seq[String] = Seq("user_id", "ts"),
+                            filesPerPartition: Int = 1): Unit = {
+    val touched = readDatePartitioned(spark, dir).filter(predicate)
+    val spread: Column =
+      if (filesPerPartition == 1) lit(0)
+      else pmod(hash(col(sortCols.head)), lit(filesPerPartition))
+    rewritePartitions(spark, dir,
+      touched.repartition(col(dateCol), spread), sortCols)
+  }
+
+  /**
+   * Upsert a batch of rows into the date-partitioned layout at DAY
+   * grain: every date the updates touch is rewritten as
+   * merge(existing rows not replaced, updates), all other dates'
+   * files stay untouched on disk (dynamic partition overwrite). This
+   * is the lakehouse `replaceWhere`-merge shape without a table
+   * format: corrections, late backfills, and GDPR deletes arrive as a
+   * small batch and cost O(touched days' bytes), not O(table).
+   *
+   * @param updates new/replacement rows (same schema as the layout's
+   *                data columns; `tsCol` decides the target partition)
+   * @param keyCols row identity — an existing row matching an update on
+   *                `keyCols` is replaced; everything else is kept
+   */
+  def upsertDatePartitions(spark: SparkSession, dir: String,
+                           updates: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           sortCols: Seq[String] = Seq("user_id", "ts")): Unit = {
+    val dated = updates.withColumn(dateCol, to_date(col(tsCol)))
+    // day-grain: only partitions holding an update participate
+    val touchedDates = dated.select(col(dateCol)).distinct()
+    val existing = readDatePartitioned(spark, dir)
+      .join(broadcast(touchedDates), Seq(dateCol), "left_semi")
+    val kept = existing.join(broadcast(dated.select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
+    val merged = kept.unionByName(dated.select(kept.columns.map(col): _*))
+      .repartition(col(dateCol))
+    rewritePartitions(spark, dir, merged, sortCols)
+  }
+
+  /**
+   * Rewrite only the date partitions present in `frame`: stage the
+   * whole frame as a partitioned write to a sibling temp directory
+   * (fully distributed — the staging write is the only data motion),
+   * then swap each staged `event_date=` directory into the layout with
+   * two directory renames (metadata ops). Spark refuses to overwrite a
+   * path a plan is reading, and dynamic partition overwrite into the
+   * source would hit exactly that — staging sidesteps it and keeps each
+   * partition's swap near-atomic. Untouched partitions' files are never
+   * opened, let alone rewritten (byte-identity asserted in
+   * TableLayoutSpec).
+   */
+  private def rewritePartitions(spark: SparkSession, dir: String,
+                                frame: DataFrame,
+                                sortCols: Seq[String]): Unit = {
+    val target = Paths.get(dir)
+    val staging = target.resolveSibling(
+      s"${target.getFileName}.staging-${java.util.UUID.randomUUID()}")
+    frame
+      .sortWithinPartitions((dateCol +: sortCols).map(col): _*)
+      .write.partitionBy(dateCol).mode("overwrite").parquet(staging.toString)
+    try {
+      val stagedParts = {
+        val s = Files.list(staging)
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) buf += it.next()
+          buf.toList
+        } finally s.close()
+      }
+      stagedParts
+        .filter(_.getFileName.toString.startsWith(s"$dateCol="))
+        .foreach { staged =>
+          val dst = target.resolve(staged.getFileName.toString)
+          val retired = target.resolve(s".${staged.getFileName}.retired")
+          if (Files.exists(dst)) Files.move(dst, retired)
+          Files.move(staged, dst)
+          if (Files.exists(retired))
+            org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+        }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+  }
 
   /**
    * Write `df` as a bucketed+sorted catalog table: `nBuckets` buckets on

@@ -85,6 +85,117 @@ class TableLayoutSpec extends SparkSpec {
     assert(readBack.count() == Tables.events(spark, sfDir).count())
   }
 
+  // ---- layout maintenance: streaming landing, compaction, upsert ----
+
+  private def mkEvents(rows: Seq[(Long, String, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+  }
+
+  /** (relative path -> content hash) of every data file outside `except`. */
+  private def fileHashes(dir: String, except: Set[String]): Map[String, Int] = {
+    val base = Paths.get(dir)
+    val s = Files.walk(base)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.Map.empty[String, Int]
+      while (it.hasNext) {
+        val p = it.next()
+        val rel = base.relativize(p).toString
+        if (Files.isRegularFile(p) && rel.endsWith(".parquet") &&
+            !except.exists(rel.startsWith))
+          buf(rel) = java.util.Arrays.hashCode(Files.readAllBytes(p))
+      }
+      buf.toMap
+    } finally s.close()
+  }
+
+  test("streaming landing writes the pruning layout; compaction merges a " +
+    "closed date's microbatch files without touching other dates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val work = Files.createTempDirectory("layout_stream").toString
+    val dir = s"$work/events"
+    val stream = MemoryStream[(Long, String, Long, Double)](spark)
+    val landed = stream.toDF().toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+    val q = TableLayout.streamToDatePartitioned(landed, dir, s"$work/ckpt")
+    try {
+      // two microbatches over the same dates -> >=2 files per date dir
+      stream.addData((0L until 20L).map(i =>
+        (i, s"2024-02-0${1 + (i % 2)} 12:00:00", i % 5, i * 1.0)))
+      q.processAllAvailable()
+      stream.addData((20L until 40L).map(i =>
+        (i, s"2024-02-0${1 + (i % 2)} 13:00:00", i % 5, i * 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def dataFiles(date: String): Seq[String] = {
+      val p = Paths.get(dir, s"event_date=$date")
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.endsWith(".parquet")) buf += f
+        }
+        buf.toList
+      } finally s.close()
+    }
+    assert(dataFiles("2024-02-01").size >= 2, "expected microbatch files")
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 40)
+
+    // compact ONLY 2024-02-01; 2024-02-02's files must stay byte-identical
+    val before = fileHashes(dir, except = Set("event_date=2024-02-01"))
+    TableLayout.compactDatePartitions(spark, dir,
+      col(TableLayout.dateCol) === "2024-02-01")
+    assert(dataFiles("2024-02-01").size == 1, "compaction must merge files")
+    assert(fileHashes(dir, except = Set("event_date=2024-02-01")) == before,
+      "untouched partitions were rewritten")
+    val readBack = TableLayout.readDatePartitioned(spark, dir)
+    assert(readBack.count() == 40)
+    // compacted file is clustered on the sort key
+    val ids = readBack.filter(col("event_date") === "2024-02-01")
+      .select("user_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+
+  test("upsert rewrites only the touched dates: replaced keys, kept " +
+    "rows, new partition; others byte-identical") {
+    val work = Files.createTempDirectory("layout_upsert").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents((0L until 30L).map(i =>
+        (i, s"2024-03-${"%02d".format(1 + (i % 3).toInt)} 10:00:00",
+          i % 7, 1.0))),
+      dir)
+
+    // replace event 3 (lands on 2024-03-01), add event 100 on 03-01 and
+    // event 101 on a brand-new date 03-09
+    val updates = mkEvents(Seq(
+      (3L, "2024-03-01 10:00:00", 3L, 99.0),
+      (100L, "2024-03-01 11:00:00", 1L, 50.0),
+      (101L, "2024-03-09 11:00:00", 2L, 60.0)))
+    val before = fileHashes(dir,
+      except = Set("event_date=2024-03-01", "event_date=2024-03-09"))
+    TableLayout.upsertDatePartitions(spark, dir, updates, Seq("event_id"))
+
+    val after = TableLayout.readDatePartitioned(spark, dir)
+    assert(after.count() == 32) // 30 existing - 1 replaced + 3 upserts... = 32
+    assert(after.filter(col("event_id") === 3L).select("value")
+      .collect().map(_.getDouble(0)).toSeq == Seq(99.0))
+    assert(after.filter(col("event_date") === "2024-03-09").count() == 1)
+    // a key NOT in the updates on a touched date survives the rewrite
+    assert(after.filter(col("event_id") === 0L).count() == 1)
+    assert(fileHashes(dir,
+      except = Set("event_date=2024-03-01", "event_date=2024-03-09")) == before,
+      "untouched partitions were rewritten")
+  }
+
   test("bucketed tables joined on the bucket key plan no shuffle " +
     "exchange; the unbucketed join does") {
     val work = Files.createTempDirectory("layout_bucketed").toString
