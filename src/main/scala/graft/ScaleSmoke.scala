@@ -365,3 +365,112 @@ object EventScaleSmoke {
     spark.stop()
   }
 }
+
+/**
+ * Layout scale-trend smoke — the storage complement of
+ * [[EventScaleSmoke]]: amplifies `events` K× (uniform ids, same 30-day
+ * span), lands the SAME data twice — date-partitioned via
+ * [[graft.sources.TableLayout]] and as a monolithic unpartitioned
+ * parquet directory — and times the canonical time-bounded read (one
+ * week's rollup) on each, with the scan's files/bytes next to the
+ * seconds. The point: at tiny scale the partitioned read LOSES on wall
+ * clock (listing + 7 file opens beat one small file's scan), and the
+ * crossover where pruning starts paying is a measurable K — while the
+ * bytes-read ratio (7/30 of the table) is scale-invariant, which is
+ * what a 100 TB table actually buys. Usage:
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.LayoutScaleSmoke 1 4 16 64"
+ */
+object LayoutScaleSmoke {
+
+  private def amplify(ev: org.apache.spark.sql.DataFrame, k: Int) =
+    (0 until k).map { i =>
+      ev.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16, 64)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.queries.Tables.events(spark, sfDir)
+
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: through.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+        .headOption.map { f =>
+          def v(k: String) = f.metrics.get(k).map(_.value).getOrElse(-1L)
+          (v("numFiles"), v("filesSize"))
+        }.getOrElse((-1L, -1L))
+    }
+
+    def rollup(df: org.apache.spark.sql.DataFrame, dateExpr:
+        org.apache.spark.sql.Column) =
+      df.filter(dateExpr.between("2024-01-08", "2024-01-14"))
+        .groupBy(dateExpr.as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+
+    // warm codegen + listing machinery once
+    rollup(base, to_date(col("ts"))).collect()
+
+    val work = java.nio.file.Files.createTempDirectory("layout_scale")
+    for (k <- ks) {
+      val ev = amplify(base, k).repartition(cpus.toInt * 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = ev.count()
+      val partDir = s"$work/part_k$k"
+      val monoDir = s"$work/mono_k$k"
+      val (tWrite, _) = timed {
+        graft.sources.TableLayout.writeDatePartitioned(ev, partDir)
+      }
+      ev.write.mode("overwrite").parquet(monoDir)
+      ev.unpersist()
+
+      val pruned = rollup(
+        graft.sources.TableLayout.readDatePartitioned(spark, partDir),
+        col(graft.sources.TableLayout.dateCol))
+      val mono = rollup(spark.read.parquet(monoDir), to_date(col("ts")))
+      val (tPruned, _) = timed(pruned.collect())
+      val (prunedFiles, prunedBytes) = scanStats(pruned)
+      val (tMono, _) = timed(mono.collect())
+      val (monoFiles, monoBytes) = scanStats(mono)
+      println(s"""{"k":$k,"events":$n,"provision_sec":$tWrite,""" +
+        s""""pruned_sec":$tPruned,"pruned_files":$prunedFiles,""" +
+        s""""pruned_bytes":$prunedBytes,""" +
+        s""""mono_sec":$tMono,"mono_files":$monoFiles,""" +
+        s""""mono_bytes":$monoBytes}""")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(partDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(monoDir))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+    spark.stop()
+  }
+}
