@@ -239,6 +239,63 @@ object TableLayout {
   }
 
   /**
+   * Z-order (Morton) clustering value over `zCols` — multi-key file
+   * clustering for tables read selectively on MORE THAN ONE key, where
+   * a single-key sort gives perfect skipping on that key and none on
+   * any other. Each column is min/max-scaled to a `bits`-wide integer
+   * cell (two scalar aggregates → plan literals) and the cells'
+   * bits interleave into one long; sorting on it keeps every file's
+   * min/max box TIGHT on all z-keys simultaneously, so a selective
+   * filter on ANY of them intersects few files (file-grain receipt in
+   * TableLayoutSpec; on plain parquet the same clustering prunes at
+   * ROW-GROUP grain via pushed-down min/max stats — file-grain skipping
+   * additionally needs a stats-carrying table format or a
+   * per-file-stats planner, which is exactly what the spec's
+   * input_file_name audit computes).
+   *
+   * Built from codegen'd built-ins (shift/and/or fold — 2·bits terms),
+   * no UDF. Linear min/max scaling keeps the cell math plan-literal;
+   * heavily skewed keys would want rank-based cells (a range-partitioner
+   * boundary collect) — same interleave, different scaling.
+   */
+  def zOrderValue(df: DataFrame, zCols: Seq[String], bits: Int = 12): Column = {
+    require(zCols.nonEmpty && zCols.size * bits <= 62,
+      s"zCols*bits = ${zCols.size * bits} must fit a long")
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val cellMax = (1L << bits) - 1
+    val cells = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      if (hi <= lo) lit(0L)
+      else least(lit(cellMax), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(cellMax.toDouble))
+          .cast("long")))
+    }
+    // interleave: output bit (k*nCols + j) takes cell j's bit k
+    val n = zCols.size
+    (0 until bits).flatMap { k =>
+      cells.zipWithIndex.map { case (cell, j) =>
+        shiftleft(shiftright(cell, k).bitwiseAND(lit(1L)), k * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Write `df` Z-order-clustered on `zCols` into `numFiles` files:
+   * range-repartition on the z-value (contiguous z-ranges per file →
+   * tight per-file boxes), sort within each file on it (row-group-grain
+   * clustering inside the file), then drop the helper column.
+   */
+  def writeZOrdered(df: DataFrame, outDir: String, zCols: Seq[String],
+                    numFiles: Int, bits: Int = 12): Unit =
+    df.withColumn("__z", zOrderValue(df, zCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /**
    * Write `df` as a bucketed+sorted catalog table: `nBuckets` buckets on
    * `bucketCol`, each bucket file sorted on `sortCols` (default: the
    * bucket key, which lets a same-key sort-merge join skip its Sort

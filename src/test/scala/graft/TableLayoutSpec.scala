@@ -196,6 +196,47 @@ class TableLayoutSpec extends SparkSpec {
       "untouched partitions were rewritten")
   }
 
+  test("z-order clustering keeps per-file boxes tight on BOTH keys; a " +
+    "single-key sort skips only its own key") {
+    val n = 100L
+    // uniform n x n grid, order destroyed
+    val grid = spark.range(n * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).as("y"))
+      .repartition(8)
+    val work = Files.createTempDirectory("layout_zorder").toString
+    val xDir = s"$work/x_sorted"
+    val zDir = s"$work/z_ordered"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(xDir)
+    TableLayout.writeZOrdered(grid, zDir, Seq("x", "y"), numFiles = 16)
+
+    // file-grain min/max audit: how many files would a stats-carrying
+    // planner have to open for a 5%-band filter on each key?
+    def filesIntersecting(dir: String, c: String, lo: Long, hi: Long)
+        : (Long, Long) = {
+      val byFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      (byFile.filter(col("hi") >= lo && col("lo") <= hi).count(),
+        byFile.count())
+    }
+    val (xFilesOnY, xTotal) = filesIntersecting(xDir, "y", 40, 44)
+    val (zFilesOnY, zTotal) = filesIntersecting(zDir, "y", 40, 44)
+    val (zFilesOnX, _) = filesIntersecting(zDir, "x", 40, 44)
+    assert(xTotal == 16 && zTotal == 16)
+    // x-sorted: every file spans the full y range — zero skipping
+    assert(xFilesOnY == 16)
+    // z-ordered: the band touches ~4 Morton blocks per key, plus up to
+    // one range-boundary-jitter file per block edge — selective on
+    // EITHER key, where the single-key sort can never skip on y
+    assert(zFilesOnY <= 8, s"y-band intersects $zFilesOnY of 16 z-files")
+    assert(zFilesOnX <= 8, s"x-band intersects $zFilesOnX of 16 z-files")
+    // clustering moved bytes, not values
+    assert(spark.read.parquet(zDir).count() == n * n)
+    assert(spark.read.parquet(zDir)
+      .filter(col("y").between(40, 44)).count() == 5 * n)
+  }
+
   test("bucketed tables joined on the bucket key plan no shuffle " +
     "exchange; the unbucketed join does") {
     val work = Files.createTempDirectory("layout_bucketed").toString
