@@ -1,0 +1,137 @@
+package graft.contracts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+
+/**
+ * Declarative data contracts — the validation gate a production ingest
+ * runs before anything downstream trusts a table (the deequ/Great-
+ * Expectations shape, engine-native). A contract is a list of checks;
+ * the module answers two questions at two grains:
+ *
+ *  - [[validate]]: per CHECK, how many rows violate it — the audit
+ *    report. Every row-grain check folds into ONE shared aggregation
+ *    pass (a sum of violation indicators per check — map-side partial,
+ *    single result row, zero extra scans per check), then pivots to one
+ *    row per check. Uniqueness is the exception by nature: each
+ *    distinct key set needs its own count-distinct-grain aggregation,
+ *    priced as one extra shuffle per key set.
+ *  - [[quarantine]]: per ROW, which row-grain checks it violates — the
+ *    ingest-time split (violating rows to a quarantine sink, clean rows
+ *    onward). A pure projection (violation list built from the same
+ *    predicate expressions, no join, no aggregation, zero state), so it
+ *    runs unchanged on an unbounded stream — uniqueness deliberately
+ *    excluded: "is this key duplicated" is not a property of a row, and
+ *    on a stream it is the watermark-bounded dedup operator's job
+ *    ([[graft.streaming.StreamingCuration.exactDedup]]).
+ *
+ * Violation DETAILS stay portable: `violations` is a semicolon-joined
+ * ordered list of check names (a string, not an array, so results
+ * hash-compare across engines; semicolons because the names themselves
+ * contain commas).
+ */
+object Contracts {
+
+  /** A named row-grain predicate: `holds` is TRUE when the row PASSES.
+    * NULL semantics are the check's own business — every constructor
+    * below pins them explicitly (a NULL comparison result counts as a
+    * violation, never as a silent pass). */
+  final case class Check(name: String, holds: Column)
+
+  /** Column must be non-null. */
+  def notNull(c: String): Check =
+    Check(s"not_null($c)", col(c).isNotNull)
+
+  /** Column must be inside [lo, hi] (inclusive); NULL violates. */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c,$lo,$hi)",
+      coalesce(col(c) >= lo && col(c) <= hi, lit(false)))
+
+  /** Column value must be one of `allowed`; NULL violates (add an
+    * explicit notNull-free variant by including null in the set via
+    * [[inSetOrNull]]). */
+  def inSet(c: String, allowed: Seq[String]): Check =
+    Check(s"in_set($c)", coalesce(col(c).isin(allowed: _*), lit(false)))
+
+  /** Like [[inSet]] but NULL passes — for optional enum columns. */
+  def inSetOrNull(c: String, allowed: Seq[String]): Check =
+    Check(s"in_set_or_null($c)",
+      col(c).isNull || coalesce(col(c).isin(allowed: _*), lit(false)))
+
+  /** Event-time must lie in [lo, hi) — the not-before-epoch /
+    * not-in-the-future guard; NULL violates. */
+  def tsBetween(c: String, lo: String, hi: String): Check =
+    Check(s"ts_between($c)",
+      coalesce(col(c) >= to_timestamp(lit(lo)) &&
+        col(c) < to_timestamp(lit(hi)), lit(false)))
+
+  /** String length bound (a malformed-blob guard); NULL violates. */
+  def lengthAtMost(c: String, maxLen: Int): Check =
+    Check(s"length_at_most($c,$maxLen)",
+      coalesce(length(col(c)) <= maxLen, lit(false)))
+
+  private val reportSchema = StructType(Seq(
+    StructField("constraint", StringType),
+    StructField("n_violations", LongType),
+    StructField("n_rows", LongType),
+    StructField("pass", BooleanType)))
+
+  /**
+   * The audit report: one row per check — (constraint, n_violations,
+   * n_rows, pass). All row-grain checks share ONE aggregation over one
+   * scan; each `uniqueKeys` entry adds one key-grain aggregation
+   * counting rows whose key occurs more than once (both members of a
+   * duplicated pair are violations; all-NULL keys group together,
+   * matching SQL GROUP BY).
+   */
+  def validate(df: DataFrame, checks: Seq[Check],
+               uniqueKeys: Seq[Seq[String]] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    if (checks.isEmpty && uniqueKeys.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], reportSchema)
+    val rowGrain: Option[DataFrame] =
+      if (checks.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          checks.zipWithIndex.map { case (ch, i) =>
+            sum(when(!ch.holds, 1L).otherwise(0L)).as(s"__v_$i")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(checks.zipWithIndex.map { case (ch, i) =>
+            struct(lit(ch.name).as("constraint"),
+              coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"),
+              col("__n").as("n_rows"))
+          }: _*)).as("r"))
+          .select(col("r.constraint"), col("r.n_violations"), col("r.n_rows"),
+            (col("r.n_violations") === 0L).as("pass")))
+      }
+    val keyGrain: Seq[DataFrame] = uniqueKeys.map { keys =>
+      val dupRows = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1L)
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_violations"))
+      val total = df.agg(count(lit(1)).as("n_rows"))
+      dupRows.crossJoin(total).select(
+        lit(s"unique(${keys.mkString(",")})").as("constraint"),
+        col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0L).as("pass"))
+    }
+    (rowGrain.toSeq ++ keyGrain).reduce(_ unionByName _)
+  }
+
+  /**
+   * Row-level split: the input columns plus `violations` (semicolon-
+   * joined names of the row-grain checks the row fails, declaration
+   * order, empty string for clean rows) and `keep` (no violations). Pure
+   * projection — stream-safe with zero state; route `keep` onward and
+   * `!keep` to the quarantine sink.
+   */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val viol = array_compact(array(checks.map(ch =>
+      when(!ch.holds, lit(ch.name)).otherwise(lit(null: String))): _*))
+    df.withColumn("violations", concat_ws(";", viol))
+      .withColumn("keep", col("violations") === "")
+  }
+}

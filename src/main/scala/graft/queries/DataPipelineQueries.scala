@@ -717,6 +717,42 @@ object DataPipelineQueries {
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
     graft.privacy.Privacy.scrub(docs(spark, sfDir))
 
+  /** The events table's data contract ([[graft.contracts.Contracts]]):
+    * id/actor presence, event-time inside the ingest month, enum and
+    * range bounds, payload size, event_id uniqueness. One shared
+    * aggregation pass for every row-grain check + one key-grain pass
+    * for the uniqueness check; the range/length checks are tuned to
+    * FAIL on real rows so the report discriminates. */
+  def eventsContract(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.contracts.Contracts._
+    validate(Tables.eventsSpread(spark, sfDir),
+      checks = Seq(
+        notNull("event_id"), notNull("user_id"),
+        tsBetween("ts", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        inSet("event_type",
+          Seq("view", "click", "purchase", "signup", "error")),
+        inRange("value", 0.0, 150.0),
+        lengthAtMost("props", 8)),
+      uniqueKeys = Seq(Seq("event_id")))
+  }
+
+  /** Ingest-time row quarantine over documents: per row, the semicolon-
+    * joined list of violated row-grain checks and the keep verdict — a
+    * pure projection, the form that runs unchanged on the ingest stream
+    * (ContractsSpec pins stream parity). */
+  def docsQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.contracts.Contracts._
+    quarantine(docs(spark, sfDir),
+      Seq(
+        notNull("text"),
+        inSet("lang", Seq("en", "de", "fr", "es")),
+        inRange("n_chars", 0.0, 500.0),
+        lengthAtMost("text", 520)))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("violations"),
+        org.apache.spark.sql.functions.col("keep"))
+  }
+
   // -------------------------------------------------------------- oracles
 
   /** Distinct (doc_id, shingle) word-3-gram CTE shared by the dedup oracles. */
@@ -2012,6 +2048,53 @@ object DataPipelineQueries {
       |        '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
       |FROM documents""".stripMargin
 
+  /** Check names and null semantics replicated verbatim: a check PASSES
+    * on TRUE, violates on FALSE-or-NULL (coalesce(..., false)). */
+  val eventsContractOracle: String =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
+      |  user_id, event_type, value, props FROM events),
+      |n AS (SELECT count(*) AS n_rows FROM e),
+      |r AS (
+      |  SELECT 1 AS o, 'not_null(event_id)' AS c,
+      |    count(*) FILTER (WHERE event_id IS NULL) AS v FROM e
+      |  UNION ALL SELECT 2, 'not_null(user_id)',
+      |    count(*) FILTER (WHERE user_id IS NULL) FROM e
+      |  UNION ALL SELECT 3, 'ts_between(ts)',
+      |    count(*) FILTER (WHERE NOT coalesce(
+      |      ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |      AND ts < TIMESTAMP '2024-02-01 00:00:00', false)) FROM e
+      |  UNION ALL SELECT 4, 'in_set(event_type)',
+      |    count(*) FILTER (WHERE NOT coalesce(event_type IN
+      |      ('view','click','purchase','signup','error'), false)) FROM e
+      |  UNION ALL SELECT 5, 'in_range(value,0.0,150.0)',
+      |    count(*) FILTER (WHERE NOT coalesce(
+      |      value >= 0.0 AND value <= 150.0, false)) FROM e
+      |  UNION ALL SELECT 6, 'length_at_most(props,8)',
+      |    count(*) FILTER (WHERE NOT coalesce(length(props) <= 8, false))
+      |    FROM e
+      |  UNION ALL SELECT 7, 'unique(event_id)',
+      |    coalesce((SELECT sum(dc) FROM (SELECT count(*) AS dc FROM e
+      |      GROUP BY event_id HAVING count(*) > 1) d), 0))
+      |SELECT r.c AS "constraint", CAST(r.v AS BIGINT) AS n_violations,
+      |  n.n_rows AS n_rows, r.v = 0 AS pass
+      |FROM r, n""".stripMargin
+
+  /** concat_ws skips NULL branches in both engines; check order is
+    * declaration order, so the joined list matches byte-for-byte. */
+  val docsQuarantineOracle: String =
+    """WITH v AS (SELECT doc_id,
+      |  CASE WHEN text IS NULL THEN 'not_null(text)' END AS v1,
+      |  CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), false)
+      |    THEN 'in_set(lang)' END AS v2,
+      |  CASE WHEN NOT coalesce(n_chars >= 0.0 AND n_chars <= 500.0, false)
+      |    THEN 'in_range(n_chars,0.0,500.0)' END AS v3,
+      |  CASE WHEN NOT coalesce(length(text) <= 520, false)
+      |    THEN 'length_at_most(text,520)' END AS v4
+      | FROM documents)
+      |SELECT doc_id, concat_ws(';', v1, v2, v3, v4) AS violations,
+      |  concat_ws(';', v1, v2, v3, v4) = '' AS keep
+      |FROM v""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
@@ -2130,5 +2213,7 @@ object DataPipelineQueries {
       Some(cmsHeavyHittersOracle)),
     NamedQuery("events_pseudonymize", eventsPseudonymize,
       Some(eventsPseudonymizeOracle)),
-    NamedQuery("pii_scrub", piiScrub, Some(piiScrubOracle)))
+    NamedQuery("pii_scrub", piiScrub, Some(piiScrubOracle)),
+    NamedQuery("events_contract", eventsContract, Some(eventsContractOracle)),
+    NamedQuery("docs_quarantine", docsQuarantine, Some(docsQuarantineOracle)))
 }

@@ -78,7 +78,7 @@ object TableLayout {
   /** Read a [[writeDatePartitioned]] layout back; `event_date` returns
     * as a DATE partition column — filter on it for listing-time pruning.
     *
-    * Reads the partition DIRECTORIES (glob + basePath), not the root:
+    * Reads the partition DIRECTORIES (one root listing + basePath), not the root:
     * the directory tree is the single source of truth. A root read of a
     * [[streamToDatePartitioned]]-landed layout would instead consult
     * the sink's `_spark_metadata` file log — which a maintenance
@@ -86,8 +86,18 @@ object TableLayout {
     * deliberately invalidates. Under directory-as-truth the sink log
     * governs only the sink's own append recovery (its exactly-once
     * contract), and maintenance passes own the files. */
-  def readDatePartitioned(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("basePath", dir).parquet(s"$dir/$dateCol=*")
+  def readDatePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$dateCol="))
+        .map(_.getPath.toString).sorted
+    if (parts.isEmpty) spark.read.parquet(dir)
+    else spark.read.option("basePath", dir).parquet(parts.toIndexedSeq: _*)
+  }
 
   /**
    * The driver-testdata `events` table in the date-partitioned layout,

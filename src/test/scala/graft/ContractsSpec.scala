@@ -1,0 +1,128 @@
+package graft
+
+import graft.contracts.Contracts
+import graft.contracts.Contracts._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-contract semantics: FALSE-or-NULL violates, row-grain checks
+ * share one aggregation, uniqueness counts both members of a duplicated
+ * key, and the quarantine projection is stateless (stream ≡ batch).
+ */
+class ContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Option("view"), Option(10.0)),
+    (1L, Option("view"), Option(20.0)),     // dup id
+    (2L, Option("click"), Option(-5.0)),    // value out of range
+    (3L, None, Option(30.0)),               // null enum
+    (4L, Option("weird"), Option(40.0)),    // bad enum
+    (5L, Option("purchase"), None))         // null value
+    .toDF("id", "etype", "v")
+
+  test("validate: one row per check, FALSE-or-NULL violates, both dup " +
+    "members count") {
+    val report = Contracts.validate(fixture,
+      checks = Seq(
+        notNull("etype"),
+        inSet("etype", Seq("view", "click", "purchase")),
+        inSetOrNull("etype", Seq("view", "click", "purchase")),
+        inRange("v", 0.0, 100.0)),
+      uniqueKeys = Seq(Seq("id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(report("not_null(etype)") == ((1L, 6L, false)))
+    // null etype AND 'weird' both violate the strict enum
+    assert(report("in_set(etype)") == ((2L, 6L, false)))
+    // the tolerant enum forgives the NULL, keeps flagging 'weird'
+    assert(report("in_set_or_null(etype)") == ((1L, 6L, false)))
+    // -5.0 out of range AND the NULL value both violate
+    assert(report("in_range(v,0.0,100.0)") == ((2L, 6L, false)))
+    // both rows of the duplicated id are violations
+    assert(report("unique(id)") == ((2L, 6L, false)))
+  }
+
+  test("validate: a clean table passes every check") {
+    val clean = Seq((1L, "view", 1.0), (2L, "click", 2.0))
+      .toDF("id", "etype", "v")
+    val report = Contracts.validate(clean,
+      Seq(notNull("etype"), inRange("v", 0.0, 10.0)),
+      uniqueKeys = Seq(Seq("id"))).collect()
+    assert(report.length == 3)
+    assert(report.forall(_.getBoolean(3)))
+    assert(report.forall(_.getLong(1) == 0L))
+  }
+
+  test("quarantine: violation lists in declaration order; per-row sums " +
+    "equal the validate report; clean rows keep") {
+    val checks = Seq(
+      notNull("etype"),
+      inSet("etype", Seq("view", "click", "purchase")),
+      inRange("v", 0.0, 100.0))
+    val q = Contracts.quarantine(fixture, checks)
+    val rows = q.select("id", "v", "violations", "keep").collect()
+    // the null-enum row violates notNull AND inSet, in declaration order
+    val nullEnum = rows.find(r => r.isNullAt(1) == false &&
+      r.getDouble(1) == 30.0).get
+    assert(nullEnum.getString(2) == "not_null(etype);in_set(etype)")
+    assert(!nullEnum.getBoolean(3))
+    // clean rows carry an empty list and keep=true
+    val clean = rows.find(r => !r.isNullAt(1) && r.getDouble(1) == 10.0).get
+    assert(clean.getString(2) == "" && clean.getBoolean(3))
+    // per-check totals from the row grain == the validate report
+    val fromRows = checks.map(c => c.name ->
+      rows.count(r => r.getString(2).split(";").contains(c.name)).toLong).toMap
+    val fromReport = Contracts.validate(fixture, checks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromRows == fromReport)
+  }
+
+  test("quarantine is stateless on a stream: rows equal the batch twin " +
+    "across microbatch boundaries") {
+    val checks = Seq(notNull("etype"),
+      inSet("etype", Seq("view", "click", "purchase")),
+      inRange("v", 0.0, 100.0))
+    val data = Seq(
+      (1L, "view", 10.0), (2L, "bad", 20.0), (3L, "click", -1.0),
+      (4L, "purchase", 5.0), (5L, "view", 101.0), (6L, "nope", 7.0))
+    val stream = MemoryStream[(Long, String, Double)](spark)
+    val out = Contracts.quarantine(
+      stream.toDF().toDF("id", "etype", "v"), checks)
+    assert(out.isStreaming)
+    stream.addData(data.take(3))
+    val q = out.writeStream.format("memory").queryName("contracts_q")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(data.drop(3))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty)
+      val got = spark.table("contracts_q")
+        .select("id", "violations", "keep").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val batch = Contracts.quarantine(
+          data.toDF("id", "etype", "v"), checks)
+        .select("id", "violations", "keep").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(got == batch)
+      assert(got.count(!_._3) == 4)
+    } finally q.stop()
+  }
+
+  test("registered contract queries discriminate on the real tables") {
+    val report = graft.queries.DataPipelineQueries
+      .eventsContract(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(report.size == 7)
+    assert(report("not_null(event_id)"))
+    assert(report("unique(event_id)"))
+    assert(!report("in_range(value,0.0,150.0)")) // real violations
+    val quarantined = graft.queries.DataPipelineQueries
+      .docsQuarantine(spark, "/root/testdata/sf0.001")
+    val n = quarantined.count()
+    val kept = quarantined.filter(col("keep")).count()
+    assert(kept > 0 && kept < n) // both outcomes present
+  }
+}

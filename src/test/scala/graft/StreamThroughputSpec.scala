@@ -15,17 +15,34 @@ import graft.streaming.StreamThroughput
  */
 class StreamThroughputSpec extends SparkSpec {
 
+  /** Block until the shared SparkSession has run no job for ~2 s (or
+    * `maxWaitMs` elapses): every suite in this JVM drives the same
+    * session, so session quiescence IS box quiescence for the load that
+    * actually competes with the throughput step. */
+  private def awaitQuietSession(maxWaitMs: Long = 150000L): Unit = {
+    val t0 = System.currentTimeMillis()
+    var quiet = 0
+    while (quiet < 4 && System.currentTimeMillis() - t0 < maxWaitMs) {
+      if (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty) quiet += 1
+      else quiet = 0
+      Thread.sleep(500L)
+    }
+  }
+
   test("main job sustains >= 100x the reference 50 ev/s envelope") {
     val rate = 5000
     val feedMs = 8000L
     // A throughput floor is a statement about the job, but a wall-clock
     // measurement on a shared box also captures whatever else `sbt test`
-    // is running in parallel at that moment. Up to three attempts: a
+    // is running in parallel at that moment (observed: the floor fails
+    // under full-suite concurrency and passes in isolation). Each
+    // attempt waits for a quiet window on the shared session first; a
     // step that sustains on ANY attempt proves the floor (the capacity
-    // exists); consecutive failures across spaced attempts would mean
-    // the job itself cannot keep pace. Isolated runs pass on attempt 1.
+    // exists), while three failures across spaced quiet-window attempts
+    // would mean the job itself cannot keep pace.
     val attempts = Iterator.range(0, 3).map { i =>
       if (i > 0) Thread.sleep(5000L)
+      awaitQuietSession()
       val step = StreamThroughput.mainJobStep(spark, rate, feedMs)
       info(step.json)
       step
