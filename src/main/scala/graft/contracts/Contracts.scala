@@ -108,15 +108,17 @@ object Contracts {
             (col("r.n_violations") === 0L).as("pass")))
       }
     val keyGrain: Seq[DataFrame] = uniqueKeys.map { keys =>
-      val dupRows = df.groupBy(keys.map(col): _*)
+      // the per-key counts carry BOTH report numbers: Σ __c is the row
+      // total and Σ __c over duplicated keys the violation count — one
+      // key-grain aggregation, no separate total pass, no join
+      df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1L)
-        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_violations"))
-      val total = df.agg(count(lit(1)).as("n_rows"))
-      dupRows.crossJoin(total).select(
-        lit(s"unique(${keys.mkString(",")})").as("constraint"),
-        col("n_violations"), col("n_rows"),
-        (col("n_violations") === 0L).as("pass"))
+        .agg(coalesce(sum(when(col("__c") > 1L, col("__c"))
+            .otherwise(0L)), lit(0L)).as("n_violations"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
+        .select(lit(s"unique(${keys.mkString(",")})").as("constraint"),
+          col("n_violations"), col("n_rows"),
+          (col("n_violations") === 0L).as("pass"))
     }
     (rowGrain.toSeq ++ keyGrain).reduce(_ unionByName _)
   }

@@ -171,12 +171,22 @@ object StreamingCurationJobs {
                    watermarkDelay: String = "10 seconds",
                    shingleWidth: Int = 5,
                    maxFilesPerTrigger: Int = 8,
-                   stateStoreProvider: Option[String] = None): StreamingQuery =
+                   stateStoreProvider: Option[String] = None,
+                   contractChecks: Seq[graft.contracts.Contracts.Check] =
+                     Seq.empty): StreamingQuery =
     StateBackend.withProvider(spark, stateStoreProvider) {
-    val raw = JsonStreams.decode(
+    val decoded = JsonStreams.decode(
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(docsTopic),
       docSchema)
+    // contract gate FIRST (a pure projection — cheapest stage, and a
+    // violating row must not reach dedup state or the curated topic);
+    // the violators themselves are recorded by the dead-letter twin
+    // [[runQuarantineJob]] consuming the same topic
+    val raw =
+      if (contractChecks.isEmpty) decoded
+      else graft.contracts.Contracts.quarantine(decoded, contractChecks)
+        .filter(col("keep")).drop("violations", "keep")
     // job-scoped cache: the index outlives this builder (every microbatch
     // of the exclusion's anti join probes it), so it is persisted here
     // once per STARTED JOB — not per operator call — and released with
@@ -198,6 +208,31 @@ object StreamingCurationJobs {
     // chained stats job re-reads it with the declared curatedSchema
     JsonStreams.writeTopic(curated,
       s"$workDir/curated", s"$workDir/_checkpoints/curated")
+  }
+
+  /**
+   * Dead-letter twin of [[runIngestJob]]'s contract gate: consumes the
+   * SAME docs topic (the Kafka DLQ topology — two independent consumers,
+   * own checkpoint) and lands every contract-violating row with its
+   * semicolon-joined violation list on `<workDir>/quarantine`, where the
+   * data-quality owner triages it. Stateless end to end — decode +
+   * projection + filter — so the checkpoint carries only source offsets,
+   * and together with the gated ingest job every decoded row lands on
+   * exactly one of curated-or-quarantine (modulo the ingest job's own
+   * dedup/gate/exclusion drops), asserted in ContractsSpec.
+   */
+  def runQuarantineJob(spark: SparkSession, docsTopic: String,
+                       contractChecks: Seq[graft.contracts.Contracts.Check],
+                       workDir: String,
+                       maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val decoded = JsonStreams.decode(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(docsTopic),
+      docSchema)
+    JsonStreams.writeTopic(
+      graft.contracts.Contracts.quarantine(decoded, contractChecks)
+        .filter(!col("keep")).drop("keep"),
+      s"$workDir/quarantine", s"$workDir/_checkpoints/quarantine")
   }
 
   /** Embedding ingest topic schema (JSON-lines in the Kafka value shape). */

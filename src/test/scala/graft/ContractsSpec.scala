@@ -111,6 +111,50 @@ class ContractsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gated ingest + dead-letter twin: violators land on the " +
+    "quarantine topic with their lists, never on curated") {
+    import graft.streaming.StreamingCurationJobs
+    import java.nio.file.{Files, Paths}
+    val checks = Seq(notNull("text"),
+      inSet("lang", Seq("en", "de", "fr", "es")))
+    val work = Files.createTempDirectory("contracts_dlq").toString
+    val topic = s"$work/docs_topic"
+    Files.createDirectories(Paths.get(topic))
+    // a text that passes the ingest quality gate (stopwords + >=30
+    // unique tokens, no repetition)
+    val goodText = ("the and for with from" +:
+      (1 to 35).map(i => f"tok$i%03d")).mkString(" ")
+    val t = "2024-01-01T00:00:00.000Z"
+    Files.write(Paths.get(s"$topic/w.json"), Seq(
+      s"""{"doc_id": 1, "text": "$goodText", "lang": "en", "source": "a", "ingest_time": "$t"}""",
+      s"""{"doc_id": 2, "lang": "en", "source": "a", "ingest_time": "$t"}""",
+      s"""{"doc_id": 3, "text": "$goodText", "lang": "xx", "source": "a", "ingest_time": "$t"}""",
+      s"""{"doc_id": 4, "text": "$goodText extra", "lang": "de", "source": "a", "ingest_time": "$t"}""")
+      .mkString("\n").getBytes)
+
+    val bench = Seq((900L, "completely unrelated benchmark prompt"))
+      .toDF("doc_id", "text")
+    val ingest = StreamingCurationJobs.runIngestJob(
+      spark, topic, bench, work, contractChecks = checks)
+    val dlq = StreamingCurationJobs.runQuarantineJob(
+      spark, topic, checks, work)
+    try { ingest.processAllAvailable(); dlq.processAllAvailable() }
+    finally { ingest.stop(); dlq.stop() }
+
+    val curated = spark.read.schema(StreamingCurationJobs.curatedSchema)
+      .json(s"$work/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(curated == Set(1L, 4L))
+    val quarantined = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "ingest_time TIMESTAMP, violations STRING")
+      .json(s"$work/quarantine")
+      .select("doc_id", "violations").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(quarantined == Set(
+      (2L, "not_null(text)"), (3L, "in_set(lang)")))
+  }
+
   test("registered contract queries discriminate on the real tables") {
     val report = graft.queries.DataPipelineQueries
       .eventsContract(spark, "/root/testdata/sf0.001")
