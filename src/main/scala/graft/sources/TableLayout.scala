@@ -306,6 +306,71 @@ object TableLayout {
       .write.mode("overwrite").parquet(outDir)
 
   /**
+   * Per-file min/max stats manifest over a layout — the catalog half of
+   * file-grain data skipping on plain parquet (what Delta/Iceberg carry
+   * in their metadata layers): one row per data file with (path, rows,
+   * per-column min/max). Built with ONE distributed pass grouped by
+   * `input_file_name()` — O(files) output rows, written next to the
+   * layout as `_graft_stats`. Rebuild after a maintenance pass
+   * ([[compactDatePartitions]]/[[upsertDatePartitions]]) the same way —
+   * the build cost is one scan of the touched table, the benefit is
+   * every subsequent selective read opening only intersecting files.
+   */
+  def buildFileStats(spark: SparkSession, dir: String,
+                     statsCols: Seq[String]): Unit = {
+    val data = spark.read.parquet(dataFilePaths(spark, dir): _*)
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_graft_stats")
+  }
+
+  /**
+   * Stats-pruned read: `bounds` are (column, lo, hi) inclusive ranges;
+   * only files whose manifest box intersects EVERY bound are opened
+   * (the manifest is O(files) rows — a driver-side collect of the
+   * surviving paths, the same listing-grain work a table format's
+   * planner does). The predicate itself still applies row-level — stats
+   * pruning is a superset guarantee, never a filter. Combined with
+   * [[writeZOrdered]] this gives selective multi-key reads on plain
+   * parquet; on a single-key-sorted layout it prunes that key alone.
+   */
+  def readStatsPruned(spark: SparkSession, dir: String,
+                      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    val manifest = spark.read.parquet(s"$dir/_graft_stats")
+    val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+    }
+    val paths = keep.select(col("path")).collect().map(_.getString(0))
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (paths.isEmpty)
+      spark.read.parquet(dataFilePaths(spark, dir): _*).filter(pred)
+        .limit(0)
+    else spark.read.parquet(paths.toIndexedSeq: _*).filter(pred)
+  }
+
+  /** All parquet data files under `dir` (recursive), excluding the
+    * `_graft_stats` manifest and hidden/metadata entries. */
+  private def dataFilePaths(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) ()
+        else if (s.isDirectory) walk(s.getPath)
+        else if (name.endsWith(".parquet")) out += s.getPath.toString
+      }
+    walk(root)
+    out.toList
+  }
+
+  /**
    * Write `df` as a bucketed+sorted catalog table: `nBuckets` buckets on
    * `bucketCol`, each bucket file sorted on `sortCols` (default: the
    * bucket key, which lets a same-key sort-merge join skip its Sort

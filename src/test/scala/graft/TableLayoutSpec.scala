@@ -237,6 +237,38 @@ class TableLayoutSpec extends SparkSpec {
       .filter(col("y").between(40, 44)).count() == 5 * n)
   }
 
+  test("file-stats manifest: the pruned reader opens only intersecting " +
+    "files and returns exactly the predicate's rows") {
+    val n = 100L
+    val grid = spark.range(n * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).as("y"))
+      .repartition(8)
+    val work = Files.createTempDirectory("layout_stats").toString
+    val zDir = s"$work/z"
+    TableLayout.writeZOrdered(grid, zDir, Seq("x", "y"), numFiles = 16)
+    TableLayout.buildFileStats(spark, zDir, Seq("x", "y"))
+
+    val pruned = TableLayout.readStatsPruned(spark, zDir,
+      Seq(("y", 40L, 44L)))
+    val rows = pruned.collect()
+    assert(rows.length == 5 * n)
+    assert(rows.forall(r => r.getLong(1) >= 40L && r.getLong(1) <= 44L))
+    // the scan touched only the manifest-intersecting files
+    val scanned = scanNodes(pruned).map(_.metrics("numFiles").value).sum
+    assert(scanned <= 8, s"stats pruning opened $scanned of 16 files")
+
+    // a two-key box prunes harder than either key alone
+    val box = TableLayout.readStatsPruned(spark, zDir,
+      Seq(("x", 40L, 44L), ("y", 40L, 44L)))
+    assert(box.count() == 25)
+    val boxScanned = scanNodes(box).map(_.metrics("numFiles").value).sum
+    assert(boxScanned <= 4, s"box read opened $boxScanned of 16 files")
+
+    // an out-of-domain range opens nothing and returns nothing
+    assert(TableLayout.readStatsPruned(spark, zDir,
+      Seq(("y", 1000L, 2000L))).count() == 0)
+  }
+
   test("bucketed tables joined on the bucket key plan no shuffle " +
     "exchange; the unbucketed join does") {
     val work = Files.createTempDirectory("layout_bucketed").toString
