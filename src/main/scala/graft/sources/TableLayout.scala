@@ -353,6 +353,57 @@ object TableLayout {
     else spark.read.parquet(paths.toIndexedSeq: _*).filter(pred)
   }
 
+  /**
+   * Incremental manifest maintenance after a layout change
+   * ([[compactDatePartitions]], [[upsertDatePartitions]], a streaming
+   * landing, a plain append): every rewrite produces NEW file names, so
+   * a path diff against the manifest identifies exactly the touched
+   * files — dead manifest rows drop, only files the manifest has never
+   * seen are scanned. Cost is O(new files) data read + O(manifest)
+   * bookkeeping, never a full-table rescan; the refreshed manifest is
+   * byte-equivalent to a from-scratch [[buildFileStats]] (spec-pinned).
+   * Returns (files added, files dropped) for the caller's bookkeeping.
+   * The manifest rewrite stages and swaps (a read path cannot be
+   * overwritten in the same plan).
+   */
+  def refreshFileStats(spark: SparkSession, dir: String,
+                       statsCols: Seq[String]): (Long, Long) = {
+    val statsDir = s"$dir/_graft_stats"
+    val statsPath = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(statsPath)) {
+      buildFileStats(spark, dir, statsCols)
+      return (dataFilePaths(spark, dir).size.toLong, 0L)
+    }
+    // input_file_name() and FileSystem.listStatus render the same file
+    // in different URI forms (file:///x vs file:/x) — compare through
+    // Path normalization, keep the manifest's own raw strings for reads
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    val current = dataFilePaths(spark, dir)
+    val currentSet = current.map(norm).toSet
+    val manifest = spark.read.parquet(statsDir)
+    val rawKnown = manifest.select(col("path")).collect().map(_.getString(0))
+    val known = rawKnown.map(norm).toSet
+    val newPaths = current.filterNot(p => known(norm(p)))
+    val keptRaw = rawKnown.filter(p => currentSet(norm(p)))
+    val dropped = (rawKnown.length - keptRaw.length).toLong
+    val kept = manifest.filter(col("path").isin(keptRaw.toIndexedSeq: _*))
+    val merged =
+      if (newPaths.isEmpty) kept
+      else {
+        val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        kept.unionByName(spark.read.parquet(newPaths.toIndexedSeq: _*)
+          .groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+    val staging = s"$dir/.graft_stats.staging-${java.util.UUID.randomUUID()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    fs.delete(statsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), statsPath)
+    (newPaths.size.toLong, dropped)
+  }
+
   /** All parquet data files under `dir` (recursive), excluding the
     * `_graft_stats` manifest and hidden/metadata entries. */
   private def dataFilePaths(spark: SparkSession, dir: String): Seq[String] = {

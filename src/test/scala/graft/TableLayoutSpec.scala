@@ -269,6 +269,42 @@ class TableLayoutSpec extends SparkSpec {
       Seq(("y", 1000L, 2000L))).count() == 0)
   }
 
+  test("refreshFileStats diffs paths: scans only new files, drops dead " +
+    "rows, matches a full rebuild") {
+    val work = Files.createTempDirectory("layout_refresh").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents((0L until 60L).map(i =>
+        (i, s"2024-04-${"%02d".format(1 + (i % 2).toInt)} 10:00:00",
+          i % 7, 1.0))),
+      dir, filesPerPartition = 3)
+    TableLayout.buildFileStats(spark, dir, Seq("user_id", "value"))
+
+    def datePartFiles(date: String): Long = {
+      val s = Files.list(Paths.get(dir, s"event_date=$date"))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val oldFiles = datePartFiles("2024-04-01")
+    assert(oldFiles >= 2)
+
+    TableLayout.compactDatePartitions(spark, dir,
+      col(TableLayout.dateCol) === "2024-04-01")
+    val (added, dropped) =
+      TableLayout.refreshFileStats(spark, dir, Seq("user_id", "value"))
+    assert(added == 1L, s"expected 1 new (compacted) file, got $added")
+    assert(dropped == oldFiles)
+
+    def manifestRows = spark.read.parquet(s"$dir/_graft_stats")
+      .collect().map(_.toSeq).toSet
+    val refreshed = manifestRows
+    TableLayout.buildFileStats(spark, dir, Seq("user_id", "value"))
+    assert(refreshed == manifestRows, "refresh diverged from full rebuild")
+    // and the pruned reader stays correct over the refreshed manifest
+    assert(TableLayout.readStatsPruned(spark, dir,
+      Seq(("user_id", 3L, 3L))).count() ==
+      (0L until 60L).count(_ % 7 == 3L))
+  }
+
   test("bucketed tables joined on the bucket key plan no shuffle " +
     "exchange; the unbucketed join does") {
     val work = Files.createTempDirectory("layout_bucketed").toString
