@@ -136,4 +136,32 @@ object Contracts {
     df.withColumn("violations", concat_ws(";", viol))
       .withColumn("keep", col("violations") === "")
   }
+
+  /**
+   * Windowed violation monitor — the contract surface an on-call data-
+   * quality owner watches: per tumbling event-time window, one row per
+   * check with its violation count, plus a `__rows` row carrying the
+   * window's total (every row contributes the sentinel, so rates are
+   * one division away and a window with zero violations still reports).
+   * ONE stateful aggregation (each row explodes to its violated checks
+   * + the sentinel — bounded by |checks|+1, not data), append on window
+   * close; the same code path runs batch (for the backfill twin) and
+   * streaming, so counts agree across the boundary by construction —
+   * pinned with late-within-watermark arrivals in ContractsSpec.
+   * Output: (window_start, window_end, constraint, n).
+   */
+  def violationMonitor(df: DataFrame, checks: Seq[Check],
+                       windowLength: String = "1 minute",
+                       tsCol: String = "ingest_time",
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
+    val tagged = array_compact(array(checks.map(ch =>
+      when(!ch.holds, lit(ch.name)).otherwise(lit(null: String))) :+
+      lit("__rows"): _*))
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    src.select(col(tsCol), explode(tagged).as("constraint"))
+      .groupBy(window(col(tsCol), windowLength), col("constraint"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("constraint"), col("n"))
+  }
 }

@@ -155,6 +155,53 @@ class ContractsSpec extends SparkSpec {
       (2L, "not_null(text)"), (3L, "in_set(lang)")))
   }
 
+  test("violation monitor: stream equals the batch twin per window, " +
+    "including late-within-watermark arrivals; __rows carries totals") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val checks = Seq(notNull("etype"),
+      inSet("etype", Seq("view", "click")))
+    // two 1-minute windows; one late (but within-watermark) arrival
+    val rows = Seq(
+      (1L, Option("view"), ts(10)), (2L, Option("bad"), ts(20)),
+      (3L, None, ts(70)), (4L, Option("click"), ts(80)),
+      (5L, Option("view"), ts(15))) // late for window 1, inside watermark
+    val stream = MemoryStream[(Long, Option[String], java.sql.Timestamp)](spark)
+    val out = Contracts.violationMonitor(
+      stream.toDF().toDF("id", "etype", "ingest_time"), checks,
+      watermarkDelay = "10 minutes")
+    assert(out.isStreaming)
+    stream.addData(rows.take(4))
+    val q = out.writeStream.format("memory").queryName("viol_mon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(4)) // the late arrival, next microbatch
+      q.processAllAvailable()
+      // close every window: an event far past the watermark horizon
+      stream.addData(Seq((99L, Option("view"), ts(100000))))
+      q.processAllAvailable()
+      val got = spark.table("viol_mon")
+        .filter(col("window_start") < ts(100000))
+        .select("window_start", "constraint", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+          r.getLong(2))).toSet
+      val batch = Contracts.violationMonitor(
+          rows.toDF("id", "etype", "ingest_time"), checks)
+        .filter(col("window_start") < ts(100000))
+        .select("window_start", "constraint", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+          r.getLong(2))).toSet
+      assert(got == batch, s"only-stream=${got -- batch} " +
+        s"only-batch=${batch -- got}")
+      // totals: window 1 holds 3 rows (incl. the late one), window 2: 2
+      assert(got.contains((0L, "__rows", 3L)))
+      assert(got.contains((60L, "__rows", 2L)))
+      assert(got.contains((0L, "in_set(etype)", 1L)))
+      assert(got.contains((60L, "not_null(etype)", 1L)))
+    } finally q.stop()
+  }
+
   test("registered contract queries discriminate on the real tables") {
     val report = graft.queries.DataPipelineQueries
       .eventsContract(spark, "/root/testdata/sf0.001")
