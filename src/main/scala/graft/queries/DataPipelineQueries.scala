@@ -723,18 +723,29 @@ object DataPipelineQueries {
     * aggregation pass for every row-grain check + one key-grain pass
     * for the uniqueness check; the range/length checks are tuned to
     * FAIL on real rows so the report discriminates. */
-  def eventsContract(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsContract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.contracts.Contracts.validate(Tables.eventsSpread(spark, sfDir),
+      checks = eventChecks, uniqueKeys = Seq(Seq("event_id")))
+
+  /** Shared check list of [[eventsContract]] minus the uniqueness key
+    * (row-grain only — what the monitor can count per window). */
+  private def eventChecks = {
     import graft.contracts.Contracts._
-    validate(Tables.eventsSpread(spark, sfDir),
-      checks = Seq(
-        notNull("event_id"), notNull("user_id"),
-        tsBetween("ts", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
-        inSet("event_type",
-          Seq("view", "click", "purchase", "signup", "error")),
-        inRange("value", 0.0, 150.0),
-        lengthAtMost("props", 8)),
-      uniqueKeys = Seq(Seq("event_id")))
+    Seq(notNull("event_id"), notNull("user_id"),
+      tsBetween("ts", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      inSet("event_type", Seq("view", "click", "purchase", "signup", "error")),
+      inRange("value", 0.0, 150.0),
+      lengthAtMost("props", 8))
   }
+
+  /** The contract monitor at daily grain over the event stream — the
+    * batch backfill twin of the streaming on-call view (same code path,
+    * [[graft.contracts.Contracts.violationMonitor]]): per day, one row
+    * per violated check plus the `__rows` total sentinel. */
+  def eventsContractMonitor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.contracts.Contracts.violationMonitor(
+      Tables.eventsSpread(spark, sfDir), eventChecks,
+      windowLength = "1 day", tsCol = "ts")
 
   /** Ingest-time row quarantine over documents: per row, the semicolon-
     * joined list of violated row-grain checks and the keep verdict — a
@@ -2079,6 +2090,36 @@ object DataPipelineQueries {
       |  n.n_rows AS n_rows, r.v = 0 AS pass
       |FROM r, n""".stripMargin
 
+  /** Daily-grain monitor twin: Spark's `window(ts, "1 day")` aligns to
+    * UTC day boundaries = date_trunc; only occurring (day, check) combos
+    * emit, so zero-violation checks are filtered with n > 0. */
+  val eventsContractMonitorOracle: String =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts,
+      |  user_id, event_type, value, props FROM events),
+      |x AS (SELECT date_trunc('day', ts) AS d, * FROM e),
+      |c AS (
+      |  SELECT d, '__rows' AS c, count(*) AS n FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'not_null(event_id)',
+      |    count(*) FILTER (WHERE event_id IS NULL) FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'not_null(user_id)',
+      |    count(*) FILTER (WHERE user_id IS NULL) FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'ts_between(ts)',
+      |    count(*) FILTER (WHERE NOT coalesce(
+      |      ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |      AND ts < TIMESTAMP '2024-02-01 00:00:00', false)) FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'in_set(event_type)',
+      |    count(*) FILTER (WHERE NOT coalesce(event_type IN
+      |      ('view','click','purchase','signup','error'), false)) FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'in_range(value,0.0,150.0)',
+      |    count(*) FILTER (WHERE NOT coalesce(
+      |      value >= 0.0 AND value <= 150.0, false)) FROM x GROUP BY 1
+      |  UNION ALL SELECT d, 'length_at_most(props,8)',
+      |    count(*) FILTER (WHERE NOT coalesce(length(props) <= 8, false))
+      |    FROM x GROUP BY 1)
+      |SELECT d AS window_start, d + INTERVAL 1 DAY AS window_end,
+      |  c AS "constraint", CAST(n AS BIGINT) AS n
+      |FROM c WHERE n > 0""".stripMargin
+
   /** concat_ws skips NULL branches in both engines; check order is
     * declaration order, so the joined list matches byte-for-byte. */
   val docsQuarantineOracle: String =
@@ -2215,5 +2256,7 @@ object DataPipelineQueries {
       Some(eventsPseudonymizeOracle)),
     NamedQuery("pii_scrub", piiScrub, Some(piiScrubOracle)),
     NamedQuery("events_contract", eventsContract, Some(eventsContractOracle)),
+    NamedQuery("events_contract_monitor", eventsContractMonitor,
+      Some(eventsContractMonitorOracle)),
     NamedQuery("docs_quarantine", docsQuarantine, Some(docsQuarantineOracle)))
 }
