@@ -24,6 +24,7 @@ object StreamBench {
       sys.env.getOrElse(env, dflt).split(",").map(_.trim.toInt).toSeq
     val mainRates = rates("SPARK_GRAFT_STREAM_RATES", "5000,20000,80000")
     val ingestRates = rates("SPARK_GRAFT_INGEST_RATES", "2000,8000,32000")
+    val annRates = rates("SPARK_GRAFT_ANN_RATES", "2000,8000,32000")
     // Streaming microbatches pay a per-partition state-commit floor on
     // every stateful operator each trigger; at these per-batch volumes 8
     // state partitions is the deployment-correct tuning (32 would spend
@@ -42,20 +43,24 @@ object StreamBench {
     // per-process constant the steady-state steps shouldn't be billed for
     StreamThroughput.mainJobStep(spark, rate = 1000, feedMs = 4000L)
     StreamThroughput.ingestJobStep(spark, rate = 500, feedMs = 4000L)
+    StreamThroughput.annJobStep(spark, rate = 500, feedMs = 4000L)
 
     val mainSteps = mainRates.map(r =>
       StreamThroughput.mainJobStep(spark, r, feedMs))
     val ingestSteps = ingestRates.map(r =>
       StreamThroughput.ingestJobStep(spark, r, feedMs))
+    val annSteps = annRates.map(r =>
+      StreamThroughput.annJobStep(spark, r, feedMs))
 
     def maxSustained(steps: Seq[StreamThroughput.StepResult]): Long =
       steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
         .foldLeft(0L)(math.max)
-    val allSteps = (mainSteps ++ ingestSteps).map(_.json).mkString(",")
+    val allSteps = (mainSteps ++ ingestSteps ++ annSteps).map(_.json).mkString(",")
     println(
       s"""{"metric":"stream_max_sustained_events_per_sec",""" +
       s""""value":${maxSustained(mainSteps)},"unit":"events_per_sec",""" +
       s""""ingest_value":${maxSustained(ingestSteps)},""" +
+      s""""ann_value":${maxSustained(annSteps)},""" +
       s""""feed_ms":$feedMs,"cpus":$cpus,""" +
       s""""reference_envelope_events_per_sec":50,""" +
       s""""steps":[$allSteps]}""")

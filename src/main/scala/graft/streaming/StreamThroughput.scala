@@ -184,6 +184,43 @@ object StreamThroughput {
       spark)
   }
 
+  /** Synthetic embedding stream off the `rate` source, in
+    * [[StreamingCurationJobs.embSchema]] shape: deterministic
+    * per-(row, dim) hash values in [-1, 1). The serialized row is
+    * heavy by design (dim doubles of JSON per vector) — exactly the
+    * wire cost a real embedding topic pays. */
+  def embStream(spark: SparkSession, rowsPerSecond: Int,
+                dim: Int = 64): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("value").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), j =>
+          (pmod(xxhash64(col("value"), j), lit(1000L)).cast("double")
+            / lit(500.0)) - lit(1.0)).as("embedding"))
+
+  /** One ANN-ingest step: [[embStream]] → embeddings topic →
+    * [[StreamingCurationJobs.runAnnIngestJob]] (stateless assignment
+    * against a frozen IVF+PQ model) → codes topic, measured as
+    * deployed. The frozen model comes from the static sf0.001 corpus —
+    * the serving snapshot the arrivals fold into. */
+  def annJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
+                 corpusDir: String = "/root/testdata/sf0.001"): StepResult = {
+    val root = Files.createTempDirectory("graft-sthr-ann")
+    val emb = root.resolve("embeddings")
+    val model = graft.similarity.Similarity.freezeAnnIndex(
+      spark.read.parquet(s"$corpusDir/embeddings.parquet"))
+      .getOrElse(sys.error(s"no freezable corpus in $corpusDir"))
+    val feeder = JsonStreams.writeValueTopic(
+      JsonStreams.encode(embStream(spark, rate)).coalesce(2),
+      emb.toString, root.resolve("_ck/emb").toString)
+    runStep("ann", rate, feedMs, tailAllowanceMs = 3000L,
+      Seq(feeder), Seq(emb),
+      () => Seq(StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
+        model, root.resolve("work").toString, maxFilesPerTrigger = 10000)),
+      spark)
+  }
+
   /** One curation-ingest step: [[docStream]] → docs topic →
     * [[StreamingCurationJobs.runIngestJob]] (Bloom decontamination →
     * watermarked exact dedup → quality gate), measured as deployed. */
