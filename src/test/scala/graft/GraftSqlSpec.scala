@@ -34,6 +34,27 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("the r10 contract family answers pure SQL: report, quarantine, " +
+    "and a composed triage query over the views") {
+    GraftSql.register(spark, sf,
+      Seq("events_contract", "docs_quarantine", "events_contract_monitor"))
+    val report = canon(spark.sql("SELECT * FROM events_contract"))
+    assert(report ==
+      canon(graft.queries.DataPipelineQueries.eventsContract(spark, sf)))
+    // compose ad-hoc SQL on top: triage count of quarantined docs per
+    // violated check (split on the semicolon list)
+    val triage = spark.sql(
+      """SELECT v AS check_name, count(*) AS n
+        |FROM docs_quarantine
+        |LATERAL VIEW explode(split(violations, ';')) t AS v
+        |WHERE NOT keep GROUP BY v""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(triage.nonEmpty && triage.values.forall(_ > 0))
+    val monitor = canon(spark.sql("SELECT * FROM events_contract_monitor"))
+    assert(monitor ==
+      canon(graft.queries.DataPipelineQueries.eventsContractMonitor(spark, sf)))
+  }
+
   test("knob-variant views: the _5m forms answer pure SQL with the " +
     "5-minute builder's exact results and coarser windows than the base") {
     GraftSql.register(spark, sf, Seq("ctr_by_campaign"))
