@@ -34,9 +34,17 @@ object Bench {
     // table provisioning (like the testdata itself), not part of the
     // pruned-read cost events_layout_prune measures. Idempotent: a
     // layout already on disk (any prior run, any JVM) is reused.
-    try graft.sources.TableLayout.eventsDatePartitioned(spark, sfDir)
-      .queryExecution.executedPlan
-    catch { case scala.util.control.NonFatal(_) => () }
+    // A failed provisioning pass must be VISIBLE (the layout queries then
+    // pay — or fail — the full write inside their timed loop), so the
+    // swallow logs one stderr line instead of hiding it (ADVICE r10).
+    try {
+      graft.sources.TableLayout.eventsDatePartitioned(spark, sfDir)
+        .queryExecution.executedPlan
+      graft.sources.TableLayout.eventsZOrdered(spark, sfDir)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] layout provisioning failed (timed " +
+        s"loop will pay or fail the write): ${e.getClass.getName}: ${e.getMessage}")
+    }
     // (skipped when benching the warmup dir itself — the SharedFrames
     // memos are keyed by sfDir, so warming the same dir would turn the
     // timed loop into a cache-hit measurement)

@@ -361,6 +361,27 @@ object EventQueries {
         (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
   }
 
+  /**
+   * Two-key selective rollup over the Z-ORDERED layout + file-stats
+   * manifest ([[graft.sources.TableLayout.eventsZOrdered]]): the
+   * (user_id, value) box opens only the manifest-intersecting files —
+   * file-grain skipping on plain parquet, the multi-key twin of
+   * `events_layout_prune`'s listing-time date pruning. Stats pruning is
+   * a superset guarantee (the row predicate still applies), so the
+   * rollup is EXACT against the raw table whatever the manifest prunes —
+   * which is what lets a physical-layout optimization sit behind the
+   * value-hashing oracle gate. The ≤-N-files receipt is TableLayoutSpec's
+   * job (scan-metrics grain), not the oracle's.
+   */
+  def eventsZorderBoxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.TableLayout.eventsZOrdered(spark, sfDir)
+    graft.sources.TableLayout.readStatsPruned(spark, dir,
+        Seq(("user_id", 3L, 5L), ("value", 40.0, 90.0)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE prefix mirroring impressions/clicks/join above. */
@@ -774,6 +795,15 @@ object EventQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY 1, 2""".stripMargin
 
+  /** Raw-table twin of the stats-pruned box rollup — stats pruning is a
+    * superset + row filter, so the grouped sums must match exactly. */
+  val eventsZorderBoxOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 3 AND 5 AND value BETWEEN 40.0 AND 90.0
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ctr_by_campaign", ctrByCampaign, Some(ctrOracle)),
     // the declared scale escape hatches, timed every round: no oracle
@@ -807,5 +837,7 @@ object EventQueries {
     NamedQuery("events_temporal_split", eventsTemporalSplitQ,
       Some(eventsTemporalSplitOracle)),
     NamedQuery("events_layout_prune", eventsLayoutPruneQ,
-      Some(eventsLayoutPruneOracle)))
+      Some(eventsLayoutPruneOracle)),
+    NamedQuery("events_zorder_box", eventsZorderBoxQ,
+      Some(eventsZorderBoxOracle)))
 }

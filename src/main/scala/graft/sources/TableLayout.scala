@@ -100,29 +100,89 @@ object TableLayout {
   }
 
   /**
+   * Fingerprint of a source parquet file/directory: every data file's
+   * (relative name, size, mtime) folded into one hex token. Keys the
+   * cross-JVM layout cache so REGENERATED testdata invalidates the
+   * cached layout instead of silently serving stale rows to the
+   * oracle-checked layout queries (ADVICE r10).
+   */
+  private def sourceFingerprint(path: java.nio.file.Path): String = {
+    var h = 1469598103934665603L // FNV-1a
+    def mix(x: Long): Unit = { h ^= x; h *= 1099511628211L }
+    if (Files.exists(path)) {
+      val s = Files.walk(path)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p)) {
+            mix(path.relativize(p).toString.hashCode.toLong)
+            mix(Files.size(p))
+            mix(Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+      } finally s.close()
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /**
+   * Build-once cross-JVM layout cache under java.io.tmpdir: `build`
+   * writes the layout into a private temp dir which is atomically
+   * renamed into place; concurrent builders race benignly (the loser
+   * discards its copy). The cache key carries a content fingerprint of
+   * `srcPath`, so regenerating the source data produces a NEW cache
+   * directory rather than silently serving the stale layout.
+   */
+  private def cachedLayoutDir(sfDir: String, name: String, srcPath: String)
+                             (build: String => Unit): String = {
+    val fp = sourceFingerprint(Paths.get(srcPath))
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_layout", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val dst = base.resolve(s"$name-$fp")
+    if (!Files.exists(dst.resolve("_SUCCESS"))) {
+      val tmp = base.resolve(s"$name-$fp.tmp-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(base)
+      build(tmp.toString)
+      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another builder won the rename; its layout is equivalent
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    dst.toString
+  }
+
+  /**
    * The driver-testdata `events` table in the date-partitioned layout,
-   * built at most once per (sfDir) — the layout is content-addressed by
-   * source directory and reused across sessions and JVMs (Verify and
+   * built at most once per (sfDir, source fingerprint) — the layout is
+   * content-addressed and reused across sessions and JVMs (Verify and
    * Bench both consume it; the write happens on whichever ran first).
-   * Concurrent builders race benignly: each writes to a private temp
-   * dir and the loser of the atomic rename discards its copy.
    */
   def eventsDatePartitioned(spark: SparkSession, sfDir: String): DataFrame =
     SharedFrames.memo(spark, sfDir, "events-by-date", persist = false) {
-      val base = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_layout", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      val dst = base.resolve("events_by_date")
-      if (!Files.exists(dst.resolve("_SUCCESS"))) {
-        val tmp = base.resolve(s"events_by_date.tmp-${java.util.UUID.randomUUID()}")
-        Files.createDirectories(base)
-        writeDatePartitioned(Tables.events(spark, sfDir), tmp.toString)
-        try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // another builder won the rename; its layout is equivalent
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        }
+      val dir = cachedLayoutDir(sfDir, "events_by_date",
+        s"$sfDir/events.parquet") { tmp =>
+        writeDatePartitioned(Tables.events(spark, sfDir), tmp)
       }
-      readDatePartitioned(spark, dst.toString)
+      readDatePartitioned(spark, dir)
+    }
+
+  /**
+   * The `events` table Z-order-clustered on (user_id, value) with its
+   * file-stats manifest — the two-key selective-read layout
+   * [[readStatsPruned]] serves (registered as `events_zorder_box`).
+   * Rank-based cells (`ranked = true`): user activity is the canonical
+   * skewed key, and rank cells keep per-file boxes balanced whatever the
+   * distribution. Built once per (sfDir, source fingerprint), exactly
+   * like [[eventsDatePartitioned]]; returns the layout directory.
+   */
+  def eventsZOrdered(spark: SparkSession, sfDir: String,
+                     numFiles: Int = 16): String =
+    cachedLayoutDir(sfDir, "events_zorder", s"$sfDir/events.parquet") { tmp =>
+      writeZOrdered(Tables.events(spark, sfDir), tmp,
+        Seq("user_id", "value"), numFiles, ranked = true)
+      buildFileStats(spark, tmp, Seq("user_id", "value"))
     }
 
   /**
@@ -175,33 +235,87 @@ object TableLayout {
   }
 
   /**
-   * Upsert a batch of rows into the date-partitioned layout at DAY
-   * grain: every date the updates touch is rewritten as
-   * merge(existing rows not replaced, updates), all other dates'
-   * files stay untouched on disk (dynamic partition overwrite). This
-   * is the lakehouse `replaceWhere`-merge shape without a table
-   * format: corrections, late backfills, and GDPR deletes arrive as a
-   * small batch and cost O(touched days' bytes), not O(table).
+   * Upsert a batch of rows into the date-partitioned layout with GLOBAL
+   * key replacement: an existing row matching an update on `keyCols` is
+   * replaced wherever it lives — including a row whose event time moved
+   * to a DIFFERENT day, whose old copy is rewritten away in its old
+   * partition (ADVICE r10: the day-grain-only form left it alive as a
+   * duplicate). The rewrite still touches only the partitions that need
+   * it: the updates' target dates plus the dates currently holding an
+   * updated key, found by a column-pruned (keyCols + partition column)
+   * semi-join scan — at 100 TB that probe reads two narrow columns,
+   * never the data, and the rewrite stays O(touched days' bytes). This
+   * is the lakehouse `replaceWhere`-merge shape without a table format.
+   *
+   * Build the merged frame via [[upsertMergedFrame]]; join strategy is
+   * AQE's call (no forced broadcast — a large backfill degrades to a
+   * shuffled semi/anti join instead of a driver-sized broadcast,
+   * spec-pinned in TableLayoutSpec).
    *
    * @param updates new/replacement rows (same schema as the layout's
    *                data columns; `tsCol` decides the target partition)
    * @param keyCols row identity — an existing row matching an update on
-   *                `keyCols` is replaced; everything else is kept
+   *                `keyCols` is replaced anywhere in the table;
+   *                everything else is kept
    */
   def upsertDatePartitions(spark: SparkSession, dir: String,
                            updates: DataFrame, keyCols: Seq[String],
                            tsCol: String = "ts",
                            sortCols: Seq[String] = Seq("user_id", "ts")): Unit = {
+    val (merged, touchedDates) =
+      upsertMergedFrame(spark, dir, updates, keyCols, tsCol)
+    rewritePartitions(spark, dir, merged, sortCols, touchedDates)
+  }
+
+  /** The merged frame [[upsertDatePartitions]] writes plus the full
+    * touched-date set (update target dates ∪ dates currently holding an
+    * updated key) — exposed so plan-shape specs can assert the join
+    * strategy without running the write. */
+  def upsertMergedFrame(spark: SparkSession, dir: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        tsCol: String = "ts"): (DataFrame, Seq[String]) = {
     val dated = updates.withColumn(dateCol, to_date(col(tsCol)))
-    // day-grain: only partitions holding an update participate
+    val layout = readDatePartitioned(spark, dir)
+    val updateKeys = dated.select(keyCols.map(col): _*).distinct()
+    // where do the updated keys live TODAY? column-pruned probe scan
+    val currentDates = layout.select((keyCols :+ dateCol).map(col): _*)
+      .join(updateKeys, keyCols, "left_semi")
+      .select(col(dateCol)).distinct()
     val touchedDates = dated.select(col(dateCol)).distinct()
-    val existing = readDatePartitioned(spark, dir)
-      .join(broadcast(touchedDates), Seq(dateCol), "left_semi")
-    val kept = existing.join(broadcast(dated.select(keyCols.map(col): _*)),
-      keyCols, "left_anti")
+      .union(currentDates).distinct()
+    val existing = layout.join(touchedDates, Seq(dateCol), "left_semi")
+    val kept = existing.join(updateKeys, keyCols, "left_anti")
     val merged = kept.unionByName(dated.select(kept.columns.map(col): _*))
       .repartition(col(dateCol))
-    rewritePartitions(spark, dir, merged, sortCols)
+    val dates = touchedDates.collect().map(r =>
+      s"$dateCol=${r.get(0)}").toIndexedSeq
+    (merged, dates)
+  }
+
+  /**
+   * Delete every row matching `keys` on `keyCols` from the layout — the
+   * GDPR-delete path ([[upsertDatePartitions]] can only replace, not
+   * remove). Same pruning shape as the upsert: a column-pruned semi-join
+   * probe finds the partitions holding a doomed key, and only those are
+   * rewritten as (existing rows minus matches). A partition whose rows
+   * are ALL deleted is removed from the layout entirely (the staged
+   * write produces no directory for it; [[rewritePartitions]] retires
+   * the empty survivor explicitly).
+   */
+  def deleteDateKeys(spark: SparkSession, dir: String,
+                     keys: DataFrame, keyCols: Seq[String],
+                     sortCols: Seq[String] = Seq("user_id", "ts")): Unit = {
+    val doomed = keys.select(keyCols.map(col): _*).distinct()
+    val layout = readDatePartitioned(spark, dir)
+    val touchedDates = layout.select((keyCols :+ dateCol).map(col): _*)
+      .join(doomed, keyCols, "left_semi")
+      .select(col(dateCol)).distinct()
+    val kept = layout.join(touchedDates, Seq(dateCol), "left_semi")
+      .join(doomed, keyCols, "left_anti")
+      .repartition(col(dateCol))
+    val dates = touchedDates.collect().map(r =>
+      s"$dateCol=${r.get(0)}").toIndexedSeq
+    if (dates.nonEmpty) rewritePartitions(spark, dir, kept, sortCols, dates)
   }
 
   /**
@@ -218,8 +332,10 @@ object TableLayout {
    */
   private def rewritePartitions(spark: SparkSession, dir: String,
                                 frame: DataFrame,
-                                sortCols: Seq[String]): Unit = {
+                                sortCols: Seq[String],
+                                touchedParts: Seq[String] = Seq.empty): Unit = {
     val target = Paths.get(dir)
+    healRetired(target)
     val staging = target.resolveSibling(
       s"${target.getFileName}.staging-${java.util.UUID.randomUUID()}")
     frame
@@ -235,17 +351,66 @@ object TableLayout {
           buf.toList
         } finally s.close()
       }
+      val stagedNames = stagedParts.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$dateCol=")).toSet
       stagedParts
-        .filter(_.getFileName.toString.startsWith(s"$dateCol="))
+        .filter(p => stagedNames(p.getFileName.toString))
         .foreach { staged =>
           val dst = target.resolve(staged.getFileName.toString)
-          val retired = target.resolve(s".${staged.getFileName}.retired")
-          if (Files.exists(dst)) Files.move(dst, retired)
-          Files.move(staged, dst)
-          if (Files.exists(retired))
-            org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+          swapIn(staged, dst)
         }
+      // a touched partition with no staged counterpart lost ALL its rows
+      // (a delete emptied it, or an upsert moved its only keys to other
+      // days) — leaving its old directory alive would resurrect the rows
+      touchedParts.filterNot(stagedNames).map(target.resolve)
+        .filter(Files.isDirectory(_))
+        .foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+  }
+
+  /** Near-atomic partition swap: retire the live directory under a
+    * UUID-suffixed hidden name, move the staged one in, drop the retired
+    * copy. The UUID suffix means a leftover retired dir from a crashed
+    * prior swap can never collide ([[healRetired]] cleans those up on
+    * the next maintenance entry; ADVICE r10 — the unsuffixed form made
+    * every later rewrite of that partition throw permanently). */
+  private def swapIn(staged: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val retired = dst.resolveSibling(
+      s".${dst.getFileName}.retired-${java.util.UUID.randomUUID()}")
+    if (Files.exists(dst)) Files.move(dst, retired)
+    Files.move(staged, dst)
+    if (Files.exists(retired))
+      org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+  }
+
+  /** Recover from a crashed [[swapIn]]: a `.<part>.retired*` directory
+    * WITH a live `<part>` sibling is post-swap garbage (the crash hit
+    * between the second move and the delete) — drop it; one WITHOUT a
+    * live sibling means the partition vanished mid-swap (crash between
+    * the two moves) — restore it, so readers see the day again and the
+    * interrupted rewrite can be retried. Runs at every maintenance
+    * entry, so a crashed swap self-heals instead of wedging. */
+  private[sources] def healRetired(target: java.nio.file.Path): Unit = {
+    if (!Files.isDirectory(target)) return
+    val retiredRe = s"^\\.($dateCol=.+)\\.retired(-[0-9a-fA-F-]+)?$$".r
+    val s = Files.list(target)
+    val entries = try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) buf += it.next()
+      buf.toList
+    } finally s.close()
+    entries.foreach { p =>
+      p.getFileName.toString match {
+        case retiredRe(orig, _) =>
+          val live = target.resolve(orig)
+          if (Files.exists(live))
+            org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+          else Files.move(p, live)
+        case _ => ()
+      }
+    }
   }
 
   /**
@@ -264,9 +429,10 @@ object TableLayout {
    * input_file_name audit computes).
    *
    * Built from codegen'd built-ins (shift/and/or fold — 2·bits terms),
-   * no UDF. Linear min/max scaling keeps the cell math plan-literal;
-   * heavily skewed keys would want rank-based cells (a range-partitioner
-   * boundary collect) — same interleave, different scaling.
+   * no UDF. Linear min/max scaling keeps the cell math plan-literal and
+   * is right for near-uniform keys; under heavy skew it collapses (most
+   * rows land in one cell and that key stops contributing order) — use
+   * [[zOrderValueRanked]] there: same interleave, quantile cells.
    */
   def zOrderValue(df: DataFrame, zCols: Seq[String], bits: Int = 12): Column = {
     require(zCols.nonEmpty && zCols.size * bits <= 62,
@@ -282,28 +448,89 @@ object TableLayout {
         ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(cellMax.toDouble))
           .cast("long")))
     }
-    // interleave: output bit (k*nCols + j) takes cell j's bit k
-    val n = zCols.size
+    interleaveBits(cells, zCols.size, bits)
+  }
+
+  /**
+   * Rank-based Z-order cells — the skew-proof scaling [[zOrderValue]]'s
+   * scaladoc names: each column's cell is its EQUI-DEPTH quantile bucket
+   * (the range-partitioner-boundary construction), so every cell holds
+   * ~the same row count whatever the distribution. Under heavy skew the
+   * linear form degenerates — a key where 99% of rows share a handful of
+   * values maps 99% of the table to cell 0, every file's box spans that
+   * cell, and a selective filter on the skewed key prunes NOTHING
+   * (spec-demonstrated in TableLayoutSpec); rank cells restore balanced
+   * boxes and the ≤half-the-files bound on both keys.
+   *
+   * Cost model: one `approx_percentile` aggregation over all z-columns
+   * (2^bits−1 interior boundaries each → plan literals, same bounded
+   * collect-at-build contract as the linear min/max pass), then each
+   * row's cell is "how many boundaries ≤ value" — a fold over the
+   * boundary array literal, paid once per row at WRITE time only.
+   * Duplicate boundaries (a value heavier than a whole quantile step)
+   * dedupe away, which merges the indistinguishable cells instead of
+   * leaving empty ones. Default `bits = 8` bounds the per-row fold at
+   * 255 comparisons; 2 × 8-bit keys already give 65 536 distinct cells
+   * — file-count granularity, far past any realistic `numFiles`.
+   */
+  def zOrderValueRanked(df: DataFrame, zCols: Seq[String],
+                        bits: Int = 8): Column = {
+    require(zCols.nonEmpty && zCols.size * bits <= 62,
+      s"zCols*bits = ${zCols.size * bits} must fit a long")
+    val nCells = 1 << bits
+    val cellMax = (nCells - 1).toLong
+    val probs = (1 until nCells).map(_.toDouble / nCells).toArray
+    val aggs = zCols.map(c => percentile_approx(col(c).cast("double"),
+      typedlit(probs), lit(10000)))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val cells = zCols.zipWithIndex.map { case (c, i) =>
+      val bounds = Option(stats.getSeq[Double](i))
+        .getOrElse(Seq.empty).distinct
+      if (bounds.isEmpty) lit(0L)
+      else {
+        // rank ∈ [0, |bounds|]; RESCALE to the full bit width — a low-
+        // cardinality key would otherwise occupy only the low Morton
+        // bits and the other keys' high bits dominate every file split
+        val rank = size(filter(typedlit(bounds),
+          b => b <= col(c).cast("double"))).cast("long")
+        // Column `/` is double division; values are small enough to be
+        // exact, the cast floors back to the integer cell
+        (rank * lit(cellMax) / lit(bounds.size.toLong)).cast("long")
+      }
+    }
+    interleaveBits(cells, zCols.size, bits)
+  }
+
+  /** Morton interleave: output bit (k·nCols + j) takes cell j's bit k. */
+  private def interleaveBits(cells: Seq[Column], nCols: Int,
+                             bits: Int): Column =
     (0 until bits).flatMap { k =>
       cells.zipWithIndex.map { case (cell, j) =>
-        shiftleft(shiftright(cell, k).bitwiseAND(lit(1L)), k * n + j)
+        shiftleft(shiftright(cell, k).bitwiseAND(lit(1L)), k * nCols + j)
       }
     }.reduce(_ bitwiseOR _)
-  }
 
   /**
    * Write `df` Z-order-clustered on `zCols` into `numFiles` files:
    * range-repartition on the z-value (contiguous z-ranges per file →
    * tight per-file boxes), sort within each file on it (row-group-grain
    * clustering inside the file), then drop the helper column.
+   * `ranked = true` swaps in [[zOrderValueRanked]]'s equi-depth cells
+   * for skewed keys (its own default bit width applies unless `bits`
+   * is passed explicitly).
    */
   def writeZOrdered(df: DataFrame, outDir: String, zCols: Seq[String],
-                    numFiles: Int, bits: Int = 12): Unit =
-    df.withColumn("__z", zOrderValue(df, zCols, bits))
+                    numFiles: Int, bits: Int = -1,
+                    ranked: Boolean = false): Unit = {
+    val b = if (bits > 0) bits else if (ranked) 8 else 12
+    val z = if (ranked) zOrderValueRanked(df, zCols, b)
+            else zOrderValue(df, zCols, b)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+  }
 
   /**
    * Per-file min/max stats manifest over a layout — the catalog half of
@@ -318,13 +545,42 @@ object TableLayout {
    */
   def buildFileStats(spark: SparkSession, dir: String,
                      statsCols: Seq[String]): Unit = {
-    val data = spark.read.parquet(dataFilePaths(spark, dir): _*)
+    val stats = fileStatsFrame(spark, dir, dataFilePaths(spark, dir),
+      statsCols)
+    stats.coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_graft_stats")
+  }
+
+  /** Per-file stats over `files` with `path` RELATIVE to the layout dir
+    * — the manifest must survive the layout being renamed or moved (the
+    * [[cachedLayoutDir]] build stages in a temp dir and atomically
+    * renames into place; an absolute-path manifest would dangle). One
+    * distributed pass grouped by `input_file_name()`, then an O(files)
+    * driver-side relativization — the same order as the manifest itself. */
+  private def fileStatsFrame(spark: SparkSession, dir: String,
+                             files: Seq[String],
+                             statsCols: Seq[String]): DataFrame = {
+    val data = spark.read.parquet(files: _*)
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    data.groupBy(input_file_name().as("path"))
+    val absolute = data.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_graft_stats")
+    val rows = absolute.collect().map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        relativePath(dir, r.getString(0)) +: r.toSeq.tail)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), absolute.schema)
+  }
+
+  /** `file` (any URI form `input_file_name`/listStatus renders) relative
+    * to layout `dir`. */
+  private def relativePath(dir: String, file: String): String = {
+    val d = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val f = new org.apache.hadoop.fs.Path(file).toUri.getPath
+    require(f.startsWith(d),
+      s"file $f is not under layout dir $d")
+    f.substring(d.length).dropWhile(_ == '/')
   }
 
   /**
@@ -343,14 +599,23 @@ object TableLayout {
     val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
       m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
     }
-    val paths = keep.select(col("path")).collect().map(_.getString(0))
+    // manifest paths are layout-relative (see fileStatsFrame)
+    val paths = keep.select(col("path")).collect()
+      .map(r => s"$dir/${r.getString(0)}")
     val pred = bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    if (paths.isEmpty)
-      spark.read.parquet(dataFilePaths(spark, dir): _*).filter(pred)
-        .limit(0)
-    else spark.read.parquet(paths.toIndexedSeq: _*).filter(pred)
+    if (paths.isEmpty) {
+      // schema-only read: ONE arbitrary data file's footer, not the whole
+      // layout (and a clear error when the layout holds no files at all —
+      // spark.read.parquet() with zero paths throws an opaque
+      // unable-to-infer-schema instead, ADVICE r10)
+      val files = dataFilePaths(spark, dir)
+      require(files.nonEmpty,
+        s"readStatsPruned($dir): manifest pruned every file and the " +
+          "layout holds no data files to derive the result schema from")
+      spark.read.parquet(files.head).filter(pred).limit(0)
+    } else spark.read.parquet(paths.toIndexedSeq: _*).filter(pred)
   }
 
   /**
@@ -375,28 +640,23 @@ object TableLayout {
       buildFileStats(spark, dir, statsCols)
       return (dataFilePaths(spark, dir).size.toLong, 0L)
     }
-    // input_file_name() and FileSystem.listStatus render the same file
-    // in different URI forms (file:///x vs file:/x) — compare through
-    // Path normalization, keep the manifest's own raw strings for reads
-    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    // manifest paths are layout-relative; compare in relative space
+    // (FileSystem.listStatus renders absolute URIs)
     val current = dataFilePaths(spark, dir)
-    val currentSet = current.map(norm).toSet
+    val currentRel = current.map(relativePath(dir, _))
+    val currentSet = currentRel.toSet
     val manifest = spark.read.parquet(statsDir)
-    val rawKnown = manifest.select(col("path")).collect().map(_.getString(0))
-    val known = rawKnown.map(norm).toSet
-    val newPaths = current.filterNot(p => known(norm(p)))
-    val keptRaw = rawKnown.filter(p => currentSet(norm(p)))
-    val dropped = (rawKnown.length - keptRaw.length).toLong
-    val kept = manifest.filter(col("path").isin(keptRaw.toIndexedSeq: _*))
+    val known = manifest.select(col("path")).collect()
+      .map(_.getString(0)).toSet
+    val newPaths = current.zip(currentRel)
+      .collect { case (abs, rel) if !known(rel) => abs }
+    val keptRel = known.filter(currentSet)
+    val dropped = (known.size - keptRel.size).toLong
+    val kept = manifest.filter(col("path").isin(keptRel.toIndexedSeq: _*))
     val merged =
       if (newPaths.isEmpty) kept
-      else {
-        val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        kept.unionByName(spark.read.parquet(newPaths.toIndexedSeq: _*)
-          .groupBy(input_file_name().as("path"))
-          .agg(aggs.head, aggs.tail: _*))
-      }
+      else kept.unionByName(
+        fileStatsFrame(spark, dir, newPaths.toIndexedSeq, statsCols))
     val staging = s"$dir/.graft_stats.staging-${java.util.UUID.randomUUID()}"
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
     fs.delete(statsPath, true)

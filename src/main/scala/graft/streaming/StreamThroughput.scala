@@ -127,7 +127,11 @@ object StreamThroughput {
                       feeders: Seq[StreamingQuery],
                       topics: Seq[Path],
                       startConsumer: () => Seq[StreamingQuery],
-                      spark: SparkSession): StepResult = {
+                      spark: SparkSession,
+                      countTopic: Path => Long = null): StepResult = {
+    val countFn: Path => Long =
+      if (countTopic != null) countTopic
+      else t => spark.read.text(t.toString).count()
     topics.foreach(awaitTopic(_))
     val consumers = startConsumer()
     try {
@@ -140,7 +144,7 @@ object StreamThroughput {
       consumers.foreach(_.processAllAvailable())
       consumers.foreach(_.processAllAvailable())
       val drainEnd = System.nanoTime()
-      val eventsIn = topics.map(t => spark.read.text(t.toString).count()).sum
+      val eventsIn = topics.map(countFn).sum
       val batchMs = consumers.flatMap(_.recentProgress.toSeq)
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
       val feedWallMs = (feedEnd - feedStart) / 1000000L
@@ -204,21 +208,37 @@ object StreamThroughput {
     * against a frozen IVF+PQ model) → codes topic, measured as
     * deployed. The frozen model comes from the static sf0.001 corpus —
     * the serving snapshot the arrivals fold into. */
+  /** Feeder + record counter for a topic under `codec` — the wire halves
+    * a step swaps as one unit ([[BinaryTopics]] vs [[JsonStreams]]). */
+  private def feedTopic(df: DataFrame, codec: String,
+                        dir: Path, ck: Path): StreamingQuery =
+    if (codec == "binary")
+      BinaryTopics.writeValueTopic(BinaryTopics.encode(df).coalesce(2),
+        dir.toString, ck.toString)
+    else JsonStreams.writeValueTopic(JsonStreams.encode(df).coalesce(2),
+      dir.toString, ck.toString)
+
+  private def topicCounter(spark: SparkSession, codec: String): Path => Long =
+    if (codec == "binary") t => BinaryTopics.countTopic(spark, t.toString)
+    else t => spark.read.text(t.toString).count()
+
   def annJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
-                 corpusDir: String = "/root/testdata/sf0.001"): StepResult = {
+                 corpusDir: String = "/root/testdata/sf0.001",
+                 codec: String = "json"): StepResult = {
     val root = Files.createTempDirectory("graft-sthr-ann")
     val emb = root.resolve("embeddings")
     val model = graft.similarity.Similarity.freezeAnnIndex(
       spark.read.parquet(s"$corpusDir/embeddings.parquet"))
       .getOrElse(sys.error(s"no freezable corpus in $corpusDir"))
-    val feeder = JsonStreams.writeValueTopic(
-      JsonStreams.encode(embStream(spark, rate)).coalesce(2),
-      emb.toString, root.resolve("_ck/emb").toString)
-    runStep("ann", rate, feedMs, tailAllowanceMs = 3000L,
+    val feeder = feedTopic(embStream(spark, rate), codec,
+      emb, root.resolve("_ck/emb"))
+    runStep(if (codec == "json") "ann" else s"ann-$codec",
+      rate, feedMs, tailAllowanceMs = 3000L,
       Seq(feeder), Seq(emb),
       () => Seq(StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
-        model, root.resolve("work").toString, maxFilesPerTrigger = 10000)),
-      spark)
+        model, root.resolve("work").toString, maxFilesPerTrigger = 10000,
+        codec = codec)),
+      spark, topicCounter(spark, codec))
   }
 
   /** One curation-ingest step: [[docStream]] → docs topic →
@@ -226,19 +246,20 @@ object StreamThroughput {
     * watermarked exact dedup → quality gate), measured as deployed. */
   def ingestJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
                     simMsPerRow: Long = 20L,
-                    stateStoreProvider: Option[String] = None): StepResult = {
+                    stateStoreProvider: Option[String] = None,
+                    codec: String = "json"): StepResult = {
     val root = Files.createTempDirectory("graft-sthr-ingest")
     val docs = root.resolve("docs")
-    val feeder = JsonStreams.writeValueTopic(
-      JsonStreams.encode(docStream(spark, rate, simMsPerRow = simMsPerRow)).coalesce(2),
-      docs.toString, root.resolve("_ck/docs").toString)
+    val feeder = feedTopic(docStream(spark, rate, simMsPerRow = simMsPerRow),
+      codec, docs, root.resolve("_ck/docs"))
     // single-query topology: one batch of tail is enough
-    runStep("ingest", rate, feedMs, tailAllowanceMs = 3000L,
+    runStep(if (codec == "json") "ingest" else s"ingest-$codec",
+      rate, feedMs, tailAllowanceMs = 3000L,
       Seq(feeder), Seq(docs),
       () => Seq(StreamingCurationJobs.runIngestJob(spark, docs.toString,
         benchDocs(spark), root.resolve("work").toString,
         maxFilesPerTrigger = 10000,
-        stateStoreProvider = stateStoreProvider)),
-      spark)
+        stateStoreProvider = stateStoreProvider, codec = codec)),
+      spark, topicCounter(spark, codec))
   }
 }

@@ -156,15 +156,37 @@ object StreamingCurationJobs {
     clean.unionByName(verified)
   }
 
+  /** Decode `topic` with the declared schema under the chosen wire
+    * codec — `"json"` (text-lines, [[JsonStreams]]; the reference's
+    * format and the default) or `"binary"` ([[BinaryTopics]], the
+    * measured-throughput path). Same tolerance class either way:
+    * damaged records drop, they never fail the query. */
+  private def readDecoded(spark: SparkSession, topic: String,
+                          schema: StructType, codec: String,
+                          maxFilesPerTrigger: Int): DataFrame = codec match {
+    case "json" => JsonStreams.decode(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(topic),
+      schema)
+    case "binary" => BinaryTopics.readTopic(spark, topic, schema,
+      maxFilesPerTrigger)
+    case other => throw new IllegalArgumentException(
+      s"unknown topic codec '$other' (json | binary)")
+  }
+
   /**
-   * Ingest job: `docsTopic` (JSON-lines, [[docSchema]]) → dedup → gate →
-   * benchmark exclusion → `<workDir>/curated`. Returns the started query.
+   * Ingest job: `docsTopic` ([[docSchema]] under `codec`) → dedup →
+   * gate → benchmark exclusion → `<workDir>/curated`. Returns the
+   * started query.
    *
    * @param benchDocs static benchmark frame (doc_id, text) — its shingle
    *                  index is built once at job build, persisted for the
    *                  job's lifetime (the exclusion's exact-verify side
    *                  re-reads it every microbatch), and its Bloom bitmap
    *                  folded into the plan
+   * @param codec     wire codec of BOTH the input topic and the curated
+   *                  output topic ("json" default, "binary" the
+   *                  fixed-width fast path — see [[BinaryTopics]])
    */
   def runIngestJob(spark: SparkSession, docsTopic: String,
                    benchDocs: DataFrame, workDir: String,
@@ -173,12 +195,11 @@ object StreamingCurationJobs {
                    maxFilesPerTrigger: Int = 8,
                    stateStoreProvider: Option[String] = None,
                    contractChecks: Seq[graft.contracts.Contracts.Check] =
-                     Seq.empty): StreamingQuery =
+                     Seq.empty,
+                   codec: String = "json"): StreamingQuery =
     StateBackend.withProvider(spark, stateStoreProvider) {
-    val decoded = JsonStreams.decode(
-      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .text(docsTopic),
-      docSchema)
+    val decoded = readDecoded(spark, docsTopic, docSchema, codec,
+      maxFilesPerTrigger)
     // contract gate FIRST (a pure projection — cheapest stage, and a
     // violating row must not reach dedup state or the curated topic);
     // the violators themselves are recorded by the dead-letter twin
@@ -204,9 +225,13 @@ object StreamingCurationJobs {
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_time"),
         col("fingerprint"), col("n_tokens").cast("long").as("n_tokens"))
-    // json-format topic (like the ad pipeline's materialized join): the
-    // chained stats job re-reads it with the declared curatedSchema
-    JsonStreams.writeTopic(curated,
+    // structured topic (like the ad pipeline's materialized join): the
+    // chained stats job re-reads it with the declared curatedSchema,
+    // under the same codec as the input side
+    if (codec == "binary")
+      BinaryTopics.writeTopic(curated,
+        s"$workDir/curated", s"$workDir/_checkpoints/curated")
+    else JsonStreams.writeTopic(curated,
       s"$workDir/curated", s"$workDir/_checkpoints/curated")
   }
 
@@ -257,15 +282,17 @@ object StreamingCurationJobs {
   def runAnnIngestJob(spark: SparkSession, embTopic: String,
                       model: graft.similarity.Similarity.AnnIndexModel,
                       workDir: String,
-                      maxFilesPerTrigger: Int = 8): StreamingQuery = {
-    val raw = JsonStreams.decode(
-      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .text(embTopic),
-      embSchema)
+                      maxFilesPerTrigger: Int = 8,
+                      codec: String = "json"): StreamingQuery = {
+    val raw = readDecoded(spark, embTopic, embSchema, codec,
+      maxFilesPerTrigger)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
         size(col("embedding")) === model.cfg.dim)
-    JsonStreams.writeTopic(
-      StreamingCuration.annIngestStream(raw, model),
+    val codes = StreamingCuration.annIngestStream(raw, model)
+    if (codec == "binary")
+      BinaryTopics.writeTopic(codes,
+        s"$workDir/codes", s"$workDir/_checkpoints/codes")
+    else JsonStreams.writeTopic(codes,
       s"$workDir/codes", s"$workDir/_checkpoints/codes")
   }
 

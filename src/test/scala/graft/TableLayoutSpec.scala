@@ -196,6 +196,131 @@ class TableLayoutSpec extends SparkSpec {
       "untouched partitions were rewritten")
   }
 
+  test("upsert replaces a key GLOBALLY: a row whose event time moves to " +
+    "a different day loses its old copy in the old partition") {
+    val work = Files.createTempDirectory("layout_move").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents(Seq(
+        (1L, "2024-06-01 10:00:00", 1L, 1.0),
+        (2L, "2024-06-01 11:00:00", 2L, 1.0),
+        (3L, "2024-06-02 10:00:00", 3L, 1.0),
+        (4L, "2024-06-03 10:00:00", 4L, 1.0))),
+      dir)
+    // event 3 moves from 06-02 (its ONLY row — the partition must
+    // disappear) to 06-01; 06-03 is untouched
+    val before = fileHashes(dir,
+      except = Set("event_date=2024-06-01", "event_date=2024-06-02"))
+    TableLayout.upsertDatePartitions(spark, dir,
+      mkEvents(Seq((3L, "2024-06-01 12:00:00", 3L, 7.0))), Seq("event_id"))
+    val after = TableLayout.readDatePartitioned(spark, dir)
+    assert(after.count() == 4)
+    val e3 = after.filter(col("event_id") === 3L).collect()
+    assert(e3.length == 1, "moved key must exist exactly once")
+    assert(e3.head.getAs[java.sql.Date]("event_date").toString == "2024-06-01")
+    assert(!Files.exists(Paths.get(dir, "event_date=2024-06-02")),
+      "emptied partition directory must be retired")
+    assert(fileHashes(dir,
+      except = Set("event_date=2024-06-01", "event_date=2024-06-02")) == before,
+      "untouched partitions were rewritten")
+  }
+
+  test("deleteDateKeys removes matching rows everywhere, retires emptied " +
+    "partitions, and leaves untouched dates byte-identical") {
+    val work = Files.createTempDirectory("layout_delete").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents((0L until 20L).map(i =>
+        (i, s"2024-07-${"%02d".format(1 + (i % 4).toInt)} 10:00:00",
+          i % 3, 1.0))),
+      dir)
+    import spark.implicits._
+    // user 0's rows span several dates; delete them all (the GDPR shape)
+    val doomed = mkEvents((0L until 20L).filter(_ % 3 == 0).map(i =>
+      (i, s"2024-07-${"%02d".format(1 + (i % 4).toInt)} 10:00:00", 0L, 1.0)))
+      .select("event_id")
+    TableLayout.deleteDateKeys(spark, dir, doomed, Seq("event_id"))
+    val after = TableLayout.readDatePartitioned(spark, dir)
+    assert(after.count() == 20 - 7)
+    assert(after.filter(col("user_id") === 0L).count() == 0)
+    // idempotent: deleting the same keys again is a no-op
+    TableLayout.deleteDateKeys(spark, dir, doomed, Seq("event_id"))
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 13)
+    // empty delete set touches nothing
+    TableLayout.deleteDateKeys(spark, dir, doomed.limit(0), Seq("event_id"))
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 13)
+    // deleting a date's every remaining row retires its directory
+    val date4 = mkEvents(Seq(7L, 11L, 19L).map(i =>
+      (i, "2024-07-04 10:00:00", i % 3, 1.0))).select("event_id")
+    TableLayout.deleteDateKeys(spark, dir, date4, Seq("event_id"))
+    assert(!Files.exists(Paths.get(dir, "event_date=2024-07-04")),
+      "fully-deleted partition directory must be retired")
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 10)
+  }
+
+  test("a crashed partition swap self-heals on the next maintenance " +
+    "entry instead of wedging or hiding the day") {
+    val work = Files.createTempDirectory("layout_heal").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents(Seq(
+        (1L, "2024-08-01 10:00:00", 1L, 1.0),
+        (2L, "2024-08-02 10:00:00", 2L, 1.0))),
+      dir)
+    val day = Paths.get(dir, "event_date=2024-08-01")
+    // simulate a crash BETWEEN the two moves: the live dir was retired,
+    // the staged one never arrived — readers would see the day vanish
+    val retired = Paths.get(dir, ".event_date=2024-08-01.retired-deadbeef")
+    Files.move(day, retired)
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 1)
+    // any maintenance pass heals it (here: a compaction of the OTHER day)
+    TableLayout.compactDatePartitions(spark, dir,
+      col(TableLayout.dateCol) === "2024-08-02")
+    assert(Files.isDirectory(day), "vanished day must be restored")
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 2)
+    // post-swap garbage (live dir present + leftover retired) just drops
+    val garbage = Paths.get(dir, ".event_date=2024-08-02.retired-cafe")
+    Files.createDirectories(garbage)
+    TableLayout.compactDatePartitions(spark, dir,
+      col(TableLayout.dateCol) === "2024-08-02")
+    assert(!Files.exists(garbage), "stale retired dir must be cleaned")
+    assert(TableLayout.readDatePartitioned(spark, dir).count() == 2)
+  }
+
+  test("upsert merge plans no forced broadcast: with broadcast disabled " +
+    "the anti join degrades to a shuffled join, never a driver-sized " +
+    "broadcast") {
+    val work = Files.createTempDirectory("layout_nobcast").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents((0L until 10L).map(i =>
+        (i, "2024-09-01 10:00:00", i % 3, 1.0))), dir)
+    val updates = mkEvents(Seq((1L, "2024-09-01 11:00:00", 1L, 9.0)))
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val (merged, _) =
+        TableLayout.upsertMergedFrame(spark, dir, updates, Seq("event_id"))
+      merged.collect()
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val bcasts = walk(merged.queryExecution.executedPlan)
+        .count(_.isInstanceOf[BroadcastExchangeExec])
+      assert(bcasts == 0,
+        s"upsert merge forced $bcasts broadcast(s):\n" +
+          merged.queryExecution.executedPlan)
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-order clustering keeps per-file boxes tight on BOTH keys; a " +
     "single-key sort skips only its own key") {
     val n = 100L
@@ -235,6 +360,68 @@ class TableLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == n * n)
     assert(spark.read.parquet(zDir)
       .filter(col("y").between(40, 44)).count() == 5 * n)
+  }
+
+  test("ranked z-order cells survive heavy key skew where linear " +
+    "min/max scaling prunes nothing") {
+    // x: 97% of rows in [0, 9], 3% stretched out to ~1e9 — linear
+    // scaling maps 97% of the table into cell 0 of 256, so x stops
+    // contributing order and per-file boxes all span the dense region.
+    // y uniform. The probe is a selective band INSIDE the dense region.
+    val n = 10000L
+    val skewed = spark.range(n).select(
+      when(col("id") % 100 < 97, col("id") % 10)
+        .otherwise((col("id") % 30) * 33333333L + 10L).as("x"),
+      (col("id") % 100).as("y"))
+      .repartition(8)
+    val work = Files.createTempDirectory("layout_rank").toString
+    val linDir = s"$work/linear"
+    val rankDir = s"$work/ranked"
+    TableLayout.writeZOrdered(skewed, linDir, Seq("x", "y"), numFiles = 16)
+    TableLayout.writeZOrdered(skewed, rankDir, Seq("x", "y"), numFiles = 16,
+      ranked = true)
+
+    def filesIntersecting(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .filter(col("hi") >= lo && col("lo") <= hi).count()
+
+    // dense-region band x in [2, 3] (20% of rows): linear z cannot
+    // separate it — every file's x-box covers cell 0 — while ranked
+    // cells keep the bound the uniform-grid spec pins
+    val linFiles = filesIntersecting(linDir, "x", 2, 3)
+    val rankFiles = filesIntersecting(rankDir, "x", 2, 3)
+    assert(linFiles >= 14, s"expected linear collapse, got $linFiles/16")
+    assert(rankFiles <= 8, s"ranked x-band intersects $rankFiles of 16")
+    // and the ranked layout still skips on the OTHER key
+    assert(filesIntersecting(rankDir, "y", 40, 44) <= 8)
+    // clustering moved bytes, not values
+    assert(spark.read.parquet(rankDir).count() == n)
+    assert(spark.read.parquet(rankDir)
+      .filter(col("x").between(2, 3)).count() ==
+      skewed.filter(col("x").between(2, 3)).count())
+  }
+
+  test("events_zorder_box: the registered stats-pruned rollup opens " +
+    "only manifest-intersecting files and matches the raw table") {
+    val dir = TableLayout.eventsZOrdered(spark, sfDir)
+    val pruned = TableLayout.readStatsPruned(spark, dir,
+      Seq(("user_id", 3L, 5L), ("value", 40.0, 90.0)))
+    pruned.collect()
+    val opened = scanNodes(pruned).map(_.metrics("numFiles").value).sum
+    assert(opened <= 8, s"two-key box opened $opened of 16 files")
+    // the registered query's values match the raw-table rollup
+    val got = EventQueries.eventsZorderBoxQ(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val want = Tables.events(spark, sfDir)
+      .filter(col("user_id").between(3, 5) && col("value").between(40.0, 90.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 
   test("file-stats manifest: the pruned reader opens only intersecting " +
