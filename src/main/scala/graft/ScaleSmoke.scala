@@ -348,12 +348,40 @@ object EventScaleSmoke {
         graft.ops.Funnel.stages(ev,
           Seq("view", "click", "purchase")).count()
       }
+      // contract family (r11): the report is one shared row-grain agg
+      // plus one key-grain pass over event_id (the only part whose key
+      // space grows K×); quarantine is a pure projection; the monitor
+      // one bounded-key windowed agg. Expected flat-to-linear.
+      val contractChecks = {
+        import graft.contracts.Contracts._
+        Seq(notNull("event_id"), notNull("user_id"),
+          tsBetween("ts", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+          inSet("event_type",
+            Seq("view", "click", "purchase", "signup", "error")),
+          inRange("value", 0.0, 150.0),
+          lengthAtMost("props", 8))
+      }
+      val (tContract, contractRows) = timed {
+        graft.contracts.Contracts.validate(ev, contractChecks,
+          Seq(Seq("event_id"))).count()
+      }
+      val (tQuar, quarRows) = timed {
+        graft.contracts.Contracts.quarantine(ev, contractChecks)
+          .filter(!col("keep")).count()
+      }
+      val (tMon, monRows) = timed {
+        graft.contracts.Contracts.violationMonitor(ev, contractChecks,
+          windowLength = "1 day", tsCol = "ts").count()
+      }
       println(s"""{"k":$k,"skew":$skew,"events":$n,""" +
         s""""join_sec":$tJoin,"join_rows":$joinRows,""" +
         s""""ctr_sec":$tCtr,"ctr_rows":$ctrRows,""" +
         s""""asof_sec":$tAsof,"asof_rows":$asofRows,""" +
         s""""sessions_sec":$tSess,"session_rows":$sessRows,""" +
-        s""""funnel_sec":$tFunnel,"funnel_rows":$funnelRows}""")
+        s""""funnel_sec":$tFunnel,"funnel_rows":$funnelRows,""" +
+        s""""contract_sec":$tContract,"contract_rows":$contractRows,""" +
+        s""""quarantine_sec":$tQuar,"quarantine_rows":$quarRows,""" +
+        s""""monitor_sec":$tMon,"monitor_rows":$monRows}""")
       ev.unpersist(); spark.catalog.clearCache()
     }
 

@@ -25,6 +25,11 @@ object StreamBench {
     val mainRates = rates("SPARK_GRAFT_STREAM_RATES", "5000,20000,80000")
     val ingestRates = rates("SPARK_GRAFT_INGEST_RATES", "2000,8000,32000")
     val annRates = rates("SPARK_GRAFT_ANN_RATES", "2000,8000,32000")
+    // binary-codec twins of the decode-bound jobs (the r10 walls): same
+    // topologies, BinaryTopics wire format — stepped higher because the
+    // codec exists precisely to move those ceilings
+    val ingestBinRates = rates("SPARK_GRAFT_INGEST_BIN_RATES", "8000,32000")
+    val annBinRates = rates("SPARK_GRAFT_ANN_BIN_RATES", "8000,32000")
     // Streaming microbatches pay a per-partition state-commit floor on
     // every stateful operator each trigger; at these per-batch volumes 8
     // state partitions is the deployment-correct tuning (32 would spend
@@ -44,6 +49,10 @@ object StreamBench {
     StreamThroughput.mainJobStep(spark, rate = 1000, feedMs = 4000L)
     StreamThroughput.ingestJobStep(spark, rate = 500, feedMs = 4000L)
     StreamThroughput.annJobStep(spark, rate = 500, feedMs = 4000L)
+    StreamThroughput.ingestJobStep(spark, rate = 500, feedMs = 4000L,
+      codec = "binary")
+    StreamThroughput.annJobStep(spark, rate = 500, feedMs = 4000L,
+      codec = "binary")
 
     val mainSteps = mainRates.map(r =>
       StreamThroughput.mainJobStep(spark, r, feedMs))
@@ -51,16 +60,23 @@ object StreamBench {
       StreamThroughput.ingestJobStep(spark, r, feedMs))
     val annSteps = annRates.map(r =>
       StreamThroughput.annJobStep(spark, r, feedMs))
+    val ingestBinSteps = ingestBinRates.map(r =>
+      StreamThroughput.ingestJobStep(spark, r, feedMs, codec = "binary"))
+    val annBinSteps = annBinRates.map(r =>
+      StreamThroughput.annJobStep(spark, r, feedMs, codec = "binary"))
 
     def maxSustained(steps: Seq[StreamThroughput.StepResult]): Long =
       steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
         .foldLeft(0L)(math.max)
-    val allSteps = (mainSteps ++ ingestSteps ++ annSteps).map(_.json).mkString(",")
+    val allSteps = (mainSteps ++ ingestSteps ++ annSteps ++
+      ingestBinSteps ++ annBinSteps).map(_.json).mkString(",")
     println(
       s"""{"metric":"stream_max_sustained_events_per_sec",""" +
       s""""value":${maxSustained(mainSteps)},"unit":"events_per_sec",""" +
       s""""ingest_value":${maxSustained(ingestSteps)},""" +
       s""""ann_value":${maxSustained(annSteps)},""" +
+      s""""ingest_binary_value":${maxSustained(ingestBinSteps)},""" +
+      s""""ann_binary_value":${maxSustained(annBinSteps)},""" +
       s""""feed_ms":$feedMs,"cpus":$cpus,""" +
       s""""reference_envelope_events_per_sec":50,""" +
       s""""steps":[$allSteps]}""")

@@ -71,6 +71,62 @@ object Contracts {
     Check(s"length_at_most($c,$maxLen)",
       coalesce(length(col(c)) <= maxLen, lit(false)))
 
+  /**
+   * Parse one declarative check SPEC into a [[Check]] — the checks-as-
+   * DATA form, so a contract can live in a config row, a SQL literal, or
+   * a spec table instead of builder code (the
+   * [[graft.queries.GraftSql.variants]] resolution applied to
+   * contracts: Spark exposes no SQL DDL surface for custom constraint
+   * registration, so the declaration is data and the mount is one
+   * registrar call). Grammar — `kind:column[:arg1|arg2|...]`; the
+   * argument list splits on `|` (never on `:`, so timestamp arguments
+   * keep their colons):
+   *
+   *   not_null:c
+   *   in_range:c:lo|hi              (numeric bounds, inclusive)
+   *   in_set:c:v1|v2|...            (set values must not contain '|')
+   *   in_set_or_null:c:v1|v2|...
+   *   ts_between:c:lo|hi            ("yyyy-MM-dd HH:mm:ss" bounds)
+   *   length_at_most:c:n
+   *
+   * Uniqueness is deliberately NOT a row-grain spec (it is not a
+   * property of a row — [[validate]] takes `uniqueKeys` separately).
+   * Unknown kinds and malformed argument lists throw at parse time:
+   * a contract that silently drops a misspelled check is worse than
+   * none.
+   */
+  def parseCheck(spec: String): Check = {
+    val parts = spec.split(":", 3)
+    require(parts.length >= 2, s"malformed check spec '$spec' " +
+      "(expected kind:column[:args])")
+    val (kind, c) = (parts(0).trim, parts(1).trim)
+    def args: Array[String] =
+      if (parts.length < 3) Array.empty else parts(2).split("\\|").map(_.trim)
+    def nArgs(n: Int): Array[String] = {
+      val a = args
+      require(a.length == n,
+        s"check spec '$spec': $kind wants $n argument(s), got ${a.length}")
+      a
+    }
+    kind match {
+      case "not_null" => notNull(c)
+      case "in_range" =>
+        val a = nArgs(2); inRange(c, a(0).toDouble, a(1).toDouble)
+      case "in_set" => inSet(c, args.toIndexedSeq)
+      case "in_set_or_null" => inSetOrNull(c, args.toIndexedSeq)
+      case "ts_between" =>
+        val a = nArgs(2); tsBetween(c, a(0), a(1))
+      case "length_at_most" =>
+        val a = nArgs(1); lengthAtMost(c, a(0).toInt)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown check kind '$other' in spec '$spec'")
+    }
+  }
+
+  /** [[parseCheck]] over a declaration list. */
+  def parseChecks(specs: Seq[String]): Seq[Check] = specs.map(parseCheck)
+
   private val reportSchema = StructType(Seq(
     StructField("constraint", StringType),
     StructField("n_violations", LongType),

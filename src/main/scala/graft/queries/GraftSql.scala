@@ -87,4 +87,51 @@ object GraftSql {
       build(spark, sfDir).createOrReplaceTempView(n)
     }
   }
+
+  /**
+   * Mount a CUSTOM data contract from pure declarations — the contract
+   * twin of the knob-variant resolution: the checks are DATA (the
+   * [[graft.contracts.Contracts.parseCheck]] spec grammar), held in any
+   * SQL-visible relation with a `spec STRING` column, so a pure-SQL user
+   * declares thresholds with a `SELECT ... AS spec UNION ALL ...` (or a
+   * real config table) and mounts the report with one registrar call:
+   *
+   *   spark.sql("""CREATE TEMP VIEW my_checks AS
+   *     SELECT 'in_range:value:0|80' AS spec
+   *     UNION ALL SELECT 'not_null:user_id'""")
+   *   GraftSql.registerContract(spark, "my_report", "events", "my_checks",
+   *     uniqueKeys = Seq(Seq("event_id")))
+   *   spark.sql("SELECT * FROM my_report WHERE NOT pass")
+   *
+   * Three views mount per contract: `<name>` (the
+   * [[graft.contracts.Contracts.validate]] audit report),
+   * `<name>_quarantine` (the per-row split over the row-grain checks),
+   * and `<name>_monitor_daily` (the windowed violation monitor at daily
+   * grain over `tsCol`, when a `tsCol` is given). The spec relation is
+   * read ONCE at mount (a contract is bounded config, not a stream);
+   * re-mount to pick up edits — the same lifecycle as every temp view
+   * here.
+   *
+   * @param table any mounted base-table name ([[register]]) or temp view
+   */
+  def registerContract(spark: SparkSession, name: String, table: String,
+                       specsView: String,
+                       uniqueKeys: Seq[Seq[String]] = Seq.empty,
+                       tsCol: Option[String] = None): Unit = {
+    val specs = spark.table(specsView).select("spec")
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(specs.nonEmpty, s"contract '$name': spec relation '$specsView' " +
+      "holds no rows")
+    val checks = graft.contracts.Contracts.parseChecks(specs)
+    val src = spark.table(table)
+    graft.contracts.Contracts.validate(src, checks, uniqueKeys)
+      .createOrReplaceTempView(name)
+    graft.contracts.Contracts.quarantine(src, checks)
+      .createOrReplaceTempView(s"${name}_quarantine")
+    tsCol.foreach { ts =>
+      graft.contracts.Contracts.violationMonitor(src, checks,
+          windowLength = "1 day", tsCol = ts)
+        .createOrReplaceTempView(s"${name}_monitor_daily")
+    }
+  }
 }

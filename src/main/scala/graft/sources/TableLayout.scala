@@ -252,18 +252,34 @@ object TableLayout {
    * shuffled semi/anti join instead of a driver-sized broadcast,
    * spec-pinned in TableLayoutSpec).
    *
+   * Atomicity is PER PARTITION, not across the upsert: each touched
+   * day swaps in one rename, but a reader racing a multi-day upsert can
+   * observe day A already swapped while day B is still old — for a
+   * cross-date key move, transiently both copies or neither. Same
+   * discipline as [[compactDatePartitions]]: run maintenance on closed
+   * dates, or accept the transient skew; without a table format there
+   * is no multi-directory commit to make the batch atomic.
+   *
    * @param updates new/replacement rows (same schema as the layout's
    *                data columns; `tsCol` decides the target partition)
    * @param keyCols row identity — an existing row matching an update on
    *                `keyCols` is replaced anywhere in the table;
    *                everything else is kept
+   * @param keysSpanDates `false` skips the key-location probe scan when
+   *                the CALLER guarantees an update never moves a row's
+   *                date (immutable event time, corrections only): the
+   *                upsert then touches exactly the updates' target
+   *                dates and reads nothing else — but a date-moving
+   *                update under this setting leaves its old copy alive,
+   *                which is the documented trade (spec-pinned)
    */
   def upsertDatePartitions(spark: SparkSession, dir: String,
                            updates: DataFrame, keyCols: Seq[String],
                            tsCol: String = "ts",
-                           sortCols: Seq[String] = Seq("user_id", "ts")): Unit = {
+                           sortCols: Seq[String] = Seq("user_id", "ts"),
+                           keysSpanDates: Boolean = true): Unit = {
     val (merged, touchedDates) =
-      upsertMergedFrame(spark, dir, updates, keyCols, tsCol)
+      upsertMergedFrame(spark, dir, updates, keyCols, tsCol, keysSpanDates)
     rewritePartitions(spark, dir, merged, sortCols, touchedDates)
   }
 
@@ -273,16 +289,20 @@ object TableLayout {
     * strategy without running the write. */
   def upsertMergedFrame(spark: SparkSession, dir: String,
                         updates: DataFrame, keyCols: Seq[String],
-                        tsCol: String = "ts"): (DataFrame, Seq[String]) = {
+                        tsCol: String = "ts",
+                        keysSpanDates: Boolean = true): (DataFrame, Seq[String]) = {
     val dated = updates.withColumn(dateCol, to_date(col(tsCol)))
     val layout = readDatePartitioned(spark, dir)
     val updateKeys = dated.select(keyCols.map(col): _*).distinct()
-    // where do the updated keys live TODAY? column-pruned probe scan
-    val currentDates = layout.select((keyCols :+ dateCol).map(col): _*)
-      .join(updateKeys, keyCols, "left_semi")
-      .select(col(dateCol)).distinct()
-    val touchedDates = dated.select(col(dateCol)).distinct()
-      .union(currentDates).distinct()
+    val targetDates = dated.select(col(dateCol)).distinct()
+    // where do the updated keys live TODAY? column-pruned probe scan —
+    // skipped under the caller's no-day-moves guarantee
+    val touchedDates =
+      if (!keysSpanDates) targetDates
+      else targetDates.union(
+        layout.select((keyCols :+ dateCol).map(col): _*)
+          .join(updateKeys, keyCols, "left_semi")
+          .select(col(dateCol)).distinct()).distinct()
     val existing = layout.join(touchedDates, Seq(dateCol), "left_semi")
     val kept = existing.join(updateKeys, keyCols, "left_anti")
     val merged = kept.unionByName(dated.select(kept.columns.map(col): _*))

@@ -44,6 +44,35 @@ class ContractsSpec extends SparkSpec {
     assert(report("unique(id)") == ((2L, 6L, false)))
   }
 
+  test("parseCheck: every spec kind reproduces its builder constructor; " +
+    "timestamp arguments keep their colons; bad specs throw") {
+    val pairs = Seq(
+      "not_null:etype" -> notNull("etype"),
+      "in_range:v:0|100" -> inRange("v", 0.0, 100.0),
+      "in_set:etype:view|click" -> inSet("etype", Seq("view", "click")),
+      "in_set_or_null:etype:view|click" ->
+        inSetOrNull("etype", Seq("view", "click")),
+      "ts_between:ts:2024-01-01 00:00:00|2024-02-01 00:00:00" ->
+        tsBetween("ts", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      "length_at_most:etype:5" -> lengthAtMost("etype", 5))
+    val df = fixture.withColumn("ts",
+      to_timestamp(lit("2024-01-15 12:00:00")))
+    pairs.foreach { case (spec, built) =>
+      val parsed = Contracts.parseCheck(spec)
+      assert(parsed.name == built.name, spec)
+      // same verdicts row for row, not just the same name
+      val got = df.select(parsed.holds).collect().map(_.get(0)).toSeq
+      val want = df.select(built.holds).collect().map(_.get(0)).toSeq
+      assert(got == want, spec)
+    }
+    assert(intercept[IllegalArgumentException](
+      Contracts.parseCheck("no_such:x")).getMessage.contains("no_such"))
+    assert(intercept[IllegalArgumentException](
+      Contracts.parseCheck("in_range:v:1")).getMessage.contains("argument"))
+    assert(intercept[IllegalArgumentException](
+      Contracts.parseCheck("justone")).getMessage.contains("malformed"))
+  }
+
   test("validate: a clean table passes every check") {
     val clean = Seq((1L, "view", 1.0), (2L, "click", 2.0))
       .toDF("id", "etype", "v")

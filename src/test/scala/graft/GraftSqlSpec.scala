@@ -76,6 +76,55 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) > 0)
   }
 
+  test("a custom contract declared as SQL data mounts report, " +
+    "quarantine, and daily monitor views with user thresholds") {
+    GraftSql.register(spark, sf, Seq.empty)
+    // the user's thresholds live in a SQL relation — checks as DATA
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW my_checks AS
+        |SELECT 'not_null:user_id' AS spec
+        |UNION ALL SELECT 'in_range:value:0|80'
+        |UNION ALL SELECT 'in_set:event_type:view|click'""".stripMargin)
+    GraftSql.registerContract(spark, "my_contract", "events", "my_checks",
+      uniqueKeys = Seq(Seq("event_id")), tsCol = Some("ts"))
+
+    // report reconciles with the builder API at the same thresholds
+    import graft.contracts.Contracts
+    val checks = Seq(
+      Contracts.notNull("user_id"),
+      Contracts.inRange("value", 0.0, 80.0),
+      Contracts.inSet("event_type", Seq("view", "click")))
+    val viaSql = canon(spark.sql("SELECT * FROM my_contract"))
+    val viaBuilder = canon(Contracts.validate(
+      graft.queries.Tables.events(spark, sf), checks, Seq(Seq("event_id"))))
+    assert(viaSql.nonEmpty && viaSql == viaBuilder)
+    // the user's range threshold (0..80) actually bites — real rows
+    // violate it at sf0.001 (value goes to ~327)
+    val rangeViol = spark.sql(
+      """SELECT n_violations FROM my_contract
+        |WHERE constraint = 'in_range(value,0.0,80.0)'""".stripMargin)
+      .head().getLong(0)
+    assert(rangeViol > 0)
+    // quarantine view: per-row verdicts agree with the report count
+    val qViol = spark.sql(
+      """SELECT count(*) FROM my_contract_quarantine
+        |WHERE array_contains(split(violations, ';'),
+        |  'in_range(value,0.0,80.0)')""".stripMargin).head().getLong(0)
+    assert(qViol == rangeViol)
+    // daily monitor mounts and carries the sentinel row total
+    val monRows = spark.sql(
+      """SELECT sum(n) FROM my_contract_monitor_daily
+        |WHERE constraint = '__rows'""".stripMargin).head().getLong(0)
+    assert(monRows == spark.sql("SELECT count(*) FROM events").head().getLong(0))
+    // malformed and unknown specs are rejected loudly at mount
+    spark.sql("CREATE OR REPLACE TEMP VIEW bad_checks AS " +
+      "SELECT 'no_such_kind:x' AS spec")
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.registerContract(spark, "bad_contract", "events", "bad_checks")
+    }
+    assert(ex.getMessage.contains("no_such_kind"))
+  }
+
   test("views compose: SQL aggregation over the ctr view, base tables " +
     "and native functions are mounted") {
     GraftSql.register(spark, sf, Seq("ctr_by_campaign"))

@@ -225,6 +225,35 @@ class TableLayoutSpec extends SparkSpec {
       "untouched partitions were rewritten")
   }
 
+  test("keysSpanDates=false skips the probe scan: target dates only are " +
+    "touched, and a date-moving update's old copy survives (the " +
+    "documented trade)") {
+    val work = Files.createTempDirectory("layout_daygrain").toString
+    val dir = s"$work/events"
+    TableLayout.writeDatePartitioned(
+      mkEvents(Seq(
+        (1L, "2024-06-10 10:00:00", 1L, 1.0),
+        (2L, "2024-06-11 10:00:00", 2L, 1.0))),
+      dir)
+    val before = fileHashes(dir, except = Set("event_date=2024-06-10"))
+    // event 2 "moves" to 06-10, but the caller promised no day moves
+    TableLayout.upsertDatePartitions(spark, dir,
+      mkEvents(Seq((2L, "2024-06-10 12:00:00", 2L, 9.0))), Seq("event_id"),
+      keysSpanDates = false)
+    val after = TableLayout.readDatePartitioned(spark, dir)
+    // the old 06-11 copy is still alive — day-grain semantics, not a bug
+    assert(after.filter(col("event_id") === 2L).count() == 2)
+    assert(fileHashes(dir, except = Set("event_date=2024-06-10")) == before,
+      "only the update's target date may be rewritten")
+    // same-day correction under the knob is exact
+    TableLayout.upsertDatePartitions(spark, dir,
+      mkEvents(Seq((1L, "2024-06-10 10:00:00", 1L, 5.0))), Seq("event_id"),
+      keysSpanDates = false)
+    assert(TableLayout.readDatePartitioned(spark, dir)
+      .filter(col("event_id") === 1L)
+      .select("value").head().getDouble(0) == 5.0)
+  }
+
   test("deleteDateKeys removes matching rows everywhere, retires emptied " +
     "partitions, and leaves untouched dates byte-identical") {
     val work = Files.createTempDirectory("layout_delete").toString
@@ -490,6 +519,65 @@ class TableLayoutSpec extends SparkSpec {
     assert(TableLayout.readStatsPruned(spark, dir,
       Seq(("user_id", 3L, 3L))).count() ==
       (0L until 60L).count(_ % 7 == 3L))
+  }
+
+  test("maintenance loop under a LIVE landing stream: close date → " +
+    "compact → refresh stats, pruned reads stay correct across the swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val work = Files.createTempDirectory("layout_loop").toString
+    val dir = s"$work/events"
+    val stream = MemoryStream[(Long, String, Long, Double)](spark)
+    val landed = stream.toDF().toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+    val q = TableLayout.streamToDatePartitioned(landed, dir, s"$work/ckpt")
+    val statsCols = Seq("user_id", "value")
+    def prunedCount(u: Long): Long =
+      TableLayout.readStatsPruned(spark, dir,
+        Seq(("user_id", u, u))).count()
+    try {
+      // day 1 lands over several microbatches, day 2 opens
+      stream.addData((0L until 20L).map(i =>
+        (i, "2024-10-01 10:00:00", i % 5, i * 1.0)))
+      q.processAllAvailable()
+      stream.addData((20L until 40L).map(i =>
+        (i, if (i < 30) "2024-10-01 22:00:00" else "2024-10-02 01:00:00",
+          i % 5, i * 1.0)))
+      q.processAllAvailable()
+      TableLayout.buildFileStats(spark, dir, statsCols)
+      assert(prunedCount(3L) == (0L until 40L).count(_ % 5 == 3))
+
+      // the scheduled maintenance pass runs while the landing query is
+      // LIVE: day 1 is past the horizon (closed) → compact it, refresh
+      // the manifest incrementally
+      assert(q.isActive)
+      TableLayout.compactDatePartitions(spark, dir,
+        col(TableLayout.dateCol) === "2024-10-01")
+      val (added, dropped) = TableLayout.refreshFileStats(spark, dir, statsCols)
+      assert(added == 1L, s"compaction should add 1 merged file, got $added")
+      assert(dropped >= 2L, "the microbatch files' manifest rows must drop")
+      // pruned reader correct ACROSS the swap, nothing lost or doubled
+      assert(prunedCount(3L) == (0L until 40L).count(_ % 5 == 3))
+      assert(TableLayout.readDatePartitioned(spark, dir).count() == 40)
+
+      // the landing stream keeps appending to the OPEN day after the
+      // swap; another refresh folds the new files in
+      stream.addData((40L until 50L).map(i =>
+        (i, "2024-10-02 02:00:00", i % 5, i * 1.0)))
+      q.processAllAvailable()
+      val (added2, dropped2) =
+        TableLayout.refreshFileStats(spark, dir, statsCols)
+      assert(added2 >= 1L && dropped2 == 0L)
+      assert(prunedCount(3L) == (0L until 50L).count(_ % 5 == 3))
+      assert(TableLayout.readDatePartitioned(spark, dir).count() == 50)
+      // and the manifest equals a from-scratch rebuild (no drift)
+      val refreshed = spark.read.parquet(s"$dir/_graft_stats")
+        .collect().map(_.toSeq).toSet
+      TableLayout.buildFileStats(spark, dir, statsCols)
+      assert(spark.read.parquet(s"$dir/_graft_stats")
+        .collect().map(_.toSeq).toSet == refreshed)
+    } finally q.stop()
   }
 
   test("bucketed tables joined on the bucket key plan no shuffle " +
