@@ -41,6 +41,7 @@ object Bench {
       graft.sources.TableLayout.eventsDatePartitioned(spark, sfDir)
         .queryExecution.executedPlan
       graft.sources.TableLayout.eventsZOrdered(spark, sfDir)
+      graft.sources.TableLayout.embeddingsCellPartitioned(spark, sfDir)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] layout provisioning failed (timed " +
         s"loop will pay or fail the write): ${e.getClass.getName}: ${e.getMessage}")

@@ -488,11 +488,70 @@ object LayoutScaleSmoke {
       val (prunedFiles, prunedBytes) = scanStats(pruned)
       val (tMono, _) = timed(mono.collect())
       val (monoFiles, monoBytes) = scanStats(mono)
+
+      // ---- maintenance battery: CONSTANT-size work against the K×
+      // table. The structural claim under test is O(touched days'
+      // bytes) + a narrow-column probe, never O(table rewrite) —
+      // provision_sec above is the full-write yardstick, so
+      // maintenance_sec/provision_sec must FALL as K grows even though
+      // each touched day is K× denser. Batches draw from copy 0 (ids
+      // stable across K) via pmod classes, deterministic and disjoint.
+      import graft.sources.TableLayout
+      val dataCols = Seq("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      def batch(cls: Int) = base
+        .filter(pmod(col("event_id"), lit(50)) === cls)
+        .select(dataCols.map(col): _*)
+      // cross-date key moves: ts shifts two days, old copies must be
+      // probed out of their old partitions (global-key semantics)
+      val (tUpMove, _) = timed {
+        TableLayout.upsertDatePartitions(spark, partDir,
+          batch(0).withColumn("ts",
+            col("ts") + expr("INTERVAL 2 DAYS"))
+            .withColumn("value", col("value") + 1000.0),
+          keyCols = Seq("event_id"))
+      }
+      // same-day corrections under the caller's no-day-moves guarantee:
+      // no probe scan, touches exactly the batch's target dates
+      val (tUpDay, _) = timed {
+        TableLayout.upsertDatePartitions(spark, partDir,
+          batch(1).withColumn("value", col("value") + 1000.0),
+          keyCols = Seq("event_id"), keysSpanDates = false)
+      }
+      val nDel = batch(2).count()
+      val (tDelete, _) = timed {
+        TableLayout.deleteDateKeys(spark, partDir,
+          batch(2).select("event_id"), keyCols = Seq("event_id"))
+      }
+      // the upserts fragmented their touched days; compact one of them
+      val (tCompact, _) = timed {
+        TableLayout.compactDatePartitions(spark, partDir,
+          col(TableLayout.dateCol) === "2024-01-10")
+      }
+      val statsCols = Seq("user_id", "value")
+      val (tStatsBuild, _) = timed {
+        TableLayout.buildFileStats(spark, partDir, statsCols)
+      }
+      TableLayout.compactDatePartitions(spark, partDir,
+        col(TableLayout.dateCol) === "2024-01-12")
+      val (tStatsRefresh, refreshed) = timed {
+        TableLayout.refreshFileStats(spark, partDir, statsCols)
+      }
+      // nothing lost or doubled across the whole battery
+      val nAfter = TableLayout.readDatePartitioned(spark, partDir).count()
+      require(nAfter == n - nDel,
+        s"maintenance battery changed the row count: $nAfter != $n - $nDel")
+
       println(s"""{"k":$k,"events":$n,"provision_sec":$tWrite,""" +
         s""""pruned_sec":$tPruned,"pruned_files":$prunedFiles,""" +
         s""""pruned_bytes":$prunedBytes,""" +
         s""""mono_sec":$tMono,"mono_files":$monoFiles,""" +
-        s""""mono_bytes":$monoBytes}""")
+        s""""mono_bytes":$monoBytes,""" +
+        s""""upsert_move_sec":$tUpMove,"upsert_daygrain_sec":$tUpDay,""" +
+        s""""delete_sec":$tDelete,"deleted_rows":$nDel,""" +
+        s""""compact_sec":$tCompact,"stats_build_sec":$tStatsBuild,""" +
+        s""""stats_refresh_sec":$tStatsRefresh,""" +
+        s""""refresh_added":${refreshed._1},"refresh_dropped":${refreshed._2}}""")
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(partDir))
       org.apache.commons.io.FileUtils.deleteDirectory(

@@ -311,6 +311,23 @@ object DataPipelineQueries {
       Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
+  /** IVF over the cell-partitioned AT-REST layout (r11): same
+    * deterministic centroids, probes, and re-rank as `similarity_ivf`,
+    * but the candidates come from
+    * [[graft.sources.TableLayout.embeddingsCellPartitioned]] — the
+    * probed cell ids prune whole `cell=` directories at file LISTING
+    * time (scan-metrics receipt in TableLayoutSpec), so the query reads
+    * the probed fraction of the corpus instead of scanning everything
+    * to recompute cells. Rows equal `similarity_ivf`'s exactly — served
+    * by the same oracle. */
+  val similarityIvfPruned: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfPruned") { (spark, sfDir) =>
+      val layout = spark.read.parquet(
+        graft.sources.TableLayout.embeddingsCellPartitioned(spark, sfDir))
+      Similarity.ivfHashTopKPruned(embs(spark, sfDir), layout,
+        nQueries = 8, k = 5)
+    }
+
   /** JL random projection (map-side, no shuffle) and its distortion
     * audit over the smallest-id sample; dim pinned by RpConfig so a
     * drifted corpus fails loudly, not as an oracle value mismatch.
@@ -2248,6 +2265,8 @@ object DataPipelineQueries {
     NamedQuery("hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
+    NamedQuery("similarity_ivf_pruned", similarityIvfPruned,
+      Some(similarityIvfOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("cms_heavy_hitters", cmsHeavyHitters,

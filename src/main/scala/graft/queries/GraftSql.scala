@@ -89,6 +89,33 @@ object GraftSql {
   }
 
   /**
+   * Mount the physical-layout TABLES as SQL views — opt-in (separate
+   * from [[register]] because first mount PROVISIONS the layouts: a
+   * one-time partitioned/z-ordered write, cached across JVMs, where
+   * plain view registration is lazy). After this call a pure-SQL user
+   * gets the layout's scan economics through ordinary WHERE clauses:
+   *
+   *   - `events_dated` — the date-partitioned layout; a filter on
+   *     `event_date` prunes whole directories at FILE LISTING time, so
+   *     `WHERE event_date BETWEEN ...` reads only those days' files
+   *     (the registered `events_layout_prune` query's mechanics, now
+   *     open-ended to any SQL).
+   *   - `events_zordered` — the (user_id, value) Z-ordered layout;
+   *     Morton clustering tightens per-file min/max on BOTH keys, so
+   *     parquet row-group/file skipping serves two-sided box filters.
+   *     (The `_graft_stats` manifest path — file-grain skipping before
+   *     parquet even opens — needs per-box pruning args and therefore
+   *     stays a builder call, `TableLayout.readStatsPruned`; it is
+   *     registered as the oracle-checked `events_zorder_box`.)
+   */
+  def registerLayout(spark: SparkSession, sfDir: String): Unit = {
+    graft.sources.TableLayout.eventsDatePartitioned(spark, sfDir)
+      .createOrReplaceTempView("events_dated")
+    spark.read.parquet(graft.sources.TableLayout.eventsZOrdered(spark, sfDir))
+      .createOrReplaceTempView("events_zordered")
+  }
+
+  /**
    * Mount a CUSTOM data contract from pure declarations — the contract
    * twin of the knob-variant resolution: the checks are DATA (the
    * [[graft.contracts.Contracts.parseCheck]] spec grammar), held in any

@@ -186,6 +186,27 @@ object TableLayout {
     }
 
   /**
+   * The `embeddings` table partitioned by its deterministic IVF coarse
+   * cell ([[graft.similarity.Similarity.ivfCellAssignments]]) — the ANN
+   * analogue of date partitioning: an IVF query probes `nProbe` of
+   * `nCells` cells, so over this layout the probe set prunes whole cell
+   * directories at file LISTING time and the query reads only the
+   * probed fraction of the corpus (where the query-time variant scans
+   * everything to recompute cells). The at-rest form every disk-resident
+   * IVF index takes (cell = segment); served by
+   * `similarity_ivf_pruned`, which re-ranks to the exact same rows as
+   * `similarity_ivf`.
+   */
+  def embeddingsCellPartitioned(spark: SparkSession, sfDir: String,
+                                nCells: Int = 16): String =
+    cachedLayoutDir(sfDir, "embeddings_ivf_cells",
+      s"$sfDir/embeddings.parquet") { tmp =>
+      graft.similarity.Similarity.ivfCellAssignments(
+          Tables.spread(spark, sfDir, "embeddings"), nCells)
+        .write.partitionBy("cell").parquet(tmp)
+    }
+
+  /**
    * Land a STREAM into the date-partitioned layout: the streaming side
    * of [[writeDatePartitioned]], so ingest lands directly in the form
    * time-bounded readers prune. Append-mode file sink with a checkpoint

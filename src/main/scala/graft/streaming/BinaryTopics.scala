@@ -59,14 +59,17 @@ object BinaryTopics {
   /** File-backed binary topic sink for an [[encode]]d single-`value`
     * frame: parquet container, append mode, checkpointed — the codec
     * twin of [[JsonStreams.writeValueTopic]]. */
-  def writeValueTopic(value: DataFrame, dir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    value.writeStream
+  def writeValueTopic(value: DataFrame, dir: String, checkpoint: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = value.writeStream
       .format("parquet")
       .option("path", dir)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** File-backed binary topic source (the raw `value` frame; compose
     * with [[decode]]). */
@@ -79,9 +82,10 @@ object BinaryTopics {
 
   /** Encode + sink in one call — the codec twin of
     * [[JsonStreams.writeTopic]]. */
-  def writeTopic(df: DataFrame, dir: String, checkpoint: String)
+  def writeTopic(df: DataFrame, dir: String, checkpoint: String,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    writeValueTopic(encode(df), dir, checkpoint)
+    writeValueTopic(encode(df), dir, checkpoint, trigger)
 
   /** Source + decode in one call — the codec twin of
     * [[JsonStreams.readTopic]]. */

@@ -85,14 +85,17 @@ object JsonStreams {
    * state under `checkpointLocation` and recovers exactly-once on restart).
    * Returns the started query; caller awaits/stops it.
    */
-  def writeTopic(df: DataFrame, dir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+  def writeTopic(df: DataFrame, dir: String, checkpoint: String,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .format("json")
       .option("path", dir)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /**
    * File-backed sink for an [[encode]]d single-`value` frame, written with

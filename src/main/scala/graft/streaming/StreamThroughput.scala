@@ -224,7 +224,8 @@ object StreamThroughput {
 
   def annJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
                  corpusDir: String = "/root/testdata/sf0.001",
-                 codec: String = "json"): StepResult = {
+                 codec: String = "json",
+                 triggerInterval: Option[String] = None): StepResult = {
     val root = Files.createTempDirectory("graft-sthr-ann")
     val emb = root.resolve("embeddings")
     val model = graft.similarity.Similarity.freezeAnnIndex(
@@ -232,12 +233,16 @@ object StreamThroughput {
       .getOrElse(sys.error(s"no freezable corpus in $corpusDir"))
     val feeder = feedTopic(embStream(spark, rate), codec,
       emb, root.resolve("_ck/emb"))
-    runStep(if (codec == "json") "ann" else s"ann-$codec",
-      rate, feedMs, tailAllowanceMs = 3000L,
+    val label = (if (codec == "json") "ann" else s"ann-$codec") +
+      triggerInterval.map(t => s"-t${t.replace(" ", "")}").getOrElse("")
+    runStep(label,
+      rate, feedMs,
+      tailAllowanceMs = 3000L +
+        triggerInterval.map(_ => 3000L).getOrElse(0L),
       Seq(feeder), Seq(emb),
       () => Seq(StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
         model, root.resolve("work").toString, maxFilesPerTrigger = 10000,
-        codec = codec)),
+        codec = codec, triggerInterval = triggerInterval)),
       spark, topicCounter(spark, codec))
   }
 
@@ -247,19 +252,28 @@ object StreamThroughput {
   def ingestJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
                     simMsPerRow: Long = 20L,
                     stateStoreProvider: Option[String] = None,
-                    codec: String = "json"): StepResult = {
+                    codec: String = "json",
+                    triggerInterval: Option[String] = None): StepResult = {
     val root = Files.createTempDirectory("graft-sthr-ingest")
     val docs = root.resolve("docs")
     val feeder = feedTopic(docStream(spark, rate, simMsPerRow = simMsPerRow),
       codec, docs, root.resolve("_ck/docs"))
-    // single-query topology: one batch of tail is enough
-    runStep(if (codec == "json") "ingest" else s"ingest-$codec",
-      rate, feedMs, tailAllowanceMs = 3000L,
+    val label = (if (codec == "json") "ingest" else s"ingest-$codec") +
+      triggerInterval.map(t => s"-t${t.replace(" ", "")}").getOrElse("")
+    // single-query topology: one batch of tail is enough; a configured
+    // processing-time trigger adds one interval of legitimately-queued
+    // work at feed end (a TOPOLOGY constant, unlike observed batch
+    // time), covered by a fixed grace for the ≤3s intervals used here
+    runStep(label,
+      rate, feedMs,
+      tailAllowanceMs = 3000L +
+        triggerInterval.map(_ => 3000L).getOrElse(0L),
       Seq(feeder), Seq(docs),
       () => Seq(StreamingCurationJobs.runIngestJob(spark, docs.toString,
         benchDocs(spark), root.resolve("work").toString,
         maxFilesPerTrigger = 10000,
-        stateStoreProvider = stateStoreProvider, codec = codec)),
+        stateStoreProvider = stateStoreProvider, codec = codec,
+        triggerInterval = triggerInterval)),
       spark, topicCounter(spark, codec))
   }
 }

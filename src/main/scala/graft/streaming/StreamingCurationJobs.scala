@@ -196,7 +196,8 @@ object StreamingCurationJobs {
                    stateStoreProvider: Option[String] = None,
                    contractChecks: Seq[graft.contracts.Contracts.Check] =
                      Seq.empty,
-                   codec: String = "json"): StreamingQuery =
+                   codec: String = "json",
+                   triggerInterval: Option[String] = None): StreamingQuery =
     StateBackend.withProvider(spark, stateStoreProvider) {
     val decoded = readDecoded(spark, docsTopic, docSchema, codec,
       maxFilesPerTrigger)
@@ -228,11 +229,13 @@ object StreamingCurationJobs {
     // structured topic (like the ad pipeline's materialized join): the
     // chained stats job re-reads it with the declared curatedSchema,
     // under the same codec as the input side
+    val trig = triggerInterval.map(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
     if (codec == "binary")
       BinaryTopics.writeTopic(curated,
-        s"$workDir/curated", s"$workDir/_checkpoints/curated")
+        s"$workDir/curated", s"$workDir/_checkpoints/curated", trig)
     else JsonStreams.writeTopic(curated,
-      s"$workDir/curated", s"$workDir/_checkpoints/curated")
+      s"$workDir/curated", s"$workDir/_checkpoints/curated", trig)
   }
 
   /**
@@ -283,17 +286,25 @@ object StreamingCurationJobs {
                       model: graft.similarity.Similarity.AnnIndexModel,
                       workDir: String,
                       maxFilesPerTrigger: Int = 8,
-                      codec: String = "json"): StreamingQuery = {
+                      codec: String = "json",
+                      triggerInterval: Option[String] = None): StreamingQuery = {
     val raw = readDecoded(spark, embTopic, embSchema, codec,
       maxFilesPerTrigger)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
         size(col("embedding")) === model.cfg.dim)
     val codes = StreamingCuration.annIngestStream(raw, model)
+    // a stateless job's microbatch cost is mostly FIXED (listing +
+    // planning + sink commit): at high arrival rates the default
+    // as-fast-as-possible trigger spends it on small batches, so a
+    // processing-time trigger that accumulates more files per cycle
+    // amortizes the floor — the measured knob in BASELINE.md r11
+    val trig = triggerInterval.map(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
     if (codec == "binary")
       BinaryTopics.writeTopic(codes,
-        s"$workDir/codes", s"$workDir/_checkpoints/codes")
+        s"$workDir/codes", s"$workDir/_checkpoints/codes", trig)
     else JsonStreams.writeTopic(codes,
-      s"$workDir/codes", s"$workDir/_checkpoints/codes")
+      s"$workDir/codes", s"$workDir/_checkpoints/codes", trig)
   }
 
   /**

@@ -125,6 +125,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("no_such_kind"))
   }
 
+  test("registerLayout mounts the physical layouts for pure SQL: an " +
+    "event_date WHERE prunes at file listing and values match the raw " +
+    "table; the z-ordered view carries the full table") {
+    GraftSql.register(spark, sf, Seq.empty)
+    GraftSql.registerLayout(spark, sf)
+    val week = spark.sql(
+      """SELECT CAST(event_date AS STRING) AS d, event_type,
+        |       count(*) AS n
+        |FROM events_dated
+        |WHERE event_date BETWEEN '2024-01-08' AND '2024-01-14'
+        |GROUP BY 1, 2""".stripMargin)
+    val raw = spark.sql(
+      """SELECT CAST(to_date(ts) AS STRING) AS d, event_type,
+        |       count(*) AS n
+        |FROM events
+        |WHERE to_date(ts) BETWEEN '2024-01-08' AND '2024-01-14'
+        |GROUP BY 1, 2""".stripMargin)
+    assert(canon(week).nonEmpty && canon(week) == canon(raw))
+    // the WHERE pruned at LISTING time: 7 of 30 date directories
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(walk)
+    }
+    week.collect()
+    val scan = walk(week.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.metrics("numFiles").value == 7, scan.metrics("numFiles"))
+    // z-ordered view: whole table, _graft_stats manifest not mingled in
+    assert(spark.sql("SELECT count(*) FROM events_zordered").head().getLong(0)
+      == spark.sql("SELECT count(*) FROM events").head().getLong(0))
+    assert(!spark.table("events_zordered").columns.contains("path"))
+  }
+
   test("views compose: SQL aggregation over the ctr view, base tables " +
     "and native functions are mounted") {
     GraftSql.register(spark, sf, Seq("ctr_by_campaign"))

@@ -92,4 +92,35 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(got == batch,
       s"only-stream=${got -- batch} only-batch=${batch -- got}")
   }
+
+  test("a processing-time trigger changes microbatch cadence, never the " +
+    "codes: trigger-run output equals the default-trigger batch parity") {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val model = Similarity.freezeAnnIndex(all.filter(!isNew)).get
+
+    val work = Files.createTempDirectory("ann_ingest_trig").toString
+    val topic = s"$work/emb_topic"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+    val feed = JsonStreams.encode(
+        all.filter(isNew).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+      .collect().map(_.getString(0))
+    Files.write(java.nio.file.Paths.get(s"$topic/part-0.json"),
+      String.join("\n", feed: _*).getBytes)
+
+    val q = StreamingCurationJobs.runAnnIngestJob(spark, topic, model, work,
+      triggerInterval = Some("1 second"))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.schema(
+        "vec_id LONG, cell LONG, code0 INT, code1 INT, code2 INT, " +
+          "code3 INT, recon_error DOUBLE")
+      .json(s"$work/codes").collect().map(codeRow).toSet
+    val batch = Similarity.incrementalAssign(all, isNew)
+      .collect().map(codeRow).toSet
+    assert(batch.nonEmpty)
+    assert(got == batch,
+      s"only-stream=${got -- batch} only-batch=${batch -- got}")
+  }
 }

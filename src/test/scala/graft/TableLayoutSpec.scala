@@ -580,6 +580,41 @@ class TableLayoutSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddings cell layout: the probe set prunes cell directories " +
+    "at listing time and the pruned IVF equals the full-scan IVF") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val layoutDir = TableLayout.embeddingsCellPartitioned(spark, sfDir)
+    // all 16 cell directories exist on disk
+    val cellDirs = Files.list(Paths.get(layoutDir)).toArray
+      .map(_.toString).count(_.contains("cell="))
+    assert(cellDirs == 16, s"expected 16 cell dirs, got $cellDirs")
+    val layout = spark.read.parquet(layoutDir)
+
+    // a single query probes nProbe=4 of 16 cells: the layout scan must
+    // touch at most those 4 directories
+    val pruned = Similarity.ivfHashTopKPruned(emb, layout,
+      nQueries = 1, k = 5)
+    val full = Similarity.ivfHashTopK(emb, nQueries = 1, k = 5)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val prunedRows = rows(pruned)
+    assert(prunedRows.nonEmpty && prunedRows == rows(full))
+    val layoutScan = scanNodes(pruned)
+      .find(_.relation.partitionSchema.fieldNames.contains("cell"))
+      .getOrElse(fail("no partitioned scan over the cell layout"))
+    assert(layoutScan.partitionFilters.nonEmpty, layoutScan.toString)
+    assert(layoutScan.metrics("numPartitions").value <= 4,
+      layoutScan.metrics("numPartitions"))
+
+    // at the registered parameters (8 queries) the pruned form still
+    // equals the full scan row-for-row — same centroids/probes/re-rank
+    assert(rows(Similarity.ivfHashTopKPruned(emb, layout,
+        nQueries = 8, k = 5)) ==
+      rows(Similarity.ivfHashTopK(emb, nQueries = 8, k = 5)))
+  }
+
   test("bucketed tables joined on the bucket key plan no shuffle " +
     "exchange; the unbucketed join does") {
     val work = Files.createTempDirectory("layout_bucketed").toString
