@@ -561,3 +561,124 @@ object LayoutScaleSmoke {
     spark.stop()
   }
 }
+
+/**
+ * ANN-layout scale smoke: amplifies the `embeddings` corpus K× (fresh
+ * ids, per-copy-scaled vectors — cosine structure preserved, cells
+ * deterministic) and times the SAME IVF query two ways at each K: the
+ * query-time variant (`ivfHashTopK`, scans the corpus to recompute
+ * cells) and the at-rest variant (`ivfHashTopKPruned` over the
+ * cell-partitioned layout, probe set pruning directories at listing).
+ * Scan files/bytes printed beside the seconds: the scale-invariant
+ * receipt is the probed fraction of the table's bytes, the wall-clock
+ * gap is the local crossover. Usage:
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.AnnScaleSmoke 1 4 16 64"
+ */
+object AnnScaleSmoke {
+
+  private def amplify(e: org.apache.spark.sql.DataFrame, k: Int) =
+    (0 until k).map { i =>
+      e.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + lit(i.toFloat * 0.001f))).as("embedding"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // quantizer width and query-batch size are THE pruning knobs: the
+    // probed fraction is at most nQueries*nProbe/nCells, so the
+    // registered oracle config (16 cells, 8 queries) probes nearly
+    // everything while a production quantizer (hundreds-plus cells)
+    // probes a sliver — measure both
+    val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "8").toInt
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16, 64)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: through.flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") => f }
+      def v(f: FileSourceScanExec, k: String) =
+        f.metrics.get(k).map(_.value).getOrElse(0L)
+      (scans.map(v(_, "numFiles")).sum, scans.map(v(_, "filesSize")).sum)
+    }
+
+    import graft.similarity.Similarity
+    // warm codegen/planning once
+    Similarity.ivfHashTopK(base, nQueries = 1, k = 5).count()
+
+    val work = java.nio.file.Files.createTempDirectory("ann_scale")
+    for (k <- ks) {
+      val emb = amplify(base, k).repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val dir = s"$work/cells_k$k"
+      // cluster each cell into a few files (repartition on the cell plus
+      // a small hash spread) — a naive write leaves one file per
+      // (task × cell) and the layout degrades to listing overhead
+      val (tBuild, _) = timed {
+        val a = Similarity.ivfCellAssignments(emb, nCells)
+        a.repartition(col("cell"), pmod(col("vec_id"), lit(4)))
+          .write.partitionBy("cell").parquet(dir)
+      }
+      // honest asymmetry: the full-scan variant reads the PERSISTED
+      // in-memory corpus while the pruned variant pays real parquet
+      // I/O on the layout — any crossover in pruned's favor survives
+      // giving the full scan the cache advantage
+      val layout = spark.read.parquet(dir)
+      val (tFull, fullRows) = timed {
+        Similarity.ivfHashTopK(emb, nQueries = nQueries, k = 5,
+          nCells = nCells).count()
+      }
+      val pruned = Similarity.ivfHashTopKPruned(emb, layout,
+        nQueries = nQueries, k = 5, nCells = nCells)
+      // collect (40 rows), not count: count() executes a DERIVED plan,
+      // leaving this frame's scan metrics empty
+      val (tPruned, prunedRows) = timed { pruned.collect().length.toLong }
+      val (files, bytes) = scanStats(pruned)
+      val totalFiles = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try s.toArray.map(_.toString)
+          .count(p => p.endsWith(".parquet") && !p.contains("_spark_metadata"))
+        finally s.close()
+      }
+      require(fullRows == prunedRows,
+        s"pruned row count diverged: $prunedRows != $fullRows")
+      println(s"""{"k":$k,"cells":$nCells,"queries":$nQueries,""" +
+        s""""vectors":$n,"layout_build_sec":$tBuild,""" +
+        s""""full_sec":$tFull,"pruned_sec":$tPruned,"rows":$fullRows,""" +
+        s""""pruned_files":$files,"total_files":$totalFiles,""" +
+        s""""pruned_bytes":$bytes}""")
+      emb.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+    spark.stop()
+  }
+}

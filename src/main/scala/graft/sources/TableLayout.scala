@@ -196,15 +196,46 @@ object TableLayout {
    * IVF index takes (cell = segment); served by
    * `similarity_ivf_pruned`, which re-ranks to the exact same rows as
    * `similarity_ivf`.
+   *
+   * @param filesPerCell files per cell directory (hash-spread on
+   *                vec_id) — 1 suits the test scale factors; at real
+   *                scale size it so a cell's files match the cluster's
+   *                scan parallelism, exactly the
+   *                [[compactDatePartitions]] filesPerPartition trade
    */
   def embeddingsCellPartitioned(spark: SparkSession, sfDir: String,
-                                nCells: Int = 16): String =
-    cachedLayoutDir(sfDir, "embeddings_ivf_cells",
+                                nCells: Int = 16,
+                                filesPerCell: Int = 1): String =
+    cachedLayoutDir(sfDir, s"embeddings_ivf_cells_f$filesPerCell",
       s"$sfDir/embeddings.parquet") { tmp =>
       graft.similarity.Similarity.ivfCellAssignments(
           Tables.spread(spark, sfDir, "embeddings"), nCells)
+        .repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
         .write.partitionBy("cell").parquet(tmp)
     }
+
+  /**
+   * Land a PRE-ASSIGNED vector stream
+   * ([[graft.similarity.Similarity.ivfCellAssignmentsAgainst]] under the
+   * corpus's frozen quantizer) into cell-partitioned parquet — live IVF
+   * index segments, the ANN sibling of [[streamToDatePartitioned]]:
+   * each microbatch writes only the cell directories its vectors hit,
+   * checkpointed exactly-once. The streamed directory is its OWN
+   * segment set (the sink's `_spark_metadata` log governs reads of this
+   * dir — batch files dropped beside it would be invisible), so compose
+   * with a base layout by UNIONING the two partitioned reads; a probe
+   * set prunes both sides at listing, and the pruned query stays exact
+   * (spec-pinned in StreamingAnnIngestSpec).
+   */
+  def streamToCellPartitioned(assigned: DataFrame, dir: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    assigned.writeStream.format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
 
   /**
    * Land a STREAM into the date-partitioned layout: the streaming side

@@ -93,6 +93,78 @@ class StreamingAnnIngestSpec extends SparkSpec {
       s"only-stream=${got -- batch} only-batch=${batch -- got}")
   }
 
+  test("live IVF segments: vectors stream-landed into the cell layout " +
+    "under frozen centroids equal a batch-built layout, and the pruned " +
+    "query prunes BOTH segment sets at listing") {
+    import graft.sources.TableLayout
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val corpus = all.filter(!isNew)
+    val work = Files.createTempDirectory("ann_cell_land").toString
+
+    // base segment set: the corpus batch-written under its own cells
+    Similarity.ivfCellAssignments(corpus)
+      .write.partitionBy("cell").parquet(s"$work/base")
+    // live segment set: new vectors land through the stream, assigned
+    // against the FROZEN corpus quantizer (stateless projection)
+    val newRows = all.filter(isNew).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = TableLayout.streamToCellPartitioned(
+      Similarity.ivfCellAssignmentsAgainst(
+        stream.toDF().toDF("vec_id", "embedding"), corpus),
+      s"$work/live", s"$work/ck")
+    try {
+      stream.addData(newRows.take(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(newRows.drop(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val layout = spark.read.parquet(s"$work/base")
+      .unionByName(spark.read.parquet(s"$work/live"))
+    assert(layout.count() == all.count(), "every vector landed exactly once")
+
+    // batch-equivalent reference: the full set assigned under the same
+    // frozen centroids, written as one layout
+    Similarity.ivfCellAssignmentsAgainst(all, corpus)
+      .write.partitionBy("cell").parquet(s"$work/ref")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val pruned = Similarity.ivfHashTopKPruned(corpus, layout,
+      nQueries = 2, k = 5)
+    val want = rows(Similarity.ivfHashTopKPruned(corpus,
+      spark.read.parquet(s"$work/ref"), nQueries = 2, k = 5))
+    assert(want.nonEmpty && rows(pruned) == want)
+
+    // both segment sets prune at listing: each partitioned scan reads
+    // at most the probed cells, not all 16
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(walk)
+    }
+    pruned.collect()
+    val cellScans = walk(pruned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("cell") => f }
+    assert(cellScans.size == 2, s"expected 2 partitioned scans, " +
+      s"got ${cellScans.size}")
+    cellScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, s.toString)
+      assert(s.metrics("numPartitions").value < 16,
+        s.metrics("numPartitions"))
+    }
+  }
+
   test("a processing-time trigger changes microbatch cadence, never the " +
     "codes: trigger-run output equals the default-trigger batch parity") {
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -586,8 +586,11 @@ class TableLayoutSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val layoutDir = TableLayout.embeddingsCellPartitioned(spark, sfDir)
     // all 16 cell directories exist on disk
-    val cellDirs = Files.list(Paths.get(layoutDir)).toArray
-      .map(_.toString).count(_.contains("cell="))
+    val cellDirs = {
+      val s = Files.list(Paths.get(layoutDir))
+      try s.toArray.map(_.toString).count(_.contains("cell="))
+      finally s.close()
+    }
     assert(cellDirs == 16, s"expected 16 cell dirs, got $cellDirs")
     val layout = spark.read.parquet(layoutDir)
 
