@@ -64,6 +64,14 @@ object StreamBench {
       StreamThroughput.ingestJobStep(spark, r, feedMs, codec = "binary"))
     val annBinSteps = annBinRates.map(r =>
       StreamThroughput.annJobStep(spark, r, feedMs, codec = "binary"))
+    // SPARK_GRAFT_ANN_LAYOUT_RATES: the ANN-layout job (topic →
+    // frozen-cell assignment → live cell segments) — off by default,
+    // stepped when measuring the disk-index landing path
+    val annLayoutSteps = sys.env.get("SPARK_GRAFT_ANN_LAYOUT_RATES").toSeq
+      .flatMap(_.split(",").map(_.trim.toInt).toSeq)
+      .flatMap(r => Seq(
+        StreamThroughput.annLayoutStep(spark, r, feedMs),
+        StreamThroughput.annLayoutStep(spark, r, feedMs, codec = "binary")))
     // SPARK_GRAFT_TRIGGER (e.g. "2 seconds"): re-run the curation steps
     // under a processing-time trigger — fewer, larger microbatches
     // amortize the per-batch fixed cost (listing + planning + sink
@@ -82,7 +90,8 @@ object StreamBench {
       steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
         .foldLeft(0L)(math.max)
     val allSteps = (mainSteps ++ ingestSteps ++ annSteps ++
-      ingestBinSteps ++ annBinSteps ++ trigSteps).map(_.json).mkString(",")
+      ingestBinSteps ++ annBinSteps ++ annLayoutSteps ++ trigSteps)
+      .map(_.json).mkString(",")
     println(
       s"""{"metric":"stream_max_sustained_events_per_sec",""" +
       s""""value":${maxSustained(mainSteps)},"unit":"events_per_sec",""" +

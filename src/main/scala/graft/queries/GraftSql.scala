@@ -113,6 +113,11 @@ object GraftSql {
       .createOrReplaceTempView("events_dated")
     spark.read.parquet(graft.sources.TableLayout.eventsZOrdered(spark, sfDir))
       .createOrReplaceTempView("events_zordered")
+    // the IVF cell layout: WHERE cell IN (...) prunes cell directories
+    // at listing, the SQL half of similarity_ivf_pruned's read path
+    spark.read.parquet(
+        graft.sources.TableLayout.embeddingsCellPartitioned(spark, sfDir))
+      .createOrReplaceTempView("embeddings_cells")
   }
 
   /**

@@ -228,14 +228,40 @@ object TableLayout {
    * (spec-pinned in StreamingAnnIngestSpec).
    */
   def streamToCellPartitioned(assigned: DataFrame, dir: String,
-                              checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    assigned.writeStream.format("parquet")
+                              checkpoint: String,
+                              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = assigned.writeStream.format("parquet")
       .option("path", dir)
       .option("checkpointLocation", checkpoint)
       .partitionBy("cell")
       .outputMode("append")
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /**
+   * Merge live IVF segments into a fresh base layout — the maintenance
+   * pass for [[streamToCellPartitioned]]'s accretion (microbatch-sized
+   * files degrade cell scans the same way they degrade date scans):
+   * reads base ∪ segments, reclusters to `filesPerCell` files per cell,
+   * and writes a NEW layout directory (the landing stream's
+   * `_spark_metadata` log cannot be rewritten in place, so the merge is
+   * a rebuild-and-repoint — swap readers to `outDir`, restart the
+   * landing stream against a fresh segment dir, then delete the old
+   * pair). O(base + segments) bytes — at 100 TB run it per-cell-group
+   * or when the segment share crosses a threshold, like any LSM
+   * compaction.
+   */
+  def mergeCellSegments(spark: SparkSession, baseDir: String,
+                        segmentDirs: Seq[String], outDir: String,
+                        filesPerCell: Int = 1): Unit = {
+    val all = (baseDir +: segmentDirs)
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    all.repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
+      .write.partitionBy("cell").parquet(outDir)
+  }
 
   /**
    * Land a STREAM into the date-partitioned layout: the streaming side

@@ -246,6 +246,34 @@ object StreamThroughput {
       spark, topicCounter(spark, codec))
   }
 
+  /** One ANN-LAYOUT step: [[embStream]] → embeddings topic →
+    * [[StreamingCurationJobs.runAnnLayoutJob]] (frozen-cell assignment
+    * against the static corpus → live cell segments), measured as
+    * deployed — the disk-index sibling of [[annJobStep]]. */
+  def annLayoutStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
+                    corpusDir: String = "/root/testdata/sf0.001",
+                    codec: String = "json",
+                    triggerInterval: Option[String] = None): StepResult = {
+    val root = Files.createTempDirectory("graft-sthr-annlayout")
+    val emb = root.resolve("embeddings")
+    val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+    val feeder = feedTopic(embStream(spark, rate), codec,
+      emb, root.resolve("_ck/emb"))
+    val label = (if (codec == "json") "ann-layout"
+      else s"ann-layout-$codec") +
+      triggerInterval.map(t => s"-t${t.replace(" ", "")}").getOrElse("")
+    runStep(label, rate, feedMs,
+      tailAllowanceMs = 3000L +
+        triggerInterval.map(_ => 3000L).getOrElse(0L),
+      Seq(feeder), Seq(emb),
+      () => Seq(StreamingCurationJobs.runAnnLayoutJob(spark, emb.toString,
+        corpus, root.resolve("segments").toString,
+        root.resolve("_ck/segments").toString,
+        maxFilesPerTrigger = 10000, codec = codec,
+        triggerInterval = triggerInterval)),
+      spark, topicCounter(spark, codec))
+  }
+
   /** One curation-ingest step: [[docStream]] → docs topic →
     * [[StreamingCurationJobs.runIngestJob]] (Bloom decontamination →
     * watermarked exact dedup → quality gate), measured as deployed. */

@@ -308,6 +308,38 @@ object StreamingCurationJobs {
   }
 
   /**
+   * ANN ingest, LAYOUT form: embeddings topic → frozen-cell assignment
+   * ([[graft.similarity.Similarity.ivfCellAssignmentsAgainst]] against
+   * the static corpus) → live cell segments
+   * ([[graft.sources.TableLayout.streamToCellPartitioned]]) — the
+   * disk-index sibling of [[runAnnIngestJob]]'s codes topic: instead of
+   * emitting PQ codes for a downstream consumer, arrivals land directly
+   * in the cell-partitioned form `similarity_ivf_pruned`-style readers
+   * prune. Stateless (one bounded centroid collect at build, map-side
+   * assignment per row); wrong-dimension and null vectors drop at the
+   * gate like the codes job.
+   */
+  def runAnnLayoutJob(spark: SparkSession, embTopic: String,
+                      corpus: DataFrame, layoutDir: String,
+                      checkpoint: String,
+                      maxFilesPerTrigger: Int = 8,
+                      codec: String = "json",
+                      nCells: Int = 16,
+                      triggerInterval: Option[String] = None): StreamingQuery = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val raw = readDecoded(spark, embTopic, embSchema, codec,
+      maxFilesPerTrigger)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === dim)
+    graft.sources.TableLayout.streamToCellPartitioned(
+      graft.similarity.Similarity.ivfCellAssignmentsAgainst(raw, corpus,
+        nCells),
+      layoutDir, checkpoint,
+      triggerInterval.map(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(_)))
+  }
+
+  /**
    * Stats job: consumes `<workDir>/curated` (fresh checkpoint = start at
    * the current end, the latest-offset analogue) and emits per-window
    * token occurrence/document-frequency counts to

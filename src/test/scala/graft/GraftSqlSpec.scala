@@ -164,6 +164,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM events_zordered").head().getLong(0)
       == spark.sql("SELECT count(*) FROM events").head().getLong(0))
     assert(!spark.table("events_zordered").columns.contains("path"))
+    // IVF cell view: whole corpus, partition column queryable from SQL
+    assert(spark.sql("SELECT count(*) FROM embeddings_cells").head().getLong(0)
+      == spark.sql("SELECT count(*) FROM embeddings").head().getLong(0))
+    assert(spark.sql(
+        "SELECT count(DISTINCT cell) FROM embeddings_cells")
+      .head().getLong(0) == 16)
   }
 
   test("views compose: SQL aggregation over the ctr view, base tables " +

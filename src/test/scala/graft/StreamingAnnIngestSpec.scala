@@ -163,6 +163,60 @@ class StreamingAnnIngestSpec extends SparkSpec {
       assert(s.metrics("numPartitions").value < 16,
         s.metrics("numPartitions"))
     }
+
+    // maintenance: merge the live segments into a fresh base — rows
+    // preserved, recllustered to one file per cell, pruned query
+    // unchanged over the merged layout
+    TableLayout.mergeCellSegments(spark, s"$work/base",
+      Seq(s"$work/live"), s"$work/merged")
+    val merged = spark.read.parquet(s"$work/merged")
+    assert(merged.count() == all.count())
+    assert(rows(Similarity.ivfHashTopKPruned(corpus, merged,
+      nQueries = 2, k = 5)) == want)
+    val perCell = {
+      val s = Files.list(java.nio.file.Paths.get(s"$work/merged"))
+      try s.toArray.map(_.toString).filter(_.contains("cell=")).map { d =>
+        val f = Files.list(java.nio.file.Paths.get(d))
+        try f.toArray.map(_.toString).count(_.endsWith(".parquet"))
+        finally f.close()
+      } finally s.close()
+    }
+    assert(perCell.nonEmpty && perCell.forall(_ == 1),
+      s"expected one merged file per cell, got ${perCell.toSeq}")
+  }
+
+  test("runAnnLayoutJob: topic-to-segments landing equals the batch " +
+    "assignment; malformed and wrong-dim vectors are dropped") {
+    import graft.streaming.StreamingCurationJobs
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val corpus = all.filter(!isNew)
+
+    val work = Files.createTempDirectory("ann_layout_job").toString
+    val topic = s"$work/emb_topic"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+    val feed = JsonStreams.encode(
+        all.filter(isNew).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+      .collect().map(_.getString(0)) ++ Seq(
+        "not json at all",
+        """{"vec_id": 999999}""",
+        """{"vec_id": 999998, "embedding": [1.0, 2.0]}""")
+    Files.write(java.nio.file.Paths.get(s"$topic/part-0.json"),
+      String.join("\n", feed: _*).getBytes)
+
+    val q = StreamingCurationJobs.runAnnLayoutJob(spark, topic, corpus,
+      s"$work/segments", s"$work/ck")
+    try q.processAllAvailable() finally q.stop()
+
+    def asn(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val landed = asn(spark.read.parquet(s"$work/segments"))
+    val want = asn(Similarity.ivfCellAssignmentsAgainst(
+      all.filter(isNew), corpus))
+    assert(want.nonEmpty && landed == want,
+      s"only-landed=${landed -- want} only-batch=${want -- landed}")
   }
 
   test("a processing-time trigger changes microbatch cadence, never the " +
