@@ -311,6 +311,25 @@ object DataPipelineQueries {
       Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
+  /** ANN recall audit (r11): per-(method, query) recall@5 of the two
+    * approximate indexes — IVF and LSH — against the brute-force exact
+    * top-k, the quality number a production index reports next to its
+    * latency. Reuses the memoized ivf/lsh frames; exact count/k
+    * arithmetic, so the composed oracle (the three neighbor oracles
+    * nested verbatim) matches without rounding hazard. */
+  val annRecallAudit: (SparkSession, String) => DataFrame =
+    memoized("annRecallAudit") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val brute = Similarity.bruteForceTopK(embs(spark, sfDir),
+        nQueries = 8, k = 5)
+      Similarity.recallAudit(similarityIvf(spark, sfDir), brute, k = 5)
+        .withColumn("method", lit("ivf"))
+        .unionByName(
+          Similarity.recallAudit(similarityAnn(spark, sfDir), brute, k = 5)
+            .withColumn("method", lit("lsh")))
+        .select(col("method"), col("query_id"), col("recall_at_k"))
+    }
+
   /** IVF over the cell-partitioned AT-REST layout (r11): same
     * deterministic centroids, probes, and re-rank as `similarity_ivf`,
     * but the candidates come from
@@ -1439,6 +1458,33 @@ object DataPipelineQueries {
       |  ORDER BY cosine DESC, neighbor_id) rank FROM sc)
       |WHERE rank <= 5""".stripMargin
 
+  /** The three neighbor oracles nested verbatim; recall is a LEFT join
+    * from the exact list (a short approximate list scores low) counted
+    * over k — exact 1/k-grain arithmetic, no rounding. */
+  val annRecallOracle: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM (
+       |$similarityTopKOracle
+       |) z),
+       |ivf AS (SELECT query_id, neighbor_id FROM (
+       |$similarityIvfOracle
+       |) z),
+       |lsh AS (SELECT query_id, neighbor_id FROM (
+       |${Similarity.lshTopKOracleSql()}
+       |) z),
+       |r_ivf AS (SELECT 'ivf' AS method, b.query_id,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  FROM brute b LEFT JOIN ivf i
+       |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
+       |r_lsh AS (SELECT 'lsh' AS method, b.query_id,
+       |  CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  FROM brute b LEFT JOIN lsh l
+       |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id)
+       |SELECT method, query_id, recall_at_k FROM r_ivf
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_lsh""".stripMargin
+
   /** Same coordinate-sign buckets as `Similarity.signLshNearDupPairs`. */
   val dedupEmbeddingOracle: String = {
     val tables = (0 until 8).map { t =>
@@ -2267,6 +2313,7 @@ object DataPipelineQueries {
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("similarity_ivf_pruned", similarityIvfPruned,
       Some(similarityIvfOracle)),
+    NamedQuery("ann_recall_audit", annRecallAudit, Some(annRecallOracle)),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("cms_heavy_hitters", cmsHeavyHitters,

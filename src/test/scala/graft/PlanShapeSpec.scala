@@ -49,10 +49,14 @@ class PlanShapeSpec extends SparkSpec {
     * similarity_pq_batchq is the LUT-TABLE ADC form: its entire design is
     * a broadcast cross join of the small standing-query LUT frame against
     * the codes scan (so the plan stays codebook-bounded however many
-    * queries stand) — the dedicated test below asserts the broadcast. */
+    * queries stand) — the dedicated test below asserts the broadcast.
+    * ann_recall_audit (r11) nests the brute-force list as its exact side
+    * — the same inherited broadcast-8-queries BNLJ as hybrid_rrf; the
+    * audit's own recall joins are equi on (query_id, neighbor_id). */
   private val intentionalBnlj =
     Set("similarity_topk", "knn_label_audit", "dsir_weights",
-      "rp_distortion", "hybrid_rrf", "similarity_pq_batchq")
+      "rp_distortion", "hybrid_rrf", "similarity_pq_batchq",
+      "ann_recall_audit")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —

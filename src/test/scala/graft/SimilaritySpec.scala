@@ -490,4 +490,29 @@ class SimilaritySpec extends SparkSpec {
         (1 to rs.length).toSeq)
     }
   }
+
+  test("recallAudit: matched share of the EXACT list, a short " +
+    "approximate list scores low, and the registry audit stays in " +
+    "(0, 1] with exact 1/k-grain values") {
+    val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L), (0L, 14L),
+      (1L, 20L), (1L, 21L), (1L, 22L), (1L, 23L), (1L, 24L))
+      .toDF("query_id", "neighbor_id")
+    // query 0: 2 of 5 right (plus a wrong one); query 1: SHORT list, 1 hit
+    val approx = Seq((0L, 10L), (0L, 12L), (0L, 99L), (1L, 24L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAudit(approx, exact, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(0L -> 0.4, 1L -> 0.2))
+
+    // the registered audit over the real corpus: every recall in (0, 1]
+    // at 1/k grain, both methods present for all 8 queries
+    val audit = graft.queries.DataPipelineQueries
+      .annRecallAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(audit.length == 16)
+    assert(audit.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
+      Seq("ivf", "lsh"))
+    audit.map(_.getAs[Double]("recall_at_k")).foreach { r =>
+      assert(r >= 0.0 && r <= 1.0 && (r * 5).isWhole, r.toString)
+    }
+  }
 }
