@@ -311,10 +311,12 @@ object DataPipelineQueries {
       Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
-  /** ANN recall audit (r11): per-(method, query) recall@5 of the two
-    * approximate indexes — IVF and LSH — against the brute-force exact
-    * top-k, the quality number a production index reports next to its
-    * latency. Reuses the memoized ivf/lsh frames; exact count/k
+  /** ANN recall audit (r11): per-(method, query) recall@5 of the three
+    * approximate indexes — IVF, IVF+PQ, and LSH — against the
+    * brute-force exact top-k, the quality number a production index
+    * reports next to its latency (the PQ row doubles as the
+    * quantization-loss measurement: its gap to the plain-IVF row at
+    * equal probes is the ADC approximation). Reuses the memoized ivf/lsh frames; exact count/k
     * arithmetic, so the composed oracle (the three neighbor oracles
     * nested verbatim) matches without rounding hazard. */
   val annRecallAudit: (SparkSession, String) => DataFrame =
@@ -322,11 +324,14 @@ object DataPipelineQueries {
       import org.apache.spark.sql.functions.{col, lit}
       val brute = Similarity.bruteForceTopK(embs(spark, sfDir),
         nQueries = 8, k = 5)
-      Similarity.recallAudit(similarityIvf(spark, sfDir), brute, k = 5)
-        .withColumn("method", lit("ivf"))
-        .unionByName(
-          Similarity.recallAudit(similarityAnn(spark, sfDir), brute, k = 5)
-            .withColumn("method", lit("lsh")))
+      Seq(
+        "ivf" -> similarityIvf(spark, sfDir),
+        "ivfpq" -> similarityIvfPq(spark, sfDir),
+        "lsh" -> similarityAnn(spark, sfDir))
+        .map { case (m, approx) =>
+          Similarity.recallAudit(approx, brute, k = 5)
+            .withColumn("method", lit(m)) }
+        .reduce(_ unionByName _)
         .select(col("method"), col("query_id"), col("recall_at_k"))
     }
 
@@ -1468,6 +1473,9 @@ object DataPipelineQueries {
        |ivf AS (SELECT query_id, neighbor_id FROM (
        |$similarityIvfOracle
        |) z),
+       |ivfpq AS (SELECT query_id, neighbor_id FROM (
+       |${Similarity.ivfPqTopKOracleSql()}
+       |) z),
        |lsh AS (SELECT query_id, neighbor_id FROM (
        |${Similarity.lshTopKOracleSql()}
        |) z),
@@ -1476,12 +1484,19 @@ object DataPipelineQueries {
        |  FROM brute b LEFT JOIN ivf i
        |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
+       |r_ivfpq AS (SELECT 'ivfpq' AS method, b.query_id,
+       |  CAST(count(p.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  FROM brute b LEFT JOIN ivfpq p
+       |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
        |r_lsh AS (SELECT 'lsh' AS method, b.query_id,
        |  CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
        |  FROM brute b LEFT JOIN lsh l
        |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id)
        |SELECT method, query_id, recall_at_k FROM r_ivf
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_ivfpq
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_lsh""".stripMargin
 
