@@ -1,0 +1,97 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.similarity.Similarity.PqConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * PQ-configuration recall sweep — the measurement harness behind the
+ * `ann_recall_audit` defaults: for each candidate (m, k, rerankDepth)
+ * it reports mean recall@5 of the IVF+PQ search (raw ADC and exact
+ * re-ranked) against brute force, next to the plain-IVF yardstick at
+ * the SAME probes (nCells=16, nProbe=4 — the registered operating
+ * point). Also times the one-off codebook/assignment build so a
+ * config that wins on recall but Janino-compiles for a minute is
+ * visible. Usage:
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.AnnRecallSweep"
+ *
+ * Prints one JSON line per config.
+ */
+object AnnRecallSweep {
+
+  private def meanRecall(approx: DataFrame, brute: DataFrame): Double = {
+    val r = Similarity.recallAudit(approx, brute, k = 5)
+      .agg(avg(col("recall_at_k"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = embs.count()
+    val brute = Similarity.bruteForceTopK(embs, nQueries = 8, k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    brute.count()
+
+    val rIvf = meanRecall(Similarity.ivfHashTopK(embs, 8, 5), brute)
+    println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivf","recall":$rIvf}""")
+
+    val cfgs = Seq(
+      PqConfig(m = 4, k = 16), PqConfig(m = 8, k = 16),
+      PqConfig(m = 4, k = 64), PqConfig(m = 8, k = 64),
+      PqConfig(m = 8, k = 128), PqConfig(m = 8, k = 256))
+    for (cfg <- cfgs if cfg.k <= n) {
+      val t0 = System.nanoTime()
+      val codes = graft.queries.SharedFrames.memo(
+        spark, sfDir, s"sweep_pq_m${cfg.m}_k${cfg.k}") {
+        Similarity.productQuantize(embs, cfg)
+      }
+      codes.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val raw = meanRecall(
+        Similarity.ivfPqTopK(embs, 8, 5, cfg = cfg, sharedCodes = Some(codes)),
+        brute)
+      val refined = Seq(25, 50, 100).map { d =>
+        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
+          rerankDepth = d, cfg = cfg, sharedCodes = Some(codes)), brute)
+      }
+      val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq","m":${cfg.m},"k":${cfg.k},"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
+    }
+    // Lloyd-trained codebooks at the candidate configs/round counts
+    for (cfg <- Seq(Similarity.PqConfig(m = 8, k = 32),
+                    Similarity.PqConfig(m = 8, k = 64),
+                    Similarity.PqConfig(m = 8, k = 128)) if cfg.k <= n;
+         rounds <- Seq(1, 2, 3)) {
+      val t0 = System.nanoTime()
+      val cb = Similarity.trainPqCodebook(embs, cfg, rounds = rounds)
+      val codes = graft.queries.SharedFrames.memo(
+        spark, sfDir, s"sweep_pqt_m${cfg.m}_k${cfg.k}_r$rounds") {
+        Similarity.productQuantizeWith(embs, cb, cfg)
+      }
+      codes.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val raw = meanRecall(
+        Similarity.ivfPqTopK(embs, 8, 5, cfg = cfg,
+          sharedCodes = Some(codes), codebook = Some(cb)), brute)
+      val refined = Seq(25, 50, 100).map { d =>
+        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
+          rerankDepth = d, cfg = cfg, sharedCodes = Some(codes),
+          codebook = Some(cb)), brute)
+      }
+      val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
+    }
+    spark.stop()
+  }
+}

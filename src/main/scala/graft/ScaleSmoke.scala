@@ -675,6 +675,47 @@ object AnnScaleSmoke {
         s""""full_sec":$tFull,"pruned_sec":$tPruned,"rows":$fullRows,""" +
         s""""pruned_files":$files,"total_files":$totalFiles,""" +
         s""""pruned_bytes":$bytes}""")
+
+      // LSM merge ladder (r12): a CONSTANT-size, HOT-CELL segment batch
+      // (streams hit hot cells) against the K×-bigger base — the pass
+      // that runs forever in production. Full merge rebuilds every cell
+      // (O(base), linear in K — the honest row); touchedOnly rebuilds
+      // only the segment-hit cells and file-copies the rest.
+      val fresh = base.limit(500).select(
+        (col("vec_id") + lit(900000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0005f)).as("embedding"))
+      val assignedAll = Similarity
+        .ivfCellAssignmentsAgainst(fresh, emb, nCells)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the batch's two hottest cells play the hot-cell stream
+      val hot = assignedAll.groupBy(col("cell")).count()
+        .orderBy(col("count").desc, col("cell")).limit(2)
+        .collect().map(_.getLong(0))
+      val assignedSeg = assignedAll.filter(col("cell").isin(hot: _*))
+      val segDir = s"$work/seg_k$k"
+      assignedSeg.write.partitionBy("cell").parquet(segDir)
+      assignedAll.unpersist()
+      val segRows = spark.read.parquet(segDir).count()
+      val (tMergeFull, _) = timed {
+        graft.sources.TableLayout.mergeCellSegments(spark, dir,
+          Seq(segDir), s"$work/merged_full_k$k", filesPerCell = 4)
+      }
+      val (tMergeTouched, _) = timed {
+        graft.sources.TableLayout.mergeCellSegments(spark, dir,
+          Seq(segDir), s"$work/merged_touched_k$k", filesPerCell = 4,
+          touchedOnly = true)
+      }
+      val mf = spark.read.parquet(s"$work/merged_full_k$k").count()
+      val mt = spark.read.parquet(s"$work/merged_touched_k$k").count()
+      require(mf == n + segRows && mt == n + segRows,
+        s"merge row drift: full=$mf touched=$mt want=${n + segRows}")
+      println(s"""{"k":$k,"merge_seg_rows":$segRows,""" +
+        s""""merge_full_sec":$tMergeFull,""" +
+        s""""merge_touched_sec":$tMergeTouched}""")
+      Seq(s"$work/merged_full_k$k", s"$work/merged_touched_k$k", segDir)
+        .foreach(d =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+
       emb.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

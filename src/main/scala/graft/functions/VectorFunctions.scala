@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, MicroSquaredDistance, SubvectorDist2}
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, SubvectorDist2}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -31,4 +31,26 @@ object VectorFunctions {
   def subdist2(a: Column, b: Column, offset: Column): Column =
     ColumnShim.column(SubvectorDist2(ColumnShim.expression(a),
       ColumnShim.expression(b), ColumnShim.expression(offset)))
+
+  /** Per-subspace PQ assignment over a whole k×sub codebook literal:
+    * argmin of 6-dp-rounded subvector distances, ties to the smaller
+    * code id, as `struct(d, cid)` — one codegen'd node instead of an
+    * m·k struct-min tree (see
+    * [[org.apache.spark.sql.graftshim.PqExpressions]]). */
+  def pqNearest(v: Column, codebook: Column, offset: Column): Column =
+    ColumnShim.column(PqNearestCode(ColumnShim.expression(v),
+      ColumnShim.expression(codebook), ColumnShim.expression(offset)))
+
+  /** Per-subspace ADC lookup-table row (k µ-scaled long entries) over a
+    * whole k×sub codebook literal — one codegen'd node. */
+  def pqAdcLut(v: Column, codebook: Column, offset: Column): Column =
+    ColumnShim.column(PqAdcLut(ColumnShim.expression(v),
+      ColumnShim.expression(codebook), ColumnShim.expression(offset)))
+
+  /** IVF coarse-cell argmax over a packed centroid-table literal
+    * (row = [cellId, cnrm, coords…]) — one codegen'd node; see
+    * [[org.apache.spark.sql.graftshim.IvfNearestCell]]. */
+  def ivfNearestCell(v: Column, nrm: Column, packed: Column): Column =
+    ColumnShim.column(IvfNearestCell(ColumnShim.expression(v),
+      ColumnShim.expression(nrm), ColumnShim.expression(packed)))
 }

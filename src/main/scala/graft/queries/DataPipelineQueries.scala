@@ -385,9 +385,21 @@ object DataPipelineQueries {
     * them many times. The codes table is m ints + an error per vector —
     * the smallest frame in the registry. (Codebook LIMIT-k sample also
     * collects at build time.) */
+  /** The trained PQ codebook, resolved ONCE per (session, corpus) and
+    * passed to every PQ query below — how a production index works: the
+    * codebook (sample + Lloyd rounds, [[Similarity.trainPqCodebook]]) is
+    * built at index time and every assignment/search pass reuses it.
+    * Without the share, each of the seven PQ queries would re-collect
+    * and re-train identically. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): Array[Seq[Double]] =
+    SharedFrames.memoValue(spark, sfDir, "pqCodebook") {
+      Similarity.codebook(embs(spark, sfDir))
+    }
+
   val embeddingPq: (SparkSession, String) => DataFrame =
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "pqCodes") {
-      Similarity.productQuantize(embs(spark, sfDir))
+      Similarity.productQuantize(embs(spark, sfDir),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** ADC search over the memoized PQ codes — the registry runs it right
@@ -397,7 +409,8 @@ object DataPipelineQueries {
   val similarityPq: (SparkSession, String) => DataFrame =
     memoized("similarityPq") { (spark, sfDir) =>
       Similarity.adcTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
-        sharedCodes = Some(embeddingPq(spark, sfDir)))
+        sharedCodes = Some(embeddingPq(spark, sfDir)),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** IVF-PQ composite search over the memoized codes — the coarse
@@ -406,7 +419,8 @@ object DataPipelineQueries {
   val similarityIvfPq: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPq") { (spark, sfDir) =>
       Similarity.ivfPqTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
-        sharedCodes = Some(embeddingPq(spark, sfDir)))
+        sharedCodes = Some(embeddingPq(spark, sfDir)),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** IVF+PQ with the exact re-rank tail (r11, the Faiss refine stage):
@@ -417,8 +431,9 @@ object DataPipelineQueries {
   val similarityIvfPqRerank: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPqRerank") { (spark, sfDir) =>
       Similarity.ivfPqTopKRefined(embs(spark, sfDir), nQueries = 8,
-        topK = 5, rerankDepth = 25,
-        sharedCodes = Some(embeddingPq(spark, sfDir)))
+        topK = 5, rerankDepth = 100,
+        sharedCodes = Some(embeddingPq(spark, sfDir)),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** Batch-standing-query ADC search — the LUT-table form
@@ -430,7 +445,8 @@ object DataPipelineQueries {
   val similarityPqBatchq: (SparkSession, String) => DataFrame =
     memoized("similarityPqBatchq") { (spark, sfDir) =>
       Similarity.adcTopKBatch(embs(spark, sfDir), nQueries = 128, topK = 5,
-        sharedCodes = Some(embeddingPq(spark, sfDir)))
+        sharedCodes = Some(embeddingPq(spark, sfDir)),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** Batch-standing-query IVF-PQ — the LUT-table strategy composed with
@@ -440,7 +456,8 @@ object DataPipelineQueries {
   val similarityIvfPqBatchq: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPqBatchq") { (spark, sfDir) =>
       Similarity.ivfPqTopKBatch(embs(spark, sfDir), nQueries = 128,
-        topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)))
+        topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)),
+        codebook = Some(pqCodebook(spark, sfDir)))
     }
 
   /** Incremental ANN ingest ([[Similarity.incrementalAssign]]): every
@@ -463,6 +480,42 @@ object DataPipelineQueries {
   val sampleClusterBalanced: (SparkSession, String) => DataFrame =
     memoized("sampleClusterBalanced") { (spark, sfDir) =>
       Similarity.clusterBalancedSample(embs(spark, sfDir))
+    }
+
+  /** Per-source rollup over the BY-SOURCE documents layout
+    * ([[graft.sources.TableLayout.documentsSourcePartitioned]]) — the
+    * documents twin of `events_layout_prune`: the source filter prunes
+    * whole `source=` directories at FILE LISTING (3 of 20 at the test
+    * corpus), before any I/O (PartitionFilters + file-count receipt in
+    * TableLayoutSpec). Oracle = the same rollup over the raw parquet:
+    * layout moves bytes, never values. All-integer aggregates — no
+    * rounding surface. */
+  val docsLayoutPrune: (SparkSession, String) => DataFrame =
+    memoized("docsLayoutPrune") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val dir = graft.sources.TableLayout.documentsSourcePartitioned(spark, sfDir)
+      spark.read.parquet(dir)
+        .filter(col("source").isin("src3", "src7", "src11"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }
+
+  /** Length-band rollup over the same documents layout via the
+    * `_graft_stats` manifest ([[graft.sources.TableLayout.readStatsPruned]])
+    * — the stats-skipping twin of `events_zorder_box` on the corpus
+    * table: within each source directory the files hold DISJOINT
+    * n_chars ranges, so the band opens only intersecting files (the
+    * sequence-packing / curation access pattern). Stats pruning is a
+    * superset guarantee + row filter, so the rollup is exact against
+    * the raw table whatever the manifest prunes. */
+  val docsStatsBox: (SparkSession, String) => DataFrame =
+    memoized("docsStatsBox") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val dir = graft.sources.TableLayout.documentsSourcePartitioned(spark, sfDir)
+      graft.sources.TableLayout.readStatsPruned(spark, dir,
+          Seq(("n_chars", 250, 350)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }
 
   /** Eval-set split (vec_id % 11) and cosine floor shared with the
@@ -1478,7 +1531,8 @@ object DataPipelineQueries {
 
   /** The three neighbor oracles nested verbatim; recall is a LEFT join
     * from the exact list (a short approximate list scores low) counted
-    * over k — exact 1/k-grain arithmetic, no rounding. */
+    * over the per-query exact-list size (== 5 here) — exact count/count
+    * arithmetic, no rounding. */
   val annRecallOracle: String =
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM (
        |$similarityTopKOracle
@@ -1493,12 +1547,12 @@ object DataPipelineQueries {
        |${Similarity.lshTopKOracleSql()}
        |) z),
        |r_ivf AS (SELECT 'ivf' AS method, b.query_id,
-       |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN ivf i
        |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
        |r_ivfpq AS (SELECT 'ivfpq' AS method, b.query_id,
-       |  CAST(count(p.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  CAST(count(p.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN ivfpq p
        |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
@@ -1506,12 +1560,12 @@ object DataPipelineQueries {
        |${Similarity.ivfPqTopKRefinedOracleSql()}
        |) z),
        |r_lsh AS (SELECT 'lsh' AS method, b.query_id,
-       |  CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  CAST(count(l.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN lsh l
        |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
        |r_ivfpqrr AS (SELECT 'ivfpq_rerank' AS method, b.query_id,
-       |  CAST(count(r.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  CAST(count(r.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN ivfpqrr r
        |    ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id)
@@ -2237,6 +2291,21 @@ object DataPipelineQueries {
       |  concat_ws(';', v1, v2, v3, v4) = '' AS keep
       |FROM v""".stripMargin
 
+  /** Raw-table twins of the documents-layout rollups (see
+    * [[docsLayoutPrune]]/[[docsStatsBox]]): CAST sums to BIGINT so the
+    * DuckDB HUGEINT sum matches Spark's long column class. */
+  val docsLayoutPruneOracle: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source IN ('src3', 'src7', 'src11')
+      |GROUP BY 1, 2""".stripMargin
+
+  val docsStatsBoxOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars BETWEEN 250 AND 350
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
@@ -2351,6 +2420,9 @@ object DataPipelineQueries {
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
     NamedQuery("similarity_ivf_pruned", similarityIvfPruned,
       Some(similarityIvfOracle)),
+    NamedQuery("docs_layout_prune", docsLayoutPrune,
+      Some(docsLayoutPruneOracle)),
+    NamedQuery("docs_stats_box", docsStatsBox, Some(docsStatsBoxOracle)),
     NamedQuery("ann_recall_audit", annRecallAudit, Some(annRecallOracle)),
     NamedQuery("similarity_ivfpq_rerank", similarityIvfPqRerank,
       Some(Similarity.ivfPqTopKRefinedOracleSql())),

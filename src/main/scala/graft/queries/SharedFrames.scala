@@ -116,6 +116,31 @@ object SharedFrames {
     cell.df
   }
 
+  /** Per-key build cell for [[memoValue]]: `lazy val` gives the cell its
+    * own monitor, so two threads demanding the same key race to ONE build
+    * (the loser blocks on that cell alone, never on the global map
+    * lock — the same contract as [[Cell]]). */
+  private final class ValCell(mk: () => AnyRef) { lazy val v: AnyRef = mk() }
+
+  private val values =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), ValCell]
+
+  /** Session-scoped memo for DRIVER-SIDE values (index models, trained
+    * codebooks — bounded by the codebook contract, O(k·dim) doubles):
+    * the value sibling of [[memo]], for builders whose product is not a
+    * frame. A production index trains its codebook ONCE and serves every
+    * search from it; without this each registry query re-collects and
+    * re-trains per run. No persist lifecycle — values are driver memory,
+    * freed when the session's entries are swept. */
+  def memoValue[T <: AnyRef](spark: SparkSession, sfDir: String, tag: String)
+                            (build: => T): T = {
+    val cell = synchronized {
+      values.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+      values.getOrElseUpdate((spark, sfDir, tag), new ValCell(() => build))
+    }
+    cell.v.asInstanceOf[T]
+  }
+
   /** Run `body` recording the set of memo tags it touches on this thread
     * (cache hits and builds alike, nested builders included). Used by
     * Bench's warmup pass to learn each query's tag footprint so the timed

@@ -143,11 +143,21 @@ object TableLayout {
     if (!Files.exists(dst.resolve("_SUCCESS"))) {
       val tmp = base.resolve(s"$name-$fp.tmp-${java.util.UUID.randomUUID()}")
       Files.createDirectories(base)
-      build(tmp.toString)
-      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        // another builder won the rename; its layout is equivalent
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      // try/finally: a build that THROWS must not leak its tmp dir under
+      // java.io.tmpdir forever (ADVICE r11)
+      try {
+        build(tmp.toString)
+        try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.nio.file.FileSystemException =>
+          // benign ONLY if another builder actually completed dst — an
+          // unrelated rename failure (permissions, EXDEV) silently
+          // discarding the build would defer to an opaque read error at
+          // a path that doesn't exist (ADVICE r11)
+          if (!Files.exists(dst.resolve("_SUCCESS"))) throw e
+        }
+      } finally {
+        if (Files.exists(tmp))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }
     dst.toString
@@ -179,7 +189,11 @@ object TableLayout {
    */
   def eventsZOrdered(spark: SparkSession, sfDir: String,
                      numFiles: Int = 16): String =
-    cachedLayoutDir(sfDir, "events_zorder", s"$sfDir/events.parquet") { tmp =>
+    // every layout-shaping parameter is folded into the cache key — a
+    // non-default numFiles must not silently serve the default layout
+    // (ADVICE r11)
+    cachedLayoutDir(sfDir, s"events_zorder_n$numFiles",
+      s"$sfDir/events.parquet") { tmp =>
       writeZOrdered(Tables.events(spark, sfDir), tmp,
         Seq("user_id", "value"), numFiles, ranked = true)
       buildFileStats(spark, tmp, Seq("user_id", "value"))
@@ -206,12 +220,47 @@ object TableLayout {
   def embeddingsCellPartitioned(spark: SparkSession, sfDir: String,
                                 nCells: Int = 16,
                                 filesPerCell: Int = 1): String =
-    cachedLayoutDir(sfDir, s"embeddings_ivf_cells_f$filesPerCell",
+    // nCells is in the cache key too: a 32-cell request served a cached
+    // 16-cell layout would make the pruned probe read cells that don't
+    // exist — silently incomplete neighbors (ADVICE r11)
+    cachedLayoutDir(sfDir, s"embeddings_ivf_cells_c$nCells-f$filesPerCell",
       s"$sfDir/embeddings.parquet") { tmp =>
       graft.similarity.Similarity.ivfCellAssignments(
           Tables.spread(spark, sfDir, "embeddings"), nCells)
         .repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
         .write.partitionBy("cell").parquet(tmp)
+    }
+
+  /**
+   * The `documents` corpus in its by-source physical layout — the
+   * biggest table of a real training pipeline, stored the way such a
+   * pipeline reads it: one `source=` directory per provenance (the
+   * listing-time prune for per-source curation/rollups — by-source
+   * quotas, contamination sweeps, quality audits all filter on source
+   * first), rows within a source range-clustered on `n_chars` across
+   * `filesPerSource` files with a `_graft_stats` manifest over
+   * (n_chars, doc_id) — so a length-band read (the sequence-packing /
+   * curation access pattern) opens only the intersecting files.
+   * Served by `docs_layout_prune` (partition pruning) and
+   * `docs_stats_box` (manifest file skipping); both oracle-checked
+   * against the raw parquet — layout moves bytes, never values. Built
+   * once per (sfDir, fingerprint), like every layout here.
+   */
+  def documentsSourcePartitioned(spark: SparkSession, sfDir: String,
+                                 filesPerSource: Int = 2): String =
+    cachedLayoutDir(sfDir, s"documents_by_source_f$filesPerSource",
+      s"$sfDir/documents.parquet") { tmp =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nSources = docs.select(col("source")).distinct().count().toInt
+      // contiguous (source, n_chars) ranges: each output task holds one
+      // source's length band, so every source directory gets
+      // ~filesPerSource files with DISJOINT n_chars ranges — the
+      // structure the manifest prunes on
+      docs.repartitionByRange(math.max(nSources * filesPerSource, 1),
+          col("source"), col("n_chars"))
+        .sortWithinPartitions(col("source"), col("n_chars"), col("doc_id"))
+        .write.partitionBy("source").parquet(tmp)
+      buildFileStats(spark, tmp, Seq("n_chars", "doc_id"))
     }
 
   /**
@@ -255,12 +304,57 @@ object TableLayout {
    */
   def mergeCellSegments(spark: SparkSession, baseDir: String,
                         segmentDirs: Seq[String], outDir: String,
-                        filesPerCell: Int = 1): Unit = {
-    val all = (baseDir +: segmentDirs)
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
-    all.repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
-      .write.partitionBy("cell").parquet(outDir)
+                        filesPerCell: Int = 1,
+                        touchedOnly: Boolean = false): Unit = {
+    if (!touchedOnly) {
+      val all = (baseDir +: segmentDirs)
+        .map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      all.repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
+        .write.partitionBy("cell").parquet(outDir)
+    } else {
+      // touched-cells-only merge — the LSM behavior the full rebuild
+      // approximates: only cells that RECEIVED segment rows are decoded
+      // and reclustered (base sliver pruned at listing by the cell ids);
+      // every untouched base cell moves at FILE level (copy — on an
+      // object store a metadata/server-side op), so the pass costs
+      // O(touched cells' bytes + untouched file metadata), not O(table).
+      // Streams hit hot cells, so touched ≪ nCells between merges.
+      val touched = segmentDirs.flatMap(listCellDirNames).toSet
+      val touchedIds = touched.toSeq.map(_.drop("cell=".length).toInt)
+      Files.createDirectories(Paths.get(outDir))
+      if (touched.nonEmpty) {
+        val segs = segmentDirs.map(spark.read.parquet(_))
+          .reduce(_ unionByName _)
+        val baseSliver = spark.read.parquet(baseDir)
+          .filter(col("cell").isin(touchedIds: _*))
+        baseSliver.unionByName(segs)
+          .repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
+          .write.mode("append").partitionBy("cell").parquet(outDir)
+      }
+      listCellDirNames(baseDir).filterNot(touched).foreach { name =>
+        org.apache.commons.io.FileUtils.copyDirectory(
+          Paths.get(baseDir).resolve(name).toFile,
+          Paths.get(outDir).resolve(name).toFile)
+      }
+    }
+  }
+
+  /** The `cell=` partition directory names directly under `dir`. */
+  private def listCellDirNames(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasNext) {
+        val e = it.next()
+        val name = e.getFileName.toString
+        if (Files.isDirectory(e) && name.startsWith("cell=")) buf += name
+      }
+      buf.toList
+    } finally s.close()
   }
 
   /**
@@ -356,6 +450,11 @@ object TableLayout {
                            tsCol: String = "ts",
                            sortCols: Seq[String] = Seq("user_id", "ts"),
                            keysSpanDates: Boolean = true): Unit = {
+    // heal BEFORE the merged frame resolves its partition listing: a
+    // partition restored here is visible to this pass's probe/kept scan,
+    // where the in-rewritePartitions backstop heals too late for a date
+    // in this batch's touched set (ADVICE r11)
+    healRetired(Paths.get(dir))
     val (merged, touchedDates) =
       upsertMergedFrame(spark, dir, updates, keyCols, tsCol, keysSpanDates)
     rewritePartitions(spark, dir, merged, sortCols, touchedDates)
@@ -403,6 +502,8 @@ object TableLayout {
   def deleteDateKeys(spark: SparkSession, dir: String,
                      keys: DataFrame, keyCols: Seq[String],
                      sortCols: Seq[String] = Seq("user_id", "ts")): Unit = {
+    healRetired(Paths.get(dir)) // see upsertDatePartitions: heal before
+    // the listing resolves (also covers the empty-touched-set early exit)
     val doomed = keys.select(keyCols.map(col): _*).distinct()
     val layout = readDatePartitioned(spark, dir)
     val touchedDates = layout.select((keyCols :+ dateCol).map(col): _*)
@@ -712,8 +813,14 @@ object TableLayout {
       require(files.nonEmpty,
         s"readStatsPruned($dir): manifest pruned every file and the " +
           "layout holds no data files to derive the result schema from")
-      spark.read.parquet(files.head).filter(pred).limit(0)
-    } else spark.read.parquet(paths.toIndexedSeq: _*).filter(pred)
+      spark.read.option("basePath", dir).parquet(files.head)
+        .filter(pred).limit(0)
+    } else
+      // basePath: a partitioned layout's partition columns (source=,
+      // cell=) must survive the explicit file-list read — without it a
+      // pruned read silently drops them from the schema
+      spark.read.option("basePath", dir).parquet(paths.toIndexedSeq: _*)
+        .filter(pred)
   }
 
   /**

@@ -128,10 +128,9 @@ object StreamThroughput {
                       topics: Seq[Path],
                       startConsumer: () => Seq[StreamingQuery],
                       spark: SparkSession,
-                      countTopic: Path => Long = null): StepResult = {
+                      countTopic: Option[Path => Long] = None): StepResult = {
     val countFn: Path => Long =
-      if (countTopic != null) countTopic
-      else t => spark.read.text(t.toString).count()
+      countTopic.getOrElse(t => spark.read.text(t.toString).count())
     topics.foreach(awaitTopic(_))
     val consumers = startConsumer()
     try {
@@ -243,7 +242,7 @@ object StreamThroughput {
       () => Seq(StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
         model, root.resolve("work").toString, maxFilesPerTrigger = 10000,
         codec = codec, triggerInterval = triggerInterval)),
-      spark, topicCounter(spark, codec))
+      spark, Some(topicCounter(spark, codec)))
   }
 
   /** One ANN-LAYOUT step: [[embStream]] → embeddings topic →
@@ -271,7 +270,7 @@ object StreamThroughput {
         root.resolve("_ck/segments").toString,
         maxFilesPerTrigger = 10000, codec = codec,
         triggerInterval = triggerInterval)),
-      spark, topicCounter(spark, codec))
+      spark, Some(topicCounter(spark, codec)))
   }
 
   /** One curation-ingest step: [[docStream]] → docs topic →
@@ -302,6 +301,6 @@ object StreamThroughput {
         maxFilesPerTrigger = 10000,
         stateStoreProvider = stateStoreProvider, codec = codec,
         triggerInterval = triggerInterval)),
-      spark, topicCounter(spark, codec))
+      spark, Some(topicCounter(spark, codec)))
   }
 }

@@ -112,15 +112,16 @@ class RecordCodecSpec extends SparkSpec {
       codec = "binary")
     try q.processAllAvailable() finally q.stop()
 
+    // schema + row projection derived from the model's m, so the spec
+    // keeps covering EVERY code column if the PQ defaults move again
+    val m = model.cfg.m
     def codeRow(r: Row) = (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
-      r.getAs[Int]("code0"), r.getAs[Int]("code1"),
-      r.getAs[Int]("code2"), r.getAs[Int]("code3"),
+      (0 until m).map(s => r.getAs[Int](s"code$s")).toList,
       r.getAs[Double]("recon_error"))
-    val codesSchema = StructType(Seq(
-      StructField("vec_id", LongType), StructField("cell", LongType),
-      StructField("code0", IntegerType), StructField("code1", IntegerType),
-      StructField("code2", IntegerType), StructField("code3", IntegerType),
-      StructField("recon_error", DoubleType)))
+    val codesSchema = StructType(
+      Seq(StructField("vec_id", LongType), StructField("cell", LongType)) ++
+      (0 until m).map(s => StructField(s"code$s", IntegerType)) :+
+      StructField("recon_error", DoubleType))
     val got = BinaryTopics.decode(
         spark.read.schema(BinaryTopics.valueSchema).parquet(s"$work/codes"),
         codesSchema)

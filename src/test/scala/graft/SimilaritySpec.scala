@@ -359,11 +359,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._2 == 0.0, "range endpoints must reconstruct exactly")
   }
 
+  test("trained codebook: productQuantize at cfg.rounds equals the " +
+    "explicit trainPqCodebook path, and training cuts reconstruction " +
+    "error vs the raw sample") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cfg = Similarity.PqConfig(m = 8, k = 32, rounds = 2)
+    // cfg-dispatched resolution == the explicit train-then-quantize seam
+    val viaCfg = Similarity.productQuantize(embs, cfg).collect()
+      .map(_.toSeq).toSet
+    val cb = Similarity.trainPqCodebook(embs, cfg, rounds = cfg.rounds)
+    val viaExplicit = Similarity.productQuantizeWith(embs, cb, cfg)
+      .collect().map(_.toSeq).toSet
+    assert(viaCfg == viaExplicit)
+    // Lloyd rounds must IMPROVE quantization: mean recon_error strictly
+    // below the sampling-only codebook on the same corpus/config
+    def meanErr(c: Similarity.PqConfig): Double =
+      Similarity.productQuantize(embs, c)
+        .agg(avg(col("recon_error"))).collect()(0).getDouble(0)
+    val trained = meanErr(cfg)
+    val sampled = meanErr(cfg.copy(rounds = 0))
+    assert(trained < sampled,
+      s"training did not improve recon error: trained=$trained sampled=$sampled")
+  }
+
+  test("recallAudit: denominator is the per-query exact-list size, so a " +
+    "perfect match on a short exact list reads 1.0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("query_id", "neighbor_id")
+    val approxFull = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 9L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAudit(approxFull, exact, k = 5).collect()
+    assert(r.length == 1 && r(0).getDouble(1) == 1.0,
+      s"short exact list fully matched must read 1.0, got ${r.toSeq}")
+    // and a partial match is the matched share of the EXACT list
+    val approxHalf = Seq((0L, 1L), (0L, 8L)).toDF("query_id", "neighbor_id")
+    val r2 = Similarity.recallAudit(approxHalf, exact, k = 5).collect()
+    assert(r2(0).getDouble(1) == 1.0 / 3.0, r2.toSeq.toString)
+  }
+
   test("productQuantize matches an independent scala argmin, incl. tie cases") {
     // integer-valued embeddings → every squared distance is an exact
     // integer (no rounding ambiguity), and i vs i+13 produce IDENTICAL
-    // vectors, so zero-distance ties exercise the smaller-cid rule
-    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq")
+    // vectors, so zero-distance ties exercise the smaller-cid rule.
+    // rounds = 0: this pins the quantization expression + tie rule
+    // against the SAMPLED codebook the independent argmin recovers
+    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq",
+      rounds = 0)
     val emb = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat), 0))
       .toDF("vec_id", "embedding", "label")
@@ -404,8 +444,13 @@ class SimilaritySpec extends SparkSpec {
     // fixture built so the union's hash samples (IVF centroids + PQ
     // codebook) contain NO new-batch ids — the frozen-index premise made
     // literal, so "rebuild from scratch over the union" is a valid ground
-    // truth for the incremental path
-    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq")
+    // truth for the incremental path. rounds = 0: under Lloyd training
+    // the rebuild's TRAINING SAMPLE includes the new batch, so a frozen
+    // codebook ≠ a retrained one by design (the real-world staleness an
+    // incremental index accepts until its next rebuild) — the append
+    // identity only holds with the sampling-only codebook
+    val cfg = Similarity.PqConfig(m = 2, k = 4, dim = 8, salt = "pq",
+      rounds = 0)
     val nCells = 4
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(d => (((i * 11 + d * 3) % 17) - 8).toFloat), 0))

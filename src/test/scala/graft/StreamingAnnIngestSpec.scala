@@ -19,11 +19,19 @@ class StreamingAnnIngestSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def codeRow(r: org.apache.spark.sql.Row): (Long, Long, Int, Int, Int, Int, Double) =
+  // projection + read schema derived from the default m, so the spec
+  // keeps covering EVERY code column if the PQ defaults move again
+  private val pqM = Similarity.pqDefaults.m
+
+  private def codeRow(r: org.apache.spark.sql.Row): (Long, Long, Seq[Int], Double) =
     (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
-      r.getAs[Int]("code0"), r.getAs[Int]("code1"),
-      r.getAs[Int]("code2"), r.getAs[Int]("code3"),
+      (0 until pqM).map(s => r.getAs[Int](s"code$s")).toList,
       r.getAs[Double]("recon_error"))
+
+  private val codesSchemaDdl: String =
+    "vec_id LONG, cell LONG, " +
+      (0 until pqM).map(s => s"code$s INT").mkString(", ") +
+      ", recon_error DOUBLE"
 
   test("annIngestStream matches incrementalAssign across microbatch " +
     "boundaries with zero state") {
@@ -82,9 +90,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     val q = StreamingCurationJobs.runAnnIngestJob(spark, topic, model, work)
     try q.processAllAvailable() finally q.stop()
 
-    val got = spark.read.schema(
-        "vec_id LONG, cell LONG, code0 INT, code1 INT, code2 INT, " +
-          "code3 INT, recon_error DOUBLE")
+    val got = spark.read.schema(codesSchemaDdl)
       .json(s"$work/codes").collect().map(codeRow).toSet
     val batch = Similarity.incrementalAssign(all, isNew)
       .collect().map(codeRow).toSet
@@ -183,6 +189,54 @@ class StreamingAnnIngestSpec extends SparkSpec {
     }
     assert(perCell.nonEmpty && perCell.forall(_ == 1),
       s"expected one merged file per cell, got ${perCell.toSeq}")
+
+    // touched-cells-only merge: identical rows/search results, and every
+    // base cell the segments did NOT touch moves at FILE level — its
+    // parquet file names survive verbatim (copied, never decoded).
+    // Segment restricted to two cells so untouched cells EXIST (the live
+    // dir above lands vectors in nearly every cell).
+    val liveRows = spark.read.parquet(s"$work/live")
+    val twoCells = liveRows.select(col("cell")).distinct()
+      .orderBy(col("cell")).limit(2)
+      .collect().map(_.getInt(0))
+    liveRows.filter(col("cell").isin(twoCells.toIndexedSeq: _*))
+      .write.partitionBy("cell").parquet(s"$work/live2")
+    TableLayout.mergeCellSegments(spark, s"$work/base",
+      Seq(s"$work/live2"), s"$work/merged_t", touchedOnly = true)
+    val mergedT = spark.read.parquet(s"$work/merged_t")
+    val seg2Rows = spark.read.parquet(s"$work/live2").count()
+    assert(mergedT.count() == corpus.count() + seg2Rows)
+    // the full merge of the SAME inputs row-matches the touched-only one
+    TableLayout.mergeCellSegments(spark, s"$work/base",
+      Seq(s"$work/live2"), s"$work/merged_t_full")
+    def idCells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idCells(mergedT) ==
+      idCells(spark.read.parquet(s"$work/merged_t_full")))
+    def cellFiles(dir: String): Map[String, Set[String]] = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith("cell="))
+        .map { d =>
+          val f = Files.list(d)
+          try d.getFileName.toString -> f.toArray
+            .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+          finally f.close()
+        }.toMap
+      finally s.close()
+    }
+    val touched = cellFiles(s"$work/live2").keySet
+    assert(touched.nonEmpty)
+    val baseFiles = cellFiles(s"$work/base")
+    val outFiles = cellFiles(s"$work/merged_t")
+    val untouched = baseFiles.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some cells untouched")
+    untouched.foreach { c =>
+      assert(outFiles(c) == baseFiles(c),
+        s"untouched cell $c was rewritten: ${outFiles(c)} vs ${baseFiles(c)}")
+    }
   }
 
   test("runAnnLayoutJob: topic-to-segments landing equals the batch " +
@@ -239,9 +293,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
       triggerInterval = Some("1 second"))
     try q.processAllAvailable() finally q.stop()
 
-    val got = spark.read.schema(
-        "vec_id LONG, cell LONG, code0 INT, code1 INT, code2 INT, " +
-          "code3 INT, recon_error DOUBLE")
+    val got = spark.read.schema(codesSchemaDdl)
       .json(s"$work/codes").collect().map(codeRow).toSet
     val batch = Similarity.incrementalAssign(all, isNew)
       .collect().map(codeRow).toSet

@@ -459,6 +459,53 @@ class TableLayoutSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("documents by-source layout: the source filter prunes whole " +
+    "source directories at listing time; the n_chars band opens only " +
+    "manifest-intersecting files; both match the raw table") {
+    val pruned = graft.queries.DataPipelineQueries.docsLayoutPrune(spark, sfDir)
+    val scans = scanNodes(pruned)
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty, scans.head.toString)
+    pruned.collect()
+    // 3 of 20 source dirs at filesPerSource=2, +1 slack per dir for a
+    // range task straddling a source boundary
+    val opened = scans.head.metrics("numFiles").value
+    assert(opened <= 9, s"source pruning opened $opened files")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source").isin("src3", "src7", "src11"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(pruned.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
+
+    val dir = TableLayout.documentsSourcePartitioned(spark, sfDir)
+    val total = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    val nFiles = {
+      var n = 0
+      while (total.hasNext) {
+        val f = total.next()
+        val name = f.getFileName.toString
+        if (name.endsWith(".parquet") && !f.toString.contains("_graft_stats"))
+          n += 1
+      }
+      n
+    }
+    val box = TableLayout.readStatsPruned(spark, dir,
+      Seq(("n_chars", 250, 350)))
+    box.collect()
+    val boxScanned = scanNodes(box).map(_.metrics("numFiles").value).sum
+    assert(boxScanned < nFiles,
+      s"stats band opened all $nFiles files — manifest skipped nothing")
+    // partition column survives the file-list read (basePath) and the
+    // rollup equals the raw-table filter
+    val boxRoll = graft.queries.DataPipelineQueries.docsStatsBox(spark, sfDir)
+    val rawBox = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars").between(250, 350))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(boxRoll.collect().map(_.toSeq).toSet ==
+      rawBox.collect().map(_.toSeq).toSet)
+  }
+
   test("file-stats manifest: the pruned reader opens only intersecting " +
     "files and returns exactly the predicate's rows") {
     val n = 100L
