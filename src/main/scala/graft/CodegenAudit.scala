@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Generated-code size audit over the whole query registry — the check
+ * the r12 streaming-codes investigation proved necessary: a
+ * whole-stage-codegen method that Janino compiles but that exceeds
+ * HotSpot's `DontCompileHugeMethods` ceiling (8 000 bytecodes) runs in
+ * the BYTECODE INTERPRETER, ~30× slower, with no warning from Spark at
+ * the default `spark.sql.codegen.hugeMethodLimit` (65 535). This main
+ * plans every registered query at `SPARK_GRAFT_SF_DIR` and reports each
+ * query's largest generated method, flagging any over the JIT ceiling —
+ * run it whenever an operator's expression surface grows. (Plan-time
+ * only: nothing executes, so the audit is seconds for the whole
+ * registry. AQE re-planned stages are not covered — the initial
+ * physical plan is what carries the projection/codegen shapes at issue.)
+ *
+ *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.CodegenAudit"
+ */
+object CodegenAudit {
+  private val JitCeiling = 8000
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // AQE off: an un-executed AdaptiveSparkPlanExec exposes no codegen
+      // subtrees to codegenString — the audit needs the full static plan
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sizeRe = "maxMethodCodeSize:(\\d+)".r
+    // SPARK_GRAFT_CG_DETAIL=<query>: print that query's codegen header
+    // lines (per-subtree sizes) for offender diagnosis
+    val detail = sys.env.get("SPARK_GRAFT_CG_DETAIL")
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      try {
+        val gen = org.apache.spark.sql.execution.debug.codegenString(
+          fn(spark, sfDir).queryExecution.executedPlan)
+        if (detail.contains(name))
+          gen.linesIterator.filter(_.contains("Subtree")).foreach(l =>
+            println(s"DETAIL $name: $l"))
+        val sizes = sizeRe.findAllMatchIn(gen).map(_.group(1).toInt).toSeq
+        (name, if (sizes.isEmpty) 0 else sizes.max, None: Option[String])
+      } catch { case e: Throwable =>
+        (name, -1, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+    val over = results.filter(_._2 > JitCeiling).sortBy(-_._2)
+    val errs = results.collect { case (n, _, Some(m)) => s""""$n":"${m.take(80)}"""" }
+    val worst = results.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+      .map { case (n, sz, _) => s""""$n":$sz""" }
+    println(s"""{"queries":${results.size},"over_jit_ceiling":${over.size},""" +
+      s""""offenders":{${over.map { case (n, sz, _) => s""""$n":$sz""" }.mkString(",")}},""" +
+      s""""largest":{${worst.mkString(",")}},"errors":{${errs.mkString(",")}}}""")
+    spark.stop()
+  }
+}

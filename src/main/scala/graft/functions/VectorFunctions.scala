@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, SubvectorDist2}
+import org.apache.spark.sql.graftshim.{ColumnShim, DotProduct, HammingDistance, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, MatVecRound6, SignBuckets, SubvectorDist2}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -53,4 +53,18 @@ object VectorFunctions {
   def ivfNearestCell(v: Column, nrm: Column, packed: Column): Column =
     ColumnShim.column(IvfNearestCell(ColumnShim.expression(v),
       ColumnShim.expression(nrm), ColumnShim.expression(packed)))
+
+  /** Coordinate-sign LSH bucket strings, one per table, as a single
+    * codegen'd node; see
+    * [[org.apache.spark.sql.graftshim.SignBuckets]]. */
+  def signBuckets(v: Column, bits: Column, tables: Column): Column =
+    ColumnShim.column(SignBuckets(ColumnShim.expression(v),
+      ColumnShim.expression(bits), ColumnShim.expression(tables)))
+
+  /** 6-dp-rounded matrix–vector projection over a literal row matrix —
+    * one codegen'd node; see
+    * [[org.apache.spark.sql.graftshim.MatVecRound6]]. */
+  def matvecRound6(v: Column, rows: Column, divisor: Column): Column =
+    ColumnShim.column(MatVecRound6(ColumnShim.expression(v),
+      ColumnShim.expression(rows), ColumnShim.expression(divisor)))
 }

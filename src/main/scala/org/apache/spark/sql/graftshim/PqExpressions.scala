@@ -377,3 +377,171 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(vector = newFirst, nrm = newSecond, packed = newThird)
 }
+
+/**
+ * Coordinate-sign LSH bucket keys over the whole table set — the
+ * sign-LSH family's compact sibling of [[IvfNearestCell]]: table t's
+ * bucket is the '1'/'0' sign pattern of dims [t·bits, (t+1)·bits),
+ * returned as `array<string>` indexed by table. Replaces the
+ * bits·tables `when(element_at(v, i) > 0, "1")` + concat tree whose
+ * generated code pushed `decontaminate_semantic`'s method past the
+ * HotSpot JIT ceiling (CodegenAudit). Semantics replicated exactly,
+ * including the tree's quiet edges: an out-of-range index or a null
+ * element reads as '0' (element_at → null → `> 0` false → otherwise) —
+ * callers guard dim ≥ bits·tables where that matters, as before.
+ */
+case class SignBuckets(vector: Expression, bits: Expression,
+                       tables: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def first: Expression = vector
+  override def second: Expression = bits
+  override def third: Expression = tables
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType, IntegerType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_sign_buckets"
+
+  override protected def nullSafeEval(v: Any, b: Any, t: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val bits = b.asInstanceOf[Int]
+    val tables = t.asInstanceOf[Int]
+    val n = x.numElements()
+    val out = new Array[Any](tables)
+    var tb = 0
+    while (tb < tables) {
+      val cs = new Array[Char](bits)
+      var i = 0
+      while (i < bits) {
+        val j = tb * bits + i
+        cs(i) = if (j < n && !x.isNullAt(j) && x.getDouble(j) > 0) '1' else '0'
+        i += 1
+      }
+      out(tb) = UTF8String.fromString(new String(cs))
+      tb += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, t) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val tb = ctx.freshName("tb")
+      val cs = ctx.freshName("cs")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $v.numElements();
+         |Object[] $out = new Object[$t];
+         |for (int $tb = 0; $tb < $t; $tb++) {
+         |  char[] $cs = new char[$b];
+         |  for (int $i = 0; $i < $b; $i++) {
+         |    int $j = $tb * $b + $i;
+         |    $cs[$i] = ($j < $n && !$v.isNullAt($j) && $v.getDouble($j) > 0)
+         |      ? '1' : '0';
+         |  }
+         |  $out[$tb] = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    new String($cs));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vector = newFirst, bits = newSecond, tables = newThird)
+}
+
+/**
+ * Dense matrix–vector projection with 6-dp rounding — the random
+ * projection's whole-matrix node: out[r] = round6(Σᵢ v[i]·rows[r][i] ÷
+ * `divisor`), accumulated left-to-right like [[DotProduct]], divisor an
+ * exact IEEE op, rounding the shared BigDecimal HALF_UP. Replaces the
+ * kDims separate dot+round chains whose generated code pushed
+ * `embedding_rp` past the HotSpot JIT ceiling (CodegenAudit) — same
+ * values, one compact loop. Null vector → null; a vector shorter than a
+ * row or a null element → null.
+ */
+case class MatVecRound6(vector: Expression, rows: Expression,
+                        divisor: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = vector
+  override def second: Expression = rows
+  override def third: Expression = divisor
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), DoubleType)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_matvec_round6"
+
+  @transient private lazy val rowMatrix: Array[Array[Double]] =
+    PqExpressions.toMatrix(rows)
+
+  override protected def nullSafeEval(v: Any, rw: Any, dv: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val div = dv.asInstanceOf[Double]
+    val mat = rowMatrix
+    val out = new Array[Double](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      if (row.length > x.numElements()) return null
+      var s = 0.0
+      var i = 0
+      while (i < row.length) {
+        if (x.isNullAt(i)) return null
+        s += x.getDouble(i) * row(i)
+        i += 1
+      }
+      out(r) = PqExpressions.roundHalfUp(s / div, 6)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, rw, dv) => {
+      val mat = ctx.addReferenceObj("mvRows", rowMatrix, "double[][]")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      s"""
+         |double[] $out = new double[$mat.length];
+         |boolean $bad = false;
+         |for (int $r = 0; $r < $mat.length; $r++) {
+         |  double[] $row = $mat[$r];
+         |  if ($row.length > $v.numElements()) { $bad = true; break; }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $row.length; $i++) {
+         |    if ($v.isNullAt($i)) { $bad = true; break; }
+         |    $s += $v.getDouble($i) * $row[$i];
+         |  }
+         |  if ($bad) break;
+         |  $out[$r] = org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp($s / $dv, 6);
+         |}
+         |if ($bad) { ${ev.isNull} = true; ${ev.value} = null; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vector = newFirst, rows = newSecond, divisor = newThird)
+}

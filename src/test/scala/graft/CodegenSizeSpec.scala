@@ -1,0 +1,46 @@
+package graft
+
+/**
+ * Registry-wide generated-code size gate — the spec form of
+ * [[CodegenAudit]]: every registered query's largest whole-stage-codegen
+ * method must stay under HotSpot's `DontCompileHugeMethods` ceiling
+ * (8 000 bytecodes). Above it the method still COMPILES (Janino is
+ * happy, Spark raises nothing at the default hugeMethodLimit) but the
+ * JVM refuses to JIT it and the whole scan runs in the bytecode
+ * interpreter — the ~30× silent cliff the r12 streaming-codes
+ * investigation uncovered on three registered queries. AQE is disabled
+ * for the sweep (an un-executed adaptive plan exposes no codegen
+ * subtrees); nothing executes, so the sweep is planning-cost only.
+ */
+class CodegenSizeSpec extends SparkSpec {
+
+  private val JitCeiling = 8000
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no registered query's generated method exceeds the HotSpot JIT " +
+    "ceiling (8000 bytecodes — beyond it the code runs interpreted)") {
+    val sizeRe = "maxMethodCodeSize:(\\d+)".r
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+        val gen = org.apache.spark.sql.execution.debug.codegenString(
+          fn(spark, sfDir).queryExecution.executedPlan)
+        val max = sizeRe.findAllMatchIn(gen).map(_.group(1).toInt)
+          .foldLeft(0)(math.max)
+        if (max > JitCeiling) Some(name -> max) else None
+      }
+      assert(offenders.isEmpty,
+        s"queries whose generated code cannot be JIT-compiled: $offenders")
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
