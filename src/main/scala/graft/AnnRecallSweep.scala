@@ -29,6 +29,11 @@ object AnnRecallSweep {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // quantizer width / probe knobs: the registered operating point is
+    // (16, 4) — production quantizers are wider with a SMALLER probed
+    // fraction, so the ladder also measures e.g. (64, 8) = 12.5% probed
+    val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBE", "4").toInt
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -43,8 +48,10 @@ object AnnRecallSweep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     brute.count()
 
-    val rIvf = meanRecall(Similarity.ivfHashTopK(embs, 8, 5), brute)
-    println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivf","recall":$rIvf}""")
+    val rIvf = meanRecall(
+      Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe),
+      brute)
+    println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","recall":$rIvf}""")
 
     val cfgs = Seq(
       PqConfig(m = 4, k = 16), PqConfig(m = 8, k = 16),
@@ -59,11 +66,13 @@ object AnnRecallSweep {
       codes.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
       val raw = meanRecall(
-        Similarity.ivfPqTopK(embs, 8, 5, cfg = cfg, sharedCodes = Some(codes)),
+        Similarity.ivfPqTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+          cfg = cfg, sharedCodes = Some(codes)),
         brute)
       val refined = Seq(25, 50, 100).map { d =>
         d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
-          rerankDepth = d, cfg = cfg, sharedCodes = Some(codes)), brute)
+          rerankDepth = d, nCells = nCells, nProbe = nProbe, cfg = cfg,
+          sharedCodes = Some(codes)), brute)
       }
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
       println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq","m":${cfg.m},"k":${cfg.k},"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
@@ -82,12 +91,12 @@ object AnnRecallSweep {
       codes.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
       val raw = meanRecall(
-        Similarity.ivfPqTopK(embs, 8, 5, cfg = cfg,
-          sharedCodes = Some(codes), codebook = Some(cb)), brute)
+        Similarity.ivfPqTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+          cfg = cfg, sharedCodes = Some(codes), codebook = Some(cb)), brute)
       val refined = Seq(25, 50, 100).map { d =>
         d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
-          rerankDepth = d, cfg = cfg, sharedCodes = Some(codes),
-          codebook = Some(cb)), brute)
+          rerankDepth = d, nCells = nCells, nProbe = nProbe, cfg = cfg,
+          sharedCodes = Some(codes), codebook = Some(cb)), brute)
       }
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
       println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
