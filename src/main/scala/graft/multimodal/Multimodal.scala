@@ -13,7 +13,7 @@ final case class MediaAsset(
     meta_lang: String,
     meta_n_chars: Long)
 
-/** Deterministic per-asset features from the stub decoder. */
+/** Deterministic per-asset features from the media decoder. */
 final case class MediaFeatures(
     doc_id: Long,
     media_type: String,
@@ -28,11 +28,16 @@ final case class MediaFeatures(
  * iterator of rows per partition and the decoder amortizes any model/
  * library init across the partition).
  *
- * The container has no image/audio libraries, so [[decodeStub]] is a
- * clearly-marked deterministic fake (a 16-bin byte histogram standing in
- * for "decode then embed"); everything around it — the binary column,
- * metadata struct, partitioning, per-partition batching, output schema —
- * is real and tested. Swapping in a real decoder changes ONE function.
+ * The IMAGE decode path is REAL (r12): [[decodeImage]]/[[resizeImage]]
+ * run on the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF — no external
+ * libraries, headless-safe), so image payloads yield true
+ * width/height/band/luma-statistics features and real resampled bytes;
+ * spec-tested on PNGs/JPEGs synthesized in the suite. Audio/video still
+ * have no codecs in the container, so non-image payloads take the
+ * deterministic [[decodeStub]] byte-histogram path (clearly marked) —
+ * the [[decode]] dispatch is where a deployment plugs its codecs, and
+ * everything around it — binary column, metadata struct, partitioning,
+ * per-partition batching, output schema — is identical for both paths.
  */
 object Multimodal {
 
@@ -54,16 +59,138 @@ object Multimodal {
   }
 
   /**
-   * STUB DECODER — deterministic fake for the absent media libraries: a
-   * 16-bin byte-value histogram, L1-normalized. A real pipeline replaces
-   * this body with e.g. JPEG decode + CNN embed; the signature (bytes in,
-   * fixed-width float vector out) and everything calling it stay as-is.
+   * STUB DECODER — the deterministic fallback for media types WITHOUT a
+   * codec in this container (audio/video): a 16-bin byte-value
+   * histogram, L1-normalized. The signature (bytes in, fixed-width
+   * float vector out) matches [[decodeImage]], so a deployment swaps in
+   * real codecs at the [[decode]] dispatch without touching callers.
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     payload.foreach(b => bins((b & 0xff) >> 4) += 1f)
     val n = math.max(payload.length, 1).toFloat
     bins.map(_ / n)
+  }
+
+  /** Feature width shared by every decode path. */
+  val FeatureDim = 16
+
+  /**
+   * REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF;
+   * no external dependencies, headless-safe): a fixed-width
+   * [[FeatureDim]] feature vector
+   * `[width, height, bands, meanLuma/255, stdLuma/255, hist8(luma)…, 0,0,0]`
+   * with the 8-bin luma histogram mass-normalized — the cheap global
+   * image statistics a curation pipeline filters on (blank/near-blank
+   * detection, exposure outliers) before any model runs. `None` when
+   * the bytes are not a decodable image (ImageIO probes the container
+   * format and returns null / throws on truncation) — the caller
+   * decides the fallback, never a crash on a poisoned payload.
+   */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null
+              case _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = img.getRaster.getNumBands
+      var sum = 0.0
+      var sum2 = 0.0
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          sum += lum
+          sum2 += lum.toDouble * lum
+          hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val mean = sum / n
+      val std = math.sqrt(math.max(sum2 / n - mean * mean, 0.0))
+      val out = new Array[Float](FeatureDim)
+      out(0) = w.toFloat; out(1) = h.toFloat; out(2) = bands.toFloat
+      out(3) = (mean / 255.0).toFloat; out(4) = (std / 255.0).toFloat
+      var i = 0
+      while (i < 8) { out(5 + i) = (hist(i) / n).toFloat; i += 1 }
+      Some(out)
+    }
+  }
+
+  /**
+   * Content-dispatching decoder: image media types take the REAL
+   * [[decodeImage]] path (undecodable image bytes → the zero vector, a
+   * poisoned-payload marker downstream filters on, never a crash);
+   * everything else takes the [[decodeStub]] histogram. ONE function to
+   * extend per new codec.
+   */
+  def decode(payload: Array[Byte], mediaType: String): Array[Float] =
+    if (mediaType != null && mediaType.startsWith("image/"))
+      decodeImage(payload).getOrElse(new Array[Float](FeatureDim))
+    else decodeStub(payload)
+
+  /**
+   * REAL image resize via ImageIO + `Graphics2D.drawImage` bilinear
+   * scaling, re-encoded to `format` bytes — the standard
+   * normalize-resolution preprocessing step before feature extraction
+   * or training. `None` for undecodable payloads (same contract as
+   * [[decodeImage]]).
+   */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int,
+                  format: String = "png"): Option[Array[Byte]] = {
+    decodeBuffered(payload).map { src =>
+      val dst = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, format, bos)
+      bos.toByteArray
+    }
+  }
+
+  private def decodeBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null
+              case _: RuntimeException => null }
+    Option(img)
+  }
+
+  /**
+   * Per-partition image resize over an asset set: image payloads are
+   * resampled to (width × height) and re-encoded (media_type updates to
+   * the target format); non-image and undecodable payloads pass through
+   * untouched — the normalize-the-lake pass, narrow like
+   * [[extractFeatures]].
+   */
+  def resizeAssets(assets: Dataset[MediaAsset], width: Int, height: Int,
+                   format: String = "png"): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.media_type != null && a.media_type.startsWith("image/"))
+          resizeImage(a.payload, width, height, format)
+            .map(bytes => a.copy(payload = bytes,
+              media_type = s"image/$format"))
+            .getOrElse(a)
+        else a
+      }
+    }
   }
 
   /**
@@ -77,7 +204,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       // per-partition init would go here (load model, open codec, ...)
       it.map(a => MediaFeatures(a.doc_id, a.media_type,
-        a.payload.length.toLong, decodeStub(a.payload)))
+        a.payload.length.toLong, decode(a.payload, a.media_type)))
     }
   }
 
