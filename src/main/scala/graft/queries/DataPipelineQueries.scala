@@ -311,14 +311,16 @@ object DataPipelineQueries {
       Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
     }
 
-  /** ANN recall audit (r11): per-(method, query) recall@5 of the three
-    * approximate indexes — IVF, IVF+PQ, and LSH — against the
-    * brute-force exact top-k, the quality number a production index
-    * reports next to its latency (the PQ row doubles as the
-    * quantization-loss measurement: its gap to the plain-IVF row at
-    * equal probes is the ADC approximation). Reuses the memoized ivf/lsh frames; exact count/k
-    * arithmetic, so the composed oracle (the three neighbor oracles
-    * nested verbatim) matches without rounding hazard. */
+  /** ANN recall audit (r11, widened r12): per-(method, query) recall@5
+    * of the approximate indexes — IVF, full-scan ADC over the PQ codes
+    * (`pq` — codebook quality in isolation, no probe limit), IVF+PQ,
+    * its exact-rerank refinement, and LSH — against the brute-force
+    * exact top-k, the quality number a production index reports next to
+    * its latency (ivfpq's gap to plain IVF at equal probes is the ADC
+    * approximation; its gap to `pq` is the probe loss). Reuses the
+    * memoized frames; exact count/count arithmetic, so the composed
+    * oracle (the neighbor oracles nested verbatim) matches without
+    * rounding hazard. */
   val annRecallAudit: (SparkSession, String) => DataFrame =
     memoized("annRecallAudit") { (spark, sfDir) =>
       import org.apache.spark.sql.functions.{col, lit}
@@ -326,6 +328,7 @@ object DataPipelineQueries {
         nQueries = 8, k = 5)
       Seq(
         "ivf" -> similarityIvf(spark, sfDir),
+        "pq" -> similarityPq(spark, sfDir),
         "ivfpq" -> similarityIvfPq(spark, sfDir),
         "ivfpq_rerank" -> similarityIvfPqRerank(spark, sfDir),
         "lsh" -> similarityAnn(spark, sfDir))
@@ -1546,6 +1549,14 @@ object DataPipelineQueries {
        |lsh AS (SELECT query_id, neighbor_id FROM (
        |${Similarity.lshTopKOracleSql()}
        |) z),
+       |pqscan AS (SELECT query_id, neighbor_id FROM (
+       |${Similarity.adcTopKOracleSql()}
+       |) z),
+       |r_pq AS (SELECT 'pq' AS method, b.query_id,
+       |  CAST(count(q.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
+       |  FROM brute b LEFT JOIN pqscan q
+       |    ON q.query_id = b.query_id AND q.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
        |r_ivf AS (SELECT 'ivf' AS method, b.query_id,
        |  CAST(count(i.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN ivf i
@@ -1570,6 +1581,8 @@ object DataPipelineQueries {
        |    ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id)
        |SELECT method, query_id, recall_at_k FROM r_ivf
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_pq
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_ivfpq
        |UNION ALL

@@ -118,6 +118,11 @@ object GraftSql {
     spark.read.parquet(
         graft.sources.TableLayout.embeddingsCellPartitioned(spark, sfDir))
       .createOrReplaceTempView("embeddings_cells")
+    // the by-source documents layout (r12): WHERE source IN (...) prunes
+    // source directories at listing — the SQL half of docs_layout_prune
+    spark.read.parquet(
+        graft.sources.TableLayout.documentsSourcePartitioned(spark, sfDir))
+      .createOrReplaceTempView("documents_by_source")
   }
 
   /**

@@ -170,6 +170,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
         "SELECT count(DISTINCT cell) FROM embeddings_cells")
       .head().getLong(0) == 16)
+    // documents-by-source view (r12): whole corpus, the source partition
+    // column queryable, and a WHERE source filter plans a partition
+    // filter (listing-time pruning from pure SQL)
+    assert(spark.sql("SELECT count(*) FROM documents_by_source").head().getLong(0)
+      == spark.sql("SELECT count(*) FROM documents").head().getLong(0))
+    // projection-only query: no exchange, so the scan sits directly in
+    // the executed plan (an aggregate's AQE wrapper hides its stages
+    // from collectLeaves)
+    val docsPruned = spark.sql(
+      "SELECT doc_id FROM documents_by_source WHERE source = 'src3'")
+    docsPruned.collect()
+    val docScan = docsPruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(docScan.partitionFilters.nonEmpty, docScan.toString)
   }
 
   test("views compose: SQL aggregation over the ctr view, base tables " +
