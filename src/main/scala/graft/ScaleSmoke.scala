@@ -552,6 +552,33 @@ object LayoutScaleSmoke {
         s""""compact_sec":$tCompact,"stats_build_sec":$tStatsBuild,""" +
         s""""stats_refresh_sec":$tStatsRefresh,""" +
         s""""refresh_added":${refreshed._1},"refresh_dropped":${refreshed._2}}""")
+
+      // documents-takedown ladder (r12): a CONSTANT batch of 200 doomed
+      // doc_ids spanning 4 of 20 sources against a K×-amplified corpus
+      // layout — the takedown cost must track the TOUCHED sources'
+      // bytes, never the table
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docsAmp = (0 until k).map { i =>
+        docsBase.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val docsDir = s"$work/docs_k$k"
+      TableLayout.writeDocumentsSourcePartitioned(spark, docsAmp, docsDir)
+      val nDocs = spark.read.parquet(docsDir).count()
+      val doomedDocs = docsBase
+        .filter(col("source").isin("src1", "src5", "src9", "src13"))
+        .select(col("doc_id")).limit(200)
+      val nDoomed = doomedDocs.count()
+      val (tTakedown, _) = timed {
+        TableLayout.deleteDocIds(spark, docsDir, doomedDocs)
+      }
+      val nDocsAfter = spark.read.parquet(docsDir).count()
+      require(nDocsAfter == nDocs - nDoomed,
+        s"takedown row drift: $nDocsAfter != $nDocs - $nDoomed")
+      println(s"""{"k":$k,"docs":$nDocs,"takedown_sec":$tTakedown,""" +
+        s""""takedown_ids":$nDoomed}""")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(docsDir))
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(partDir))
       org.apache.commons.io.FileUtils.deleteDirectory(

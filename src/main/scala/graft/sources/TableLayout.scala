@@ -250,18 +250,66 @@ object TableLayout {
                                  filesPerSource: Int = 2): String =
     cachedLayoutDir(sfDir, s"documents_by_source_f$filesPerSource",
       s"$sfDir/documents.parquet") { tmp =>
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val nSources = docs.select(col("source")).distinct().count().toInt
-      // contiguous (source, n_chars) ranges: each output task holds one
-      // source's length band, so every source directory gets
-      // ~filesPerSource files with DISJOINT n_chars ranges — the
-      // structure the manifest prunes on
-      docs.repartitionByRange(math.max(nSources * filesPerSource, 1),
-          col("source"), col("n_chars"))
-        .sortWithinPartitions(col("source"), col("n_chars"), col("doc_id"))
-        .write.partitionBy("source").parquet(tmp)
-      buildFileStats(spark, tmp, Seq("n_chars", "doc_id"))
+      writeDocumentsSourcePartitioned(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), tmp, filesPerSource)
     }
+
+  /** The documents-layout writer itself (the body [[documentsSourcePartitioned]]
+    * caches): by-source directories, rows within a source range-clustered
+    * on `n_chars` across ~`filesPerSource` files, `_graft_stats` manifest
+    * over (n_chars, doc_id). Public so maintenance specs and ad-hoc
+    * builds can target their OWN directory — the cross-JVM cached layout
+    * must never be mutated in place. */
+  def writeDocumentsSourcePartitioned(spark: SparkSession, docs: DataFrame,
+                                      outDir: String,
+                                      filesPerSource: Int = 2): Unit = {
+    val nSources = docs.select(col("source")).distinct().count().toInt
+    // contiguous (source, n_chars) ranges: each output task holds one
+    // source's length band, so every source directory gets
+    // ~filesPerSource files with DISJOINT n_chars ranges — the
+    // structure the manifest prunes on
+    docs.repartitionByRange(math.max(nSources * filesPerSource, 1),
+        col("source"), col("n_chars"))
+      .sortWithinPartitions(col("source"), col("n_chars"), col("doc_id"))
+      .write.partitionBy("source").parquet(outDir)
+    buildFileStats(spark, outDir, Seq("n_chars", "doc_id"))
+  }
+
+  /**
+   * TAKEDOWN pass on the by-source documents layout — the corpus twin of
+   * [[deleteDateKeys]]' GDPR path, for the requests a training-data lake
+   * actually receives (right-to-be-forgotten, copyright/DMCA removal,
+   * contamination purges): delete every row whose `idCol` is in `ids`.
+   * Same pruning shape as the events delete: a column-pruned semi-join
+   * probe finds the SOURCE partitions holding a doomed id, and only
+   * those are staged/swapped ([[rewritePartitions]] over `source=`
+   * directories — untouched sources' files are never opened); rewritten
+   * sources keep the n_chars range-banding so the stats manifest stays
+   * prunable after a [[refreshFileStats]] (the caller composes the
+   * refresh, exactly like the events maintenance loop). A source whose
+   * docs are ALL deleted is retired entirely.
+   */
+  def deleteDocIds(spark: SparkSession, dir: String, ids: DataFrame,
+                   idCol: String = "doc_id",
+                   filesPerSource: Int = 2,
+                   sortCols: Seq[String] = Seq("n_chars", "doc_id")): Unit = {
+    healRetired(Paths.get(dir), "source")
+    val doomed = ids.select(col(idCol)).distinct()
+    val layout = spark.read.parquet(dir)
+    val touched = layout.select(col(idCol), col("source"))
+      .join(doomed, Seq(idCol), "left_semi")
+      .select(col("source")).distinct()
+    val kept = layout.join(touched, Seq("source"), "left_semi")
+      .join(doomed, Seq(idCol), "left_anti")
+    val parts = touched.collect().map(r => s"source=${r.get(0)}").toIndexedSeq
+    if (parts.nonEmpty) {
+      val banded = kept.repartitionByRange(
+        math.max(parts.size * filesPerSource, 1),
+        col("source"), col("n_chars"))
+      rewritePartitions(spark, dir, banded, sortCols, parts,
+        partCol = "source")
+    }
+  }
 
   /**
    * Land a PRE-ASSIGNED vector stream
@@ -532,14 +580,15 @@ object TableLayout {
   private def rewritePartitions(spark: SparkSession, dir: String,
                                 frame: DataFrame,
                                 sortCols: Seq[String],
-                                touchedParts: Seq[String] = Seq.empty): Unit = {
+                                touchedParts: Seq[String] = Seq.empty,
+                                partCol: String = dateCol): Unit = {
     val target = Paths.get(dir)
-    healRetired(target)
+    healRetired(target, partCol)
     val staging = target.resolveSibling(
       s"${target.getFileName}.staging-${java.util.UUID.randomUUID()}")
     frame
-      .sortWithinPartitions((dateCol +: sortCols).map(col): _*)
-      .write.partitionBy(dateCol).mode("overwrite").parquet(staging.toString)
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
     try {
       val stagedParts = {
         val s = Files.list(staging)
@@ -551,7 +600,7 @@ object TableLayout {
         } finally s.close()
       }
       val stagedNames = stagedParts.map(_.getFileName.toString)
-        .filter(_.startsWith(s"$dateCol=")).toSet
+        .filter(_.startsWith(s"$partCol=")).toSet
       stagedParts
         .filter(p => stagedNames(p.getFileName.toString))
         .foreach { staged =>
@@ -590,9 +639,10 @@ object TableLayout {
     * the two moves) — restore it, so readers see the day again and the
     * interrupted rewrite can be retried. Runs at every maintenance
     * entry, so a crashed swap self-heals instead of wedging. */
-  private[sources] def healRetired(target: java.nio.file.Path): Unit = {
+  private[sources] def healRetired(target: java.nio.file.Path,
+                                   partCol: String = dateCol): Unit = {
     if (!Files.isDirectory(target)) return
-    val retiredRe = s"^\\.($dateCol=.+)\\.retired(-[0-9a-fA-F-]+)?$$".r
+    val retiredRe = s"^\\.($partCol=.+)\\.retired(-[0-9a-fA-F-]+)?$$".r
     val s = Files.list(target)
     val entries = try {
       val it = s.iterator()

@@ -506,6 +506,52 @@ class TableLayoutSpec extends SparkSpec {
       rawBox.collect().map(_.toSeq).toSet)
   }
 
+  test("deleteDocIds takedown: doomed ids vanish everywhere, untouched " +
+    "source dirs are byte-identical, a fully-purged source retires, and " +
+    "the pass is idempotent") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val work = Files.createTempDirectory("docs_takedown").toString
+    val dir = s"$work/layout"
+    TableLayout.writeDocumentsSourcePartitioned(spark, docs, dir)
+    val n0 = spark.read.parquet(dir).count()
+
+    // doomed: two ids from src2, one from src5, one nonexistent
+    val doomedIds = Seq(2L, 42L, 5L, 999999L)
+    val before = fileHashes(dir, except = Set("_graft_stats"))
+    TableLayout.deleteDocIds(spark,
+      dir, doomedIds.toDF("doc_id"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("doc_id").isin(doomedIds: _*)).count() == 0)
+    assert(after.count() == n0 - 3, "exactly the existing doomed ids leave")
+    // untouched sources (everything but src2/src5) byte-identical
+    val hashesAfter = fileHashes(dir, except = Set("_graft_stats"))
+    val touched = Set("source=src2", "source=src5")
+    before.foreach { case (rel, h) =>
+      if (!touched.exists(rel.startsWith))
+        assert(hashesAfter.get(rel).contains(h), s"untouched file $rel changed")
+    }
+    // idempotent: a second identical pass rewrites nothing at all
+    val h1 = fileHashes(dir, except = Set("_graft_stats"))
+    TableLayout.deleteDocIds(spark, dir, doomedIds.toDF("doc_id"))
+    assert(fileHashes(dir, except = Set("_graft_stats")) == h1)
+    // manifest refresh then a stats-pruned band read stays exact
+    TableLayout.refreshFileStats(spark, dir, Seq("n_chars", "doc_id"))
+    val band = TableLayout.readStatsPruned(spark, dir,
+      Seq(("n_chars", 250, 350)))
+    val want = docs.filter(!col("doc_id").isin(doomedIds: _*))
+      .filter(col("n_chars").between(250, 350))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(band.select(col("doc_id")).collect().map(_.getLong(0)).toSet == want)
+    // purge an entire source: its directory retires from the layout
+    val allSrc7 = docs.filter(col("source") === "src7")
+      .select(col("doc_id"))
+    TableLayout.deleteDocIds(spark, dir, allSrc7)
+    assert(!Files.isDirectory(Paths.get(dir).resolve("source=src7")))
+    assert(spark.read.parquet(dir)
+      .filter(col("source") === "src7").count() == 0)
+  }
+
   test("file-stats manifest: the pruned reader opens only intersecting " +
     "files and returns exactly the predicate's rows") {
     val n = 100L
