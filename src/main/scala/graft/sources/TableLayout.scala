@@ -428,6 +428,31 @@ object TableLayout {
       .start()
 
   /**
+   * Land a documents STREAM into the by-source layout — the ingest half
+   * of [[documentsSourcePartitioned]], the documents sibling of
+   * [[streamToDatePartitioned]]/[[streamToCellPartitioned]]: each
+   * microbatch appends only the `source=` directories its documents
+   * hit, checkpointed exactly-once, so a curation ingest stream lands
+   * directly in the form the per-source rollups prune (compose with the
+   * n_chars banding + manifest via the periodic
+   * [[writeDocumentsSourcePartitioned]] recluster +
+   * [[refreshFileStats]], exactly like the date layout's
+   * landing → compaction → refresh loop).
+   */
+  def streamToSourcePartitioned(docs: DataFrame, dir: String,
+                                checkpoint: String,
+                                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("source")
+      .outputMode("append")
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /**
    * Compact the small files of selected date partitions into
    * `filesPerPartition` sorted files each — the maintenance pass that
    * keeps a streaming-landed or incrementally-appended layout readable

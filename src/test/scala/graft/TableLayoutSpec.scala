@@ -506,6 +506,31 @@ class TableLayoutSpec extends SparkSpec {
       rawBox.collect().map(_.toSeq).toSet)
   }
 
+  test("streamToSourcePartitioned: a documents stream lands in source= " +
+    "directories exactly once, and the landed read prunes on source") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("docs_land").toString
+    val stream = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = TableLayout.streamToSourcePartitioned(
+      stream.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$work/landed", s"$work/ck")
+    try {
+      stream.addData((1L, "a", "en", "srcA", 1L), (2L, "b", "en", "srcB", 1L))
+      q.processAllAvailable()
+      stream.addData((3L, "c", "de", "srcA", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$work/landed")
+    assert(landed.count() == 3)
+    assert(Files.isDirectory(Paths.get(s"$work/landed/source=srcA")))
+    assert(Files.isDirectory(Paths.get(s"$work/landed/source=srcB")))
+    val pruned = landed.filter(col("source") === "srcA")
+    assert(pruned.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    val scan = scanNodes(pruned)
+    assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty)
+  }
+
   test("deleteDocIds takedown: doomed ids vanish everywhere, untouched " +
     "source dirs are byte-identical, a fully-purged source retires, and " +
     "the pass is idempotent") {
