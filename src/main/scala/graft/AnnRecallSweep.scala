@@ -53,10 +53,13 @@ object AnnRecallSweep {
       brute)
     println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","recall":$rIvf}""")
 
+    // rounds = 0 pins the SAMPLED codebook rows: under the r12 default
+    // (rounds = 2) these configs would silently train and the ladder's
+    // sampled-vs-trained comparison would measure nothing
     val cfgs = Seq(
-      PqConfig(m = 4, k = 16), PqConfig(m = 8, k = 16),
-      PqConfig(m = 4, k = 64), PqConfig(m = 8, k = 64),
-      PqConfig(m = 8, k = 128), PqConfig(m = 8, k = 256))
+      PqConfig(m = 4, k = 16, rounds = 0), PqConfig(m = 8, k = 16, rounds = 0),
+      PqConfig(m = 4, k = 64, rounds = 0), PqConfig(m = 8, k = 64, rounds = 0),
+      PqConfig(m = 8, k = 128, rounds = 0), PqConfig(m = 8, k = 256, rounds = 0))
     for (cfg <- cfgs if cfg.k <= n) {
       val t0 = System.nanoTime()
       val codes = graft.queries.SharedFrames.memo(

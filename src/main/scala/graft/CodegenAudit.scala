@@ -19,7 +19,20 @@ import org.apache.spark.sql.SparkSession
  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.CodegenAudit"
  */
 object CodegenAudit {
-  private val JitCeiling = 8000
+  /** HotSpot's `DontCompileHugeMethods` limit: a generated method above
+    * this many bytecodes is never JIT-compiled. ONE definition, shared
+    * with CodegenSizeSpec so the main and the CI gate cannot drift. */
+  val JitCeiling = 8000
+
+  private val sizeRe = "maxMethodCodeSize:(\\d+)".r
+
+  /** Largest generated-method size in a physical plan's codegen output
+    * (0 when no codegen subtree reports one — e.g. under an un-executed
+    * AQE plan, so sweep with adaptive DISABLED). */
+  def maxMethodCodeSize(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    sizeRe.findAllMatchIn(gen).map(_.group(1).toInt).foldLeft(0)(math.max)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -34,19 +47,17 @@ object CodegenAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sizeRe = "maxMethodCodeSize:(\\d+)".r
     // SPARK_GRAFT_CG_DETAIL=<query>: print that query's codegen header
     // lines (per-subtree sizes) for offender diagnosis
     val detail = sys.env.get("SPARK_GRAFT_CG_DETAIL")
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       try {
-        val gen = org.apache.spark.sql.execution.debug.codegenString(
-          fn(spark, sfDir).queryExecution.executedPlan)
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
         if (detail.contains(name))
-          gen.linesIterator.filter(_.contains("Subtree")).foreach(l =>
-            println(s"DETAIL $name: $l"))
-        val sizes = sizeRe.findAllMatchIn(gen).map(_.group(1).toInt).toSeq
-        (name, if (sizes.isEmpty) 0 else sizes.max, None: Option[String])
+          org.apache.spark.sql.execution.debug.codegenString(plan)
+            .linesIterator.filter(_.contains("Subtree")).foreach(l =>
+              println(s"DETAIL $name: $l"))
+        (name, maxMethodCodeSize(plan), None: Option[String])
       } catch { case e: Throwable =>
         (name, -1, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }

@@ -70,7 +70,11 @@ object ConcurrentBench {
     val futures = order.map { case (name, fn) =>
       pool.submit(new java.util.concurrent.Callable[Option[(String, String)]] {
         override def call(): Option[(String, String)] = {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "fair")
+          // one pool PER SUBMITTER THREAD: FAIR scheduling applies
+          // BETWEEN pools (an unconfigured pool is FIFO inside), so a
+          // single shared pool would reintroduce head-of-line blocking
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            s"fair-${Thread.currentThread().getId}")
           try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}") }

@@ -87,13 +87,8 @@ object Multimodal {
    * format and returns null / throws on truncation) — the caller
    * decides the fallback, never a crash on a poisoned payload.
    */
-  def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null
-              case _: RuntimeException => null }
-    if (img == null) None
-    else {
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    decodeBuffered(payload).map { img =>
       val w = img.getWidth
       val h = img.getHeight
       val bands = img.getRaster.getNumBands
@@ -122,9 +117,8 @@ object Multimodal {
       out(3) = (mean / 255.0).toFloat; out(4) = (std / 255.0).toFloat
       var i = 0
       while (i < 8) { out(5 + i) = (hist(i) / n).toFloat; i += 1 }
-      Some(out)
+      out
     }
-  }
 
   /**
    * Content-dispatching decoder: image media types take the REAL
@@ -147,7 +141,7 @@ object Multimodal {
    */
   def resizeImage(payload: Array[Byte], width: Int, height: Int,
                   format: String = "png"): Option[Array[Byte]] = {
-    decodeBuffered(payload).map { src =>
+    decodeBuffered(payload).flatMap { src =>
       val dst = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -157,8 +151,10 @@ object Multimodal {
         g.drawImage(src, 0, 0, width, height, null)
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, format, bos)
-      bos.toByteArray
+      // ImageIO.write returns FALSE for a format with no writer — that
+      // must be None (asset passes through), not Some(empty bytes)
+      if (javax.imageio.ImageIO.write(dst, format, bos)) Some(bos.toByteArray)
+      else None
     }
   }
 

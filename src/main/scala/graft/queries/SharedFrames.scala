@@ -167,6 +167,8 @@ object SharedFrames {
         case (k @ (s, d, t), c) if (s eq spark) && d == sfDir && tags(t) => (k, c)
       }.toList
       hit.foreach { case (k, _) => frames.remove(k) }
+      values.filterInPlace { case ((s, d, t), _) =>
+        !((s eq spark) && d == sfDir && tags(t)) }
       hit.map(_._2)
     }
     dropped.foreach(_.discard())
@@ -184,6 +186,10 @@ object SharedFrames {
     val dropped = synchronized {
       val cells = frames.collect { case ((s, _, _), c) if s eq spark => c }.toList
       frames.filterInPlace { case ((s, _, _), _) => !(s eq spark) }
+      // value memos go with the session's frames: a clear() between a
+      // warm and a timed/concurrent pass must cold-start the codebook
+      // builds too (the ConcurrentBench cold-pass contract)
+      values.filterInPlace { case ((s, _, _), _) => !(s eq spark) }
       cells
     }
     dropped.foreach(_.discard())

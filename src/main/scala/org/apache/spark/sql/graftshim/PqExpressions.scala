@@ -29,8 +29,11 @@ object PqExpressions {
   /** Spark `round(x, scale)` semantics, shared by eval and the generated
     * code (which calls this method — one BigDecimal path, no copy). */
   def roundHalfUp(x: Double, scale: Int): Double =
-    new java.math.BigDecimal(x).setScale(scale, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
+    // NaN/Infinite pass through exactly like Spark's Round (BigDecimal
+    // would throw NumberFormatException on them)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else new java.math.BigDecimal(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** The codebook child (always a foldable literal in this library)
     * unboxed ONCE into a primitive matrix. The generic path reads the
@@ -112,7 +115,10 @@ case class PqNearestCode(vector: Expression, codebook: Expression,
       }
       cid += 1
     }
-    new GenericInternalRow(Array[Any](bestD, bestC))
+    // every candidate NaN (only way bestC stays -1 with k > 0): the
+    // struct-min tree ranked NaN greatest, min = (NaN, cid 0)
+    if (bestC < 0) new GenericInternalRow(Array[Any](Double.NaN, 0))
+    else new GenericInternalRow(Array[Any](bestD, bestC))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -151,6 +157,10 @@ case class PqNearestCode(vector: Expression, codebook: Expression,
          |  }
          |}
          |if ($bad) { ${ev.isNull} = true; ${ev.value} = null; }
+         |else if ($bestC < 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{Double.NaN, 0});
+         |}
          |else {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{$bestD, $bestC});
@@ -306,6 +316,7 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
     if (rows.isEmpty) return null
     var bestCC = Double.NegativeInfinity
     var bestId = Long.MaxValue
+    var bestIsNaN = false
     var r = 0
     while (r < rows.length) {
       val row = rows(r)
@@ -319,9 +330,16 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
         i += 1
       }
       val raw = s / (xn * row(1))
-      if (raw > bestCC - 1e-6) {
+      // NaN scores (zero-norm vector or centroid) rank GREATEST with the
+      // smallest-cid tie — Spark's struct ordering in the array_max tree
+      // this replaces (and DuckDB's NaN-sorts-last DESC), so a
+      // degenerate row lands in a deterministic small cell, never a
+      // sentinel
+      val cid = row(0).toLong
+      if (java.lang.Double.isNaN(raw)) {
+        if (!bestIsNaN || cid < bestId) { bestIsNaN = true; bestId = cid }
+      } else if (!bestIsNaN && raw > bestCC - 1e-6) {
         val cc = PqExpressions.roundHalfUp(raw, 6)
-        val cid = row(0).toLong
         if (cc > bestCC || (cc == bestCC && cid < bestId)) {
           bestCC = cc; bestId = cid
         }
@@ -344,10 +362,12 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
       val cid = ctx.freshName("cid")
       val bestCC = ctx.freshName("bestCC")
       val bestId = ctx.freshName("bestId")
+      val bestNaN = ctx.freshName("bestNaN")
       val bad = ctx.freshName("bad")
       s"""
          |double $bestCC = Double.NEGATIVE_INFINITY;
          |long $bestId = Long.MAX_VALUE;
+         |boolean $bestNaN = false;
          |boolean $bad = ($mat.length == 0);
          |for (int $r = 0; !$bad && $r < $mat.length; $r++) {
          |  double[] $row = $mat[$r];
@@ -360,9 +380,11 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
          |  }
          |  if ($bad) break;
          |  double $raw = $s / ($n * $row[1]);
-         |  if ($raw > $bestCC - 1.0E-6) {
+         |  long $cid = (long) $row[0];
+         |  if (Double.isNaN($raw)) {
+         |    if (!$bestNaN || $cid < $bestId) { $bestNaN = true; $bestId = $cid; }
+         |  } else if (!$bestNaN && $raw > $bestCC - 1.0E-6) {
          |    double $cc = org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp($raw, 6);
-         |    long $cid = (long) $row[0];
          |    if ($cc > $bestCC || ($cc == $bestCC && $cid < $bestId)) {
          |      $bestCC = $cc; $bestId = $cid;
          |    }

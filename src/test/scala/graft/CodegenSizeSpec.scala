@@ -14,19 +14,17 @@ package graft
  */
 class CodegenSizeSpec extends SparkSpec {
 
-  private val JitCeiling = 8000
   private val sfDir = "/root/testdata/sf0.001"
 
   test("no registered query's generated method exceeds the HotSpot JIT " +
     "ceiling (8000 bytecodes — beyond it the code runs interpreted)") {
-    val sizeRe = "maxMethodCodeSize:(\\d+)".r
+    // ONE shared sweep definition (CodegenAudit.maxMethodCodeSize +
+    // JitCeiling) — the main and this CI gate cannot drift
     withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-        val gen = org.apache.spark.sql.execution.debug.codegenString(
+        val max = CodegenAudit.maxMethodCodeSize(
           fn(spark, sfDir).queryExecution.executedPlan)
-        val max = sizeRe.findAllMatchIn(gen).map(_.group(1).toInt)
-          .foldLeft(0)(math.max)
-        if (max > JitCeiling) Some(name -> max) else None
+        if (max > CodegenAudit.JitCeiling) Some(name -> max) else None
       }
       assert(offenders.isEmpty,
         s"queries whose generated code cannot be JIT-compiled: $offenders")
