@@ -61,6 +61,9 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(3) - 128f / 255f) < 1e-2 && f(4) < 0.01f,
       "solid color must survive the resample")
     assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+    // an unsupported TARGET format is None (asset passes through), not
+    // Some(empty bytes) with a relabeled media_type
+    assert(Multimodal.resizeImage(solid, 4, 4, format = "nosuchfmt").isEmpty)
     val assets = Seq(
       MediaAsset(1L, "image/png", solid, "en", 0L),
       MediaAsset(2L, "text/plain", "hello".getBytes, "en", 5L),

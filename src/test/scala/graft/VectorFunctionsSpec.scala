@@ -148,4 +148,61 @@ class VectorFunctionsSpec extends SparkSpec {
       Literal.create(Seq(3.0, 4.0), arr))
     assert(withNullElem.eval(InternalRow.empty) == null)
   }
+
+  test("IvfNearestCell: a zero-norm vector's NaN scores rank greatest " +
+    "with the smallest-cid tie — the array_max struct rule, never a " +
+    "sentinel cell id") {
+    import graft.similarity.Similarity
+    // vec 0 is the zero vector; centroids are hash-sampled corpus rows
+    val rows = (0L until 40L).map { i =>
+      val v = if (i == 0L) Array.fill(8)(0f)
+              else Array.tabulate(8)(d => (((i * 7 + d) % 13) - 6).toFloat)
+      (i, v, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val asg = Similarity.ivfCellAssignments(df, nCells = 4)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellIds = asg.values.toSet
+    // the zero vector lands in the SMALLEST centroid id, deterministically
+    assert(asg(0L) == cellIds.min,
+      s"zero vector in cell ${asg(0L)}, centroids $cellIds")
+  }
+
+  test("PqNearestCode: an all-NaN vector quantizes to code 0 with NaN " +
+    "error (the struct-min NaN-is-greatest rule), and roundHalfUp " +
+    "passes NaN/Infinity through like Spark's round") {
+    import org.apache.spark.sql.graftshim.PqExpressions
+    assert(PqExpressions.roundHalfUp(Double.NaN, 6).isNaN)
+    assert(PqExpressions.roundHalfUp(Double.PositiveInfinity, 6).isInfinite)
+    import graft.similarity.Similarity
+    val cfg = Similarity.PqConfig(m = 2, k = 2, dim = 4, rounds = 0)
+    val df = Seq(
+      (0L, Array(1f, 2f, 3f, 4f), 0),
+      (1L, Array(2f, 1f, 4f, 3f), 0),
+      (2L, Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.productQuantize(df, cfg).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("code0"), r.getAs[Int]("code1"),
+          r.getAs[Double]("recon_error")))).toMap
+    assert(out(2L)._1 == 0 && out(2L)._2 == 0, s"NaN row codes ${out(2L)}")
+    assert(out(2L)._3.isNaN, "NaN row recon_error must stay NaN")
+    assert(!out(0L)._3.isNaN && !out(1L)._3.isNaN)
+  }
+
+  test("signBuckets: a short vector pads '0' bits; the sign-LSH callers' " +
+    "coalesce makes a NULL embedding the legacy all-'0' buckets") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, -1.0))),
+      (2L, None: Option[Seq[Double]]))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+        graft.functions.VectorFunctions.signBuckets(
+          coalesce(col("v"), typedLit(Seq.empty[Double])),
+          lit(4), lit(2)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("1000", "0000"), out(1L).toString)
+    assert(out(2L) == Seq("0000", "0000"), out(2L).toString)
+  }
 }
