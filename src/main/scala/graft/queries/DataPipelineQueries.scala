@@ -521,6 +521,14 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }
 
+  /** Embedding drift monitor: even vec_ids play the NEW snapshot (the
+    * incremental-family split convention) — per-dim mean/std movement +
+    * standardized mean shift. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Similarity.embeddingDrift(embs(spark, sfDir), col("vec_id") % 2 === 0)
+  }
+
   /** Eval-set split (vec_id % 11) and cosine floor shared with the
     * semantic-decontamination oracle SQL. */
   private val semanticEvalMod = 11
@@ -2377,6 +2385,8 @@ object DataPipelineQueries {
       Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
+    NamedQuery("embedding_drift", embeddingDrift,
+      Some(Similarity.embeddingDriftOracleSql())),
     NamedQuery("embedding_rp", embeddingRp, Some(Similarity.rpOracleSql())),
     NamedQuery("rp_distortion", rpDistortion,
       Some(Similarity.rpDistortionOracleSql())),
