@@ -29,10 +29,15 @@ object CodegenAudit {
   /** Largest generated-method size in a physical plan's codegen output
     * (0 when no codegen subtree reports one — e.g. under an un-executed
     * AQE plan, so sweep with adaptive DISABLED). */
-  def maxMethodCodeSize(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
-    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
-    sizeRe.findAllMatchIn(gen).map(_.group(1).toInt).foldLeft(0)(math.max)
-  }
+  def maxMethodCodeSize(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    maxMethodCodeSize(org.apache.spark.sql.execution.debug.codegenString(plan))
+
+  /** Same scan over an already-generated codegen dump (codegenString
+    * re-runs whole-stage generation — callers that also print from the
+    * dump should generate once). */
+  def maxMethodCodeSize(codegenDump: String): Int =
+    sizeRe.findAllMatchIn(codegenDump).map(_.group(1).toInt)
+      .foldLeft(0)(math.max)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -52,12 +57,12 @@ object CodegenAudit {
     val detail = sys.env.get("SPARK_GRAFT_CG_DETAIL")
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val gen = org.apache.spark.sql.execution.debug.codegenString(
+          fn(spark, sfDir).queryExecution.executedPlan)
         if (detail.contains(name))
-          org.apache.spark.sql.execution.debug.codegenString(plan)
-            .linesIterator.filter(_.contains("Subtree")).foreach(l =>
-              println(s"DETAIL $name: $l"))
-        (name, maxMethodCodeSize(plan), None: Option[String])
+          gen.linesIterator.filter(_.contains("Subtree")).foreach(l =>
+            println(s"DETAIL $name: $l"))
+        (name, maxMethodCodeSize(gen), None: Option[String])
       } catch { case e: Throwable =>
         (name, -1, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }

@@ -106,16 +106,24 @@ case class PqNearestCode(vector: Expression, codebook: Expression,
         s += d * d
         i += 1
       }
-      // BigDecimal only for candidates that can WIN: round6(x) >= x − 5e-7,
-      // so s >= bestD + 1e-6 implies round6(s) > bestD — skipping the
-      // rounding there is bit-identical to rounding every candidate
-      if (s < bestD + 1e-6) {
+      // First non-NaN candidate (finite OR +Inf) seeds best directly —
+      // an Inf distance must seed (round6 passes it through) or an
+      // all-Inf row would fall to the NaN fallback with the wrong d/cid.
+      // After seeding: BigDecimal only for candidates that can WIN
+      // (round6(x) >= x − 5e-7, so s >= bestD + 1e-6 implies round6(s) >
+      // bestD) — bit-identical to rounding every candidate; an Inf s
+      // never beats an Inf best, preserving the smaller-cid tie.
+      if (bestC < 0) {
+        if (!java.lang.Double.isNaN(s)) {
+          bestD = PqExpressions.roundHalfUp(s, 6); bestC = cid
+        }
+      } else if (s < bestD + 1e-6) {
         val dr = PqExpressions.roundHalfUp(s, 6)
         if (dr < bestD) { bestD = dr; bestC = cid }
       }
       cid += 1
     }
-    // every candidate NaN (only way bestC stays -1 with k > 0): the
+    // every candidate NaN (the only way bestC stays -1 with k > 0): the
     // struct-min tree ranked NaN greatest, min = (NaN, cid 0)
     if (bestC < 0) new GenericInternalRow(Array[Any](Double.NaN, 0))
     else new GenericInternalRow(Array[Any](bestD, bestC))
@@ -151,7 +159,12 @@ case class PqNearestCode(vector: Expression, codebook: Expression,
          |    $s += $d * $d;
          |  }
          |  if ($bad) break;
-         |  if ($s < $bestD + 1.0E-6) {
+         |  if ($bestC < 0) {
+         |    if (!Double.isNaN($s)) {
+         |      $bestD = org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp($s, 6);
+         |      $bestC = $cid;
+         |    }
+         |  } else if ($s < $bestD + 1.0E-6) {
          |    double $dr = org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp($s, 6);
          |    if ($dr < $bestD) { $bestD = $dr; $bestC = $cid; }
          |  }

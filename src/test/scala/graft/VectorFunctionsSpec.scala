@@ -180,7 +180,8 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq(
       (0L, Array(1f, 2f, 3f, 4f), 0),
       (1L, Array(2f, 1f, 4f, 3f), 0),
-      (2L, Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN), 0))
+      (2L, Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN), 0),
+      (3L, Array(Float.PositiveInfinity, 0f, 0f, 0f), 0))
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.productQuantize(df, cfg).collect()
       .map(r => r.getLong(0) ->
@@ -189,6 +190,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(2L)._1 == 0 && out(2L)._2 == 0, s"NaN row codes ${out(2L)}")
     assert(out(2L)._3.isNaN, "NaN row recon_error must stay NaN")
     assert(!out(0L)._3.isNaN && !out(1L)._3.isNaN)
+    // an Inf coordinate: distance to a FINITE codeword is +Inf, to a
+    // codeword containing Inf at the same dim it is NaN (Inf − Inf) —
+    // the struct-min ranks Inf below NaN, so the finite codeword wins
+    // and recon_error is Infinity, never the NaN fallback. Derive the
+    // expected ordinal from the operator's own sampling contract.
+    val cb = df
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        md5(concat(lit("pq:"), col("vec_id").cast("string"))).as("ck"))
+      .orderBy(col("ck"), col("vec_id"))
+      .limit(cfg.k)
+      .collect().map(_.getSeq[Double](1))
+    val expectInf = cb.indexWhere(row => !row(0).isInfinity && !row(0).isNaN)
+    assert(out(3L)._1 == expectInf,
+      s"Inf-subspace code ${out(3L)._1} != finite codeword ordinal $expectInf")
+    assert(out(3L)._3.isInfinity, s"Inf row recon_error ${out(3L)._3}")
   }
 
   test("signBuckets: a short vector pads '0' bits; the sign-LSH callers' " +
