@@ -565,9 +565,13 @@ object LayoutScaleSmoke {
       val docsDir = s"$work/docs_k$k"
       TableLayout.writeDocumentsSourcePartitioned(spark, docsAmp, docsDir)
       val nDocs = spark.read.parquet(docsDir).count()
+      // orderBy before limit: an unordered LIMIT re-evaluates to a
+      // DIFFERENT id set across the three jobs that consume this frame
+      // (count / touched-source probe / kept anti-join), making the
+      // row-drift require flaky or the takedown under-delete (ADVICE r12)
       val doomedDocs = docsBase
         .filter(col("source").isin("src1", "src5", "src9", "src13"))
-        .select(col("doc_id")).limit(200)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(200)
       val nDoomed = doomedDocs.count()
       val (tTakedown, _) = timed {
         TableLayout.deleteDocIds(spark, docsDir, doomedDocs)

@@ -526,7 +526,9 @@ object DataPipelineQueries {
     * standardized mean shift. */
   def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    Similarity.embeddingDrift(embs(spark, sfDir), col("vec_id") % 2 === 0)
+    // expectedDim: the registered oracle fans out exactly 64 dims
+    Similarity.embeddingDrift(embs(spark, sfDir), col("vec_id") % 2 === 0,
+      expectedDim = Some(64))
   }
 
   /** Eval-set split (vec_id % 11) and cosine floor shared with the

@@ -45,6 +45,21 @@ object TableLayout {
   /** Partition-column name added by [[writeDatePartitioned]]. */
   val dateCol = "event_date"
 
+  /** On-disk partition directory name for (`partCol`, value), using the
+    * SAME escaping rule Spark's writer uses (ExternalCatalogUtils — '%',
+    * ':', space, '=', '/' etc. become %XX; null becomes the Hive default
+    * partition token). A raw s"$partCol=$value" interpolation never
+    * matches the on-disk directory for a value needing escaping, so a
+    * rewrite/delete of that partition would silently skip it and the old
+    * directory would resurrect rows (ADVICE r12). */
+  private[sources] def partDirName(partCol: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val v =
+      if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(value.toString)
+    s"$partCol=$v"
+  }
+
   /**
    * Write `df` date-partitioned on `tsCol`'s calendar date,
    * `filesPerPartition` files per date directory, rows within each file
@@ -301,7 +316,8 @@ object TableLayout {
       .select(col("source")).distinct()
     val kept = layout.join(touched, Seq("source"), "left_semi")
       .join(doomed, Seq(idCol), "left_anti")
-    val parts = touched.collect().map(r => s"source=${r.get(0)}").toIndexedSeq
+    val parts = touched.collect().map(r => partDirName("source", r.get(0)))
+      .toIndexedSeq
     if (parts.nonEmpty) {
       val banded = kept.repartitionByRange(
         math.max(parts.size * filesPerSource, 1),
@@ -369,7 +385,10 @@ object TableLayout {
       // O(touched cells' bytes + untouched file metadata), not O(table).
       // Streams hit hot cells, so touched ≪ nCells between merges.
       val touched = segmentDirs.flatMap(listCellDirNames).toSet
-      val touchedIds = touched.toSeq.map(_.drop("cell=".length).toInt)
+      // cell ids are centroid ids (Long) — .toInt overflowed past
+      // Int.MaxValue at exactly the corpus scale the LSM path targets
+      // (ADVICE r12)
+      val touchedIds = touched.toSeq.map(_.drop("cell=".length).toLong)
       Files.createDirectories(Paths.get(outDir))
       if (touched.nonEmpty) {
         val segs = segmentDirs.map(spark.read.parquet(_))
@@ -557,8 +576,8 @@ object TableLayout {
     val kept = existing.join(updateKeys, keyCols, "left_anti")
     val merged = kept.unionByName(dated.select(kept.columns.map(col): _*))
       .repartition(col(dateCol))
-    val dates = touchedDates.collect().map(r =>
-      s"$dateCol=${r.get(0)}").toIndexedSeq
+    val dates = touchedDates.collect().map(r => partDirName(dateCol, r.get(0)))
+      .toIndexedSeq
     (merged, dates)
   }
 
@@ -585,8 +604,8 @@ object TableLayout {
     val kept = layout.join(touchedDates, Seq(dateCol), "left_semi")
       .join(doomed, keyCols, "left_anti")
       .repartition(col(dateCol))
-    val dates = touchedDates.collect().map(r =>
-      s"$dateCol=${r.get(0)}").toIndexedSeq
+    val dates = touchedDates.collect().map(r => partDirName(dateCol, r.get(0)))
+      .toIndexedSeq
     if (dates.nonEmpty) rewritePartitions(spark, dir, kept, sortCols, dates)
   }
 

@@ -299,7 +299,7 @@ case class PqAdcLut(vector: Expression, codebook: Expression,
  * exact in a double far beyond any test corpus; packing keeps this a
  * ternary expression). Rounding uses the shared BigDecimal HALF_UP
  * helper, skipped for candidates that provably cannot win or tie
- * (raw ≤ best − 1e-6 ⇒ round6(raw) < best): bit-identical to rounding
+ * (raw < best − 1e-6 ⇒ round6(raw) < best): bit-identical to rounding
  * every candidate. Dot accumulates left-to-right like [[DotProduct]].
  */
 case class IvfNearestCell(vector: Expression, nrm: Expression,
@@ -348,10 +348,15 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
       // this replaces (and DuckDB's NaN-sorts-last DESC), so a
       // degenerate row lands in a deterministic small cell, never a
       // sentinel
+      // >=, not >: with > an all-(-Inf) score column (negative dot over
+      // an underflowed-to-+0 denominator) never seeds — −Inf > −Inf is
+      // false — and the phantom Long.MaxValue escaped (ADVICE r12). >=
+      // admits the exact-equality candidate too, which the rounding +
+      // (cc, cid) tie below resolves identically to the array_max tree.
       val cid = row(0).toLong
       if (java.lang.Double.isNaN(raw)) {
         if (!bestIsNaN || cid < bestId) { bestIsNaN = true; bestId = cid }
-      } else if (!bestIsNaN && raw > bestCC - 1e-6) {
+      } else if (!bestIsNaN && raw >= bestCC - 1e-6) {
         val cc = PqExpressions.roundHalfUp(raw, 6)
         if (cc > bestCC || (cc == bestCC && cid < bestId)) {
           bestCC = cc; bestId = cid
@@ -396,7 +401,7 @@ case class IvfNearestCell(vector: Expression, nrm: Expression,
          |  long $cid = (long) $row[0];
          |  if (Double.isNaN($raw)) {
          |    if (!$bestNaN || $cid < $bestId) { $bestNaN = true; $bestId = $cid; }
-         |  } else if (!$bestNaN && $raw > $bestCC - 1.0E-6) {
+         |  } else if (!$bestNaN && $raw >= $bestCC - 1.0E-6) {
          |    double $cc = org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp($raw, 6);
          |    if ($cc > $bestCC || ($cc == $bestCC && $cid < $bestId)) {
          |      $bestCC = $cc; $bestId = $cid;

@@ -577,6 +577,49 @@ class TableLayoutSpec extends SparkSpec {
       .filter(col("source") === "src7").count() == 0)
   }
 
+  test("deleteDocIds escapes partition values: a source needing path " +
+    "escaping (space, colon) is purged, not silently resurrected") {
+    import spark.implicits._
+    // Spark's writer escapes ':' and '%' in partition paths (space is
+    // written literally); a raw s"source=$value" interpolation matches
+    // neither form, so the fully-purged-source retire silently skipped
+    // the directory and its rows resurrected (ADVICE r12)
+    val docs = Seq(
+      (1L, "a", "en", "web crawl:v2", 10L),
+      (2L, "b", "en", "web crawl:v2", 20L),
+      (3L, "c", "en", "plain", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val work = Files.createTempDirectory("docs_escape").toString
+    val dir = s"$work/layout"
+    TableLayout.writeDocumentsSourcePartitioned(spark, docs, dir,
+      filesPerSource = 1)
+    // the layout dir really is escaped on disk — pin the premise
+    val sourceDirs = Paths.get(dir).toFile.listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(sourceDirs.exists(d => d.startsWith("source=") && d != "source=plain"),
+      s"expected an escaped source dir, got $sourceDirs")
+    assert(!sourceDirs.contains("source=web crawl:v2"),
+      "premise: Spark escapes ':' in partition dir names")
+    // purge the whole escaped source: both rows gone, directory retired
+    TableLayout.deleteDocIds(spark, dir, Seq(1L, 2L).toDF("doc_id"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1 && after.head().getAs[String]("source") == "plain",
+      "the escaped source's rows must not resurrect")
+    val dirsAfter = Paths.get(dir).toFile.listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
+    assert(dirsAfter == Set("source=plain"), s"stale dirs: $dirsAfter")
+    // partial purge of an escaped source rewrites it in place correctly
+    val dir2 = s"$work/layout2"
+    TableLayout.writeDocumentsSourcePartitioned(spark, docs, dir2,
+      filesPerSource = 1)
+    TableLayout.deleteDocIds(spark, dir2, Seq(1L).toDF("doc_id"))
+    val after2 = spark.read.parquet(dir2)
+    assert(after2.count() == 2)
+    assert(after2.filter(col("source") === "web crawl:v2")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("file-stats manifest: the pruned reader opens only intersecting " +
     "files and returns exactly the predicate's rows") {
     val n = 100L

@@ -169,6 +169,30 @@ class VectorFunctionsSpec extends SparkSpec {
       s"zero vector in cell ${asg(0L)}, centroids $cellIds")
   }
 
+  test("IvfNearestCell: all-(-Inf) scores (negative dot over an " +
+    "underflowed-to-zero denominator) seed and tie to the smallest cid " +
+    "— never the phantom Long.MaxValue") {
+    // drive the expression directly with nrm = 0 so every score is
+    // s/(0·cnrm): a NEGATIVE dot gives −Inf for every centroid — with
+    // the old strict `raw > best − 1e-6` guard nothing ever seeded
+    // (−Inf > −Inf is false) and Long.MaxValue escaped (ADVICE r12)
+    val packed = Seq( // row = [cid, cnrm, coords…]; NOT in cid order
+      Seq(7.0, 1.0, 1.0, 1.0),
+      Seq(3.0, 1.0, 2.0, 2.0),
+      Seq(9.0, 1.0, 3.0, 3.0))
+    val out = Seq((Seq(-1.0, -1.0), 0.0)).toDF("v", "nrm")
+      .select(graft.functions.VectorFunctions.ivfNearestCell(
+        col("v"), col("nrm"), typedLit(packed)).as("cell")).head()
+    assert(!out.isNullAt(0) && out.getLong(0) == 3L,
+      s"all-(-Inf) argmax returned ${out.get(0)}, want smallest cid 3")
+    // a POSITIVE dot over the zero denominator is +Inf everywhere:
+    // same smallest-cid tie
+    val pos = Seq((Seq(1.0, 1.0), 0.0)).toDF("v", "nrm")
+      .select(graft.functions.VectorFunctions.ivfNearestCell(
+        col("v"), col("nrm"), typedLit(packed)).as("cell")).head()
+    assert(pos.getLong(0) == 3L, s"all-(+Inf) tie returned ${pos.get(0)}")
+  }
+
   test("PqNearestCode: an all-NaN vector quantizes to code 0 with NaN " +
     "error (the struct-min NaN-is-greatest rule), and roundHalfUp " +
     "passes NaN/Infinity through like Spark's round") {
