@@ -48,6 +48,36 @@ object AnnRecallSweep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     brute.count()
 
+    // coarse-quantizer training ladder (r13): recall at the env probe
+    // point for Lloyd rounds 0 (the pure hash sample, the r7-r12 form)
+    // through 3 — the measurement behind IvfTrainRounds' default
+    for (rounds <- Seq(0, 1, 2, 3)) {
+      val t0 = System.nanoTime()
+      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val r = meanRecall(
+        Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+          cells = Some(cells)),
+        brute)
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","rounds":$rounds,"train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
+    }
+
+    // probe-width cost/recall curve (r13): nProbe in {4, 8, 16, 32}
+    // (capped at nCells) x {sampled, trained} quantizer — recall next to
+    // the measured per-query seconds, so the registered default and a
+    // user's knob choice are justified by data
+    for (rounds <- Seq(0, Similarity.IvfTrainRounds);
+         p <- Seq(4, 8, 16, 32).filter(_ <= nCells)) {
+      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
+      val q = Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = p,
+        cells = Some(cells))
+      q.count() // warm codegen/caches so the timed rep measures the scan
+      val t0 = System.nanoTime()
+      val r = meanRecall(q, brute)
+      val tQ = (System.nanoTime() - t0) / 1e9
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"method":"ivf_probe_curve","rounds":$rounds,"probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
+    }
+
     val rIvf = meanRecall(
       Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe),
       brute)

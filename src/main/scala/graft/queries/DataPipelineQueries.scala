@@ -301,14 +301,18 @@ object DataPipelineQueries {
         expectedDim = Some(cfg.dim))
     }
 
-  /** Deterministic IVF (r7): hash-sampled corpus centroids instead of the
-    * learned k-means quantizer, so the query is fully oracle-checkable —
-    * `Similarity.ivfTopK` (ML k-means) stays in the library, recall-pinned
-    * by SimilaritySpec, as the refit-capable variant. Memoized: centroid
-    * selection collects nCells rows at build time. */
+  /** Deterministic IVF (r7; coarse quantizer Lloyd-TRAINED r13): the
+    * hash-sampled centroids were k-means init without refinement — now
+    * they get the same deterministic µ-int Lloyd rounds the PQ
+    * sub-codebooks got in r12, so the query is fully oracle-checkable
+    * AND trained (`Similarity.ivfCentsCteSql` replays the training) —
+    * `Similarity.ivfTopK` (ML k-means) stays in the library as the
+    * refit-capable variant. Memoized: the centroid sample/train collects
+    * run at build time, shared across the IVF family via [[ivfCells]]. */
   val similarityIvf: (SparkSession, String) => DataFrame =
     memoized("similarityIvf") { (spark, sfDir) =>
-      Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+      Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5,
+        cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** ANN recall audit (r11, widened r12): per-(method, query) recall@5
@@ -353,7 +357,7 @@ object DataPipelineQueries {
       val layout = spark.read.parquet(
         graft.sources.TableLayout.embeddingsCellPartitioned(spark, sfDir))
       Similarity.ivfHashTopKPruned(embs(spark, sfDir), layout,
-        nQueries = 8, k = 5)
+        nQueries = 8, k = 5, cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** JL random projection (map-side, no shuffle) and its distortion
@@ -399,6 +403,16 @@ object DataPipelineQueries {
       Similarity.codebook(embs(spark, sfDir))
     }
 
+  /** The Lloyd-trained IVF coarse centroids (r13), resolved ONCE per
+    * (session, corpus) — the coarse-quantizer half of [[pqCodebook]]'s
+    * train-once-serve-many contract, shared by every IVF-family query
+    * below so none re-collects and re-trains identically. */
+  private def ivfCells(spark: SparkSession,
+                       sfDir: String): Array[(Long, Seq[Double], Double)] =
+    SharedFrames.memoValue(spark, sfDir, "ivfCells") {
+      Similarity.ivfCells(embs(spark, sfDir))
+    }
+
   val embeddingPq: (SparkSession, String) => DataFrame =
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "pqCodes") {
       Similarity.productQuantize(embs(spark, sfDir),
@@ -423,7 +437,8 @@ object DataPipelineQueries {
     memoized("similarityIvfPq") { (spark, sfDir) =>
       Similarity.ivfPqTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
         sharedCodes = Some(embeddingPq(spark, sfDir)),
-        codebook = Some(pqCodebook(spark, sfDir)))
+        codebook = Some(pqCodebook(spark, sfDir)),
+        cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** IVF+PQ with the exact re-rank tail (r11, the Faiss refine stage):
@@ -436,7 +451,8 @@ object DataPipelineQueries {
       Similarity.ivfPqTopKRefined(embs(spark, sfDir), nQueries = 8,
         topK = 5, rerankDepth = 100,
         sharedCodes = Some(embeddingPq(spark, sfDir)),
-        codebook = Some(pqCodebook(spark, sfDir)))
+        codebook = Some(pqCodebook(spark, sfDir)),
+        cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** Batch-standing-query ADC search — the LUT-table form
@@ -460,7 +476,8 @@ object DataPipelineQueries {
     memoized("similarityIvfPqBatchq") { (spark, sfDir) =>
       Similarity.ivfPqTopKBatch(embs(spark, sfDir), nQueries = 128,
         topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)),
-        codebook = Some(pqCodebook(spark, sfDir)))
+        codebook = Some(pqCodebook(spark, sfDir)),
+        cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** Incremental ANN ingest ([[Similarity.incrementalAssign]]): every
@@ -482,7 +499,8 @@ object DataPipelineQueries {
     * once per (session, sfDir), not per bench rep. */
   val sampleClusterBalanced: (SparkSession, String) => DataFrame =
     memoized("sampleClusterBalanced") { (spark, sfDir) =>
-      Similarity.clusterBalancedSample(embs(spark, sfDir))
+      Similarity.clusterBalancedSample(embs(spark, sfDir),
+        cells = Some(ivfCells(spark, sfDir)))
     }
 
   /** Per-source rollup over the BY-SOURCE documents layout
@@ -1508,17 +1526,19 @@ object DataPipelineQueries {
        |  t.n_votes, t.predicted_label = lb.label AS agree
        |FROM top t JOIN lb ON lb.vec_id = t.query_id""".stripMargin
 
-  /** Same hash-sampled centroids / rounded-cosine argmax assignment /
-    * probe-and-rerank as `Similarity.ivfHashTopK`. Dim-agnostic
-    * (`range(len(v))`); cosines round to 6 dp BEFORE every rank so
-    * engine-ulp noise can't flip an argmax or a neighbor rank. */
+  /** Same Lloyd-TRAINED coarse centroids (r13 —
+    * `Similarity.ivfCentsCteSql` replays the training value for value) /
+    * rounded-cosine argmax assignment / probe-and-rerank as
+    * `Similarity.ivfHashTopK`. Cosines round to 6 dp BEFORE every rank
+    * so engine-ulp noise can't flip an argmax or a neighbor rank. */
   val similarityIvfOracle: String =
-    """WITH en AS (SELECT vec_id,
+    s"""WITH en AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |e AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM en),
-      |cents AS (SELECT vec_id cid, v cv, nrm cnrm FROM e
-      |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |${Similarity.ivfCentsCteSql(nCells = 16, salt = "ivf",
+          rounds = Similarity.IvfTrainRounds, srcRel = "en", dim = 64,
+          outRel = "cents")},
       |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
       |    round(list_sum(list_transform(range(len(e.v)), i ->
       |      e.v[i+1] * c.cv[i+1])) / (e.nrm * c.cnrm), 6) cc

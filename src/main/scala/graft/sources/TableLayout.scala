@@ -234,14 +234,20 @@ object TableLayout {
    */
   def embeddingsCellPartitioned(spark: SparkSession, sfDir: String,
                                 nCells: Int = 16,
-                                filesPerCell: Int = 1): String =
-    // nCells is in the cache key too: a 32-cell request served a cached
-    // 16-cell layout would make the pruned probe read cells that don't
-    // exist — silently incomplete neighbors (ADVICE r11)
-    cachedLayoutDir(sfDir, s"embeddings_ivf_cells_c$nCells-f$filesPerCell",
+                                filesPerCell: Int = 1,
+                                rounds: Int =
+                                  graft.similarity.Similarity.IvfTrainRounds)
+      : String =
+    // every quantizer-shaping parameter is in the cache key: a 32-cell
+    // request served a cached 16-cell layout would make the pruned probe
+    // read cells that don't exist (ADVICE r11), and a trained-quantizer
+    // request served a hash-sampled layout would place vectors in
+    // DIFFERENT cells than the query's probe set assumes (r13)
+    cachedLayoutDir(sfDir,
+      s"embeddings_ivf_cells_c$nCells-f$filesPerCell-t$rounds",
       s"$sfDir/embeddings.parquet") { tmp =>
       graft.similarity.Similarity.ivfCellAssignments(
-          Tables.spread(spark, sfDir, "embeddings"), nCells)
+          Tables.spread(spark, sfDir, "embeddings"), nCells, rounds = rounds)
         .repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
         .write.partitionBy("cell").parquet(tmp)
     }
