@@ -69,8 +69,9 @@ object StreamingCurationJobs {
    *  1. a BLOOM pre-filter projection: the benchmark shingles' k salted
    *     hash positions are folded into ONE fixed-size bitmap literal
    *     (`mBits/64` longs — a MEMORY-BUDGET knob, NOT a function of the
-   *     eval-suite size; same position scheme as
-   *     [[graft.text.Dedup.bloomDedupAudit]]). A document none of whose
+   *     eval-suite size; same bitmap/probe SHAPE as
+   *     [[graft.text.Dedup.bloomDedupAudit]], with codegen'd xxhash64
+   *     positions since r13 — see the note at `pos`). A document none of whose
    *     shingles fully hit the bitmap provably shares no benchmark
    *     shingle (Bloom admits no false negatives) and passes immediately
    *     — the overwhelming majority of a clean corpus, at k md5 probes
@@ -118,8 +119,21 @@ object StreamingCurationJobs {
       p
     }
     require(m > 0 && m % 64 == 0, s"mBits $m must be a positive multiple of 64")
-    def pos(i: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"$i:"), c)), 1, 8), 16, 10).cast("long") % m
+    // native XXH64 positions + whole-document probe (r13), NOT the
+    // md5→conv / exists∘forall Column composition: the probe side
+    // evaluates k positions per shingle per DOCUMENT (~180 at the
+    // defaults), and higher-order functions run as INTERPRETED lambdas
+    // with a boxed position array per shingle — that loop was the
+    // measured curation-ingest wall (IngestWallProbe: the candidate
+    // evaluation ALONE fell behind at 16k docs/s while a double decode,
+    // shingling, dedup and the gate each kept pace). Build and probe
+    // share one hash implementation (graftshim.BloomExpressions), the
+    // only property Bloom correctness needs; membership is decided by
+    // the exact anti join, so output semantics are unchanged (pinned in
+    // StreamingCurationJobsSpec). (graft.text.Dedup.bloomDedupAudit
+    // keeps its md5 scheme: its audit NUMBERS are oracle-replayed in
+    // DuckDB, where XXH64 does not exist.)
+    //
     // distributed bitmap build: positions group by WORD index and OR into
     // that word's bits executor-side (bit_or partials combine map-side, so
     // the shuffle carries ≤ m/64 rows), and the driver collects one
@@ -128,25 +142,18 @@ object StreamingCurationJobs {
     // loop. bit_or is idempotent, so no distinct pass is needed.
     val words = new Array[Long](m / 64)
     benchIndex
-      .select(explode(array((0 until kHashes).map(i =>
-        pos(i, col("shingle"))): _*)).as("p"))
+      .select(explode(graft.functions.VectorFunctions.bloomPositions(
+        col("shingle"), lit(kHashes), lit(m))).as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))
       .agg(bit_or(expr("shiftleft(1L, cast(p % 64 as int))")).as("bits"))
       .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
-    val bm = typedLit(words.toSeq)
-    // positions are < 2^23 so the double division is exact; getbit reads
-    // the word's bit map-side — O(1) per probe, no join for clean rows
-    def bitSet(p: Column): Column =
-      call_function("getbit",
-        element_at(bm, (p / 64).cast("int") + 1), (p % 64).cast("int")) === 1
     val shingleArr = array_distinct(
       TextOps.shingles(TextOps.tokens(col("text")), shingleWidth))
-    // the k probes nest as `forall` over a positions ARRAY so the bitmap
-    // literal occurs ONCE per consumer (an unrolled k-way AND would embed
-    // k copies of the literal in the plan/codegen — 5× the plan text for
-    // the same result)
-    val candidate = exists(shingleArr, s =>
-      forall(array((0 until kHashes).map(i => pos(i, s)): _*), p => bitSet(p)))
+    // ONE codegen'd node per document: loops shingles × k probes over a
+    // primitive long[] reference object, short-circuiting — no lambda
+    // frames, no per-probe allocation, bitmap in the plan exactly once
+    val candidate = graft.functions.VectorFunctions.bloomShingleHit(
+      shingleArr, typedLit(words.toSeq), lit(kHashes))
     val clean = docStream.filter(!candidate)
     val verified = docStream.filter(candidate)
       .withColumn("__sh", shingleArr)
