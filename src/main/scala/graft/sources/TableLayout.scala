@@ -405,6 +405,7 @@ object TableLayout {
           .repartition(col("cell"), pmod(col("vec_id"), lit(filesPerCell)))
           .write.mode("append").partitionBy("cell").parquet(outDir)
       }
+      crashHook("merge-touched-written")
       listCellDirNames(baseDir).filterNot(touched).foreach { name =>
         org.apache.commons.io.FileUtils.copyDirectory(
           Paths.get(baseDir).resolve(name).toFile,
@@ -496,6 +497,12 @@ object TableLayout {
                             predicate: Column,
                             sortCols: Seq[String] = Seq("user_id", "ts"),
                             filesPerPartition: Int = 1): Unit = {
+    // heal BEFORE the partition listing resolves (readDatePartitioned
+    // lists eagerly): a partition vanished mid-swap by a crashed prior
+    // pass must be visible to THIS compaction, not restored after its
+    // frame was already planned without it (the upsert/delete entry-heal
+    // rule, r13 crash sweep)
+    healRetired(Paths.get(dir))
     val touched = readDatePartitioned(spark, dir).filter(predicate)
     val spread: Column =
       if (filesPerPartition == 1) lit(0)
@@ -639,6 +646,7 @@ object TableLayout {
     frame
       .sortWithinPartitions((partCol +: sortCols).map(col): _*)
       .write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
+    crashHook("staged")
     try {
       val stagedParts = {
         val s = Files.list(staging)
@@ -657,6 +665,7 @@ object TableLayout {
           val dst = target.resolve(staged.getFileName.toString)
           swapIn(staged, dst)
         }
+      crashHook("swaps-done")
       // a touched partition with no staged counterpart lost ALL its rows
       // (a delete emptied it, or an upsert moved its only keys to other
       // days) — leaving its old directory alive would resurrect the rows
@@ -667,6 +676,17 @@ object TableLayout {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
   }
 
+  /** Test-only fault-injection seam for the crash-recovery sweep
+    * (MaintenanceCrashSpec): invoked with a point name at every
+    * maintenance step boundary — "staged" (all partitions staged, no
+    * swap yet), "retired" (a live partition moved aside, its
+    * replacement not yet in), "swapped" (replacement in, old copy not
+    * yet dropped), "swaps-done" (all swaps in, empty survivors not yet
+    * retired), "merge-touched-written" (LSM merge: touched cells
+    * written, untouched not yet copied). Production leaves it a no-op;
+    * a test hook throws to simulate dying at exactly that boundary. */
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
+
   /** Near-atomic partition swap: retire the live directory under a
     * UUID-suffixed hidden name, move the staged one in, drop the retired
     * copy. The UUID suffix means a leftover retired dir from a crashed
@@ -676,8 +696,9 @@ object TableLayout {
   private def swapIn(staged: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     val retired = dst.resolveSibling(
       s".${dst.getFileName}.retired-${java.util.UUID.randomUUID()}")
-    if (Files.exists(dst)) Files.move(dst, retired)
+    if (Files.exists(dst)) { Files.move(dst, retired); crashHook("retired") }
     Files.move(staged, dst)
+    crashHook("swapped")
     if (Files.exists(retired))
       org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
   }
