@@ -157,6 +157,29 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: the df-capped jaccard path with a never-binding cap equals " +
+    "the unpruned path at 10 random (shingleWidth, threshold) configs") {
+    // two genuinely different implementations: the unpruned path counts
+    // common shingles in the pairing join; the capped path prunes by
+    // per-shingle df, bounds jaccard from above, and recomputes
+    // survivors from the full arrays — with a cap no shingle reaches,
+    // they must agree exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 80)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to 10) {
+      val w = 2 + rnd.nextInt(4)
+      val t = 0.05 + rnd.nextInt(18) * 0.05
+      val label = s"jaccard w=$w t=$t"
+      assertSameRows(
+        graft.text.Dedup.jaccardPairsExact(docs, w, t),
+        graft.text.Dedup.jaccardPairsExact(docs, w, t,
+          maxShingleDf = Some(1000000)),
+        label)
+      graft.queries.SharedFrames.clear(spark)
+    }
+  }
+
   test("fuzz: one-projection stateless ANN assignment equals the split " +
     "cell-assign + quantize pair at 15 random configs") {
     for (_ <- 1 to 15) {
