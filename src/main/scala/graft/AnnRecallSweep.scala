@@ -66,9 +66,10 @@ object AnnRecallSweep {
     // (capped at nCells) x {sampled, trained} quantizer — recall next to
     // the measured per-query seconds, so the registered default and a
     // user's knob choice are justified by data
-    for (rounds <- Seq(0, Similarity.IvfTrainRounds);
-         p <- Seq(4, 8, 16, 32).filter(_ <= nCells)) {
+    for (rounds <- Seq(0, Similarity.IvfTrainRounds)) {
+      // train once per rounds value — the quantizer is probe-independent
       val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
+      for (p <- Seq(4, 8, 16, 32).filter(_ <= nCells)) {
       val q = Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = p,
         cells = Some(cells))
       q.count() // warm codegen/caches so the timed rep measures the scan
@@ -76,7 +77,7 @@ object AnnRecallSweep {
       val r = meanRecall(q, brute)
       val tQ = (System.nanoTime() - t0) / 1e9
       println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"method":"ivf_probe_curve","rounds":$rounds,"probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
-    }
+    } }
 
     val rIvf = meanRecall(
       Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe),

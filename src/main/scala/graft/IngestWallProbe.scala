@@ -55,19 +55,24 @@ object IngestWallProbe {
       val feeder = JsonStreams.writeValueTopic(
         JsonStreams.encode(StreamThroughput.docStream(spark, rate)).coalesce(2),
         docs.toString, root.resolve("_ck/feed").toString)
-      val deadline = System.nanoTime() + 30000L * 1000000L
-      while (!java.nio.file.Files.isDirectory(docs.resolve("_spark_metadata"))
-             && System.nanoTime() < deadline) Thread.sleep(50L)
-      val out = consume(docs.toString, root.resolve("work").toString)
-      val q = JsonStreams.writeTopic(out, root.resolve("out").toString,
-        root.resolve("_ck/out").toString)
+      // the feeder is covered by this try from the moment it starts —
+      // a consumer that fails to CONSTRUCT must not leave the feeder
+      // writing for the rest of the JVM, skewing every later step
+      // (r13 review finding)
+      var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
       try {
+        val deadline = System.nanoTime() + 30000L * 1000000L
+        while (!java.nio.file.Files.isDirectory(docs.resolve("_spark_metadata"))
+               && System.nanoTime() < deadline) Thread.sleep(50L)
+        val out = consume(docs.toString, root.resolve("work").toString)
+        q = Some(JsonStreams.writeTopic(out, root.resolve("out").toString,
+          root.resolve("_ck/out").toString))
         val t0 = System.nanoTime()
         Thread.sleep(feedMs)
         feeder.stop()
         val tFeedEnd = System.nanoTime()
-        q.processAllAvailable()
-        q.processAllAvailable()
+        q.foreach(_.processAllAvailable())
+        q.foreach(_.processAllAvailable())
         val tDrain = System.nanoTime()
         val n = spark.read.text(docs.toString).count()
         val feedWall = (tFeedEnd - t0) / 1e6
@@ -76,9 +81,9 @@ object IngestWallProbe {
         println(f"""{"probe":"$name","rate":$rate,"in":$n,"feed_ms":${feedWall}%.0f,"drain_ms":${drain}%.0f,"events_per_sec":${eps}%.0f}""")
       } finally {
         if (feeder.isActive) feeder.stop()
-        q.stop()
+        q.foreach(_.stop())
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
 
     val schema = StreamingCurationJobs.docSchema

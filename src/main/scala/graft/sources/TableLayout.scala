@@ -708,10 +708,31 @@ object TableLayout {
     * between the second move and the delete) — drop it; one WITHOUT a
     * live sibling means the partition vanished mid-swap (crash between
     * the two moves) — restore it, so readers see the day again and the
-    * interrupted rewrite can be retried. Runs at every maintenance
-    * entry, so a crashed swap self-heals instead of wedging. */
+    * interrupted rewrite can be retried. Also removes ORPHANED STAGING
+    * siblings (`<layout>.staging-<uuid>` next to the layout dir): a
+    * pass that died during or right after its staging write abandons a
+    * full copy of every touched partition there, which nothing else
+    * would ever reclaim (r13 crash sweep — repeated crashed passes
+    * accumulated unbounded copies). Safe by the single-maintainer
+    * discipline every pass here already assumes: staging dirs are
+    * consumed only by the pass that created them, so at maintenance
+    * ENTRY any survivor is dead. Runs at every maintenance entry, so a
+    * crashed swap self-heals instead of wedging. */
   private[sources] def healRetired(target: java.nio.file.Path,
                                    partCol: String = dateCol): Unit = {
+    val parent = target.toAbsolutePath.getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val stagingPrefix = s"${target.getFileName}.staging-"
+      val s = Files.list(parent)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(stagingPrefix))
+            org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        }
+      } finally s.close()
+    }
     if (!Files.isDirectory(target)) return
     val retiredRe = s"^\\.($partCol=.+)\\.retired(-[0-9a-fA-F-]+)?$$".r
     val s = Files.list(target)

@@ -45,6 +45,10 @@ object BloomExpressions {
     * generated method stays a few bytecodes however large k or the
     * bitmap are. */
   def hit(shingles: ArrayData, words: Array[Long], k: Int): Boolean = {
+    // empty bitmap = no bits set = no possible hit — NOT floorMod by
+    // zero (the callers always build a non-empty bitmap, but the
+    // Column API is public; r13 review finding)
+    if (words.length == 0) return false
     val m = words.length * 64
     val n = shingles.numElements()
     var j = 0

@@ -68,6 +68,15 @@ class MaintenanceCrashSpec extends SparkSpec {
     val left = Paths.get(dir).toFile.listFiles()
       .map(_.getName).filter(n => n.contains(".retired") || n.contains(".staging"))
     assert(left.isEmpty, s"maintenance debris left in $dir: ${left.toSeq}")
+    // staging dirs are SIBLINGS of the layout (resolveSibling) — a
+    // crashed pass abandons a full copy of every touched partition
+    // there, and only the entry-heal reclaims it (r13 review finding);
+    // checking inside the layout alone would miss it entirely
+    val p = Paths.get(dir).toAbsolutePath
+    val siblings = p.getParent.toFile.listFiles()
+      .map(_.getName).filter(_.startsWith(s"${p.getFileName}.staging-"))
+    assert(siblings.isEmpty,
+      s"orphaned staging debris beside $dir: ${siblings.toSeq}")
   }
 
   /** Invariant 1: between crash and heal, each date partition reads as
@@ -108,6 +117,14 @@ class MaintenanceCrashSpec extends SparkSpec {
       crashAt(point) {
         TableLayout.upsertDatePartitions(spark, dir, updates,
           keyCols = Seq("user_id"))
+      }
+      if (point == "staged") {
+        // kill-9 fidelity: the crash abandons the staging sibling; the
+        // retry's entry-heal is what must reclaim it (noDebris below)
+        val p = Paths.get(dir).toAbsolutePath
+        assert(p.getParent.toFile.listFiles()
+          .exists(_.getName.startsWith(s"${p.getFileName}.staging-")),
+          "a staged-boundary crash should leave its staging dir behind")
       }
       assertPartitionAtomic(dir, byDate(oldRows), byDate(want),
         allowAbsent = point == "retired")

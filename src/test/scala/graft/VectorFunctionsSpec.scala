@@ -193,6 +193,39 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(pos.getLong(0) == 3L, s"all-(+Inf) tie returned ${pos.get(0)}")
   }
 
+  test("BloomShingleHit: build/probe hashes agree, an empty bitmap is " +
+    "never a hit (not a divide-by-zero), null shingle array is null") {
+    import graft.functions.VectorFunctions.{bloomPositions, bloomShingleHit}
+    val m = 256
+    // build the bitmap from one shingle's own positions → probing that
+    // shingle must hit; a different shingle almost surely must not
+    val pos = Seq(Tuple1("needle in the hay")).toDF("s")
+      .select(bloomPositions(col("s"), lit(5), lit(m)).as("p"))
+      .head().getSeq[Long](0)
+    val words = new Array[Long](m / 64)
+    pos.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    val bm = typedLit(words.toSeq)
+    val out = Seq(
+      (1L, Seq("needle in the hay")),
+      (2L, Seq("something else entirely")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "sh")
+      .select(col("id"), bloomShingleHit(col("sh"), bm, lit(5)).as("hit"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out(1L).contains(true), "the built shingle must probe as a hit")
+    assert(out(2L).contains(false))
+    assert(out(3L).contains(false))
+    assert(out(4L).isEmpty, "null shingle array must stay null")
+    // empty bitmap: no bits set -> false for every document, never an
+    // ArithmeticException (r13 review finding)
+    val empty = Seq((1L, Seq("anything"))).toDF("id", "sh")
+      .select(bloomShingleHit(col("sh"), typedLit(Seq.empty[Long]),
+        lit(5)).as("hit")).head()
+    assert(!empty.isNullAt(0) && !empty.getBoolean(0))
+  }
+
   test("PqNearestCode: an all-NaN vector quantizes to code 0 with NaN " +
     "error (the struct-min NaN-is-greatest rule), and roundHalfUp " +
     "passes NaN/Infinity through like Spark's round") {
