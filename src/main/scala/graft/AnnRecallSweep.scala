@@ -34,6 +34,10 @@ object AnnRecallSweep {
     // fraction, so the ladder also measures e.g. (64, 8) = 12.5% probed
     val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBE", "4").toInt
+    // audit-query count for the IVF ladder/probe-curve rows: the
+    // registered audit runs 8 queries (recall grain 1/40); 32 shrinks
+    // the grain to 1/160 when adjudicating close ladder rows
+    val nQ = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "8").toInt
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -44,7 +48,7 @@ object AnnRecallSweep {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = embs.count()
-    val brute = Similarity.bruteForceTopK(embs, nQueries = 8, k = 5)
+    val brute = Similarity.bruteForceTopK(embs, nQueries = nQ, k = 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     brute.count()
 
@@ -56,10 +60,10 @@ object AnnRecallSweep {
       val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
       val tTrain = (System.nanoTime() - t0) / 1e9
       val r = meanRecall(
-        Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+        Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe,
           cells = Some(cells)),
         brute)
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","rounds":$rounds,"train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"queries":$nQ,"method":"ivf","rounds":$rounds,"train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
     }
 
     // probe-width cost/recall curve (r13): nProbe in {4, 8, 16, 32}
@@ -70,17 +74,17 @@ object AnnRecallSweep {
       // train once per rounds value — the quantizer is probe-independent
       val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
       for (p <- Seq(4, 8, 16, 32).filter(_ <= nCells)) {
-      val q = Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = p,
+      val q = Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = p,
         cells = Some(cells))
       q.count() // warm codegen/caches so the timed rep measures the scan
       val t0 = System.nanoTime()
       val r = meanRecall(q, brute)
       val tQ = (System.nanoTime() - t0) / 1e9
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"method":"ivf_probe_curve","rounds":$rounds,"probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"queries":$nQ,"method":"ivf_probe_curve","rounds":$rounds,"probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
     } }
 
     val rIvf = meanRecall(
-      Similarity.ivfHashTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe),
+      Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe),
       brute)
     println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","recall":$rIvf}""")
 
@@ -100,11 +104,11 @@ object AnnRecallSweep {
       codes.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
       val raw = meanRecall(
-        Similarity.ivfPqTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+        Similarity.ivfPqTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe,
           cfg = cfg, sharedCodes = Some(codes)),
         brute)
       val refined = Seq(25, 50, 100).map { d =>
-        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
+        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, nQ, 5,
           rerankDepth = d, nCells = nCells, nProbe = nProbe, cfg = cfg,
           sharedCodes = Some(codes)), brute)
       }
@@ -125,10 +129,10 @@ object AnnRecallSweep {
       codes.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
       val raw = meanRecall(
-        Similarity.ivfPqTopK(embs, 8, 5, nCells = nCells, nProbe = nProbe,
+        Similarity.ivfPqTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe,
           cfg = cfg, sharedCodes = Some(codes), codebook = Some(cb)), brute)
       val refined = Seq(25, 50, 100).map { d =>
-        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, 8, 5,
+        d -> meanRecall(Similarity.ivfPqTopKRefined(embs, nQ, 5,
           rerankDepth = d, nCells = nCells, nProbe = nProbe, cfg = cfg,
           sharedCodes = Some(codes), codebook = Some(cb)), brute)
       }
