@@ -503,6 +503,16 @@ object DataPipelineQueries {
         cells = Some(ivfCells(spark, sfDir)))
     }
 
+  /** IVF index-health audit (r13): per-cell occupancy + member-cosine
+    * coherence under the shared trained quantizer — the monitoring row
+    * that puts the trained centroids themselves under the value gate.
+    * Memoized: shares the [[ivfCells]] train-once collect. */
+  val annIndexStats: (SparkSession, String) => DataFrame =
+    memoized("annIndexStats") { (spark, sfDir) =>
+      Similarity.ivfCellStats(embs(spark, sfDir),
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
   /** Per-source rollup over the BY-SOURCE documents layout
     * ([[graft.sources.TableLayout.documentsSourcePartitioned]]) — the
     * documents twin of `events_layout_prune`: the source filter prunes
@@ -2463,6 +2473,8 @@ object DataPipelineQueries {
     NamedQuery("hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
+    NamedQuery("ann_index_stats", annIndexStats,
+      Some(Similarity.ivfCellStatsOracleSql())),
     NamedQuery("similarity_ivf_pruned", similarityIvfPruned,
       Some(similarityIvfOracle)),
     NamedQuery("docs_layout_prune", docsLayoutPrune,

@@ -117,6 +117,24 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("under-nCells corpus: the TRAINED quantizer yields a short " +
+    "ordinal centroid list (every row a centroid) and full-width " +
+    "probing still equals brute force") {
+    val tiny = embs.filter(col("vec_id") < 5)
+    for (rounds <- Seq(0, 2)) {
+      val cells = Similarity.ivfCells(tiny, nCells = 16, rounds = rounds)
+      assert(cells.length == 5, s"rounds=$rounds: ${cells.length} centroids")
+      if (rounds > 0)
+        assert(cells.map(_._1).toSeq == (0L until 5L),
+          "trained cids must be sample ordinals")
+      assertSameRows(
+        Similarity.ivfHashTopK(tiny, nQueries = 3, k = 2, nCells = 16,
+          nProbe = 16, rounds = rounds),
+        Similarity.bruteForceTopK(tiny, nQueries = 3, k = 2),
+        s"tiny-corpus fullprobe rounds=$rounds")
+    }
+  }
+
   test("fuzz: productQuantize matches an independent Scala argmin at 15 " +
     "random configs") {
     val raw = embs.select(col("vec_id"),
