@@ -42,16 +42,33 @@ object GraftFunctionRegistry {
   val l2muFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     binary("graft_l2mu", classOf[MicroSquaredDistance], MicroSquaredDistance.apply)
 
-  val subdist2Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("graft_subdist2"),
-      new ExpressionInfo(classOf[SubvectorDist2].getName, "graft_subdist2"),
+  private def ternary(name: String, cls: Class[_],
+                      mk: (Expression, Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
       {
-        case Seq(a, b, off) => SubvectorDist2(a, b, off)
+        case Seq(a, b, c) => mk(a, b, c)
         case other => throw new IllegalArgumentException(
-          s"graft_subdist2 expects exactly 3 arguments, got ${other.size}")
+          s"$name expects exactly 3 arguments, got ${other.size}")
       })
 
-  val all = Seq(dotFunction, hammingFunction, l2muFunction, subdist2Function)
+  val subdist2Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    ternary("graft_subdist2", classOf[SubvectorDist2], SubvectorDist2.apply)
+
+  /** Bloom build/probe pair (r13) — shingle positions for a bitmap
+    * build and the whole-document hit probe, SQL-visible like the rest
+    * of the family. */
+  val bloomPositionsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    ternary("graft_bloom_positions", classOf[BloomPositions],
+      BloomPositions.apply)
+
+  val bloomHitFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    ternary("graft_bloom_hit", classOf[BloomShingleHit],
+      BloomShingleHit.apply)
+
+  val all = Seq(dotFunction, hammingFunction, l2muFunction, subdist2Function,
+    bloomPositionsFunction, bloomHitFunction)
 
   /** Install on a live session (the post-build twin of [[GraftExtensions]]). */
   def register(spark: SparkSession): Unit =
