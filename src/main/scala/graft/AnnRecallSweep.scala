@@ -86,7 +86,7 @@ object AnnRecallSweep {
     val rIvf = meanRecall(
       Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe),
       brute)
-    println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"method":"ivf","recall":$rIvf}""")
+    println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"queries":$nQ,"method":"ivf","recall":$rIvf}""")
 
     // rounds = 0 pins the SAMPLED codebook rows: under the r12 default
     // (rounds = 2) these configs would silently train and the ladder's
@@ -113,7 +113,7 @@ object AnnRecallSweep {
           sharedCodes = Some(codes)), brute)
       }
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq","m":${cfg.m},"k":${cfg.k},"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"queries":$nQ,"method":"ivfpq","m":${cfg.m},"k":${cfg.k},"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
     }
     // Lloyd-trained codebooks at the candidate configs/round counts
     for (cfg <- Seq(Similarity.PqConfig(m = 8, k = 32),
@@ -137,7 +137,7 @@ object AnnRecallSweep {
           sharedCodes = Some(codes), codebook = Some(cb)), brute)
       }
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"queries":$nQ,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
     }
     spark.stop()
   }

@@ -743,13 +743,20 @@ object TableLayout {
       buf.toList
     } finally s.close()
     entries.foreach { p =>
-      p.getFileName.toString match {
+      val name = p.getFileName.toString
+      name match {
         case retiredRe(orig, _) =>
           val live = target.resolve(orig)
           if (Files.exists(live))
             org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
           else Files.move(p, live)
-        case _ => ()
+        case _ =>
+          // the OTHER staging scheme in this file: refreshFileStats
+          // stages its manifest rewrite INSIDE the layout as
+          // `.graft_stats.staging-<uuid>` — same crash-debris class as
+          // the sibling staging dirs above (r13 review finding)
+          if (name.startsWith(".graft_stats.staging-"))
+            org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
       }
     }
   }
@@ -983,6 +990,14 @@ object TableLayout {
     val statsDir = s"$dir/_graft_stats"
     val statsPath = new org.apache.hadoop.fs.Path(statsDir)
     val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // reclaim a crashed prior refresh's staging at entry (the manifest
+    // twin of healRetired's staging sweep — refreshFileStats can run
+    // standalone, so it cleans its own scheme; r13 review finding)
+    val layoutPath = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(layoutPath))
+      fs.listStatus(layoutPath)
+        .filter(_.getPath.getName.startsWith(".graft_stats.staging-"))
+        .foreach(st => fs.delete(st.getPath, true))
     if (!fs.exists(statsPath)) {
       buildFileStats(spark, dir, statsCols)
       return (dataFilePaths(spark, dir).size.toLong, 0L)

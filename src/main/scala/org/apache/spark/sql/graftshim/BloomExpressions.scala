@@ -33,11 +33,32 @@ import org.apache.spark.unsafe.types.UTF8String
  * output values — only the false-positive traffic mix).
  */
 object BloomExpressions {
+  /** Loud contract check for the PUBLIC (Column + SQL) surface: a
+    * non-positive bit width or probe count would otherwise surface as
+    * floorMod-by-zero / negative positions / a vacuous all-hit
+    * conjunction (r13 review findings). */
+  private def checkArgs(k: Int, m: Int): Unit = {
+    if (k <= 0) throw new IllegalArgumentException(
+      s"bloom kHashes must be positive, got $k")
+    if (m <= 0) throw new IllegalArgumentException(
+      s"bloom mBits must be positive, got $m")
+  }
+
   /** Bloom position of `s` for probe `i` in a bitmap of `m` bits. */
   def position(s: UTF8String, i: Int, m: Int): Long = {
     val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
       s.numBytes, i.toLong)
     java.lang.Math.floorMod(h, m.toLong)
+  }
+
+  /** The k checked positions of one shingle — shared by the build
+    * expression's eval AND generated code (one call, tiny bytecode). */
+  def positions(s: UTF8String, k: Int, m: Int): Array[Long] = {
+    checkArgs(k, m)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = position(s, i, m); i += 1 }
+    out
   }
 
   /** True iff ANY non-null shingle has ALL `k` probe bits set in
@@ -47,7 +68,11 @@ object BloomExpressions {
   def hit(shingles: ArrayData, words: Array[Long], k: Int): Boolean = {
     // empty bitmap = no bits set = no possible hit — NOT floorMod by
     // zero (the callers always build a non-empty bitmap, but the
-    // Column API is public; r13 review finding)
+    // Column API is public; r13 review finding); k is checked loudly —
+    // k <= 0 would make the forall-conjunction vacuously TRUE for
+    // every document
+    if (k <= 0) throw new IllegalArgumentException(
+      s"bloom kHashes must be positive, got $k")
     if (words.length == 0) return false
     val m = words.length * 64
     val n = shingles.numElements()
@@ -94,30 +119,15 @@ case class BloomPositions(shingle: Expression, kHashes: Expression,
 
   override def prettyName: String = "graft_bloom_positions"
 
-  override protected def nullSafeEval(s: Any, k: Any, m: Any): Any = {
-    val str = s.asInstanceOf[UTF8String]
-    val kk = k.asInstanceOf[Int]
-    val mm = m.asInstanceOf[Int]
-    val out = new Array[Long](kk)
-    var i = 0
-    while (i < kk) {
-      out(i) = BloomExpressions.position(str, i, mm)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(s: Any, k: Any, m: Any): Any =
+    new GenericArrayData(BloomExpressions.positions(
+      s.asInstanceOf[UTF8String], k.asInstanceOf[Int], m.asInstanceOf[Int]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, k, m) => {
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
       s"""
-         |long[] $out = new long[$k];
-         |for (int $i = 0; $i < $k; $i++) {
-         |  $out[$i] = org.apache.spark.sql.graftshim.BloomExpressions
-         |    .position($s, $i, $m);
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graftshim.BloomExpressions.positions($s, $k, $m));
        """.stripMargin
     })
 
