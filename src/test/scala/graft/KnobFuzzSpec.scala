@@ -135,6 +135,32 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("ivfCellStats: a zero-norm member is counted as degenerate and " +
+    "excluded from the coherence stats; occupancy sums to the corpus") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      val v = if (i == 7L) Array.fill(8)(0f) // NaN assignment cosine
+              else Array.tabulate(8)(d => (((i * 11 + d) % 17) - 8).toFloat)
+      (i, v, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val stats = Similarity.ivfCellStats(df, nCells = 4).collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == 40L)
+    assert(stats.map(_.getAs[Long]("n_degenerate")).sum == 1L)
+    // the degenerate row lands in the smallest cell (the NaN tie rule)
+    val degCell = stats.filter(_.getAs[Long]("n_degenerate") > 0)
+      .map(_.getAs[Long]("cell"))
+    assert(degCell.toSeq == Seq(stats.map(_.getAs[Long]("cell")).min))
+    // coherence stats are finite everywhere a non-degenerate member exists
+    stats.foreach { r =>
+      if (r.getAs[Long]("n_vectors") > r.getAs[Long]("n_degenerate")) {
+        assert(!r.isNullAt(r.fieldIndex("mean_cc"))
+          && !r.getAs[Double]("mean_cc").isNaN)
+        assert(!r.getAs[Double]("min_cc").isNaN)
+      }
+    }
+  }
+
   test("fuzz: productQuantize matches an independent Scala argmin at 15 " +
     "random configs") {
     val raw = embs.select(col("vec_id"),
