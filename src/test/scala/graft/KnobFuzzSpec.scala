@@ -159,6 +159,13 @@ class KnobFuzzSpec extends SparkSpec {
         assert(!r.getAs[Double]("min_cc").isNaN)
       }
     }
+    // empty corpus: the early-return frame shares the populated schema
+    // (a consumer selecting n_degenerate must not fail only on that edge)
+    val emptyStats = Similarity.ivfCellStats(
+      df.filter(col("vec_id") < 0), nCells = 4)
+    assert(emptyStats.columns.toSeq ==
+      Seq("cell", "n_vectors", "n_degenerate", "mean_cc", "min_cc"))
+    assert(emptyStats.count() == 0)
   }
 
   test("fuzz: productQuantize matches an independent Scala argmin at 15 " +
