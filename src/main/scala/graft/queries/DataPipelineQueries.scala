@@ -218,11 +218,36 @@ object DataPipelineQueries {
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "docTokenCounts")(
       TextAnalysis.docTokenCounts(docs(spark, sfDir)))
 
-  /** The model-based quality filter over the shared token frame; the
-    * broadcast weight table costs nothing to rebuild, so no memo. */
+  /** TRAINED classifier weights, once per (session, sfDir) — the
+    * production contract (a quality model trains once and scores every
+    * batch): hashed-unigram Naive Bayes log-odds fit on the bounded
+    * hash-ordered sample, target class `lang = 'en'` (the
+    * target-language labeling a corpus filter starts from; the labels
+    * come free from the corpus metadata, the classic weak-supervision
+    * setup). Replayed relationally by [[qualityClassifierTrainCte]]. */
+  private def qclsWeights(spark: SparkSession, sfDir: String): Array[Long] =
+    SharedFrames.memoValue(spark, sfDir, "qclsWeights") {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.trainNbWeights(docs(spark, sfDir), col("lang") === "en",
+        sharedTf = Some(docTokenCounts(spark, sfDir)))
+    }
+
+  /** The model-based quality filter over the shared token frame, scored
+    * under the TRAINED weights; the broadcast weight table is a memoized
+    * driver value, so no frame memo. */
   def qualityClassifierQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.hashedLinearScore(docs(spark, sfDir),
-      sharedTf = Some(docTokenCounts(spark, sfDir)))
+      sharedTf = Some(docTokenCounts(spark, sfDir)),
+      weights = Some(qclsWeights(spark, sfDir)))
+
+  /** Held-out separation receipt for the trained classifier (mean logit
+    * per class + exact tie-aware AUC over the non-train documents). */
+  def qualityClassifierEvalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    TextAnalysis.classifierEval(docs(spark, sfDir), col("lang") === "en",
+      sharedTf = Some(docTokenCounts(spark, sfDir)),
+      weights = Some(qclsWeights(spark, sfDir)))
+  }
 
   /** DSIR importance weights over the shared token frame. The target
     * slice is the 'en' half of one source — standing in for the small
@@ -1329,30 +1354,90 @@ object DataPipelineQueries {
        |JOIN documents d ON d.doc_id = g.doc_id
        |GROUP BY 1, 2""".stripMargin
 
-  /** Replicates [[graft.text.TextAnalysis.hashedLinearScore]] weight-
-    * for-weight: the same salted-md5 stub weight table (DuckDB's hex
-    * CAST equals Spark's `conv(_, 16, 10)` on the same 8 md5 hex
-    * chars), the same token→bucket hash, and the same integer-exact
-    * Σ count·w before the single IEEE division — scores match
-    * bit-for-bit, no float-sum order sensitivity. */
-  val qualityClassifierOracle: String =
-    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  /** Training + token-bucket CTEs shared by the classifier oracle and
+    * its eval receipt — the relational replay of
+    * [[graft.text.TextAnalysis.trainNbWeights]] (the ivfCentsCteSql
+    * convention): the SAME hash-ordered LIMIT-256 labeled sample, the
+    * SAME add-one-smoothed NB log-odds on the µ-int grid (both ratio
+    * operands are exact-integer doubles, so the one division and the
+    * one ln see identical IEEE inputs in both engines), buckets unseen
+    * in training defaulting to the smoothed prior via the LEFT join
+    * against the full bucket range. Emits `h(doc_id, c, b)`,
+    * `trn(doc_id, y)` and `wt(b, w)`. */
+  private val qualityClassifierTrainCte: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |           FROM documents WHERE text IS NOT NULL),
       |tf AS (SELECT doc_id, token, count(*) AS c FROM t
       |       GROUP BY doc_id, token),
-      |w AS (SELECT b,
-      |    CAST('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8)
-      |      AS BIGINT) % 2001 - 1000 AS w
-      |  FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
       |h AS (SELECT doc_id, c,
       |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS b
-      |  FROM tf)
+      |  FROM tf),
+      |trn AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE text IS NOT NULL
+      |  ORDER BY md5('qcls:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 256),
+      |pc AS (SELECT h.b,
+      |    CAST(sum(CASE WHEN trn.y = 1 THEN h.c ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN trn.y = 0 THEN h.c ELSE 0 END) AS BIGINT) AS cn
+      |  FROM h JOIN trn ON trn.doc_id = h.doc_id GROUP BY h.b),
+      |tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS t_pos,
+      |               CAST(coalesce(sum(cn), 0) AS BIGINT) AS t_neg FROM pc),
+      |wt AS (SELECT g.b,
+      |    CAST(floor(1e6 * ln(
+      |        CAST((coalesce(pc.ct, 0) + 1) * (tot.t_neg + 4096) AS DOUBLE)
+      |      / CAST((coalesce(pc.cn, 0) + 1) * (tot.t_pos + 4096) AS DOUBLE))
+      |      + 0.5) AS BIGINT) AS w
+      |  FROM (SELECT unnest(generate_series(0, 4095)) AS b) g
+      |  LEFT JOIN pc ON pc.b = g.b CROSS JOIN tot)""".stripMargin
+
+  /** Replicates [[graft.text.TextAnalysis.hashedLinearScore]] under the
+    * TRAINED weights, weight-for-weight: the training CTEs above, the
+    * same token→bucket hash, and the same integer-exact Σ count·w
+    * before the single IEEE division — scores match bit-for-bit, no
+    * float-sum order sensitivity. */
+  val qualityClassifierOracle: String =
+    s"""WITH $qualityClassifierTrainCte
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-      |  round(CAST(sum(c * w.w) * 1000 AS DOUBLE)
+      |  round(CAST(sum(c * wt.w) AS DOUBLE)
       |    / CAST(sum(c) AS BIGINT)) / 1000000.0 AS logit,
-      |  round(CAST(sum(c * w.w) * 1000 AS DOUBLE)
+      |  round(CAST(sum(c * wt.w) AS DOUBLE)
       |    / CAST(sum(c) AS BIGINT)) / 1000000.0 >= 0.0 AS keep
-      |FROM h JOIN w USING (b) GROUP BY doc_id""".stripMargin
+      |FROM h JOIN wt USING (b) GROUP BY doc_id""".stripMargin
+
+  /** Replicates [[graft.text.TextAnalysis.classifierEval]]: scores the
+    * held-out documents (NOT IN the training sample) under the trained
+    * weights, then the exact tie-aware Mann–Whitney AUC in integer
+    * space (µ-int score keys, 2U accumulated over distinct scores) and
+    * the per-class µ-int mean logits. */
+  val qualityClassifierEvalOracle: String =
+    s"""WITH $qualityClassifierTrainCte,
+      |sc AS (SELECT doc_id,
+      |    CAST(round(CAST(sum(c * wt.w) AS DOUBLE)
+      |      / CAST(sum(c) AS BIGINT)) AS BIGINT) AS s
+      |  FROM h JOIN wt USING (b) GROUP BY doc_id),
+      |ev AS (SELECT sc.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM sc JOIN documents d USING (doc_id)
+      |  WHERE sc.doc_id NOT IN (SELECT doc_id FROM trn)),
+      |bys AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+      |               CAST(sum(1 - y) AS BIGINT) AS q FROM ev GROUP BY s),
+      |byw AS (SELECT s, p, q, CAST(coalesce(sum(q) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS qb
+      |  FROM bys),
+      |agg AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+      |               CAST(sum(q) AS BIGINT) AS n_neg,
+      |               CAST(sum(p * (2 * qb + q)) AS BIGINT) AS u2 FROM byw),
+      |mn AS (SELECT
+      |    floor(CAST(sum(CASE WHEN y = 1 THEN s END) AS DOUBLE)
+      |      / count(CASE WHEN y = 1 THEN 1 END) + 0.5) / 1000000.0
+      |      AS mean_logit_pos,
+      |    floor(CAST(sum(CASE WHEN y = 0 THEN s END) AS DOUBLE)
+      |      / count(CASE WHEN y = 0 THEN 1 END) + 0.5) / 1000000.0
+      |      AS mean_logit_neg
+      |  FROM ev)
+      |SELECT n_pos, n_neg, mean_logit_pos, mean_logit_neg,
+      |  CASE WHEN n_pos * n_neg > 0 THEN
+      |    floor(CAST(u2 AS DOUBLE) * 1000000.0
+      |      / (2.0 * n_pos * n_neg) + 0.5) / 1000000.0 END AS auc
+      |FROM agg CROSS JOIN mn""".stripMargin
 
   /** Same hashed-unigram DSIR construction as `TextAnalysis.dsirWeights`:
     * identical md5 bucketing, add-one-smoothed target/raw multinomials
@@ -2400,6 +2485,8 @@ object DataPipelineQueries {
     // (doc, token, count) frame with doc_logprob/doc_entropy/tfidf/vocab
     NamedQuery("quality_classifier", qualityClassifierQ,
       Some(qualityClassifierOracle)),
+    NamedQuery("quality_classifier_eval", qualityClassifierEvalQ,
+      Some(qualityClassifierEvalOracle)),
     NamedQuery("dsir_weights", dsirWeightsQ, Some(dsirWeightsOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),

@@ -237,9 +237,10 @@ object StreamingCuration {
    * @param docStream streaming frame with (doc_id, text)
    */
   def qualityClassifierStream(docStream: DataFrame, nBuckets: Int = 4096,
-                              threshold: Double = 0.0): DataFrame =
+                              threshold: Double = 0.0,
+                              weights: Option[Array[Long]] = None): DataFrame =
     graft.text.TextAnalysis.hashedLinearScoreStateless(
-      docStream, nBuckets, threshold)
+      docStream, nBuckets, threshold, weights)
 
   /**
    * Streaming BM25 standing-query router — the ingest-time shape of

@@ -345,18 +345,22 @@ object TextAnalysis {
    * logit scale — sigmoid is monotone, so thresholding the logit IS
    * thresholding the probability) are kept.
    *
-   * The WEIGHTS here are a deterministic stub (bucket id → salted-md5 →
-   * integer in [-1000, 1000]) standing in for trained parameters — this
-   * container has no training data for a real quality model. Everything
-   * around them is the production shape: the weight table is a
-   * `nBuckets`-row frame broadcast to every executor (exactly how a
-   * quantized fastText/LR model deploys), token→bucket hashing is
-   * map-side over the shared (doc, token, count) frame, and the score
-   * aggregates in EXACT integer space (Σ count·w_int is
-   * order-independent, unlike a double sum), with ONE IEEE division at
-   * the end — so the DuckDB oracle reproduces scores bit-for-bit. Swap
-   * the stub generator for a `spark.read` of trained weights at
-   * deployment; the plan does not change.
+   * WEIGHTS: pass `weights` — a TRAINED µ-int log-odds table from
+   * [[trainNbWeights]] (hashed-unigram Naive Bayes fit on a bounded
+   * labeled sample, the Lloyd-codebook discipline: driver-side doubles,
+   * oracle-replayable in SQL CTEs) — and the logit is the per-token mean
+   * log-odds of the target class. With `weights = None` the table falls
+   * back to the r-early deterministic stub (bucket id → salted-md5 →
+   * integer in [-1000, 1000]), kept as the untrained null model the
+   * separation receipt measures against. Either way the deployment
+   * shape is identical: the weight table is a `nBuckets`-row frame
+   * broadcast to every executor (exactly how a quantized fastText/LR
+   * model deploys), token→bucket hashing is map-side over the shared
+   * (doc, token, count) frame, and the score aggregates in EXACT
+   * integer space (Σ count·w_int is order-independent, unlike a double
+   * sum), with ONE IEEE division at the end — so the DuckDB oracle
+   * reproduces scores bit-for-bit. The PLAN does not change when
+   * weights swap (pinned in TextAnalysisSpec).
    *
    * Plan: tokens → map-side bucket hash → broadcast-hash-join (the
    * weight table never shuffles the corpus) → partial-aggregated
@@ -364,37 +368,187 @@ object TextAnalysis {
    */
   def hashedLinearScore(docs: DataFrame, nBuckets: Int = 4096,
                         threshold: Double = 0.0,
-                        sharedTf: Option[DataFrame] = None): DataFrame = {
+                        sharedTf: Option[DataFrame] = None,
+                        weights: Option[Array[Long]] = None): DataFrame = {
     val spark = docs.sparkSession
-    val weights = spark.range(nBuckets.toLong).select(
-      col("id").as("__b"),
-      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
-        16, 10).cast("long") % 2001 - 1000).as("__w"))
+    val wtable = weights match {
+      case Some(w) =>
+        require(w.length == nBuckets, s"weight table ${w.length} != $nBuckets")
+        // trained µ-int weights fold in as a bucket-indexed literal table
+        // (nBuckets rows — the same bounded-driver-data contract as the
+        // PQ codebooks); element_at over ONE typedlit node keeps the
+        // microbatch/streaming plan at one Literal, not nBuckets
+        spark.range(nBuckets.toLong).select(col("id").as("__b"),
+          element_at(typedlit(w.toSeq), (col("id") + 1).cast("int")).as("__w"))
+      case None =>
+        spark.range(nBuckets.toLong).select(
+          col("id").as("__b"),
+          (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001 - 1000).as("__w"))
+    }
+    // stub weights are milli-units (scale ×1000 into µ-space); trained
+    // weights are already µ-ints (scale ×1)
+    val mult = if (weights.isDefined) 1.0 else 1000.0
     sharedTf.getOrElse(docTokenCounts(docs))
       .withColumn("__b",
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
           % nBuckets)
-      .join(broadcast(weights), Seq("__b"))
+      .join(broadcast(wtable), Seq("__b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__k") * col("__w")).as("__sw"),
         sum(col("__k")).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        microLogit(col("__sw"), col("n_tokens")).as("logit"),
-        (microLogit(col("__sw"), col("n_tokens")) >= threshold).as("keep"))
+        microLogit(col("__sw"), col("n_tokens"), mult).as("logit"),
+        (microLogit(col("__sw"), col("n_tokens"), mult) >= threshold).as("keep"))
   }
 
-  /** Tie-proof 6-dp logit: Σc·w / (n·1000) rounded via INTEGER
-    * micro-units. `round(x, 6)` scales before rounding, and the two
-    * engines scale differently (Java re-rounds the double's shortest
-    * decimal representation; DuckDB multiplies by 1e6 in floating
-    * point), so an exact-tie rational like S·1000/n = k + 1/2 can land
-    * on different sides (observed once at sf0.001). Both inputs are
-    * integers < 2^53, so `S·1000.0/n` is the identical IEEE division in
-    * both engines, single-argument round-half-away-from-zero agrees,
-    * and dividing the integer-valued result by 1e6 is again one shared
-    * IEEE op. */
-  private def microLogit(sw: Column, n: Column): Column =
-    round(sw * lit(1000.0) / n) / lit(1e6)
+  /**
+   * Hashed-unigram Naive Bayes training — the fit that turns
+   * [[hashedLinearScore]] from a stub into a trained quality/language
+   * classifier, under the same discipline the PQ/IVF codebooks follow:
+   * a BOUNDED deterministic sample, integer-exact distributed counting,
+   * driver-side closed-form weights, and a DuckDB CTE replay
+   * ([[graft.queries.DataPipelineQueries.qualityClassifierOracle]]) so
+   * the downstream scores stay hash-exact.
+   *
+   * Fit: the `trainN` tokenizable documents with the smallest
+   * `md5(salt:doc_id)` form the labeled sample (labels from `isTarget`,
+   * e.g. `lang = 'en'` — the target-language/quality-slice labeling
+   * every corpus filter starts from). Per hashed bucket b, target and
+   * alien token counts ct_b / cn_b aggregate distributedly (≤ nBuckets
+   * rows collect — bounded at any corpus size); the weight is the
+   * add-one-smoothed multinomial NB log-odds on the µ-int grid:
+   *
+   *   w_b = floor(1e6 · ln((ct_b+1)·(N+B) / ((cn_b+1)·(T+B))) + 0.5)
+   *
+   * with T = Σct, N = Σcn, B = nBuckets. Both ratio operands are exact
+   * integer-valued doubles (< 2^53), so the division and the single ln
+   * see identical IEEE inputs in every engine; buckets unseen in
+   * training get the smoothed default (ct=cn=0). Scoring a document by
+   * the count-weighted mean of these weights IS the NB class log-odds
+   * per token — the per-token mean makes the threshold length-invariant
+   * (the DSIR avg_log_ratio convention).
+   *
+   * Scale shape: the sample select is a TakeOrdered (driver holds
+   * trainN ids only), counting reuses the shared (doc, token, count)
+   * frame joined against the BROADCAST sample ids, and the collect is
+   * ≤ nBuckets rows of two longs. Nothing corpus-sized ever reaches
+   * the driver; retraining at 100 TB costs one pass over the token
+   * frame restricted to trainN documents.
+   */
+  def trainNbWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
+                     trainN: Int = 256, salt: String = "qcls",
+                     sharedTf: Option[DataFrame] = None): Array[Long] = {
+    // when/otherwise, not a bare cast: a NULL predicate row must read
+    // ALIEN (the oracle's CASE ... ELSE 0), not null-out of both counts
+    val lab = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
+      .orderBy(col("__hk"), col("doc_id"))
+      .limit(trainN)
+      .select(col("doc_id"), col("__y"))
+    val counts = sharedTf.getOrElse(docTokenCounts(docs))
+      .join(broadcast(lab), Seq("doc_id"))
+      .withColumn("__b",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__y") === 1, col("__k")).otherwise(0L)).as("__ct"),
+        sum(when(col("__y") === 0, col("__k")).otherwise(0L)).as("__cn"))
+      .collect()
+    val ct = new Array[Long](nBuckets)
+    val cn = new Array[Long](nBuckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      ct(b) = r.getLong(1)
+      cn(b) = r.getLong(2)
+    }
+    val t = ct.sum
+    val n = cn.sum
+    Array.tabulate(nBuckets) { b =>
+      val num = (ct(b) + 1L) * (n + nBuckets)
+      val den = (cn(b) + 1L) * (t + nBuckets)
+      math.floor(1e6 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
+    }
+  }
+
+  /**
+   * Held-out separation receipt for a trained [[hashedLinearScore]]
+   * model — the evaluation a pipeline reads before trusting a quality
+   * filter: over the documents NOT in the training sample (same
+   * `md5(salt:doc_id)` TakeOrdered cut as [[trainNbWeights]], so
+   * train/eval are disjoint by construction), one row of
+   * `(n_pos, n_neg, mean_logit_pos, mean_logit_neg, auc)`.
+   *
+   * AUC is the exact Mann–Whitney rank statistic with the standard
+   * half-credit for ties — computed in INTEGER space (logits are µ-ints
+   * so ties are well-defined): group by distinct logit, running alien
+   * count below each score via a window, 2·U = Σ_v pos_v·(2·neg_below_v
+   * + neg_v), AUC = 2U / (2·n_pos·n_neg) rounded to 6 dp. No pair join:
+   * one aggregation at distinct-score grain plus one window over it.
+   */
+  def classifierEval(docs: DataFrame, isTarget: Column,
+                     nBuckets: Int = 4096, trainN: Int = 256,
+                     salt: String = "qcls",
+                     sharedTf: Option[DataFrame] = None,
+                     weights: Option[Array[Long]] = None): DataFrame = {
+    val scored = hashedLinearScore(docs, nBuckets, sharedTf = sharedTf,
+      weights = weights)
+    val trainIds = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
+      .orderBy(col("__hk"), col("doc_id"))
+      .limit(trainN)
+      .select(col("doc_id"))
+    val ev = scored
+      .join(broadcast(trainIds.withColumn("__tr", lit(1))), Seq("doc_id"), "left")
+      .filter(col("__tr").isNull)
+      .join(docs.select(col("doc_id"),
+          when(isTarget, 1).otherwise(0).as("__y")),
+        Seq("doc_id"))
+      // µ-int logit → exact integer score key (ties well-defined)
+      .select(col("__y"), floor(col("logit") * 1e6 + 0.5).cast("long").as("__s"))
+    val byScore = ev.groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__p"), sum(lit(1) - col("__y")).as("__q"))
+      .withColumn("__qb", coalesce(sum(col("__q")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    byScore.agg(
+        sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+        sum(col("__p") * (lit(2) * col("__qb") + col("__q"))).as("__u2"))
+      .crossJoin(ev.groupBy(col("__y"))
+        .agg((floor(sum(col("__s")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("__m"))
+        .groupBy()
+        .agg(max(when(col("__y") === 1, col("__m"))).as("mean_logit_pos"),
+          max(when(col("__y") === 0, col("__m"))).as("mean_logit_neg")))
+      .select(col("n_pos"), col("n_neg"),
+        col("mean_logit_pos"), col("mean_logit_neg"),
+        // µ-int floor, not round(x, 6): both operands are exact-integer
+        // doubles, so the scaled division is one shared IEEE op and
+        // floor(+0.5) agrees in every engine; a one-class eval set reads
+        // NULL (no pairs to rank)
+        when(col("n_pos") * col("n_neg") > 0,
+          floor(col("__u2").cast("double") * lit(1e6)
+            / (lit(2.0) * col("n_pos") * col("n_neg")) + 0.5) / lit(1e6))
+          .as("auc"))
+  }
+
+  /** Tie-proof 6-dp logit: Σc·w scaled into µ-units (`mult` = 1000 for
+    * the milli-unit stub weights, 1 for trained µ-int weights), divided
+    * by n and rounded via INTEGER micro-units. `round(x, 6)` scales
+    * before rounding, and the two engines scale differently (Java
+    * re-rounds the double's shortest decimal representation; DuckDB
+    * multiplies by 1e6 in floating point), so an exact-tie rational
+    * like S·1000/n = k + 1/2 can land on different sides (observed once
+    * at sf0.001). Both inputs are integers < 2^53, so `S·mult/n` is the
+    * identical IEEE division in both engines, single-argument
+    * round-half-away-from-zero agrees, and dividing the integer-valued
+    * result by 1e6 is again one shared IEEE op. */
+  private def microLogit(sw: Column, n: Column, mult: Double = 1000.0): Column =
+    round(sw * lit(mult) / n) / lit(1e6)
 
   /**
    * Stateless per-row form of [[hashedLinearScore]] — the INGEST-time
@@ -411,13 +565,19 @@ object TextAnalysis {
    * order, and long addition commutes exactly).
    */
   def hashedLinearScoreStateless(docs: DataFrame, nBuckets: Int = 4096,
-                                 threshold: Double = 0.0): DataFrame = {
+                                 threshold: Double = 0.0,
+                                 weights: Option[Array[Long]] = None)
+      : DataFrame = {
     def hex8(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
     }
-    val w = typedlit((0 until nBuckets).map(b => hex8(s"w:$b") % 2001 - 1000))
+    weights.foreach(w => require(w.length == nBuckets,
+      s"weight table ${w.length} != $nBuckets"))
+    val w = typedlit(weights.map(_.toSeq)
+      .getOrElse((0 until nBuckets).map(b => hex8(s"w:$b") % 2001 - 1000L)))
+    val mult = if (weights.isDefined) 1.0 else 1000.0
     val toks = TextOps.tokens(col("text"))
     val sw = aggregate(toks, lit(0L), (acc, t) =>
       acc + element_at(w,
@@ -425,7 +585,7 @@ object TextAnalysis {
           .cast("int")))
     docs.filter(col("text").isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("logit", microLogit(sw, col("n_tokens")))
+      .withColumn("logit", microLogit(sw, col("n_tokens"), mult))
       .select(col("doc_id"), col("n_tokens"), col("logit"),
         (col("logit") >= threshold).as("keep"))
   }

@@ -270,18 +270,23 @@ class StreamingCurationSpec extends SparkSpec {
   }
 
   test("streaming quality classifier: stateless, matches batch scores " +
-    "across microbatch boundaries") {
+    "across microbatch boundaries, under TRAINED weights") {
     // the model filter at ingest: per-row fold over the literal weight
     // array — batch boundaries can't matter, scores equal the
-    // broadcast-join batch operator on the same docs
-    val docRows = spark.read
+    // broadcast-join batch operator on the same docs. Weights are the
+    // TRAINED table (the registry's deployment shape): a frozen model
+    // snapshot folded into the streaming plan as one literal
+    val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
+    val weights = Some(graft.text.TextAnalysis.trainNbWeights(
+      corpus, col("lang") === "en"))
+    val docRows = corpus
       .filter(col("text").isNotNull).limit(80)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val stream = MemoryStream[(Long, String)](spark)
     val out = StreamingCuration.qualityClassifierStream(
-      stream.toDF().toDF("doc_id", "text"))
+      stream.toDF().toDF("doc_id", "text"), weights = weights)
     assert(out.isStreaming)
     stream.addData(docRows.take(40).toIndexedSeq)
     val q = out.writeStream.format("memory").queryName("sqclass")
@@ -292,7 +297,8 @@ class StreamingCurationSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("sqclass").collect().map(_.toSeq).toSet
       val want = graft.text.TextAnalysis.hashedLinearScore(
-        docRows.toSeq.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+        docRows.toSeq.toDF("doc_id", "text"), weights = weights)
+        .collect().map(_.toSeq).toSet
       assert(want.nonEmpty)
       assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
     } finally q.stop()

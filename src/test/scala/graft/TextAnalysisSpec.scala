@@ -483,20 +483,110 @@ class TextAnalysisSpec extends SparkSpec {
       s"model join must broadcast:\n$plan")
   }
 
-  test("hashedLinearScoreStateless == batch operator row-for-row") {
+  test("hashedLinearScoreStateless == batch operator row-for-row, " +
+    "stub and trained weights alike") {
     // the per-row fold over the typedlit weight array must reproduce the
     // broadcast-join batch scores exactly (same longs, exact addition)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(300)
-    val batch = TextAnalysis.hashedLinearScore(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-      .toSet
-    val stateless = TextAnalysis.hashedLinearScoreStateless(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-      .toSet
-    assert(batch.nonEmpty)
-    assert(stateless == batch,
-      s"only-stateless=${stateless -- batch} only-batch=${batch -- stateless}")
+    val trained = TextAnalysis.trainNbWeights(docs, col("lang") === "en")
+    for (w <- Seq(None, Some(trained))) {
+      val batch = TextAnalysis.hashedLinearScore(docs, weights = w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      val stateless = TextAnalysis.hashedLinearScoreStateless(docs, weights = w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(stateless == batch,
+        s"weights=${w.isDefined}: only-stateless=${stateless -- batch} " +
+          s"only-batch=${batch -- stateless}")
+    }
+  }
+
+  // --- trained-NB fixture: two genuinely disjoint class vocabularies
+  // (plus shared stopwords), token choice hash-diversified so every doc
+  // is distinct (a rank statistic over 10 repeated texts would be
+  // degenerate) ---
+  private def nbMd5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def nbHex8(s: String): Long =
+    java.lang.Long.parseLong(nbMd5hex(s).take(8), 16)
+  private def nbFixtureText(id: Long): String = (0 until 12).map { j =>
+    if (j % 4 == 3) Vector("the", "of")(((id + j) % 2).toInt)
+    else {
+      val v = if (id % 2 == 0)
+        Vector("alpha", "beta", "gamma", "delta", "epsilon")
+      else Vector("zero", "uno", "dos", "tres", "quatro")
+      v((nbHex8(s"$id:$j") % v.size).toInt)
+    }
+  }.mkString(" ")
+
+  test("trainNbWeights: matches a Scala re-derivation; the scoring plan " +
+    "shape does not change when weights swap") {
+    // independent plain-Scala replay of the NB fit: same hash-ordered
+    // LIMIT sample, same bucket counts, same µ-int log-odds grid
+    def md5hex(s: String): String = nbMd5hex(s)
+    def hex8(s: String): Long = nbHex8(s)
+    def text(id: Long): String = nbFixtureText(id)
+    val rows = (0L until 120L).map(i => (i, text(i)))
+    val df = rows.toDF("doc_id", "text")
+    val nB = 4096
+    val got = TextAnalysis.trainNbWeights(df, col("doc_id") % 2 === 0,
+      nBuckets = nB, trainN = 64)
+    // re-derive
+    val trainIds = rows.map(_._1).sortBy(i => (md5hex(s"qcls:$i"), i)).take(64)
+    val ct = new Array[Long](nB); val cn = new Array[Long](nB)
+    trainIds.foreach { i =>
+      val pos = i % 2 == 0
+      text(i).split(" ", -1).foreach { tok =>
+        val b = (hex8(tok) % nB).toInt
+        if (pos) ct(b) += 1 else cn(b) += 1
+      }
+    }
+    val t = ct.sum; val n = cn.sum
+    val want = Array.tabulate(nB) { b =>
+      math.floor(1e6 * math.log(
+        ((ct(b) + 1) * (n + nB)).toDouble / ((cn(b) + 1) * (t + nB))) + 0.5).toLong
+    }
+    assert(got.toSeq == want.toSeq,
+      s"weight mismatch at buckets ${got.indices.filter(i => got(i) != want(i)).take(5)}")
+    // plan shape invariance: trained weights swap in as data, not plan
+    def shape(w: Option[Array[Long]]): Seq[String] =
+      TextAnalysis.hashedLinearScore(df, weights = w)
+        .queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(!_.isLetter).takeWhile(_.isLetter)).toSeq
+    assert(shape(Some(got)) == shape(None),
+      "scoring plan changed when trained weights swapped in")
+    assert(shape(Some(got)).exists(_.contains("BroadcastHashJoin")))
+  }
+
+  test("classifierEval: trained NB separates a signal-bearing corpus " +
+    "(held-out AUC ≈ 1); the real-corpus labels are a measured null") {
+    // the fixture has genuinely disjoint class vocabularies — the
+    // trainer must find them: held-out AUC ≈ 1 with a positive mean gap.
+    // (The registered corpus receipt is the honest complement: testdata
+    // langs share one token distribution, so AUC reads ≈ 0.5 there —
+    // recorded in BASELINE.md, the r13 spherical-training convention.)
+    val df = (0L until 120L).map(i => (i, nbFixtureText(i))).toDF("doc_id", "text")
+    val isPos = col("doc_id") % 2 === 0
+    val w = TextAnalysis.trainNbWeights(df, isPos, trainN = 64)
+    val ev = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+      weights = Some(w)).collect()
+    assert(ev.length == 1)
+    val r = ev(0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 120 - 64)
+    assert(r.getAs[Double]("auc") >= 0.99, s"auc=${r.getAs[Double]("auc")}")
+    assert(r.getAs[Double]("mean_logit_pos") > 0.0 &&
+      r.getAs[Double]("mean_logit_neg") < 0.0,
+      s"gap: ${r.getAs[Double]("mean_logit_pos")} vs ${r.getAs[Double]("mean_logit_neg")}")
+    // the UNTRAINED stub on the same fixture: no separation (the null
+    // model the receipt measures against)
+    val stub = TextAnalysis.classifierEval(df, isPos, trainN = 64).collect()(0)
+    assert(math.abs(stub.getAs[Double]("auc") - 0.5) < 0.25,
+      s"stub auc=${stub.getAs[Double]("auc")} should be ≈ 0.5")
   }
 
   test("packSequences: cross-boundary segments, offsets, zero-token docs vanish") {
