@@ -54,16 +54,19 @@ object AnnRecallSweep {
 
     // coarse-quantizer training ladder (r13): recall at the env probe
     // point for Lloyd rounds 0 (the pure hash sample, the r7-r12 form)
-    // through 3 — the measurement behind IvfTrainRounds' default
-    for (rounds <- Seq(0, 1, 2, 3)) {
+    // through 3 — the measurement behind IvfTrainRounds' default.
+    // r14 adds the seeding axis: hash-sample init vs deterministic
+    // k-means++ D² (farthest-first) init at every round count
+    for (rounds <- Seq(0, 1, 2, 3); d2 <- Seq(false, true)) {
       val t0 = System.nanoTime()
-      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
+      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds,
+        d2Seed = d2)
       val tTrain = (System.nanoTime() - t0) / 1e9
       val r = meanRecall(
         Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = nProbe,
           cells = Some(cells)),
         brute)
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"queries":$nQ,"method":"ivf","rounds":$rounds,"train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"queries":$nQ,"method":"ivf","rounds":$rounds,"seed":"${if (d2) "d2" else "hash"}","train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
     }
 
     // probe-width cost/recall curve (r13): nProbe in {4, 8, 16, 32}
@@ -115,15 +118,21 @@ object AnnRecallSweep {
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
       println(s"""{"sf_dir":"$sfDir","rows":$n,"queries":$nQ,"method":"ivfpq","m":${cfg.m},"k":${cfg.k},"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
     }
-    // Lloyd-trained codebooks at the candidate configs/round counts
+    // Lloyd-trained codebooks at the candidate configs/round counts;
+    // r14 adds the D²-seeded init variant at each point
     for (cfg <- Seq(Similarity.PqConfig(m = 8, k = 32),
                     Similarity.PqConfig(m = 8, k = 64),
-                    Similarity.PqConfig(m = 8, k = 128)) if cfg.k <= n;
+                    Similarity.PqConfig(m = 8, k = 128),
+                    Similarity.PqConfig(m = 8, k = 32, d2Seed = true),
+                    Similarity.PqConfig(m = 8, k = 64, d2Seed = true),
+                    Similarity.PqConfig(m = 8, k = 128, d2Seed = true))
+           if cfg.k <= n;
          rounds <- Seq(1, 2, 3)) {
+      val seed = if (cfg.d2Seed) "d2" else "hash"
       val t0 = System.nanoTime()
       val cb = Similarity.trainPqCodebook(embs, cfg, rounds = rounds)
       val codes = graft.queries.SharedFrames.memo(
-        spark, sfDir, s"sweep_pqt_m${cfg.m}_k${cfg.k}_r$rounds") {
+        spark, sfDir, s"sweep_pqt_m${cfg.m}_k${cfg.k}_r${rounds}_$seed") {
         Similarity.productQuantizeWith(embs, cb, cfg)
       }
       codes.count()
@@ -137,7 +146,7 @@ object AnnRecallSweep {
           sharedCodes = Some(codes), codebook = Some(cb)), brute)
       }
       val rj = refined.map { case (d, r) => s""""rerank$d":$r""" }.mkString(",")
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"queries":$nQ,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"queries":$nQ,"method":"ivfpq_trained","m":${cfg.m},"k":${cfg.k},"rounds":$rounds,"seed":"$seed","build_sec":${math.rint(tBuild * 100) / 100},"raw":$raw,$rj}""")
     }
     spark.stop()
   }

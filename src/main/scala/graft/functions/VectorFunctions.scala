@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BloomPositions, BloomShingleHit, ColumnShim, DotProduct, HammingDistance, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, MatVecRound6, SignBuckets, SubvectorDist2}
+import org.apache.spark.sql.graftshim.{BloomPositions, BloomShingleHit, ColumnShim, DotProduct, HammingDistance, IvfCellScores, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, MatVecRound6, SignBuckets, SubvectorDist2}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -52,6 +52,13 @@ object VectorFunctions {
     * [[org.apache.spark.sql.graftshim.IvfNearestCell]]. */
   def ivfNearestCell(v: Column, nrm: Column, packed: Column): Column =
     ColumnShim.column(IvfNearestCell(ColumnShim.expression(v),
+      ColumnShim.expression(nrm), ColumnShim.expression(packed)))
+
+  /** All IVF cell scores ([cc, cid] per centroid, table order) over the
+    * same packed centroid-table literal — one codegen'd node for the
+    * probe side; see [[org.apache.spark.sql.graftshim.IvfCellScores]]. */
+  def ivfCellScores(v: Column, nrm: Column, packed: Column): Column =
+    ColumnShim.column(IvfCellScores(ColumnShim.expression(v),
       ColumnShim.expression(nrm), ColumnShim.expression(packed)))
 
   /** Coordinate-sign LSH bucket strings, one per table, as a single

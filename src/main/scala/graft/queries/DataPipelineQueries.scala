@@ -438,6 +438,36 @@ object DataPipelineQueries {
       Similarity.ivfCells(embs(spark, sfDir))
     }
 
+  /** The PRODUCTION-WIDTH D²-seeded quantizer (r14): 64 cells trained
+    * from deterministic k-means++ farthest-first seeds + 1 Lloyd round
+    * — the config the r14 seeding ladder measured best at 12.5% probed
+    * (BASELINE.md: recall@5 0.600/0.600/0.531 across the three corpora
+    * vs 0.519–0.531 for the hash-seeded r13 default; at the registered
+    * 16-cell point the hash init stays best, so that family keeps its
+    * lattice). Own memo cell — a production deployment runs one
+    * quantizer per operating width. */
+  private def ivfCellsD2(spark: SparkSession,
+                         sfDir: String): Array[(Long, Seq[Double], Double)] =
+    SharedFrames.memoValue(spark, sfDir, "ivfCellsD2") {
+      Similarity.ivfCells(embs(spark, sfDir), nCells = 64, rounds = 1,
+        d2Seed = true)
+    }
+
+  /** IVF top-k under the D²-seeded production-width quantizer — the
+    * oracle-checked registration of the r14 seeding work (the 16-cell
+    * `similarity_ivf` keeps the r13 trained lattice). */
+  val similarityIvfD2: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfD2") { (spark, sfDir) =>
+      Similarity.ivfHashTopK(embs(spark, sfDir), nQueries = 8, k = 5,
+        nCells = 64, nProbe = 8, cells = Some(ivfCellsD2(spark, sfDir)))
+    }
+
+  /** Parameterized [[Similarity.ivfHashTopKOracleSql]] at the D² query's
+    * knobs — the seeding lattice replayed by the recursive-CTE replay of
+    * the farthest-first selection. */
+  val similarityIvfD2Oracle: String = Similarity.ivfHashTopKOracleSql(
+    nQueries = 8, k = 5, nCells = 64, nProbe = 8, rounds = 1, d2Seed = true)
+
   val embeddingPq: (SparkSession, String) => DataFrame =
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "pqCodes") {
       Similarity.productQuantize(embs(spark, sfDir),
@@ -2563,6 +2593,8 @@ object DataPipelineQueries {
     NamedQuery("hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     NamedQuery("similarity_ann", similarityAnn, Some(Similarity.lshTopKOracleSql())),
     NamedQuery("similarity_ivf", similarityIvf, Some(similarityIvfOracle)),
+    NamedQuery("similarity_ivf_d2", similarityIvfD2,
+      Some(similarityIvfD2Oracle)),
     NamedQuery("ann_index_stats", annIndexStats,
       Some(Similarity.ivfCellStatsOracleSql())),
     NamedQuery("similarity_ivf_pruned", similarityIvfPruned,

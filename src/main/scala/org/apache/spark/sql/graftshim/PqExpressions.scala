@@ -585,3 +585,105 @@ case class MatVecRound6(vector: Expression, rows: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(vector = newFirst, rows = newSecond, divisor = newThird)
 }
+
+/**
+ * All IVF cell scores in one loop — the probe-side sibling of
+ * [[IvfNearestCell]]: over the packed centroid table (row =
+ * [cellId, cnrm, coords…], the [[IvfNearestCell]] layout), emits
+ * `[cc, cid]` per centroid in table order, where cc is the
+ * 6-dp-HALF_UP-rounded cosine `Σᵢ v[i]·coords[i] ÷ (nrm·cnrm)` (the
+ * same left-to-right fold and rounding as the per-centroid
+ * `round(dot(...) / ..., 6)` struct chain it replaces — NaN/Inf pass
+ * through rounding exactly like Spark's Round). The caller explodes the
+ * output and ranks (cc DESC, cid ASC) — ranking semantics live in the
+ * window, not here. Replaces the nCells separate dot+round struct
+ * expressions whose generated code pushed the 64-cell probe projection
+ * ~3× past the HotSpot JIT ceiling (CodegenAudit r14: 26 018 bytecodes
+ * → compact). Null vector, short vector or null element → null row
+ * (the [[IvfNearestCell]]/[[MatVecRound6]] convention).
+ */
+case class IvfCellScores(vector: Expression, nrm: Expression,
+                         packed: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = vector
+  override def second: Expression = nrm
+  override def third: Expression = packed
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType, ArrayType(ArrayType(DoubleType)))
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_ivf_cell_scores"
+
+  @transient private lazy val ctMatrix: Array[Array[Double]] =
+    PqExpressions.toMatrix(packed)
+
+  override protected def nullSafeEval(v: Any, n: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val xn = n.asInstanceOf[Double]
+    val rows = ctMatrix
+    val out = new Array[Any](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      val dim = row.length - 2
+      if (dim > x.numElements()) return null
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        if (x.isNullAt(i)) return null
+        s += x.getDouble(i) * row(2 + i)
+        i += 1
+      }
+      out(r) = new GenericArrayData(
+        Array(PqExpressions.roundHalfUp(s / (xn * row(1)), 6), row(0)))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n, p) => {
+      val mat = ctx.addReferenceObj("ivfScoreCents", ctMatrix, "double[][]")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      val dim = ctx.freshName("dim")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      s"""
+         |Object[] $out = new Object[$mat.length];
+         |boolean $bad = false;
+         |for (int $r = 0; $r < $mat.length; $r++) {
+         |  double[] $row = $mat[$r];
+         |  int $dim = $row.length - 2;
+         |  if ($dim > $v.numElements()) { $bad = true; break; }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { $bad = true; break; }
+         |    $s += $v.getDouble($i) * $row[2 + $i];
+         |  }
+         |  if ($bad) break;
+         |  $out[$r] = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new double[] {
+         |      org.apache.spark.sql.graftshim.PqExpressions.roundHalfUp(
+         |        $s / ($n * $row[1]), 6),
+         |      $row[0] });
+         |}
+         |if ($bad) { ${ev.isNull} = true; ${ev.value} = null; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vector = newFirst, nrm = newSecond, packed = newThird)
+}

@@ -101,20 +101,47 @@ class KnobFuzzSpec extends SparkSpec {
   }
 
   test("fuzz: IVF probing EVERY cell equals brute force at 20 random " +
-    "(nCells, rounds, nQueries, k) configs") {
+    "(nCells, rounds, seeding, nQueries, k) configs") {
     for (_ <- 1 to 20) {
       val nCells = 1 + rnd.nextInt(20)
       val rounds = rnd.nextInt(3)
+      val d2 = rnd.nextBoolean() // r14: the D²-seeded quantizer must obey
+                                 // the same full-probe ≡ exact invariant
       val nQ = 1 + rnd.nextInt(10)
       val k = 1 + rnd.nextInt(8)
       val salt = s"fzc${rnd.nextInt(1000)}"
-      val label = s"fullprobe cells=$nCells rounds=$rounds nQ=$nQ k=$k"
+      val label = s"fullprobe cells=$nCells rounds=$rounds d2=$d2 nQ=$nQ k=$k"
       assertSameRows(
         Similarity.ivfHashTopK(embs, nQ, k, nCells, nProbe = nCells,
-          salt = salt, rounds = rounds),
+          salt = salt, rounds = rounds, d2Seed = d2),
         Similarity.bruteForceTopK(embs, nQ, k),
         label)
     }
+  }
+
+  test("d2 seeding: deterministic, distinct spread seeds, first pick = " +
+    "the hash sample's first row, short on an under-k corpus") {
+    val a = Similarity.ivfCells(embs, nCells = 12, rounds = 0, d2Seed = true)
+    val b = Similarity.ivfCells(embs, nCells = 12, rounds = 0, d2Seed = true)
+    assert(a.map(t => (t._1, t._2)).toSeq == b.map(t => (t._1, t._2)).toSeq,
+      "d2 seeding must be a pure function of the data")
+    assert(a.length == 12 && a.map(_._1).toSeq == (0L until 12L),
+      "cids must be pick ordinals")
+    assert(a.map(_._2).distinct.length == 12, "seeds must be distinct rows")
+    // seed 0 is exactly the plain hash sample's first pick
+    val hash = Similarity.ivfCells(embs, nCells = 12, rounds = 0)
+    assert(a(0)._2 == hash(0)._2,
+      "d2 seed 0 must equal the hash-order-first row")
+    // farthest-first: seed 1 maximizes rounded distance to seed 0 over
+    // the pool — in particular it is farther from seed 0 than the plain
+    // sample's own second pick (or equal under a tie)
+    def d2d(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    assert(d2d(a(0)._2, a(1)._2) >= d2d(hash(0)._2, hash(1)._2) - 1e-6,
+      "d2 second pick is not farther than the hash sample's")
+    val tiny = Similarity.ivfCells(embs.filter(col("vec_id") < 5),
+      nCells = 16, rounds = 1, d2Seed = true)
+    assert(tiny.length == 5, s"under-k corpus: ${tiny.length} seeds")
   }
 
   test("under-nCells corpus: the TRAINED quantizer yields a short " +

@@ -56,7 +56,11 @@ class PlanShapeSpec extends SparkSpec {
   private val intentionalBnlj =
     Set("similarity_topk", "knn_label_audit", "dsir_weights",
       "rp_distortion", "hybrid_rrf", "similarity_pq_batchq",
-      "ann_recall_audit")
+      "ann_recall_audit",
+      // r14: the AUC receipt attaches its SINGLE-ROW class-mean frame to
+      // the single-row rank aggregate via a cross join (the dsir_weights
+      // totals pattern — one row broadcast over one row)
+      "quality_classifier_eval")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —

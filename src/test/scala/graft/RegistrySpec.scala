@@ -35,7 +35,9 @@ class RegistrySpec extends SparkSpec {
       "orders", "lineitem", "events", "documents", "embeddings")
     // FROM/JOIN targets that are not CTE names must be driver tables
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = "(?i)([a-z_0-9]+)\\s+AS\\s*\\(".r
+      // the optional (col, ...) group admits recursive-CTE headers like
+      // `WITH RECURSIVE st(t, chosen, mind) AS (` (r14 D² seeding)
+      val ctes = "(?i)([a-z_0-9]+)\\s*(?:\\([a-z_0-9, ]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val targets = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z_0-9]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
