@@ -164,10 +164,12 @@ object AnomalyDetect {
    *  - warm-up: keys with fewer than `minPoints` windows never alert;
    *  - `MAD == 0` never alerts (a majority-constant series makes every
    *    deviation infinite — the zero-variance gate's robust analogue);
-   *  - `robust_z` is rounded to 6 decimals BEFORE the threshold filter;
-   *    median/MAD are exact Spark `percentile` == DuckDB
-   *    `quantile_cont` (integer-count inputs interpolate identically),
-   *    rounded only for output.
+   *  - `robust_z` is quantized to the µ-int grid `floor(z·1e6+0.5)/1e6`
+   *    BEFORE the threshold filter (NOT `round(z, 6)` — the engines
+   *    scale differently inside two-arg round and the sf0.1 gate caught
+   *    a real half-tie, r14); median/MAD are exact Spark `percentile`
+   *    == DuckDB `quantile_cont` (integer-count inputs interpolate
+   *    identically), rounded only for output.
    *
    * Scale: ONE shuffle on the key — two chained WindowExec passes over
    * the same unordered partition (median, then MAD of the residuals),
@@ -187,8 +189,9 @@ object AnomalyDetect {
       .withColumn("__med", percentile(col("current_value"), lit(0.5)).over(w))
       .withColumn("__mad",
         percentile(abs(col("current_value") - col("__med")), lit(0.5)).over(w))
-      .withColumn("robust_z", round(
-        lit(0.6745) * (col("current_value") - col("__med")) / col("__mad"), 6))
+      .withColumn("robust_z",
+        floor(lit(0.6745) * (col("current_value") - col("__med")) / col("__mad")
+          * 1e6 + 0.5) / 1e6)
       .filter(col("n_cell") >= minPoints && col("__mad") > 0.0 &&
         abs(col("robust_z")) > threshold)
       .select(col("alert_time"), col(keyCol), col("current_value"),
@@ -247,8 +250,9 @@ object AnomalyDetect {
       .select(col(timeCol).as("alert_time"), col(keyCol),
         col(valueCol).cast("double").as("current_value"))
       .join(broadcast(baseline), Seq(keyCol), "left")
-      .withColumn("robust_z", round(
-        lit(0.6745) * (col("current_value") - col("med")) / col("mad"), 6))
+      .withColumn("robust_z",
+        floor(lit(0.6745) * (col("current_value") - col("med")) / col("mad")
+          * 1e6 + 0.5) / 1e6)
       .filter(col("n_points") >= minPoints && col("mad") > 0.0 &&
         abs(col("robust_z")) > threshold)
       .select(col("alert_time"), col(keyCol), col("current_value"),

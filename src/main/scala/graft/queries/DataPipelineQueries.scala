@@ -280,6 +280,101 @@ object DataPipelineQueries {
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bpeMergeCandidates(docs(spark, sfDir))
 
+  /** Rounds the registered BPE trainer runs — small enough for the
+    * unrolled oracle CTEs, large enough that the vocabulary visibly
+    * restructures (the r14 loop ask). Shared by query and oracle. */
+  private val bpeTrainRounds = 8
+
+  /** The TRAINED merge list, once per (session, sfDir) — the
+    * [[pqCodebook]] train-once-serve-many contract on the tokenizer
+    * side: `bpe_vocab` publishes it, `bpe_encode` tokenizes under it. */
+  private def bpeMergesTrained(spark: SparkSession, sfDir: String)
+      : Seq[TextAnalysis.BpeMerge] =
+    SharedFrames.memoValue(spark, sfDir, "bpeMerges8") {
+      TextAnalysis.bpeTrain(docs(spark, sfDir), nMerges = bpeTrainRounds)
+    }
+
+  /** The learned merge table (rank, pair, winning count) — the BPE
+    * TRAINING LOOP's registered output ([[TextAnalysis.bpeTrain]]); the
+    * oracle unrolls the same rounds as CTEs. */
+  def bpeVocabQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergesTrained(spark, sfDir)
+      .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+      .toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
+  }
+
+  /** Corpus symbol counts under the TRAINED vocab — tokenization with
+    * learned merges ([[TextAnalysis.bpeEncode]] over the broadcast
+    * [[TextAnalysis.bpeDictionary]]), rolled up to the top-40 symbol
+    * table (ties to the lexicographically smaller symbol). */
+  val bpeEncodeQ: (SparkSession, String) => DataFrame =
+    memoized("bpeEncode") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dict = TextAnalysis.bpeDictionary(docs(spark, sfDir),
+        bpeMergesTrained(spark, sfDir))
+      TextAnalysis.bpeEncode(docs(spark, sfDir), dict)
+        .groupBy(col("sym"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("sym"))
+        .limit(40)
+    }
+
+  /** The BPE training loop unrolled as DuckDB CTEs — round t reads
+    * vocabulary v{t-1} (words as space-prefixed symbol strings), counts
+    * adjacent symbol pairs weighted by word count (p{t}), takes the
+    * winner under the (count DESC, a, b) tie (t{t}), and applies it with
+    * the same greedy left-to-right non-overlapping fold as the Spark
+    * side — `list_reduce` over space-prefixed symbols, where a
+    * freshly-merged tail never re-matches (5×"a" under (a,a) →
+    * [aa, aa, a]), boundary-safe because symbols cannot contain the
+    * space separator (the tokenizer splits on it). */
+  private def bpeRoundCtes(n: Int): String = {
+    val v0 =
+      """v0 AS (SELECT array_to_string(list_transform(range(length(word)),
+        |    i -> ' ' || substr(word, i + 1, 1)), '') AS w, wc
+        |  FROM (SELECT word, count(*) AS wc FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+        |    GROUP BY word))""".stripMargin
+    val rounds = (1 to n).map { t =>
+      s"""p$t AS (SELECT l[i + 1] AS a, l[i + 2] AS b,
+         |    CAST(sum(wc) AS BIGINT) AS c
+         |  FROM (SELECT l, wc, unnest(range(len(l) - 1)) AS i FROM (
+         |      SELECT string_split(substr(w, 2), ' ') AS l, wc
+         |      FROM v${t - 1} WHERE w <> '') y) z
+         |  GROUP BY a, b),
+         |t$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1),
+         |v$t AS (SELECT CASE WHEN w = '' THEN '' ELSE
+         |    list_reduce(list_transform(string_split(substr(w, 2), ' '),
+         |        s -> ' ' || s),
+         |      (acc, x) -> CASE WHEN x = ' ' || t.b AND ends_with(acc, ' ' || t.a)
+         |        THEN left(acc, length(acc) - length(t.a) - 1) || ' ' || t.a || t.b
+         |        ELSE acc || x END) END AS w, wc
+         |  FROM v${t - 1} CROSS JOIN t$t t)""".stripMargin
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  /** Replays [[TextAnalysis.bpeTrain]] at the registered round count. */
+  val bpeVocabOracle: String = {
+    val unions = (1 to bpeTrainRounds).map(t =>
+      s"SELECT CAST($t AS INT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"c AS n_occurrences FROM t$t").mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundCtes(bpeTrainRounds)}
+       |$unions""".stripMargin
+  }
+
+  /** Replays [[bpeEncodeQ]]: symbol counts over the final vocabulary
+    * v$bpeTrainRounds, weighted by word count — identical to counting
+    * per (doc, word occurrence) since the dictionary is word-keyed. */
+  val bpeEncodeOracle: String =
+    s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
+       |enc AS (SELECT unnest(string_split(substr(w, 2), ' ')) AS sym, wc
+       |  FROM v$bpeTrainRounds WHERE w <> '')
+       |SELECT sym, CAST(sum(wc) AS BIGINT) AS n_occurrences
+       |FROM enc GROUP BY sym
+       |ORDER BY n_occurrences DESC, sym LIMIT 40""".stripMargin
+
   def sourceMix(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.uniformSourceMix(docs(spark, sfDir), fraction = 0.8)
 
@@ -864,9 +959,10 @@ object DataPipelineQueries {
        |  quantile_cont(abs(v - med), 0.5) OVER pw AS mad
        |  FROM w WINDOW pw AS (PARTITION BY source))
        |SELECT doc_id, source, CAST(v AS BIGINT) AS n_chars,
-       |  round(0.6745 * (v - med) / nullif(mad, 0), 6) AS robust_z,
-       |  (mad <= 0 OR abs(round(0.6745 * (v - med) / nullif(mad, 0), 6))
-       |    <= $robustGateThreshold) AS keep
+       |  floor(0.6745 * (v - med) / nullif(mad, 0) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS robust_z,
+       |  (mad <= 0 OR abs(floor(0.6745 * (v - med) / nullif(mad, 0)
+       |    * 1000000.0 + 0.5) / 1000000.0) <= $robustGateThreshold) AS keep
        |FROM m""".stripMargin
 
   /** Sketch-QA summary over the two memoized pair pipelines — the LSH
@@ -2522,6 +2618,8 @@ object DataPipelineQueries {
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    NamedQuery("bpe_vocab", bpeVocabQ, Some(bpeVocabOracle)),
+    NamedQuery("bpe_encode", bpeEncodeQ, Some(bpeEncodeOracle)),
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("source_mix_temperature", sourceMixTemperature,
       Some(sourceMixTemperatureOracle)),

@@ -578,8 +578,8 @@ object EventQueries {
        |  WINDOW pw AS (PARTITION BY campaign_id)),
        |m AS (
        |  SELECT *, quantile_cont(abs(v - med), 0.5) OVER pw AS mad,
-       |         round(0.6745 * (v - med) / quantile_cont(abs(v - med), 0.5)
-       |           OVER pw, 6) AS robust_z
+       |         floor(0.6745 * (v - med) / (quantile_cont(abs(v - med), 0.5)
+       |           OVER pw) * 1000000.0 + 0.5) / 1000000.0 AS robust_z
        |  FROM w
        |  WINDOW pw AS (PARTITION BY campaign_id))
        |SELECT window_end AS alert_time, campaign_id, v AS current_value,

@@ -257,8 +257,9 @@ object TextAnalysis {
         col("n_chars").cast("double").as("n_chars"))
       .join(broadcast(stats.select(col("source"), col("med"), col("mad"))),
         Seq("source"), "left")
-      .withColumn("robust_z", when(col("mad") > 0.0, round(
-        lit(0.6745) * (col("n_chars") - col("med")) / col("mad"), 6)))
+      .withColumn("robust_z", when(col("mad") > 0.0,
+        floor(lit(0.6745) * (col("n_chars") - col("med")) / col("mad")
+          * 1e6 + 0.5) / 1e6))
       .select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("n_chars"), col("robust_z"),
         (col("mad").isNull || col("mad") <= 0.0 ||
@@ -714,6 +715,128 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
   }
+
+  /** One learned BPE merge: rank order, the two merged symbols, and the
+    * pair's corpus-weighted occurrence count when it won its round. */
+  final case class BpeMerge(rank: Int, symA: String, symB: String,
+                            nOccurrences: Long)
+
+  /** Word → initial symbol array (one per character); empty word → empty
+    * array (the `sequence` guard — Spark's sequence counts DOWN on a
+    * non-positive bound, unlike DuckDB's empty `range`). */
+  private def charSyms(word: Column): Column =
+    when(length(word) >= 1,
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+      .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
+
+  /** Greedy left-to-right non-overlapping application of ONE merge rule
+    * (a, b) → "ab" to a symbol array — the textbook BPE apply step, as a
+    * fold: the current symbol merges into the accumulator's tail exactly
+    * when tail == a and current == b (a freshly-merged "ab" tail never
+    * re-matches a, giving the non-overlap rule: 5×"a" under (a,a) →
+    * [aa, aa, a]). `aggregate` is an interpreted higher-order function —
+    * fine HERE because it only ever runs over the (word, count)
+    * VOCABULARY table (orders of magnitude smaller than the corpus; the
+    * corpus-scale work is the one tokenize+count shuffle), never over
+    * the token stream. DuckDB replays the identical fold via
+    * `list_reduce` over space-prefixed symbols. */
+  private def applyMergeCol(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedlit(Seq.empty[String]), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** (a, b, wc-weighted pair rows) from a (syms, __wc) vocabulary. */
+  private def vocabPairs(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("__wc"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("__wc")).as("c"))
+
+  /**
+   * BPE tokenizer TRAINING — the iterated loop [[bpeMergeCandidates]] is
+   * one round of: count adjacent symbol pairs (corpus-weighted), merge
+   * the most frequent pair everywhere, repeat `nMerges` times. The same
+   * driver-loop-over-a-distributed-step discipline as the Lloyd
+   * codebooks: the corpus collapses ONCE to the (word, count) vocabulary
+   * (the only corpus-scale shuffle — BPE trainers run on word-count
+   * tables, which is what makes iterated training tractable at 100 TB);
+   * each round is then one small distributed pair aggregation over the
+   * vocabulary, ONE top-1 collect (count DESC, then (a, b) lexicographic
+   * — the engine-deterministic tie), and a map-side merge application.
+   * The evolving vocabulary is re-persisted per round (it is tiny) so
+   * round t+1 never recomputes rounds 1..t.
+   *
+   * Fully deterministic and oracle-replayable: the registered
+   * `bpe_vocab` oracle unrolls the same rounds as DuckDB CTEs
+   * ([[graft.queries.DataPipelineQueries.bpeVocabOracle]]).
+   *
+   * Assumes ≥ `nMerges` productive rounds (a corpus so small it runs out
+   * of adjacent pairs stops early; the registered corpora never do).
+   */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): Seq[BpeMerge] = {
+    var vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+      .select(charSyms(col("word")).as("syms"), col("__wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    try {
+      for (t <- 1 to nMerges) {
+        val top = vocabPairs(vocab)
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) return merges.toSeq
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(t, a, b, c)
+        val next = vocab
+          .select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
+  /** The (word, syms) ENCODING DICTIONARY under a learned merge list:
+    * every distinct corpus word mapped to its symbol sequence after
+    * applying the merges in rank order. This is how trained-vocab
+    * tokenization scales: the corpus is never re-folded per occurrence —
+    * downstream consumers BROADCAST-join this vocabulary-sized table
+    * ([[bpeEncode]]). */
+  def bpeDictionary(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .distinct()
+    merges.sortBy(_.rank).foldLeft(
+      words.select(col("word"), charSyms(col("word")).as("syms"))) {
+      case (v, m) =>
+        v.select(col("word"), applyMergeCol(col("syms"), m.symA, m.symB).as("syms"))
+    }
+  }
+
+  /**
+   * Tokenize-with-learned-merges — downstream token counting under the
+   * TRAINED vocab: each document's words explode and equi-join the
+   * broadcast [[bpeDictionary]] (vocabulary-sized — the corpus itself is
+   * never re-folded), then per-symbol positions explode from the
+   * dictionary's symbol arrays. Output one row per (doc_id, sym
+   * occurrence) — the occurrence-grain frame every token-count consumer
+   * aggregates from, now on the learned subword grain.
+   */
+  def bpeEncode(docs: DataFrame, dict: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .select(col("doc_id"), explode(col("syms")).as("sym"))
 
   /**
    * Deterministic stratified sampling — the data-mixing primitive: keep
@@ -1431,8 +1554,13 @@ object TextAnalysis {
    * hunted inflate a stddev baseline enough to mask themselves.
    *
    * Emits every document with its `robust_z` and a keep flag:
-   *  - `keep = |robust_z| ≤ threshold`, robust_z rounded to 6 dp BEFORE
-   *    the comparison (both engines decide on the same value);
+   *  - `keep = |robust_z| ≤ threshold`, robust_z quantized to the µ-int
+   *    grid `floor(z·1e6 + 0.5)/1e6` BEFORE the comparison — both
+   *    engines decide on the same value. NOT `round(z, 6)`: the two
+   *    engines scale differently inside two-arg round, and the sf0.1
+   *    gate caught a real −0.2529375 half-tie landing on different
+   *    sides (r14; the microLogit lesson, now applied to every robust-z
+   *    site);
    *  - a zero-MAD source (majority-identical lengths) keeps everything
    *    and emits NULL robust_z — a degenerate scale statistic is no
    *    evidence against any row, and the percentile gate covers
@@ -1450,8 +1578,9 @@ object TextAnalysis {
       .withColumn("__med", percentile(col("n_chars"), lit(0.5)).over(w))
       .withColumn("__mad",
         percentile(abs(col("n_chars") - col("__med")), lit(0.5)).over(w))
-      .withColumn("robust_z", when(col("__mad") > 0.0, round(
-        lit(0.6745) * (col("n_chars") - col("__med")) / col("__mad"), 6)))
+      .withColumn("robust_z", when(col("__mad") > 0.0,
+        floor(lit(0.6745) * (col("n_chars") - col("__med")) / col("__mad")
+          * 1e6 + 0.5) / 1e6))
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
         col("robust_z"),
         (col("__mad") <= 0.0 || abs(col("robust_z")) <= threshold).as("keep"))

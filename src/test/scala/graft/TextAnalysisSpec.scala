@@ -71,6 +71,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ov == Seq("ab" -> 1L, "bc" -> 1L))
   }
 
+  test("bpeTrain: learns the textbook merge sequence on a hand corpus; " +
+    "greedy non-overlapping application; encode counts under the vocab") {
+    // corpus: "abab"×3 "ab"×2 "aaaa"×1. Round 1 raw adjacent pairs:
+    //   (a,b): 2×3 + 1×2 = 8; (b,a): 1×3 = 3; (a,a): 3×1 = 3
+    //   → winner (a,b) c=8; apply → [ab,ab]×3, [ab]×2, [a,a,a,a]
+    // Round 2: (ab,ab)=3 vs (a,a)=3 — COUNT tie, lexicographic (a, b)
+    //   break → ("a","a") wins (pair counting is raw adjacent; only the
+    //   APPLICATION is non-overlapping) → aaaa becomes [aa,aa]
+    // Round 3: (ab,ab)=3 vs (aa,aa)=1 → ("ab","ab") wins c=3
+    val docs = Seq((1L, "abab abab abab ab ab aaaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 3)
+    assert(merges.map(m => (m.rank, m.symA, m.symB, m.nOccurrences)) == Seq(
+      (1, "a", "b", 8L), (2, "a", "a", 3L), (3, "ab", "ab", 3L)),
+      s"got $merges")
+    // dictionary after the merges: greedy non-overlap application
+    val dict = TextAnalysis.bpeDictionary(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(dict("abab") == List("abab"))
+    assert(dict("ab") == List("ab"))
+    assert(dict("aaaa") == List("aa", "aa")) // greedy (a,a) twice
+    // encode: doc-grain symbol occurrences under the trained vocab
+    val enc = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeDictionary(docs, merges))
+      .groupBy("sym").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("abab" -> 3L, "ab" -> 2L, "aa" -> 2L), s"got $enc")
+  }
+
   test("uniformSourceMix: exact per-source quota, deterministic hash ranks") {
     // srcA has 3 docs, srcB has 2 → quota 2: every source keeps exactly 2
     val docs = Seq(
