@@ -61,6 +61,59 @@ object ScaleSmoke {
     TextAnalysis.qualityGate(warm).count()
     warm.unpersist()
 
+    // SPARK_GRAFT_SCALE_OPS=skew (r14): the ADVERSARIAL-SKEW rung — the
+    // df-cap/bucket-cap claims measured on a corpus built to break them:
+    // 90% of documents share one injected boilerplate sentence, so its
+    // shingles' document frequency is ~0.9·N and the UNCAPPED inverted
+    // index would emit Θ(N²) candidate pairs from those shingles alone
+    // (the would-be mass is computed analytically as Σ_shingle df·(df−1)/2
+    // — running it would BE the blow-up). The capped detectors must stay
+    // pair-bounded and wall-linear across K while that mass grows
+    // quadratically. Boilerplate-heavy corpora are the REALISTIC shape
+    // (headers, licenses, navigation chrome), not a corner case.
+    if (sys.env.get("SPARK_GRAFT_SCALE_OPS").contains("skew")) {
+      val boiler = "all rights reserved this page is served by the " +
+        "standard corpus frontend please see terms of service"
+      for (k <- ks) {
+        val docs = amplify(base, k)
+          .withColumn("text",
+            when(pmod(xxhash64(col("doc_id")), lit(10)) < 9,
+              concat(lit(boiler + " "), col("text"))).otherwise(col("text")))
+          .repartition(cpus.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        val sh = Dedup.shingleArrays(docs, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // analytic uncapped candidate mass + the hottest shingle's df
+        val dfStats = sh
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .distinct()
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"),
+            max(col("df")))
+          .collect()(0)
+        val (uncappedMass, hottestDf) = (dfStats.getLong(0), dfStats.getLong(1))
+        val (tMinhash, lshPairs) = timed {
+          Dedup.nearDupMinhashLsh(docs, sharedShingles = Some(sh)).count()
+        }
+        val (tContain, containPairs) = timed {
+          Dedup.containmentPairs(docs, sharedShingles = Some(sh)).count()
+        }
+        val (tCapped, cappedPairs) = timed {
+          Dedup.jaccardPairsExact(docs, sharedShingles = Some(sh),
+            maxShingleDf = Some(100)).count()
+        }
+        println(s"""{"rung":"skew","k":$k,"docs":$n,""" +
+          s""""hottest_df":$hottestDf,"uncapped_candidate_pairs":$uncappedMass,""" +
+          s""""minhash_sec":$tMinhash,"minhash_pairs":$lshPairs,""" +
+          s""""contain_sec":$tContain,"contain_pairs":$containPairs,""" +
+          s""""capped_sec":$tCapped,"capped_pairs":$cappedPairs}""")
+        sh.unpersist(); docs.unpersist(); spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_SCALE_OPS=invidx: only the three inverted-index
     // operators — the suite's sharpest quadratic-term detectors — so
     // high-K runs (32/64 ≈ 160k/320k docs) don't pay for the full

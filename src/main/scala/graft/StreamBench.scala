@@ -86,6 +86,21 @@ object StreamBench {
         feedMs, codec = "binary", triggerInterval = ti))
     }
 
+    // r14: end-to-end latency receipts (landed→sink-visible percentiles,
+    // BASELINE.md's SLA table) at each job's sustained operating point —
+    // rates overridable via SPARK_GRAFT_LAT_{MAIN,INGEST,ANN}; set a
+    // rate to 0 to skip that job's latency step
+    def latRate(env: String, dflt: Int): Int =
+      sys.env.getOrElse(env, dflt.toString).trim.toInt
+    val latSteps = Seq(
+      latRate("SPARK_GRAFT_LAT_MAIN", 20000) ->
+        ((r: Int) => StreamThroughput.mainLatencyStep(spark, r, feedMs)),
+      latRate("SPARK_GRAFT_LAT_INGEST", 8000) ->
+        ((r: Int) => StreamThroughput.ingestLatencyStep(spark, r, feedMs)),
+      latRate("SPARK_GRAFT_LAT_ANN", 8000) ->
+        ((r: Int) => StreamThroughput.annLatencyStep(spark, r, feedMs)))
+      .collect { case (r, step) if r > 0 => step(r) }
+
     def maxSustained(steps: Seq[StreamThroughput.StepResult]): Long =
       steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
         .foldLeft(0L)(math.max)
@@ -101,7 +116,8 @@ object StreamBench {
       s""""ann_binary_value":${maxSustained(annBinSteps)},""" +
       s""""feed_ms":$feedMs,"cpus":$cpus,""" +
       s""""reference_envelope_events_per_sec":50,""" +
-      s""""steps":[$allSteps]}""")
+      s""""steps":[$allSteps],""" +
+      s""""latency":[${latSteps.map(_.json).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -305,17 +305,16 @@ object DataPipelineQueries {
   }
 
   /** Corpus symbol counts under the TRAINED vocab — tokenization with
-    * learned merges ([[TextAnalysis.bpeEncode]] over the broadcast
-    * [[TextAnalysis.bpeDictionary]]), rolled up to the top-40 symbol
-    * table (ties to the lexicographically smaller symbol). */
+    * learned merges, rolled up to the top-40 symbol table (ties to the
+    * lexicographically smaller symbol). Uses the vocabulary-grain
+    * rollup ([[TextAnalysis.bpeSymbolCounts]]); the doc-grain
+    * [[TextAnalysis.bpeEncode]] is the library surface for per-document
+    * consumers (value parity spec-pinned). */
   val bpeEncodeQ: (SparkSession, String) => DataFrame =
     memoized("bpeEncode") { (spark, sfDir) =>
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val dict = TextAnalysis.bpeDictionary(docs(spark, sfDir),
-        bpeMergesTrained(spark, sfDir))
-      TextAnalysis.bpeEncode(docs(spark, sfDir), dict)
-        .groupBy(col("sym"))
-        .agg(count(lit(1)).as("n_occurrences"))
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.bpeSymbolCounts(docs(spark, sfDir),
+          bpeMergesTrained(spark, sfDir))
         .orderBy(col("n_occurrences").desc, col("sym"))
         .limit(40)
     }

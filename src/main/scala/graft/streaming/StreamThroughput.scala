@@ -273,6 +273,226 @@ object StreamThroughput {
       spark, Some(topicCounter(spark, codec)))
   }
 
+  // ── end-to-end latency receipts (r14) ──────────────────────────────
+  //
+  // Throughput says how much a job keeps up with; an SLA is stated in
+  // LATENCY: how long after a record lands on the input topic is its
+  // effect visible at the sink. Measured over the DEPLOYED topologies
+  // with zero instrumentation inside the jobs — a file-backed topic's
+  // record becomes consumable exactly when its file commits, so both
+  // clocks (ingest = input file mtime, sink-visible = output file
+  // mtime) are read POST-HOC from the filesystem and joined back to the
+  // records by id. Latency therefore includes everything a user waits
+  // for: source listing cadence, microbatch scheduling, state commits,
+  // chained-topology hops, and (for windowed aggregates) the watermark
+  // close itself.
+
+  final case class LatencyResult(job: String, rate: Int, nRows: Long,
+                                 p50Ms: Long, p95Ms: Long, maxMs: Long) {
+    def json: String =
+      s"""{"job":"$job","rate":$rate,"rows":$nRows,""" +
+        s""""p50_ms":$p50Ms,"p95_ms":$p95Ms,"max_ms":$maxMs}"""
+  }
+
+  /** (path, mtime) of a dir's data files — the post-hoc landing clock.
+    * Driver-side walk, bounded by the step's own file count. */
+  private def mtimeFrame(spark: SparkSession, dir: Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.toString.contains("_spark_metadata"))
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") || n.startsWith("_")
+      }
+      .map(p => (p.toAbsolutePath.toString,
+        Files.getLastModifiedTime(p).toMillis))
+      .toSeq
+    spark.createDataFrame(rows).toDF("__path", "__mtime")
+  }
+
+  /** Attach each row's file mtime (via `input_file_name`) as column `as`. */
+  private def withMtime(df: DataFrame, m: DataFrame, as: String): DataFrame =
+    df.withColumn("__path",
+        regexp_replace(input_file_name(), "^file:/+", "/"))
+      .join(broadcast(m), Seq("__path"))
+      .withColumnRenamed("__mtime", as)
+      .drop("__path")
+
+  private def latencyOf(lat: DataFrame, job: String,
+                        rate: Int): LatencyResult = {
+    val r = lat.agg(count(lit(1)), percentile(col("__lat"), lit(0.5)),
+      percentile(col("__lat"), lit(0.95)), max(col("__lat"))).collect()(0)
+    if (r.getLong(0) == 0L) LatencyResult(job, rate, 0L, 0L, 0L, 0L)
+    else LatencyResult(job, rate, r.getLong(0),
+      math.round(r.getDouble(1)), math.round(r.getDouble(2)), r.getLong(3))
+  }
+
+  /** Gate-PASSING, dedup-SURVIVING document stream for the latency
+    * receipt: the throughput feed ([[docStream]]) deliberately emits
+    * stopword-free, content-cycled docs that the quality gate and the
+    * exact dedup drop to zero — right for measuring the full drop
+    * pipeline's throughput, useless for landed→sink-visible latency
+    * (nothing reaches the sink). This variant interleaves stopwords
+    * (every 5th token) and varies tokens over the FULL row index, so
+    * every document is unique and passes; the job under test is
+    * unchanged. */
+  def docStreamCurated(spark: SparkSession, rowsPerSecond: Int,
+                       startMs: Long = 0L, simMsPerRow: Long = 20L,
+                       vocab: Int = 64, wordsPerDoc: Int = 40): DataFrame = {
+    val words = array((0 until vocab).map(i => lit(s"w$i")): _*)
+    val stops = array(lit("the"), lit("of"), lit("and"), lit("in"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("value").as("idx"))
+      .select(
+        col("idx").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(wordsPerDoc)), j =>
+          when(j % 5 === 0, element_at(stops,
+            (pmod(xxhash64(col("idx"), j, lit(3)), lit(4)) + 1).cast("int")))
+            .otherwise(element_at(words,
+              (pmod(xxhash64(col("idx"), j), lit(vocab)) + 1).cast("int")))))
+          .as("text"),
+        lit("en").as("lang"),
+        concat(lit("src-"), pmod(xxhash64(col("idx"), lit(7)), lit(4))).as("source"),
+        timestamp_millis(lit(startMs) + col("idx") * simMsPerRow).as("ingest_time"))
+  }
+
+  /** Per-record landed→sink-visible latency for the curation-ingest job
+    * over the [[docStreamCurated]] feed (the deployed job unchanged —
+    * the throughput feed's rows all drop at the gates by design, so a
+    * latency sample needs survivors). */
+  def ingestLatencyStep(spark: SparkSession, rate: Int,
+                        feedMs: Long = 20000L): LatencyResult = {
+    val root = Files.createTempDirectory("graft-lat-ingest")
+    val docs = root.resolve("docs")
+    val work = root.resolve("work")
+    val feeder = feedTopic(docStreamCurated(spark, rate), "json", docs,
+      root.resolve("_ck/docs"))
+    awaitTopic(docs)
+    val consumer = StreamingCurationJobs.runIngestJob(spark, docs.toString,
+      benchDocs(spark), work.toString, maxFilesPerTrigger = 10000)
+    try {
+      Thread.sleep(feedMs)
+      feeder.stop()
+      consumer.processAllAvailable()
+    } finally {
+      if (feeder.isActive) feeder.stop()
+      consumer.stop()
+    }
+    val in = withMtime(
+      spark.read.text(docs.toString).select(
+        get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id")),
+      mtimeFrame(spark, docs), "__in")
+      .groupBy(col("doc_id")).agg(min(col("__in")).as("__in"))
+    val out = withMtime(
+      spark.read.text(s"$work/curated").select(
+        get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id")),
+      mtimeFrame(spark, work.resolve("curated")), "__out")
+      .groupBy(col("doc_id")).agg(min(col("__out")).as("__out"))
+    latencyOf(out.join(in, "doc_id")
+      .select((col("__out") - col("__in")).as("__lat")), "ingest", rate)
+  }
+
+  /** Per-record landed→sink-visible latency for the ANN codes job. */
+  def annLatencyStep(spark: SparkSession, rate: Int,
+                     feedMs: Long = 20000L,
+                     corpusDir: String = "/root/testdata/sf0.001")
+      : LatencyResult = {
+    val root = Files.createTempDirectory("graft-lat-ann")
+    val emb = root.resolve("embeddings")
+    val work = root.resolve("work")
+    val model = graft.similarity.Similarity.freezeAnnIndex(
+      spark.read.parquet(s"$corpusDir/embeddings.parquet"))
+      .getOrElse(sys.error(s"no freezable corpus in $corpusDir"))
+    val feeder = feedTopic(embStream(spark, rate), "json", emb,
+      root.resolve("_ck/emb"))
+    awaitTopic(emb)
+    val consumer = StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
+      model, work.toString, maxFilesPerTrigger = 10000)
+    try {
+      Thread.sleep(feedMs)
+      feeder.stop()
+      consumer.processAllAvailable()
+    } finally {
+      if (feeder.isActive) feeder.stop()
+      consumer.stop()
+    }
+    val in = withMtime(
+      spark.read.text(emb.toString).select(
+        get_json_object(col("value"), "$.vec_id").cast("long").as("vec_id")),
+      mtimeFrame(spark, emb), "__in")
+      .groupBy(col("vec_id")).agg(min(col("__in")).as("__in"))
+    val out = withMtime(
+      spark.read.text(s"$work/codes").select(
+        get_json_object(col("value"), "$.vec_id").cast("long").as("vec_id")),
+      mtimeFrame(spark, work.resolve("codes")), "__out")
+      .groupBy(col("vec_id")).agg(min(col("__out")).as("__out"))
+    latencyOf(out.join(in, "vec_id")
+      .select((col("__out") - col("__in")).as("__lat")), "ann", rate)
+  }
+
+  /**
+   * Per-WINDOW landed→sink-visible latency for the main ad job: a ctr
+   * output row's clock starts when its LAST contributing impression
+   * lands on the topic (clicks land in the same feed window; the
+   * impression clock is the window's completion point) and stops when
+   * the ctr row's sink file commits — so the measure includes the
+   * interval join, the materialized-topic hop, the chained watermark
+   * advance that closes the window, and every microbatch in between.
+   * Only windows the watermark actually closed during the run emit (the
+   * last ~chainedWatermarkDelay of event time never closes — correct
+   * append-mode semantics, not measurement loss).
+   */
+  def mainLatencyStep(spark: SparkSession, rate: Int,
+                      feedMs: Long = 20000L,
+                      simMsPerRow: Long = 20L): LatencyResult = {
+    val root = Files.createTempDirectory("graft-lat-main")
+    val impr = root.resolve("impressions")
+    val clk = root.resolve("clicks")
+    val work = root.resolve("work")
+    val (iStream, cStream) = StreamingEventGenerator.events(spark, rate,
+      startMs = 0L, simMsPerRow = simMsPerRow)
+    val f1 = JsonStreams.writeValueTopic(JsonStreams.encode(iStream).coalesce(2),
+      impr.toString, root.resolve("_ck/impr").toString)
+    val f2 = JsonStreams.writeValueTopic(JsonStreams.encode(cStream).coalesce(2),
+      clk.toString, root.resolve("_ck/clk").toString)
+    Seq(impr, clk).foreach(awaitTopic(_))
+    val consumers = StreamingJobs.runMainJob(spark, impr.toString,
+      clk.toString, work.toString, maxFilesPerTrigger = 10000)
+    try {
+      Thread.sleep(feedMs)
+      Seq(f1, f2).foreach(_.stop())
+      consumers.foreach(_.processAllAvailable())
+      consumers.foreach(_.processAllAvailable())
+    } finally {
+      Seq(f1, f2).foreach(f => if (f.isActive) f.stop())
+      consumers.foreach(_.stop())
+    }
+    val in = withMtime(
+      spark.read.text(impr.toString).select(
+        get_json_object(col("value"), "$.campaign_id").as("campaign_id"),
+        get_json_object(col("value"), "$.event_timestamp").cast("long")
+          .as("__ts")),
+      mtimeFrame(spark, impr), "__in")
+      .select(col("campaign_id"),
+        date_trunc("minute", timestamp_millis(col("__ts"))).as("window_start"),
+        col("__in"))
+      .groupBy(col("window_start"), col("campaign_id"))
+      .agg(max(col("__in")).as("__in"))
+    val out = withMtime(
+      spark.read.text(s"$work/ctr_results").select(
+        get_json_object(col("value"), "$.campaign_id").as("campaign_id"),
+        get_json_object(col("value"), "$.window_start").cast("timestamp")
+          .as("window_start")),
+      mtimeFrame(spark, work.resolve("ctr_results")), "__out")
+      .groupBy(col("window_start"), col("campaign_id"))
+      .agg(min(col("__out")).as("__out"))
+    latencyOf(out.join(in, Seq("window_start", "campaign_id"))
+      .select((col("__out") - col("__in")).as("__lat")), "main", rate)
+  }
+
   /** One curation-ingest step: [[docStream]] → docs topic →
     * [[StreamingCurationJobs.runIngestJob]] (Bloom decontamination →
     * watermarked exact dedup → quality gate), measured as deployed. */

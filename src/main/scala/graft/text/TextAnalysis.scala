@@ -784,6 +784,11 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
       .select(charSyms(col("word")).as("syms"), col("__wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round t's pair collect materializes vocab_t, so vocab_{t-1} (whose
+    // lineage vocab_t no longer needs once cached) retires one round
+    // LATE — one Spark action per round instead of a second
+    // materialize-then-unpersist action (the Lloyd loop's cost shape)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     try {
       for (t <- 1 to nMerges) {
@@ -791,19 +796,21 @@ object TextAnalysis {
           .orderBy(col("c").desc, col("a"), col("b"))
           .limit(1)
           .collect()
+        prev.foreach(_.unpersist())
+        prev = Some(vocab)
         if (top.isEmpty) return merges.toSeq
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += BpeMerge(t, a, b, c)
-        val next = vocab
+        vocab = vocab
           .select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
-        vocab = next
       }
       merges.toSeq
-    } finally vocab.unpersist()
+    } finally {
+      prev.foreach(_.unpersist())
+      vocab.unpersist()
+    }
   }
 
   /** The (word, syms) ENCODING DICTIONARY under a learned merge list:
@@ -837,6 +844,28 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       .join(broadcast(dict), Seq("word"))
       .select(col("doc_id"), explode(col("syms")).as("sym"))
+
+  /** Corpus-total symbol counts under a learned merge list — the rollup
+    * form of [[bpeEncode]]: totals aggregate at VOCABULARY grain
+    * (Σ_word wc · occurrences-of-sym-in-word), so after the one
+    * word-count shuffle everything is vocabulary-sized — the corpus is
+    * never re-tokenized per symbol. Value-identical to rolling up
+    * [[bpeEncode]]'s doc-grain rows. */
+  def bpeSymbolCounts(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+    val encoded = merges.sortBy(_.rank).foldLeft(
+      words.select(charSyms(col("word")).as("syms"), col("__wc"))) {
+      case (v, m) =>
+        v.select(applyMergeCol(col("syms"), m.symA, m.symB).as("syms"),
+          col("__wc"))
+    }
+    encoded
+      .select(explode(col("syms")).as("sym"), col("__wc"))
+      .groupBy(col("sym"))
+      .agg(sum(col("__wc")).as("n_occurrences"))
+  }
 
   /**
    * Deterministic stratified sampling — the data-mixing primitive: keep

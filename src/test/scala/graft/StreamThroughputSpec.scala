@@ -73,4 +73,31 @@ class StreamThroughputSpec extends SparkSpec {
             s"load: ${step.json}")
     }
   }
+
+  test("main job end-to-end latency: closed windows are sink-visible " +
+    "within the CI floor (p95)") {
+    // the r14 latency receipt's spec floor: per-window landed→
+    // sink-visible latency (last contributing impression's topic-file
+    // commit → ctr row's sink-file commit), measured over the DEPLOYED
+    // three-query topology with post-hoc file-mtime clocks. The bound is
+    // deliberately generous for a shared CI box (the quiet-box operating
+    // table lives in BASELINE.md): p95 under 60 s and a nonempty window
+    // sample. Three spaced attempts — a latency measurement on a shared
+    // box also measures its neighbors (the throughput floor's rule).
+    val attempts = Iterator.range(0, 3).map { i =>
+      if (i > 0) Thread.sleep(5000L)
+      awaitQuietSession()
+      // simMsPerRow 200: event time must outrun the 11-minute chained
+      // watermark inside the 8 s feed or no window ever closes — 2000
+      // rows/s × 200 ms = 400 event-seconds per wall second, the same
+      // event/wall ratio the bench's 20k-rate default runs at
+      val r = StreamThroughput.mainLatencyStep(spark, rate = 2000,
+        feedMs = 8000L, simMsPerRow = 200L)
+      info(r.json)
+      r
+    }
+    val ok = attempts.find(r => r.nRows > 0 && r.p95Ms <= 60000L)
+    assert(ok.isDefined,
+      "no attempt produced closed windows with p95 landed->visible <= 60s")
+  }
 }

@@ -96,6 +96,11 @@ class TextAnalysisSpec extends SparkSpec {
       .groupBy("sym").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(enc == Map("abab" -> 3L, "ab" -> 2L, "aa" -> 2L), s"got $enc")
+    // the vocabulary-grain rollup (the registered query's path) must
+    // equal the doc-grain encode rolled up
+    val roll = TextAnalysis.bpeSymbolCounts(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll == enc, s"rollup $roll != doc-grain $enc")
   }
 
   test("uniformSourceMix: exact per-source quota, deterministic hash ranks") {
