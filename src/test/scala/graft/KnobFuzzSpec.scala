@@ -284,4 +284,118 @@ class KnobFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ── r14 trained components under random knobs ─────────────────────
+
+  private def md5hexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def hex8(s: String): Long =
+    java.lang.Long.parseLong(md5hexStr(s).take(8), 16)
+
+  test("fuzz: trainNbWeights matches a plain-Scala NB fit at 8 random " +
+    "(nBuckets, trainN) configs") {
+    import spark.implicits._
+    val docRows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(150)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val df = docRows.toSeq.toDF("doc_id", "text", "lang")
+    for (_ <- 1 to 8) {
+      val nB = Seq(64, 256, 1024)(rnd.nextInt(3))
+      val trainN = 8 + rnd.nextInt(110)
+      val got = graft.text.TextAnalysis.trainNbWeights(df,
+        col("lang") === "en", nBuckets = nB, trainN = trainN)
+      val train = docRows.sortBy(r => (md5hexStr(s"qcls:${r._1}"), r._1))
+        .take(trainN)
+      val ct = new Array[Long](nB)
+      val cn = new Array[Long](nB)
+      train.foreach { case (_, text, lang) =>
+        text.split(" ", -1).foreach { tok =>
+          val b = (hex8(tok) % nB).toInt
+          if (lang == "en") ct(b) += 1 else cn(b) += 1
+        }
+      }
+      val t = ct.sum; val n = cn.sum
+      val want = Array.tabulate(nB) { b =>
+        math.floor(1e6 * math.log(
+          ((ct(b) + 1) * (n + nB)).toDouble / ((cn(b) + 1) * (t + nB)))
+          + 0.5).toLong
+      }
+      assert(got.toSeq == want.toSeq,
+        s"nB=$nB trainN=$trainN: first diffs at buckets " +
+          got.indices.filter(i => got(i) != want(i)).take(5))
+    }
+  }
+
+  /** Independent plain-Scala BPE trainer (counting, tie rule, greedy
+    * non-overlapping application) for the fuzz below. */
+  private def scalaBpe(texts: Seq[String], n: Int)
+      : Seq[(Int, String, String, Long)] = {
+    def applyM(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    var vocab: Map[List[String], Long] = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.toList.map(_.toString) -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (t <- 1 to n) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, wc) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => pairs((a, b)) += wc
+          case _ => ()
+        }
+      }
+      if (pairs.isEmpty) return out.toSeq
+      val ((a, b), c) = pairs.toSeq
+        .minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+      out += ((t, a, b, c))
+      // distinct words stay distinct symbol lists under any merge (the
+      // list's concatenation IS the word), so no key collision to fold
+      vocab = vocab.map { case (syms, wc) => applyM(syms, a, b) -> wc }
+    }
+    out.toSeq
+  }
+
+  test("fuzz: bpeTrain matches a plain-Scala trainer at 6 random corpora " +
+    "and merge counts; the dictionary agrees word for word") {
+    import spark.implicits._
+    for (i <- 1 to 6) {
+      val alphabet = "ab" + ('c' + rnd.nextInt(3)).toChar
+      val docRows = (0 until (3 + rnd.nextInt(5))).map { d =>
+        (d.toLong, (0 until (5 + rnd.nextInt(10))).map(_ =>
+          (0 until (1 + rnd.nextInt(5)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+          .mkString(" "))
+      }
+      val nMerges = 1 + rnd.nextInt(5)
+      val df = docRows.toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.bpeTrain(df, nMerges)
+        .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+      val want = scalaBpe(docRows.map(_._2), nMerges)
+      assert(got == want, s"corpus#$i nMerges=$nMerges: $got != $want")
+      // dictionary parity under the learned merges
+      val merges = got.map { case (r, a, b, c) =>
+        graft.text.TextAnalysis.BpeMerge(r, a, b, c) }
+      val dict = graft.text.TextAnalysis.bpeDictionary(df, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+        .toMap
+      def applyAll(w: String): List[String] =
+        merges.foldLeft(w.toList.map(_.toString)) { (syms, m) =>
+          syms.foldLeft(List.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == m.symA && s == m.symB)
+              acc.init :+ (m.symA + m.symB)
+            else acc :+ s
+          }
+        }
+      docRows.flatMap(_._2.split(" ", -1)).distinct.foreach { w =>
+        assert(dict(w) == applyAll(w), s"word '$w': ${dict(w)} != ${applyAll(w)}")
+      }
+    }
+  }
 }
