@@ -319,6 +319,17 @@ object DataPipelineQueries {
         .limit(40)
     }
 
+  /** Per-document token counts under the TRAINED vocab — the budget
+    * number downstream packing/length gates re-base onto the learned
+    * subwords ([[TextAnalysis.bpeTokenCounts]] over the broadcast
+    * dictionary). */
+  val bpeDocTokensQ: (SparkSession, String) => DataFrame =
+    memoized("bpeDocTokens") { (spark, sfDir) =>
+      TextAnalysis.bpeTokenCounts(docs(spark, sfDir),
+        TextAnalysis.bpeDictionary(docs(spark, sfDir),
+          bpeMergesTrained(spark, sfDir)))
+    }
+
   /** The BPE training loop unrolled as DuckDB CTEs — round t reads
     * vocabulary v{t-1} (words as space-prefixed symbol strings), counts
     * adjacent symbol pairs weighted by word count (p{t}), takes the
@@ -361,6 +372,36 @@ object DataPipelineQueries {
         s"c AS n_occurrences FROM t$t").mkString("\nUNION ALL ")
     s"""WITH ${bpeRoundCtes(bpeTrainRounds)}
        |$unions""".stripMargin
+  }
+
+  /** Replays [[bpeDocTokensQ]]: the word→symbols dictionary rebuilt by
+    * applying each learned merge t{t} to every DISTINCT word's spaced
+    * symbol string (the same list_reduce greedy fold the training CTEs
+    * use), then per-doc token rows join it and sum symbol counts (an
+    * empty word counts 0 but keeps its doc's row). */
+  val bpeDocTokensOracle: String = {
+    val dictRounds = (1 to bpeTrainRounds).map { t =>
+      s"""w$t AS (SELECT word, CASE WHEN w = '' THEN '' ELSE
+         |    list_reduce(list_transform(string_split(substr(w, 2), ' '),
+         |        s -> ' ' || s),
+         |      (acc, x) -> CASE WHEN x = ' ' || t.b AND ends_with(acc, ' ' || t.a)
+         |        THEN left(acc, length(acc) - length(t.a) - 1) || ' ' || t.a || t.b
+         |        ELSE acc || x END) END AS w
+         |  FROM w${t - 1} CROSS JOIN t$t t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
+       |w0 AS (SELECT word, array_to_string(list_transform(range(length(word)),
+       |    i -> ' ' || substr(word, i + 1, 1)), '') AS w
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE text IS NOT NULL) z),
+       |$dictRounds,
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT dt.doc_id, CAST(sum(CASE WHEN d.w = '' THEN 0
+       |    ELSE len(string_split(substr(d.w, 2), ' ')) END) AS BIGINT)
+       |  AS n_subword_tokens
+       |FROM dt JOIN w$bpeTrainRounds d USING (word)
+       |GROUP BY dt.doc_id""".stripMargin
   }
 
   /** Replays [[bpeEncodeQ]]: symbol counts over the final vocabulary
@@ -2619,6 +2660,7 @@ object DataPipelineQueries {
     NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     NamedQuery("bpe_vocab", bpeVocabQ, Some(bpeVocabOracle)),
     NamedQuery("bpe_encode", bpeEncodeQ, Some(bpeEncodeOracle)),
+    NamedQuery("bpe_doc_tokens", bpeDocTokensQ, Some(bpeDocTokensOracle)),
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("source_mix_temperature", sourceMixTemperature,
       Some(sourceMixTemperatureOracle)),

@@ -845,6 +845,19 @@ object TextAnalysis {
       .join(broadcast(dict), Seq("word"))
       .select(col("doc_id"), explode(col("syms")).as("sym"))
 
+  /** Per-document token counts under a learned merge list — the
+    * downstream budget number (sequence packing, length gates, cost
+    * estimates) re-based onto the TRAINED subword vocabulary: each
+    * document's words equi-join the broadcast dictionary and the count
+    * is Σ |syms(word)|. A document whose every word is empty counts 0
+    * (it still emits a row — the budget consumer needs the zero). */
+  def bpeTokenCounts(docs: DataFrame, dict: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).as("n_subword_tokens"))
+
   /** Corpus-total symbol counts under a learned merge list — the rollup
     * form of [[bpeEncode]]: totals aggregate at VOCABULARY grain
     * (Σ_word wc · occurrences-of-sym-in-word), so after the one
