@@ -69,13 +69,16 @@ object AnnRecallSweep {
       println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"probe":$nProbe,"queries":$nQ,"method":"ivf","rounds":$rounds,"seed":"${if (d2) "d2" else "hash"}","train_sec":${math.rint(tTrain * 100) / 100},"recall":$r}""")
     }
 
-    // probe-width cost/recall curve (r13): nProbe in {4, 8, 16, 32}
-    // (capped at nCells) x {sampled, trained} quantizer — recall next to
-    // the measured per-query seconds, so the registered default and a
+    // probe-width cost/recall curve (r13; r14 adds the D²-seeded
+    // registered config): nProbe in {4, 8, 16, 32} (capped at nCells) x
+    // {sampled, trained, d2+1-round} quantizer — recall next to the
+    // measured per-query seconds, so the registered defaults and a
     // user's knob choice are justified by data
-    for (rounds <- Seq(0, Similarity.IvfTrainRounds)) {
-      // train once per rounds value — the quantizer is probe-independent
-      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds)
+    for ((rounds, d2) <- Seq((0, false), (Similarity.IvfTrainRounds, false),
+                             (1, true))) {
+      // train once per quantizer — the quantizer is probe-independent
+      val cells = Similarity.ivfCells(embs, nCells = nCells, rounds = rounds,
+        d2Seed = d2)
       for (p <- Seq(4, 8, 16, 32).filter(_ <= nCells)) {
       val q = Similarity.ivfHashTopK(embs, nQ, 5, nCells = nCells, nProbe = p,
         cells = Some(cells))
@@ -83,7 +86,7 @@ object AnnRecallSweep {
       val t0 = System.nanoTime()
       val r = meanRecall(q, brute)
       val tQ = (System.nanoTime() - t0) / 1e9
-      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"queries":$nQ,"method":"ivf_probe_curve","rounds":$rounds,"probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
+      println(s"""{"sf_dir":"$sfDir","rows":$n,"cells":$nCells,"queries":$nQ,"method":"ivf_probe_curve","rounds":$rounds,"seed":"${if (d2) "d2" else "hash"}","probe":$p,"recall":$r,"query_sec":${math.rint(tQ * 1000) / 1000}}""")
     } }
 
     val rIvf = meanRecall(
