@@ -51,8 +51,11 @@ class KnobFuzzSpec extends SparkSpec {
   private def drawCfg(maxM: Int = 8): PqConfig = {
     val m = Seq(1, 2, 4, 8).filter(_ <= maxM)(rnd.nextInt(Seq(1, 2, 4, 8)
       .count(_ <= maxM)))
+    // d2Seed drawn too (r14): every differential property below must
+    // hold under the D²-seeded codebooks as well as the hash-sampled ones
     PqConfig(m = m, k = 2 + rnd.nextInt(15), dim = 64,
-      salt = s"fz${rnd.nextInt(1000)}", rounds = rnd.nextInt(3))
+      salt = s"fz${rnd.nextInt(1000)}", rounds = rnd.nextInt(3),
+      d2Seed = rnd.nextBoolean())
   }
 
   private def rowsOf(df: DataFrame): Set[Seq[Any]] =
