@@ -85,9 +85,10 @@ object ScaleSmoke {
         val sh = Dedup.shingleArrays(docs, 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // analytic uncapped candidate mass + the hottest shingle's df
+        // (no distinct: shingleArrays emits SET arrays, so the exploded
+        // (doc, shingle) rows are unique by construction)
         val dfStats = sh
           .select(col("doc_id"), explode(col("sh")).as("s"))
-          .distinct()
           .groupBy(col("s")).agg(count(lit(1)).as("df"))
           .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"),
             max(col("df")))

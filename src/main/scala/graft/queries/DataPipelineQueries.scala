@@ -285,13 +285,22 @@ object DataPipelineQueries {
     * restructures (the r14 loop ask). Shared by query and oracle. */
   private val bpeTrainRounds = 8
 
+  /** ONE persisted (word, __wc) vocabulary per (session, sfDir) — the
+    * BPE family's single corpus-scale tokenize+shuffle, shared by the
+    * trainer, the dictionary and the rollup (review finding r14: each
+    * previously re-ran its own corpus pass). */
+  private def bpeWordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "bpeWordCounts")(
+      TextAnalysis.wordCounts(docs(spark, sfDir)))
+
   /** The TRAINED merge list, once per (session, sfDir) — the
     * [[pqCodebook]] train-once-serve-many contract on the tokenizer
     * side: `bpe_vocab` publishes it, `bpe_encode` tokenizes under it. */
   private def bpeMergesTrained(spark: SparkSession, sfDir: String)
       : Seq[TextAnalysis.BpeMerge] =
     SharedFrames.memoValue(spark, sfDir, "bpeMerges8") {
-      TextAnalysis.bpeTrain(docs(spark, sfDir), nMerges = bpeTrainRounds)
+      TextAnalysis.bpeTrain(docs(spark, sfDir), nMerges = bpeTrainRounds,
+        sharedVocab = Some(bpeWordCounts(spark, sfDir)))
     }
 
   /** The learned merge table (rank, pair, winning count) — the BPE
@@ -314,7 +323,8 @@ object DataPipelineQueries {
     memoized("bpeEncode") { (spark, sfDir) =>
       import org.apache.spark.sql.functions.col
       TextAnalysis.bpeSymbolCounts(docs(spark, sfDir),
-          bpeMergesTrained(spark, sfDir))
+          bpeMergesTrained(spark, sfDir),
+          sharedVocab = Some(bpeWordCounts(spark, sfDir)))
         .orderBy(col("n_occurrences").desc, col("sym"))
         .limit(40)
     }
@@ -327,7 +337,8 @@ object DataPipelineQueries {
     memoized("bpeDocTokens") { (spark, sfDir) =>
       TextAnalysis.bpeTokenCounts(docs(spark, sfDir),
         TextAnalysis.bpeDictionary(docs(spark, sfDir),
-          bpeMergesTrained(spark, sfDir)))
+          bpeMergesTrained(spark, sfDir),
+          sharedVocab = Some(bpeWordCounts(spark, sfDir))))
     }
 
   /** The BPE training loop unrolled as DuckDB CTEs — round t reads
@@ -354,13 +365,13 @@ object DataPipelineQueries {
          |      FROM v${t - 1} WHERE w <> '') y) z
          |  GROUP BY a, b),
          |t$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1),
-         |v$t AS (SELECT CASE WHEN w = '' THEN '' ELSE
+         |v$t AS (SELECT CASE WHEN w = '' OR t.a IS NULL THEN w ELSE
          |    list_reduce(list_transform(string_split(substr(w, 2), ' '),
          |        s -> ' ' || s),
          |      (acc, x) -> CASE WHEN x = ' ' || t.b AND ends_with(acc, ' ' || t.a)
          |        THEN left(acc, length(acc) - length(t.a) - 1) || ' ' || t.a || t.b
          |        ELSE acc || x END) END AS w, wc
-         |  FROM v${t - 1} CROSS JOIN t$t t)""".stripMargin
+         |  FROM v${t - 1} LEFT JOIN t$t t ON true)""".stripMargin
     }
     (v0 +: rounds).mkString(",\n")
   }
@@ -381,13 +392,13 @@ object DataPipelineQueries {
     * empty word counts 0 but keeps its doc's row). */
   val bpeDocTokensOracle: String = {
     val dictRounds = (1 to bpeTrainRounds).map { t =>
-      s"""w$t AS (SELECT word, CASE WHEN w = '' THEN '' ELSE
+      s"""w$t AS (SELECT word, CASE WHEN w = '' OR t.a IS NULL THEN w ELSE
          |    list_reduce(list_transform(string_split(substr(w, 2), ' '),
          |        s -> ' ' || s),
          |      (acc, x) -> CASE WHEN x = ' ' || t.b AND ends_with(acc, ' ' || t.a)
          |        THEN left(acc, length(acc) - length(t.a) - 1) || ' ' || t.a || t.b
          |        ELSE acc || x END) END AS w
-         |  FROM w${t - 1} CROSS JOIN t$t t)""".stripMargin
+         |  FROM w${t - 1} LEFT JOIN t$t t ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
        |w0 AS (SELECT word, array_to_string(list_transform(range(length(word)),
@@ -1794,37 +1805,13 @@ object DataPipelineQueries {
     * `Similarity.ivfCentsCteSql` replays the training value for value) /
     * rounded-cosine argmax assignment / probe-and-rerank as
     * `Similarity.ivfHashTopK`. Cosines round to 6 dp BEFORE every rank
-    * so engine-ulp noise can't flip an argmax or a neighbor rank. */
-  val similarityIvfOracle: String =
-    s"""WITH en AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-      |e AS (SELECT vec_id, v,
-      |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM en),
-      |${Similarity.ivfCentsCteSql(nCells = 16, salt = "ivf",
-          rounds = Similarity.IvfTrainRounds, srcRel = "en", dim = 64,
-          outRel = "cents")},
-      |asg0 AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
-      |    round(list_sum(list_transform(range(len(e.v)), i ->
-      |      e.v[i+1] * c.cv[i+1])) / (e.nrm * c.cnrm), 6) cc
-      |  FROM e CROSS JOIN cents c),
-      |asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cc DESC, cid) rn FROM asg0)
-      |  WHERE rn = 1),
-      |pr AS (SELECT vec_id query_id, qv, qnrm, cell FROM (
-      |    SELECT vec_id, v qv, nrm qnrm, cid cell,
-      |      row_number() OVER (PARTITION BY vec_id
-      |        ORDER BY cc DESC, cid) rn
-      |    FROM asg0 WHERE vec_id < 8)
-      |  WHERE rn <= 4),
-      |sc AS (SELECT p.query_id, a.vec_id neighbor_id,
-      |    round(list_sum(list_transform(range(len(p.qv)), i ->
-      |      p.qv[i+1] * a.v[i+1])) / (p.qnrm * a.nrm), 6) cosine
-      |  FROM pr p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id)
-      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-      |  ORDER BY cosine DESC, neighbor_id) rank FROM sc)
-      |WHERE rank <= 5""".stripMargin
+    * so engine-ulp noise can't flip an argmax or a neighbor rank.
+    * Since r14 this IS the parameterized generator at the registered
+    * knobs — keeping the old hand-written copy alongside it would let a
+    * future tie-rule change silently diverge the two (review finding). */
+  val similarityIvfOracle: String = Similarity.ivfHashTopKOracleSql(
+    nQueries = 8, k = 5, nCells = 16, nProbe = 4,
+    rounds = Similarity.IvfTrainRounds, dim = 64)
 
   /** The three neighbor oracles nested verbatim; recall is a LEFT join
     * from the exact list (a short approximate list scores low) counted

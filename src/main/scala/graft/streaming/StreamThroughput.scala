@@ -298,16 +298,20 @@ object StreamThroughput {
     * Driver-side walk, bounded by the step's own file count. */
   private def mtimeFrame(spark: SparkSession, dir: Path): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(_.toString.contains("_spark_metadata"))
-      .filterNot { p =>
-        val n = p.getFileName.toString
-        n.startsWith(".") || n.startsWith("_")
-      }
-      .map(p => (p.toAbsolutePath.toString,
-        Files.getLastModifiedTime(p).toMillis))
-      .toSeq
+    // Files.walk must be CLOSED (it holds open DirectoryStreams)
+    val walk = Files.walk(dir)
+    val rows =
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.toString.contains("_spark_metadata"))
+        .filterNot { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") || n.startsWith("_")
+        }
+        .map(p => (p.toAbsolutePath.toString,
+          Files.getLastModifiedTime(p).toMillis))
+        .toSeq
+      finally walk.close()
     spark.createDataFrame(rows).toDF("__path", "__mtime")
   }
 

@@ -773,15 +773,18 @@ object TextAnalysis {
    *
    * Fully deterministic and oracle-replayable: the registered
    * `bpe_vocab` oracle unrolls the same rounds as DuckDB CTEs
-   * ([[graft.queries.DataPipelineQueries.bpeVocabOracle]]).
+   * ([[graft.queries.DataPipelineQueries.bpeVocabOracle]]). A corpus
+   * that runs out of adjacent pairs stops early and returns the shorter
+   * merge list; the oracle rounds degrade identically (an empty winner
+   * passes the vocabulary through unchanged).
    *
-   * Assumes ≥ `nMerges` productive rounds (a corpus so small it runs out
-   * of adjacent pairs stops early; the registered corpora never do).
+   * @param sharedVocab a caller-memoized (word, __wc) word-count frame
+   *                    (the corpus's ONE tokenize shuffle, shared with
+   *                    [[bpeSymbolCounts]]/[[bpeDictionary]])
    */
-  def bpeTrain(docs: DataFrame, nMerges: Int = 8): Seq[BpeMerge] = {
-    var vocab = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8,
+               sharedVocab: Option[DataFrame] = None): Seq[BpeMerge] = {
+    var vocab = sharedVocab.getOrElse(wordCounts(docs))
       .select(charSyms(col("word")).as("syms"), col("__wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round t's pair collect materializes vocab_t, so vocab_{t-1} (whose
@@ -813,16 +816,24 @@ object TextAnalysis {
     }
   }
 
+  /** The corpus (word, __wc) word-count vocabulary — the BPE family's
+    * ONE corpus-scale tokenize+shuffle, shared by [[bpeTrain]],
+    * [[bpeDictionary]] and [[bpeSymbolCounts]] (the registry memoizes a
+    * single persisted copy per session — the docTokenCounts discipline). */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+
   /** The (word, syms) ENCODING DICTIONARY under a learned merge list:
     * every distinct corpus word mapped to its symbol sequence after
     * applying the merges in rank order. This is how trained-vocab
     * tokenization scales: the corpus is never re-folded per occurrence —
     * downstream consumers BROADCAST-join this vocabulary-sized table
     * ([[bpeEncode]]). */
-  def bpeDictionary(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
-    val words = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .distinct()
+  def bpeDictionary(docs: DataFrame, merges: Seq[BpeMerge],
+                    sharedVocab: Option[DataFrame] = None): DataFrame = {
+    val words = sharedVocab.getOrElse(wordCounts(docs)).select(col("word"))
     merges.sortBy(_.rank).foldLeft(
       words.select(col("word"), charSyms(col("word")).as("syms"))) {
       case (v, m) =>
@@ -864,10 +875,9 @@ object TextAnalysis {
     * word-count shuffle everything is vocabulary-sized — the corpus is
     * never re-tokenized per symbol. Value-identical to rolling up
     * [[bpeEncode]]'s doc-grain rows. */
-  def bpeSymbolCounts(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
-    val words = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+  def bpeSymbolCounts(docs: DataFrame, merges: Seq[BpeMerge],
+                      sharedVocab: Option[DataFrame] = None): DataFrame = {
+    val words = sharedVocab.getOrElse(wordCounts(docs))
     val encoded = merges.sortBy(_.rank).foldLeft(
       words.select(charSyms(col("word")).as("syms"), col("__wc"))) {
       case (v, m) =>
