@@ -503,6 +503,8 @@ object DataPipelineQueries {
         nQueries = 8, k = 5)
       Seq(
         "ivf" -> similarityIvf(spark, sfDir),
+        "ivf_d2" -> similarityIvfD2(spark, sfDir), // r14: the D²-seeded
+                     // production-width config's recall under the gate
         "pq" -> similarityPq(spark, sfDir),
         "ivfpq" -> similarityIvfPq(spark, sfDir),
         "ivfpq_rerank" -> similarityIvfPqRerank(spark, sfDir),
@@ -1860,8 +1862,18 @@ object DataPipelineQueries {
        |  CAST(count(r.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
        |  FROM brute b LEFT JOIN ivfpqrr r
        |    ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
+       |ivfd2 AS (SELECT query_id, neighbor_id FROM (
+       |$similarityIvfD2Oracle
+       |) z),
+       |r_ivfd2 AS (SELECT 'ivf_d2' AS method, b.query_id,
+       |  CAST(count(d.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
+       |  FROM brute b LEFT JOIN ivfd2 d
+       |    ON d.query_id = b.query_id AND d.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id)
        |SELECT method, query_id, recall_at_k FROM r_ivf
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_ivfd2
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_pq
        |UNION ALL

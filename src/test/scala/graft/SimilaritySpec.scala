@@ -553,9 +553,9 @@ class SimilaritySpec extends SparkSpec {
     // at 1/k grain, both methods present for all 8 queries
     val audit = graft.queries.DataPipelineQueries
       .annRecallAudit(spark, "/root/testdata/sf0.001").collect()
-    assert(audit.length == 40)
+    assert(audit.length == 48) // 6 methods x 8 queries (r14: +ivf_d2)
     assert(audit.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("ivf", "ivfpq", "ivfpq_rerank", "lsh", "pq"))
+      Seq("ivf", "ivf_d2", "ivfpq", "ivfpq_rerank", "lsh", "pq"))
     audit.map(_.getAs[Double]("recall_at_k")).foreach { r =>
       assert(r >= 0.0 && r <= 1.0 && (r * 5).isWhole, r.toString)
     }
