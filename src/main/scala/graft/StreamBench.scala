@@ -92,13 +92,24 @@ object StreamBench {
     // rate to 0 to skip that job's latency step
     def latRate(env: String, dflt: Int): Int =
       sys.env.getOrElse(env, dflt.toString).trim.toInt
-    val latSteps = Seq(
+    // SPARK_GRAFT_LAT_TRIGGER (e.g. "2 seconds"): additionally measure
+    // the curation latencies under a processing-time trigger — the
+    // r11 throughput knob's LATENCY price, one table in BASELINE.md
+    val latTrig = sys.env.get("SPARK_GRAFT_LAT_TRIGGER")
+    val latSteps = (Seq(
       latRate("SPARK_GRAFT_LAT_MAIN", 20000) ->
         ((r: Int) => StreamThroughput.mainLatencyStep(spark, r, feedMs)),
       latRate("SPARK_GRAFT_LAT_INGEST", 8000) ->
         ((r: Int) => StreamThroughput.ingestLatencyStep(spark, r, feedMs)),
       latRate("SPARK_GRAFT_LAT_ANN", 8000) ->
-        ((r: Int) => StreamThroughput.annLatencyStep(spark, r, feedMs)))
+        ((r: Int) => StreamThroughput.annLatencyStep(spark, r, feedMs))) ++
+      latTrig.toSeq.flatMap { t => Seq(
+        latRate("SPARK_GRAFT_LAT_INGEST", 8000) ->
+          ((r: Int) => StreamThroughput.ingestLatencyStep(spark, r, feedMs,
+            triggerInterval = Some(t))),
+        latRate("SPARK_GRAFT_LAT_ANN", 8000) ->
+          ((r: Int) => StreamThroughput.annLatencyStep(spark, r, feedMs,
+            triggerInterval = Some(t)))) })
       .collect { case (r, step) if r > 0 => step(r) }
 
     def maxSustained(steps: Seq[StreamThroughput.StepResult]): Long =

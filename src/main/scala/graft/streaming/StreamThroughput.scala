@@ -368,7 +368,9 @@ object StreamThroughput {
     * the throughput feed's rows all drop at the gates by design, so a
     * latency sample needs survivors). */
   def ingestLatencyStep(spark: SparkSession, rate: Int,
-                        feedMs: Long = 20000L): LatencyResult = {
+                        feedMs: Long = 20000L,
+                        triggerInterval: Option[String] = None)
+      : LatencyResult = {
     val root = Files.createTempDirectory("graft-lat-ingest")
     val docs = root.resolve("docs")
     val work = root.resolve("work")
@@ -376,7 +378,8 @@ object StreamThroughput {
       root.resolve("_ck/docs"))
     awaitTopic(docs)
     val consumer = StreamingCurationJobs.runIngestJob(spark, docs.toString,
-      benchDocs(spark), work.toString, maxFilesPerTrigger = 10000)
+      benchDocs(spark), work.toString, maxFilesPerTrigger = 10000,
+      triggerInterval = triggerInterval)
     try {
       Thread.sleep(feedMs)
       feeder.stop()
@@ -396,13 +399,16 @@ object StreamThroughput {
       mtimeFrame(spark, work.resolve("curated")), "__out")
       .groupBy(col("doc_id")).agg(min(col("__out")).as("__out"))
     latencyOf(out.join(in, "doc_id")
-      .select((col("__out") - col("__in")).as("__lat")), "ingest", rate)
+      .select((col("__out") - col("__in")).as("__lat")),
+      "ingest" + triggerInterval.map(t => s"-t${t.replace(" ", "")}")
+        .getOrElse(""), rate)
   }
 
   /** Per-record landed→sink-visible latency for the ANN codes job. */
   def annLatencyStep(spark: SparkSession, rate: Int,
                      feedMs: Long = 20000L,
-                     corpusDir: String = "/root/testdata/sf0.001")
+                     corpusDir: String = "/root/testdata/sf0.001",
+                     triggerInterval: Option[String] = None)
       : LatencyResult = {
     val root = Files.createTempDirectory("graft-lat-ann")
     val emb = root.resolve("embeddings")
@@ -414,7 +420,8 @@ object StreamThroughput {
       root.resolve("_ck/emb"))
     awaitTopic(emb)
     val consumer = StreamingCurationJobs.runAnnIngestJob(spark, emb.toString,
-      model, work.toString, maxFilesPerTrigger = 10000)
+      model, work.toString, maxFilesPerTrigger = 10000,
+      triggerInterval = triggerInterval)
     try {
       Thread.sleep(feedMs)
       feeder.stop()
@@ -434,7 +441,9 @@ object StreamThroughput {
       mtimeFrame(spark, work.resolve("codes")), "__out")
       .groupBy(col("vec_id")).agg(min(col("__out")).as("__out"))
     latencyOf(out.join(in, "vec_id")
-      .select((col("__out") - col("__in")).as("__lat")), "ann", rate)
+      .select((col("__out") - col("__in")).as("__lat")),
+      "ann" + triggerInterval.map(t => s"-t${t.replace(" ", "")}")
+        .getOrElse(""), rate)
   }
 
   /**

@@ -781,10 +781,21 @@ object TextAnalysis {
    * @param sharedVocab a caller-memoized (word, __wc) word-count frame
    *                    (the corpus's ONE tokenize shuffle, shared with
    *                    [[bpeSymbolCounts]]/[[bpeDictionary]])
+   * @param minWordCount frequency floor on the TRAINING vocabulary —
+   *                    the standard web-scale BPE lever: a 100 TB corpus
+   *                    has billions of distinct "words" (typos, URLs,
+   *                    ids) whose singleton counts cannot move any merge
+   *                    decision yet dominate the per-round fold; real
+   *                    trainers threshold them away. Default 1 = no
+   *                    pruning (the registered/oracle-replayed form —
+   *                    a non-default floor must be mirrored with
+   *                    `WHERE wc >= minWordCount` in the oracle CTEs)
    */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
-               sharedVocab: Option[DataFrame] = None): Seq[BpeMerge] = {
+               sharedVocab: Option[DataFrame] = None,
+               minWordCount: Long = 1L): Seq[BpeMerge] = {
     var vocab = sharedVocab.getOrElse(wordCounts(docs))
+      .filter(col("__wc") >= minWordCount)
       .select(charSyms(col("word")).as("syms"), col("__wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round t's pair collect materializes vocab_t, so vocab_{t-1} (whose

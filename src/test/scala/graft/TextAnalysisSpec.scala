@@ -101,6 +101,12 @@ class TextAnalysisSpec extends SparkSpec {
     val roll = TextAnalysis.bpeSymbolCounts(docs, merges).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(roll == enc, s"rollup $roll != doc-grain $enc")
+    // minWordCount prunes the training vocabulary: at floor 2 the
+    // singleton "aaaa" leaves, so round 2's (a,a)-vs-(ab,ab) count tie
+    // disappears and (ab,ab) wins outright
+    val pruned = TextAnalysis.bpeTrain(docs, nMerges = 2, minWordCount = 2)
+    assert(pruned.map(m => (m.rank, m.symA, m.symB, m.nOccurrences)) ==
+      Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)), s"got $pruned")
   }
 
   test("uniformSourceMix: exact per-source quota, deterministic hash ranks") {
