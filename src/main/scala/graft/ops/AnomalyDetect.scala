@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
  * `flatMapGroupsWithState` operator with identical per-key semantics.
  */
 object AnomalyDetect {
+
+  /** µ-int robust-z grid with the NaN guard (ADVICE r14): Spark's
+    * `floor()` on a double returns a LONG, so a NaN modified z-score
+    * silently collapses to 0 (no alert) while DuckDB's double `floor`
+    * preserves NaN — which DuckDB orders ABOVE every threshold (alerts).
+    * A NaN input must read NULL robust_z on BOTH engines (the
+    * ivfCellStats n_degenerate convention: a non-numeric statistic is no
+    * evidence), so the oracles carry the same `CASE WHEN isnan` guard. */
+  private def muGridZ(z: Column): Column =
+    when(isnan(z), lit(null).cast("double"))
+      .otherwise(floor(z * 1e6 + 0.5) / 1e6)
 
   /**
    * @param ctr frame with columns (campaign_id, ctr, and `timeCol` /
@@ -189,9 +200,8 @@ object AnomalyDetect {
       .withColumn("__med", percentile(col("current_value"), lit(0.5)).over(w))
       .withColumn("__mad",
         percentile(abs(col("current_value") - col("__med")), lit(0.5)).over(w))
-      .withColumn("robust_z",
-        floor(lit(0.6745) * (col("current_value") - col("__med")) / col("__mad")
-          * 1e6 + 0.5) / 1e6)
+      .withColumn("robust_z", muGridZ(
+        lit(0.6745) * (col("current_value") - col("__med")) / col("__mad")))
       .filter(col("n_cell") >= minPoints && col("__mad") > 0.0 &&
         abs(col("robust_z")) > threshold)
       .select(col("alert_time"), col(keyCol), col("current_value"),
@@ -250,9 +260,8 @@ object AnomalyDetect {
       .select(col(timeCol).as("alert_time"), col(keyCol),
         col(valueCol).cast("double").as("current_value"))
       .join(broadcast(baseline), Seq(keyCol), "left")
-      .withColumn("robust_z",
-        floor(lit(0.6745) * (col("current_value") - col("med")) / col("mad")
-          * 1e6 + 0.5) / 1e6)
+      .withColumn("robust_z", muGridZ(
+        lit(0.6745) * (col("current_value") - col("med")) / col("mad")))
       .filter(col("n_points") >= minPoints && col("mad") > 0.0 &&
         abs(col("robust_z")) > threshold)
       .select(col("alert_time"), col(keyCol), col("current_value"),

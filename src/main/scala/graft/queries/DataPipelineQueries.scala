@@ -149,6 +149,34 @@ object DataPipelineQueries {
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stats(docs(spark, sfDir))
 
+  /** [[TextAnalysis.unicodeStats]] — the Unicode-tokenizer sibling of
+    * text_stats (NFC + casefold + letter/digit-run split). */
+  def textStatsUnicode(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unicodeStats(docs(spark, sfDir))
+
+  /** Verbatim the Spark pipeline: nfc_normalize → lower →
+    * regexp_split_to_array on `[^\p{L}\p{N}]+` (a class with identical
+    * Java-regex/RE2 semantics) → drop empty boundary tokens; ratios
+    * NULL at zero tokens. (lazy: splices [[mtlSql]], which is defined
+    * further down the object — an eager val here would interpolate a
+    * still-null forward reference.) */
+  lazy val textStatsUnicodeOracle: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(lower(nfc_normalize(text)),
+       |    '[^\\p{L}\\p{N}]+'), s -> s <> '') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  length(nfc_normalize(text)) AS n_chars_nfc,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_unique_tokens,
+       |  CASE WHEN len(toks) > 0 THEN round($mtlSql, 6) END
+       |    AS mean_token_len,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    round(CAST(len(list_filter(toks, s ->
+       |      regexp_full_match(s, '[a-z0-9]+'))) AS DOUBLE) / len(toks), 6)
+       |  END AS latin_ratio
+       |FROM t""".stripMargin
+
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.corpusStats(docs(spark, sfDir))
 
@@ -240,6 +268,29 @@ object DataPipelineQueries {
       sharedTf = Some(docTokenCounts(spark, sfDir)),
       weights = Some(qclsWeights(spark, sfDir)))
 
+  /** The LOGISTIC-REGRESSION weights (µ-int SGD over the same bounded
+    * sample — [[TextAnalysis.trainLrWeights]]), once per (session,
+    * sfDir): the epoch count and learning rate are baked into the
+    * epoch-unrolled oracle CTEs, so they live here as the registered
+    * point. */
+  private val qclsLrEpochs = 4
+  private val qclsLrRate = 256L
+  private def qclsLrWeights(spark: SparkSession, sfDir: String): Array[Long] =
+    SharedFrames.memoValue(spark, sfDir, "qclsLrWeights") {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.trainLrWeights(docs(spark, sfDir), col("lang") === "en",
+        sharedTf = Some(docTokenCounts(spark, sfDir)),
+        epochs = qclsLrEpochs, lr = qclsLrRate)
+    }
+
+  /** The quality filter scored under the LR-trained weights — the same
+    * deployed operator as quality_classifier, model swapped (the
+    * plan-shape-invariance contract: trained weights are data). */
+  def qualityClassifierLrQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(docs(spark, sfDir),
+      sharedTf = Some(docTokenCounts(spark, sfDir)),
+      weights = Some(qclsLrWeights(spark, sfDir)))
+
   /** Held-out separation receipt for the trained classifier (mean logit
     * per class + exact tie-aware AUC over the non-train documents). */
   def qualityClassifierEvalQ(spark: SparkSession, sfDir: String): DataFrame = {
@@ -299,8 +350,13 @@ object DataPipelineQueries {
   private def bpeMergesTrained(spark: SparkSession, sfDir: String)
       : Seq[TextAnalysis.BpeMerge] =
     SharedFrames.memoValue(spark, sfDir, "bpeMerges8") {
+      // batch = the full round count: the batched trainer is proven
+      // merge-identical to sequential (TextAnalysis.admitBatch), so the
+      // registered query exercises the production batching path while
+      // the sequential-unrolled oracle CTEs stay valid verbatim
       TextAnalysis.bpeTrain(docs(spark, sfDir), nMerges = bpeTrainRounds,
-        sharedVocab = Some(bpeWordCounts(spark, sfDir)))
+        sharedVocab = Some(bpeWordCounts(spark, sfDir)),
+        batch = bpeTrainRounds)
     }
 
   /** The learned merge table (rank, pair, winning count) — the BPE
@@ -1582,6 +1638,54 @@ object DataPipelineQueries {
       |    / CAST(sum(c) AS BIGINT)) / 1000000.0 >= 0.0 AS keep
       |FROM h JOIN wt USING (b) GROUP BY doc_id""".stripMargin
 
+  /** The µ-int logistic-regression FIT unrolled as DuckDB CTEs — the
+    * relational replay of [[graft.text.TextAnalysis.trainLrWeights]]:
+    * epoch e reads weight table lw{e-1}, computes each sampled doc's
+    * µ-int margin (floor(Σc·w/n + 0.5)), its quantized sigmoid
+    * (floor(1e6/(1+exp(−m/1e6)) + 0.5) — the one transcendental, the NB
+    * oracle's single-ln residual-risk class), the per-bucket integer
+    * gradient, and the floor-gridded update; lw0 is all zeros over the
+    * full bucket range. Reuses the shared training CTEs (h/trn — the
+    * same hash-ordered LIMIT-256 sample; the NB-only CTEs prune away
+    * unreferenced). */
+  private def qualityClassifierLrCtes(epochs: Int, lr: Long): String = {
+    val base =
+      """ht AS (SELECT h.doc_id, trn.y, h.b, CAST(sum(h.c) AS BIGINT) AS c
+        |  FROM h JOIN trn USING (doc_id) GROUP BY h.doc_id, trn.y, h.b),
+        |ns AS (SELECT count(DISTINCT doc_id) AS n FROM ht),
+        |lw0 AS (SELECT unnest(generate_series(0, 4095)) AS b,
+        |  CAST(0 AS BIGINT) AS w)""".stripMargin
+    val rounds = (1 to epochs).map { e =>
+      s"""rs$e AS (SELECT ht.doc_id, CAST(sum(ht.c) AS BIGINT) AS nd,
+         |    max(ht.y) * 1000000 - CAST(floor(1000000.0 / (1.0 + exp(
+         |      -(CAST(floor(CAST(sum(ht.c * w.w) AS DOUBLE)
+         |          / CAST(sum(ht.c) AS BIGINT) + 0.5) AS BIGINT)
+         |        / 1000000.0))) + 0.5) AS BIGINT) AS r
+         |  FROM ht JOIN lw${e - 1} w ON w.b = ht.b GROUP BY ht.doc_id),
+         |g$e AS (SELECT ht.b,
+         |    CAST(sum(floor(r.r * ht.c / CAST(r.nd AS DOUBLE) + 0.5))
+         |      AS BIGINT) AS g
+         |  FROM ht JOIN rs$e r USING (doc_id) GROUP BY ht.b),
+         |lw$e AS (SELECT w.b, w.w + CAST(floor(
+         |      CAST(coalesce(g.g, 0) * $lr AS DOUBLE) / ns.n + 0.5) AS BIGINT)
+         |    AS w
+         |  FROM lw${e - 1} w LEFT JOIN g$e g USING (b) CROSS JOIN ns)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** Replicates [[qualityClassifierLrQ]]: the LR fit CTEs above, then
+    * the identical integer-exact scoring join as the NB oracle. */
+  val qualityClassifierLrOracle: String =
+    s"""WITH $qualityClassifierTrainCte,
+      |${qualityClassifierLrCtes(qclsLrEpochs, qclsLrRate)}
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(c * wt.w) AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT)) / 1000000.0 AS logit,
+      |  round(CAST(sum(c * wt.w) AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT)) / 1000000.0 >= 0.0 AS keep
+      |FROM h JOIN lw$qclsLrEpochs wt USING (b) GROUP BY doc_id""".stripMargin
+
   /** Replicates [[graft.text.TextAnalysis.classifierEval]]: scores the
     * held-out documents (NOT IN the training sample) under the trained
     * weights, then the exact tie-aware Mann–Whitney AUC in integer
@@ -2634,6 +2738,8 @@ object DataPipelineQueries {
     NamedQuery("text_simhash", textSimhash, Some(textSimhashOracle)),
     NamedQuery("text_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     NamedQuery("text_stats", textStats, Some(textStatsOracle)),
+    NamedQuery("text_stats_unicode", textStatsUnicode,
+      Some(textStatsUnicodeOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("doc_length_quantiles_approx", docLengthQuantilesApprox, None),
@@ -2652,6 +2758,8 @@ object DataPipelineQueries {
       Some(qualityClassifierOracle)),
     NamedQuery("quality_classifier_eval", qualityClassifierEvalQ,
       Some(qualityClassifierEvalOracle)),
+    NamedQuery("quality_classifier_lr", qualityClassifierLrQ,
+      Some(qualityClassifierLrOracle)),
     NamedQuery("dsir_weights", dsirWeightsQ, Some(dsirWeightsOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),

@@ -578,8 +578,10 @@ object EventQueries {
        |  WINDOW pw AS (PARTITION BY campaign_id)),
        |m AS (
        |  SELECT *, quantile_cont(abs(v - med), 0.5) OVER pw AS mad,
-       |         floor(0.6745 * (v - med) / (quantile_cont(abs(v - med), 0.5)
-       |           OVER pw) * 1000000.0 + 0.5) / 1000000.0 AS robust_z
+       |         CASE WHEN isnan(0.6745 * (v - med)
+       |                / (quantile_cont(abs(v - med), 0.5) OVER pw)) THEN NULL
+       |           ELSE floor(0.6745 * (v - med) / (quantile_cont(abs(v - med), 0.5)
+       |             OVER pw) * 1000000.0 + 0.5) / 1000000.0 END AS robust_z
        |  FROM w
        |  WINDOW pw AS (PARTITION BY campaign_id))
        |SELECT window_end AS alert_time, campaign_id, v AS current_value,

@@ -339,8 +339,13 @@ object StreamThroughput {
     * pipeline's throughput, useless for landed→sink-visible latency
     * (nothing reaches the sink). This variant interleaves stopwords
     * (every 5th token) and varies tokens over the FULL row index, so
-    * every document is unique and passes; the job under test is
-    * unchanged. */
+    * every document is unique and MOST clear the deployed gates; the
+    * job under test is unchanged, which means its quality gate (stub
+    * weights when the runner passes none) still scores every arrival —
+    * the latency sample covers SURVIVORS only, and
+    * [[ingestLatencyStep]] asserts the survivor fraction stays high so
+    * a future gate change cannot quietly hollow the receipt out to a
+    * handful of lucky rows (ADVICE r14). */
   def docStreamCurated(spark: SparkSession, rowsPerSecond: Int,
                        startMs: Long = 0L, simMsPerRow: Long = 20L,
                        vocab: Int = 64, wordsPerDoc: Int = 40): DataFrame = {
@@ -398,6 +403,15 @@ object StreamThroughput {
         get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id")),
       mtimeFrame(spark, work.resolve("curated")), "__out")
       .groupBy(col("doc_id")).agg(min(col("__out")).as("__out"))
+    // The sample is SURVIVORS-only (the deployed job's gates still run);
+    // require a majority to reach the sink so a gate change that drops
+    // most of the feed fails the receipt loudly rather than silently
+    // measuring a handful of lucky rows (ADVICE r14).
+    val (nIn, nOut) = (in.count(), out.count())
+    require(nOut * 2 >= nIn,
+      s"ingestLatencyStep: only $nOut of $nIn fed docs reached the sink - " +
+        "the feed no longer clears the deployed gates; fix docStreamCurated " +
+        "or the gate knobs before trusting this latency sample")
     latencyOf(out.join(in, "doc_id")
       .select((col("__out") - col("__in")).as("__lat")),
       "ingest" + triggerInterval.map(t => s"-t${t.replace(" ", "")}")
@@ -483,6 +497,10 @@ object StreamThroughput {
       Seq(f1, f2).foreach(f => if (f.isActive) f.stop())
       consumers.foreach(_.stop())
     }
+    // Reconstruct the job's windows with Spark's OWN window() over the
+    // job's OWN width constant — not a hardcoded date_trunc — so a
+    // future width/alignment change in runMainJob moves this side too
+    // (ADVICE r14: a mismatch here silently emptied the in/out join).
     val in = withMtime(
       spark.read.text(impr.toString).select(
         get_json_object(col("value"), "$.campaign_id").as("campaign_id"),
@@ -490,7 +508,9 @@ object StreamThroughput {
           .as("__ts")),
       mtimeFrame(spark, impr), "__in")
       .select(col("campaign_id"),
-        date_trunc("minute", timestamp_millis(col("__ts"))).as("window_start"),
+        window(timestamp_millis(col("__ts")),
+          StreamingJobs.DefaultWindowLength)
+          .getField("start").as("window_start"),
         col("__in"))
       .groupBy(col("window_start"), col("campaign_id"))
       .agg(max(col("__in")).as("__in"))
@@ -502,8 +522,18 @@ object StreamThroughput {
       mtimeFrame(spark, work.resolve("ctr_results")), "__out")
       .groupBy(col("window_start"), col("campaign_id"))
       .agg(min(col("__out")).as("__out"))
-    latencyOf(out.join(in, Seq("window_start", "campaign_id"))
-      .select((col("__out") - col("__in")).as("__lat")), "main", rate)
+    val joined = out.join(in, Seq("window_start", "campaign_id"))
+      .select((col("__out") - col("__in")).as("__lat"))
+    val res = latencyOf(joined, "main", rate)
+    // A sink with closed windows but an EMPTY in/out join is a
+    // measurement-code mismatch (window reconstruction drifted from the
+    // job), not "no windows closed" — fail loudly instead of reporting
+    // rows=0 (ADVICE r14).
+    if (res.nRows == 0L && !spark.read.text(s"$work/ctr_results").isEmpty)
+      sys.error("mainLatencyStep: ctr sink has rows but the window-keyed " +
+        "in/out join is empty - the step's window reconstruction no " +
+        "longer matches runMainJob's windowing")
+    res
   }
 
   /** One curation-ingest step: [[docStream]] → docs topic →

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
  */
 object StreamingJobs {
 
+  /** The deployed main job's tumbling-window width (the reference's
+    * TUMBLE INTERVAL '1' MINUTE, flink/flink_job.sql:80). Named so
+    * measurement harnesses ([[StreamThroughput.mainLatencyStep]])
+    * reconstruct the job's windows from the SAME constant instead of a
+    * hardcoded truncation — a width/alignment change there must move
+    * both sides or fail loudly, never silently empty the receipt's
+    * in/out join (ADVICE r14). */
+  val DefaultWindowLength: String = "1 minute"
+
   /** Flat schema of the materialized join topic (StreamingPipelines). */
   val joinedSchema: StructType = StructType(Seq(
     StructField("impression_id", StringType),
@@ -70,7 +79,7 @@ object StreamingJobs {
                  workDir: String,
                  watermarkDelay: String = "5 seconds",
                  joinInterval: String = "INTERVAL 10 MINUTES",
-                 windowLength: String = "1 minute",
+                 windowLength: String = DefaultWindowLength,
                  chainedWatermarkDelay: String = "11 minutes",
                  maxFilesPerTrigger: Int = 8,
                  stateStoreProvider: Option[String] = None): Seq[StreamingQuery] =

@@ -330,11 +330,19 @@ object TextAnalysis {
    * (doc, token), so corpus-hot tokens never concentrate on one
    * partition.
    */
-  def docTokenCounts(docs: DataFrame): DataFrame =
+  /** @param unicode opt into the Unicode tokenizer
+    *   ([[TextOps.unicodeTokens]]: NFC + casefold + letter/digit-run
+    *   split) for every statistic downstream of this frame. Default
+    *   false — the whitespace tokenizer is the verified reference-parity
+    *   surface; the knob exists so a multi-script corpus can flip ONE
+    *   switch instead of re-plumbing each consumer (r14 verdict ask #5). */
+  def docTokenCounts(docs: DataFrame, unicode: Boolean = false): DataFrame = {
+    val tok = if (unicode) TextOps.unicodeTokens _ else TextOps.tokens _
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode(tok(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__k"))
+  }
 
   /**
    * Model-based quality scoring — the hashed-feature LINEAR CLASSIFIER
@@ -471,6 +479,96 @@ object TextAnalysis {
       val den = (cn(b) + 1L) * (t + nBuckets)
       math.floor(1e6 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
     }
+  }
+
+  /**
+   * Hashed-unigram LOGISTIC-REGRESSION training — the trained-linear
+   * sibling of [[trainNbWeights]] (the fastText production shape: a
+   * discriminatively-fit linear model over hashed bag-of-words
+   * features, where NB is the closed-form generative baseline). Same
+   * bounded deterministic sample (the md5(salt:doc_id) TakeOrdered
+   * cut), same µ-int weight grid, same broadcast deployment through
+   * [[hashedLinearScore]] — only the fit differs: `epochs` rounds of
+   * FULL-BATCH gradient descent on the logistic loss, every step on an
+   * engine-exact integer grid so the DuckDB oracle replays the whole
+   * optimization as epoch-unrolled CTEs.
+   *
+   * Why full-batch, not per-example SGD: summing the gradient over the
+   * sample is ORDER-FREE (exact integer addition commutes), which is
+   * what makes the fit deterministic and relationally replayable — the
+   * Lloyd-loop discipline applied to gradient descent. Per epoch, with
+   * per-token-frequency features x_db = c_db/n_d and weights w in
+   * µ-logits:
+   *
+   *   margin  m_d = floor(Σ_b c_db·w_b / n_d + 0.5)          (µ-int)
+   *   prob    P_d = floor(1e6 / (1 + exp(−m_d/1e6)) + 0.5)   (µ-int)
+   *   grad    g_b = Σ_d floor((y_d·1e6 − P_d)·c_db / n_d + 0.5)
+   *   update  w_b += floor(g_b·lr / N + 0.5)                 (N = |sample|)
+   *
+   * Every division sees exact-integer IEEE operands (all intermediates
+   * < 2^53) and every quantizer is the shared floor(+0.5) grid; the one
+   * transcendental per (epoch, doc) is `exp`, the same residual-risk
+   * class as the NB fit's single `ln` (both engines' libm agree on
+   * these magnitudes — the sf0.1 oracle gate is the standing tripwire).
+   *
+   * Scale shape: the per-doc bucket-count frame restricted to the
+   * broadcast sample persists ONCE (sample-grain, tiny); each epoch is
+   * one distributed aggregation collecting ≤ nBuckets gradient rows —
+   * `epochs` serialized actions total, corpus never re-read, nothing
+   * corpus-sized near the driver. The learned table deploys exactly
+   * like the NB one (nBuckets-row broadcast; stateless twin row-exact,
+   * pinned in TextAnalysisSpec).
+   */
+  def trainLrWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
+                     trainN: Int = 256, salt: String = "qcls",
+                     sharedTf: Option[DataFrame] = None,
+                     epochs: Int = 4, lr: Long = 256L): Array[Long] = {
+    val lab = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
+      .orderBy(col("__hk"), col("doc_id"))
+      .limit(trainN)
+      .select(col("doc_id"), col("__y"))
+    val hTrn = sharedTf.getOrElse(docTokenCounts(docs))
+      .join(broadcast(lab), Seq("doc_id"))
+      .withColumn("__b",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+      .groupBy(col("doc_id"), col("__y"), col("__b"))
+      .agg(sum(col("__k")).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every sampled doc has >= 1 token (split of non-null text is
+      // never empty), so the distinct count IS the sample size
+      val n = hTrn.select(col("doc_id")).distinct().count()
+      val w = new Array[Long](nBuckets)
+      for (_ <- 1 to epochs) {
+        // snapshot (toVector copies; toSeq would alias the mutated array)
+        val wcol = element_at(typedlit(w.toVector),
+          (col("__b") + 1).cast("int"))
+        val perDoc = hTrn
+          .groupBy(col("doc_id"), col("__y"))
+          .agg(sum(col("__c") * wcol).as("__S"), sum(col("__c")).as("__n"))
+          .withColumn("__m",
+            floor(col("__S").cast("double") / col("__n") + 0.5))
+          .select(col("doc_id"), col("__n"),
+            (col("__y") * lit(1000000L) -
+              floor(lit(1000000.0)
+                / (lit(1.0) + exp(-(col("__m") / lit(1000000.0)))) + 0.5))
+              .as("__r"))
+        val grads = hTrn
+          .join(perDoc, Seq("doc_id"))
+          .groupBy(col("__b"))
+          .agg(sum(floor(col("__r") * col("__c") / col("__n") + 0.5))
+            .as("__g"))
+          .collect()
+        grads.foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) += math.floor(r.getLong(1) * lr.toDouble / n + 0.5).toLong
+        }
+      }
+      w
+    } finally hTrn.unpersist()
   }
 
   /**
@@ -790,41 +888,128 @@ object TextAnalysis {
    *                    pruning (the registered/oracle-replayed form —
    *                    a non-default floor must be mirrored with
    *                    `WHERE wc >= minWordCount` in the oracle CTEs)
+   * @param batch admit up to this many merges per driver round (default
+   *                    1 = one collect per merge, the r14 shape). The
+   *                    batched trainer is PROVABLY merge-for-merge
+   *                    identical to batch=1 — see [[admitBatch]] for the
+   *                    admission rule and its equivalence argument — so
+   *                    the sequential-unrolled oracle CTEs replay ANY
+   *                    batch setting; batching only changes how many
+   *                    serialized driver actions a vocabulary costs
+   *                    (a real 32k-merge vocabulary stops being 32k
+   *                    round-trips). Equivalence is additionally
+   *                    fuzz-pinned batch∈{2,4,8} in BpeTrainSpec.
    */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
                sharedVocab: Option[DataFrame] = None,
-               minWordCount: Long = 1L): Seq[BpeMerge] = {
+               minWordCount: Long = 1L,
+               batch: Int = 1): Seq[BpeMerge] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    // localCheckpoint, not persist: each round's collect materializes the
+    // evolving vocabulary AND TRUNCATES ITS LINEAGE. Under plain persist
+    // the logical plan keeps every prior round's fold — at toy merge
+    // counts that is invisible, but a 64+-round training run grows a
+    // plan whose mere tree-string rendering (SQLExecution emits one per
+    // action) OOMs the driver long before the data does. The vocabulary
+    // frame is small and MEMORY_AND_DISK-backed, so the documented
+    // localCheckpoint caveat (lost-executor recompute is impossible)
+    // costs at most a training restart; a run on preemptible executors
+    // should swap in reliable checkpoint(). Old rounds' cached RDDs are
+    // released by the ContextCleaner once unreferenced.
     var vocab = sharedVocab.getOrElse(wordCounts(docs))
       .filter(col("__wc") >= minWordCount)
       .select(charSyms(col("word")).as("syms"), col("__wc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // round t's pair collect materializes vocab_t, so vocab_{t-1} (whose
-    // lineage vocab_t no longer needs once cached) retires one round
-    // LATE — one Spark action per round instead of a second
-    // materialize-then-unpersist action (the Lloyd loop's cost shape)
-    var prev: Option[DataFrame] = None
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rounds = 0
     try {
-      for (t <- 1 to nMerges) {
-        val top = vocabPairs(vocab)
+      while (merges.size < nMerges) {
+        rounds += 1
+        val want = math.min(batch, nMerges - merges.size)
+        val window = vocabPairs(vocab)
           .orderBy(col("c").desc, col("a"), col("b"))
-          .limit(1)
+          .limit(want + 1)
           .collect()
-        prev.foreach(_.unpersist())
-        prev = Some(vocab)
-        if (top.isEmpty) return merges.toSeq
-        val (a, b, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += BpeMerge(t, a, b, c)
-        vocab = vocab
-          .select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (window.isEmpty) return merges.toSeq
+        val keep = admitBatch(window.toSeq, want)
+        keep.foreach { case (a, b, c) =>
+          merges += BpeMerge(merges.size + 1, a, b, c)
+        }
+        // ONE map-side pass applies the whole batch: the rank-ordered
+        // fold of per-merge greedy applications inside a single select —
+        // no action, no shuffle, no extra round-trip per merge
+        vocab = keep.foldLeft(vocab) { case (v, (a, b, _)) =>
+          v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
+        }.localCheckpoint(false)
       }
       merges.toSeq
     } finally {
-      prev.foreach(_.unpersist())
-      vocab.unpersist()
+      lastTrainRounds = rounds
     }
+  }
+
+  /** Driver rounds (serialized collect actions) the LAST [[bpeTrain]]
+    * call on this JVM took — measurement instrumentation for the
+    * batching ladder (graft.BpeLadder), not an API: the sub-linearity
+    * receipt needs actions-per-merge, which the merge list alone cannot
+    * reveal. */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
+  /**
+   * Batched-round admission: from one ranked pair window (count DESC,
+   * then (a, b) — the engine-deterministic tie), the maximal set of
+   * merges PROVABLY equal to what `batch=1` would pick in as many
+   * sequential recount rounds. Three rules:
+   *
+   *  1. PREFIX, not skip-and-continue: walk the ranked window admitting
+   *     pairs until the first CONFLICT — a pair sharing a symbol with,
+   *     or naming the concatenation of, an already-admitted pair — and
+   *     stop there (a skipped conflicting pair's count can survive the
+   *     earlier merges and win the next sequential round, so nothing
+   *     ranked past it may be taken).
+   *  2. Disjointness: an admitted pair's count is INVARIANT under every
+   *     earlier admitted merge — a merge only destroys adjacencies
+   *     touching its own symbols and only creates adjacencies touching
+   *     its new concatenated symbol, both excluded by rule 1's check —
+   *     so each admitted pair is exactly what round t's recount would
+   *     return, winning count included.
+   *  3. Strict tie guard: every NEW pair a batch merge creates is
+   *     bounded by the count of some CONFLICTING pair (an (x, a·b)
+   *     adjacency can only arise where an (x, a) adjacency stood), and
+   *     the stopping row carries the maximum conflicting count `c_stop`
+   *     (the window is rank-ordered; the (B+1)-th row stands in for the
+   *     unseen tail when no in-window conflict fired). A new pair tied
+   *     with a later admitted pair could win its sequential round on the
+   *     lexicographic tie — e.g. corpus {5×"a z y", 5×"c d"}: after
+   *     (a,z), the NEW ("az", y) ties (c,d) at 5 and sorts first — so
+   *     the admitted TAIL is trimmed to counts STRICTLY above c_stop
+   *     (the head is the round-1 winner unconditionally).
+   *
+   * Net: ≥1 merge per round always (the conflict-density fallback to
+   * B=1 the r14 verdict asked for), up to `want` when the ranked head
+   * is clean, and the merge list is bit-identical to sequential
+   * training — which is what keeps the sequential-unrolled DuckDB
+   * oracle valid for every batch setting.
+   */
+  private[graft] def admitBatch(window: Seq[(String, String, Long)],
+                               want: Int): Seq[(String, String, Long)] = {
+    val admitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var cStop = Long.MinValue
+    var stopped = false
+    window.zipWithIndex.foreach { case ((a, b, c), i) =>
+      if (!stopped) {
+        val conflict = i >= want || admitted.exists { case (pa, pb, _) =>
+          a == pa || a == pb || b == pa || b == pb ||
+            a == pa + pb || b == pa + pb
+        }
+        if (conflict) { cStop = c; stopped = true }
+        else admitted += ((a, b, c))
+      }
+    }
+    if (admitted.isEmpty) Seq.empty
+    else admitted.head +: admitted.tail.takeWhile(_._3 > cStop).toSeq
   }
 
   /** The corpus (word, __wc) word-count vocabulary — the BPE family's
@@ -1083,6 +1268,43 @@ object TextAnalysis {
         .cast("double") / length(col("text")), 6).as("punct_ratio"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("n_bpe_tokens"))
+  }
+
+  /**
+   * Document statistics under the UNICODE tokenizer
+   * ([[TextOps.unicodeTokens]]: NFC normalize → casefold → split on
+   * non-letter/digit runs → drop empties) — the multi-script sibling of
+   * [[stats]], and the receipt that the normalization knob changes the
+   * statistics it should: on mixed-script text the default single-space
+   * split counts "Москва," and "Москва" as two types and composed vs
+   * decomposed accents as different bytes; here both collapse.
+   *
+   * Columns: NFC character count (canonical length — what a byte/char
+   * budget should meter), token/type counts and mean token length over
+   * the Unicode tokens, and `latin_ratio` — the fraction of tokens that
+   * are pure `[a-z0-9]+` after casefolding, the cheap script-mix signal
+   * a routing/curation step keys on. Ratios are NULL for documents with
+   * no tokens (all-punctuation text); NULL text propagates NULL stats,
+   * same as [[stats]].
+   *
+   * Scale: pure per-row projection, no shuffle; NFC is a codegen'd
+   * expression with an already-normalized fast path, so ASCII corpora
+   * pay one vectorized scan. Oracle: nfc_normalize/lower/
+   * regexp_split_to_array in DuckDB, with the split class restricted to
+   * `[^\p{L}\p{N}]+` — identical semantics in Java regex and RE2.
+   */
+  def unicodeStats(docs: DataFrame): DataFrame = {
+    val utoks = TextOps.unicodeTokens(col("text"))
+    val latin = size(filter(utoks, t => t.rlike("^[a-z0-9]+$")))
+    docs.select(
+      col("doc_id"),
+      length(TextOps.normalizeNfc(col("text"))).as("n_chars_nfc"),
+      size(utoks).as("n_tokens"),
+      size(array_distinct(utoks)).as("n_unique_tokens"),
+      when(size(utoks) > 0, round(meanTokenLen(utoks), 6))
+        .as("mean_token_len"),
+      when(size(utoks) > 0, round(latin.cast("double") / size(utoks), 6))
+        .as("latin_ratio"))
   }
 
   /**
@@ -1623,7 +1845,10 @@ object TextAnalysis {
    *    engines scale differently inside two-arg round, and the sf0.1
    *    gate caught a real −0.2529375 half-tie landing on different
    *    sides (r14; the microLogit lesson, now applied to every robust-z
-   *    site);
+   *    site). No NaN guard here: n_chars is integral and MAD == 0 takes
+   *    the NULL branch, so the z ratio can never be NaN (contrast
+   *    [[graft.ops.AnomalyDetect.madAlerts]], whose double-valued series
+   *    needs the isnan guard);
    *  - a zero-MAD source (majority-identical lengths) keeps everything
    *    and emits NULL robust_z — a degenerate scale statistic is no
    *    evidence against any row, and the percentile gate covers

@@ -20,6 +20,41 @@ object TextOps {
   /** Whitespace tokens; matches DuckDB `string_split(text, ' ')`. */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** Unicode NFC normalization ([[org.apache.spark.sql.graftshim
+    * .NfcNormalize]] — codegen'd, JDK `java.text.Normalizer`): folds
+    * canonically equivalent sequences ("é" composed U+00E9 vs
+    * decomposed "e"+U+0301) to one byte form. DuckDB oracle twin:
+    * `nfc_normalize(text)`. */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.NfcNormalize(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text)))
+
+  /**
+   * Unicode-aware tokens: NFC-normalize, casefold via `lower`, split on
+   * runs of anything that is not a Unicode letter or digit
+   * (`[^\p{L}\p{N}]+` — identical semantics in Java regex and RE2), and
+   * drop the empty boundary tokens the split leaves at leading/trailing
+   * separators. This is what makes dedup / BPE / vocabulary statistics
+   * trustworthy on non-Latin and mixed-script text, where the default
+   * single-space split treats "Москва," and "Москва" as different
+   * types and canonically equivalent accents as different bytes.
+   *
+   * DuckDB oracle twin (verbatim the same pipeline):
+   * `list_filter(regexp_split_to_array(lower(nfc_normalize(text)),
+   * '[^\p{L}\p{N}]+'), t -> t <> '')`.
+   *
+   * Deliberately NOT the default: the whitespace tokenizer is the
+   * reference-parity surface every registered statistic was verified
+   * on; callers opt in per frame (e.g.
+   * [[graft.text.TextAnalysis.docTokenCounts]]'s `unicode` knob).
+   * On pure-ASCII space-separated lowercase alphanumeric corpora the
+   * two tokenizers agree exactly (fuzz-pinned in TextAnalysisSpec).
+   */
+  def unicodeTokens(text: Column): Column =
+    filter(split(lower(normalizeNfc(text)), "[^\\p{L}\\p{N}]+", -1),
+      t => t =!= "")
+
   /**
    * Word n-gram shingles joined by single spaces, preserving duplicates:
    * element i is tokens[i..i+n-1], producing `size - n + 1` shingles.

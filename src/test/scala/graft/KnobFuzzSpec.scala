@@ -332,6 +332,55 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: trainLrWeights matches a plain-Scala full-batch GD fit at " +
+    "6 random (nBuckets, trainN, epochs) configs") {
+    import spark.implicits._
+    val docRows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(120)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val df = docRows.toSeq.toDF("doc_id", "text", "lang")
+    for (_ <- 1 to 6) {
+      val nB = Seq(64, 256, 1024)(rnd.nextInt(3))
+      val trainN = 8 + rnd.nextInt(100)
+      val epochs = 1 + rnd.nextInt(4)
+      val lr = Seq(64L, 256L, 1024L)(rnd.nextInt(3))
+      val got = graft.text.TextAnalysis.trainLrWeights(df,
+        col("lang") === "en", nBuckets = nB, trainN = trainN,
+        epochs = epochs, lr = lr)
+      // plain-Scala replay on the same integer grid
+      val train = docRows.sortBy(r => (md5hexStr(s"qcls:${r._1}"), r._1))
+        .take(trainN)
+      val feats = train.map { case (_, text, lang) =>
+        val toks = text.split(" ", -1)
+        val c = toks.groupBy(t => (hex8(t) % nB).toInt)
+          .view.mapValues(_.length.toLong).toMap
+        (if (lang == "en") 1L else 0L, toks.length.toLong, c)
+      }
+      val n = feats.length
+      val w = new Array[Long](nB)
+      for (_ <- 1 to epochs) {
+        val g = new Array[Long](nB)
+        feats.foreach { case (y, nd, c) =>
+          val s = c.map { case (b, cb) => cb * w(b) }.sum
+          val m = math.floor(s.toDouble / nd + 0.5)
+          val p = math.floor(1e6 / (1.0 + math.exp(-(m / 1e6))) + 0.5).toLong
+          val r = y * 1000000L - p
+          c.foreach { case (b, cb) =>
+            g(b) += math.floor(r * cb / nd.toDouble + 0.5).toLong
+          }
+        }
+        (0 until nB).foreach { b =>
+          w(b) += math.floor(g(b) * lr.toDouble / n + 0.5).toLong
+        }
+      }
+      assert(got.toSeq == w.toSeq,
+        s"nB=$nB trainN=$trainN epochs=$epochs lr=$lr: diffs at buckets " +
+          got.indices.filter(i => got(i) != w(i)).take(5))
+    }
+  }
+
   /** Independent plain-Scala BPE trainer (counting, tie rule, greedy
     * non-overlapping application) for the fuzz below. */
   private def scalaBpe(texts: Seq[String], n: Int)
@@ -382,6 +431,17 @@ class KnobFuzzSpec extends SparkSpec {
         .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
       val want = scalaBpe(docRows.map(_._2), nMerges)
       assert(got == want, s"corpus#$i nMerges=$nMerges: $got != $want")
+      // the batched trainer must be merge-for-merge identical to the
+      // sequential reference at EVERY batch width — these tiny-alphabet
+      // corpora are conflict-dense (most top pairs share symbols), so
+      // they exercise the prefix-stop, the concat-collision rule and the
+      // strict c_stop trim, not just the clean fast path
+      for (b <- Seq(2, 4, 8)) {
+        val batched = graft.text.TextAnalysis.bpeTrain(df, nMerges, batch = b)
+          .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+        assert(batched == want,
+          s"corpus#$i nMerges=$nMerges batch=$b: $batched != $want")
+      }
       // dictionary parity under the learned merges
       val merges = got.map { case (r, a, b, c) =>
         graft.text.TextAnalysis.BpeMerge(r, a, b, c) }

@@ -590,4 +590,65 @@ class SimilaritySpec extends SparkSpec {
         assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
     }
   }
+
+  test("index staleness: frozen quantizer degrades new-distribution " +
+    "recall, retraining recovers past the pre-ingest baseline, the drift " +
+    "monitor fires, and the merged stale layout serves row-exactly") {
+    import graft.AnnStaleness
+    val nQ = 32
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val fresh = AnnStaleness.freshShifted(spark, base.count()).persist()
+    // registered knobs: 16-cell quantizer, 4-probe search
+    val frozen = Similarity.freezeAnnIndex(base, nCells = 16)
+      .get.cells.toArray
+    val baseline = AnnStaleness.meanRecall(base, frozen, nQ, 16, 4)
+    val view = AnnStaleness.newQueryView(base, fresh, nQ)
+    val frozenNew = AnnStaleness.meanRecall(view, frozen, nQ, 16, 4)
+    val retrained = Similarity.freezeAnnIndex(view, nCells = 16)
+      .get.cells.toArray
+    val retrainedNew = AnnStaleness.meanRecall(view, retrained, nQ, 16, 4)
+    // everything above is hash-deterministic, so these are fixed values,
+    // not statistical claims: staleness costs new-distribution recall...
+    assert(frozenNew < retrainedNew,
+      s"frozen=$frozenNew !< retrained=$retrainedNew")
+    // ...and retraining recovers to AT LEAST the pre-ingest baseline
+    // (the r14 verdict's bar)
+    assert(retrainedNew >= baseline,
+      s"retrained=$retrainedNew < pre-ingest baseline=$baseline")
+    // the registered drift monitor detects the shift from this corpus
+    // state (its mean_shift_z axis IS the generator's shift axis), while
+    // a same-distribution split reads an order of magnitude lower
+    val shifted = Similarity.embeddingDrift(base.unionAll(fresh),
+        col("vec_id") >= 100000000L)
+      .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
+    val nullSplit = Similarity.embeddingDrift(base, col("vec_id") % 2 === 0)
+      .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
+    assert(shifted > 1.0 && shifted > 3 * nullSplit,
+      s"drift monitor: shifted=$shifted vs null=$nullSplit")
+    // maintenance path: base layout + fresh segment (both assigned under
+    // the FROZEN cells — live ingest) merged by mergeCellSegments serves
+    // the pruned search row-exactly vs the in-memory stale assignments
+    val work = java.nio.file.Files.createTempDirectory("ann-stale").toString
+    Similarity.ivfCellAssignmentsWith(base, frozen)
+      .write.partitionBy("cell").parquet(s"$work/base")
+    Similarity.ivfCellAssignmentsWith(fresh, frozen)
+      .write.partitionBy("cell").parquet(s"$work/seg")
+    graft.sources.TableLayout.mergeCellSegments(spark, s"$work/base",
+      Seq(s"$work/seg"), s"$work/merged")
+    val combined = base.unionAll(fresh)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val wantRows = rows(Similarity.ivfHashTopKPruned(combined,
+      Similarity.ivfCellAssignmentsWith(combined, frozen),
+      nQueries = 8, k = 5, nCells = 16, nProbe = 4, cells = Some(frozen)))
+    val gotRows = rows(Similarity.ivfHashTopKPruned(combined,
+      spark.read.parquet(s"$work/merged"),
+      nQueries = 8, k = 5, nCells = 16, nProbe = 4, cells = Some(frozen)))
+    assert(gotRows == wantRows && gotRows.nonEmpty)
+    base.unpersist(); fresh.unpersist()
+  }
 }

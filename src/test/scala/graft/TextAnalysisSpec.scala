@@ -109,6 +109,115 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)), s"got $pruned")
   }
 
+  test("bpeTrain batched: conflicting-pair hand trace — the tie cases " +
+    "that force prefix-stop and the strict c_stop trim") {
+    // Corpus {azy×5, cd×5}: round-1 pairs (a,z)=5, (c,d)=5, (z,y)=5 all
+    // TIED. Sequential: r1 (a,z) on the lexicographic break; the merge
+    // CREATES ("az", y)=5, which at r2 ties (c,d) and sorts FIRST; r3
+    // (c,d). A batcher that admitted the disjoint (c,d) alongside (a,z)
+    // in round 1 would emit the WRONG rank order — the strict c_stop
+    // trim must hold (c,d) back because the conflicting (z,y) ties it.
+    val docs = Seq((1L, "azy azy azy azy azy cd cd cd cd cd"))
+      .toDF("doc_id", "text")
+    val want = Seq((1, "a", "z", 5L), (2, "az", "y", 5L), (3, "c", "d", 5L))
+    for (b <- Seq(1, 2, 3, 8)) {
+      val got = TextAnalysis.bpeTrain(docs, nMerges = 3, batch = b)
+        .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+      assert(got == want, s"batch=$b: $got != $want")
+    }
+    // admitBatch unit trace on that round-1 window: (a,z) admitted;
+    // (c,d) disjoint → provisionally admitted; (z,y) shares z → STOP
+    // with c_stop=5; trim drops (c,d) (5 > 5 fails) → one merge only.
+    assert(TextAnalysis.admitBatch(
+      Seq(("a", "z", 5L), ("c", "d", 5L), ("z", "y", 5L)), want = 3) ==
+      Seq(("a", "z", 5L)))
+    // Concat-collision rule: a candidate naming an earlier admitted
+    // pair's concatenation ("ab" after (a,b)) must stop the prefix —
+    // its count is NOT invariant under the earlier merge.
+    assert(TextAnalysis.admitBatch(
+      Seq(("a", "b", 9L), ("ab", "q", 4L), ("x", "y", 3L)), want = 3) ==
+      Seq(("a", "b", 9L)))
+    // Clean window: disjoint, concat-safe, strictly separated counts →
+    // the whole budget admits (the sub-linear path).
+    assert(TextAnalysis.admitBatch(
+      Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L), ("g", "h", 4L)),
+      want = 3) == Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L)))
+    // Exhausted window (fewer rows than the budget, no conflict): admit
+    // everything — no unseen tail exists to tie against.
+    assert(TextAnalysis.admitBatch(
+      Seq(("a", "b", 5L), ("c", "d", 5L)), want = 3) ==
+      Seq(("a", "b", 5L), ("c", "d", 5L)))
+  }
+
+  test("unicodeTokens: NFC folds composed/decomposed accents; casefold; " +
+    "category split on mixed-script text; unicodeStats hand values") {
+    import graft.text.TextOps
+    // "café" composed (U+00E9) vs decomposed ("e" + U+0301): byte-different,
+    // canonically EQUAL — the whitespace tokenizer sees two types, the
+    // Unicode tokenizer one
+    val composed = "café"
+    val decomposed = "café"
+    val mixed = s"$composed $decomposed МОСКВА, " +
+      "東京! Tokyo-2025 élève"
+    val df = docsDF(1L -> mixed)
+    val utoks = df.select(TextOps.unicodeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0).toList
+    // NFC+casefold: both cafés → "café"; МОСКВА casefolds to москва with
+    // the comma split off; 東京 keeps its Han letters, '!' splits;
+    // "Tokyo-2025" splits at the hyphen; "élève" normalizes+casefolds
+    assert(utoks == List("café", "café", "москва",
+      "東京", "tokyo", "2025", "élève"), s"got $utoks")
+    val st = TextAnalysis.unicodeStats(df).collect()(0)
+    assert(st.getAs[Int]("n_tokens") == 7)
+    assert(st.getAs[Int]("n_unique_tokens") == 6) // café deduped
+    // NFC length: decomposed café (5 chars) folds to 4, and élève's
+    // decomposed leading é folds too — two combining marks disappear
+    assert(st.getAs[Int]("n_chars_nfc") == mixed.length - 2)
+    // latin_ratio: tokyo + 2025 of 7 tokens (café/élève carry accents)
+    assert(st.getAs[Double]("latin_ratio") ==
+      math.rint(2.0 / 7 * 1e6) / 1e6)
+    // whitespace tokenizer on the same text: no fold, no split — the
+    // statistics the knob exists to fix
+    val wtoks = df.select(TextOps.tokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0).toList
+    assert(wtoks.contains("МОСКВА,") &&
+      composed != decomposed && wtoks.count(_.startsWith("caf")) == 2)
+    // all-punctuation doc: zero tokens, NULL ratios (no 0/0 NaN leak)
+    val empty = TextAnalysis.unicodeStats(docsDF(2L -> "!!! ... ---")).collect()(0)
+    assert(empty.getAs[Int]("n_tokens") == 0 &&
+      empty.isNullAt(empty.fieldIndex("mean_token_len")) &&
+      empty.isNullAt(empty.fieldIndex("latin_ratio")))
+    // the shared-token-frame knob: unicode=true folds the two cafés into
+    // one (doc, token) row of count 2; default stays byte-faithful
+    val tf = TextAnalysis.docTokenCounts(df, unicode = true)
+      .filter(col("token") === "café").collect()
+    assert(tf.length == 1 && tf(0).getAs[Long]("__k") == 2L)
+    assert(TextAnalysis.docTokenCounts(df)
+      .filter(col("token").startsWith("caf")).count() == 2L)
+  }
+
+  test("unicodeTokens: parity with the whitespace tokenizer on pure-ASCII " +
+    "space-separated lowercase corpora (fuzz)") {
+    import graft.text.TextOps
+    val rnd = new scala.util.Random(1502L)
+    val corpora = (1 to 8).map { d =>
+      (d.toLong, (0 until 3 + rnd.nextInt(20)).map(_ =>
+        (0 until 1 + rnd.nextInt(8)).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar).mkString +
+          (if (rnd.nextBoolean()) rnd.nextInt(100).toString else ""))
+        .mkString(" "))
+    }
+    val df = corpora.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("w"),
+      TextOps.unicodeTokens(col("text")).as("u")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: whitespace ${r.getSeq[String](1)} != " +
+          s"unicode ${r.getSeq[String](2)}")
+    }
+  }
+
   test("uniformSourceMix: exact per-source quota, deterministic hash ranks") {
     // srcA has 3 docs, srcB has 2 → quota 2: every source keeps exactly 2
     val docs = Seq(
@@ -625,6 +734,45 @@ class TextAnalysisSpec extends SparkSpec {
     val stub = TextAnalysis.classifierEval(df, isPos, trainN = 64).collect()(0)
     assert(math.abs(stub.getAs[Double]("auc") - 0.5) < 0.25,
       s"stub auc=${stub.getAs[Double]("auc")} should be ≈ 0.5")
+  }
+
+  test("trainLrWeights: logistic fit separates the signal fixture at " +
+    "least as well as NB; stateless twin row-exact; plan unchanged") {
+    val df = (0L until 120L).map(i => (i, nbFixtureText(i))).toDF("doc_id", "text")
+    val isPos = col("doc_id") % 2 === 0
+    val nb = TextAnalysis.trainNbWeights(df, isPos, trainN = 64)
+    val lrW = TextAnalysis.trainLrWeights(df, isPos, trainN = 64)
+    val nbAuc = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+      weights = Some(nb)).collect()(0).getAs[Double]("auc")
+    val ev = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+      weights = Some(lrW)).collect()(0)
+    val lrAuc = ev.getAs[Double]("auc")
+    assert(lrAuc >= nbAuc, s"LR auc=$lrAuc < NB auc=$nbAuc")
+    assert(lrAuc >= 0.99, s"LR auc=$lrAuc")
+    assert(ev.getAs[Double]("mean_logit_pos") > 0.0 &&
+      ev.getAs[Double]("mean_logit_neg") < 0.0)
+    // the LR model deploys through the SAME operator: stateless
+    // (ingest-time) twin row-exact against the batch scorer
+    val batch = TextAnalysis.hashedLinearScore(df, weights = Some(lrW))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val stateless = TextAnalysis.hashedLinearScoreStateless(df,
+      weights = Some(lrW))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batch == stateless)
+    // plan-shape invariance: an LR model swaps in as data, like NB
+    def shape(w: Option[Array[Long]]): Seq[String] =
+      TextAnalysis.hashedLinearScore(df, weights = w)
+        .queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(!_.isLetter).takeWhile(_.isLetter)).toSeq
+    assert(shape(Some(lrW)) == shape(Some(nb)))
+    // epoch monotonicity on the fixture: more epochs keep separating
+    // (full-batch GD with this lr does not oscillate here) and epoch 1
+    // already carries the discriminative direction
+    val oneEpoch = TextAnalysis.trainLrWeights(df, isPos, trainN = 64,
+      epochs = 1)
+    val oneAuc = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+      weights = Some(oneEpoch)).collect()(0).getAs[Double]("auc")
+    assert(oneAuc >= 0.99, s"epoch-1 auc=$oneAuc")
   }
 
   test("packSequences: cross-boundary segments, offsets, zero-token docs vanish") {
