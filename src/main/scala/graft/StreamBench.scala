@@ -86,6 +86,20 @@ object StreamBench {
         feedMs, codec = "binary", triggerInterval = ti))
     }
 
+    // SPARK_GRAFT_SKEW_SHARES (e.g. "0.2,0.5,0.9"): hot-key ladder —
+    // the r14 batch skew rung's STREAMING sibling: the deployed main job
+    // with one campaign receiving that share of all rows, measured for
+    // throughput (+ state rows) and landed→visible latency against the
+    // uniform rows above. Off by default.
+    val skewShares = sys.env.get("SPARK_GRAFT_SKEW_SHARES").toSeq
+      .flatMap(_.split(",").map(_.trim.toDouble).toSeq)
+    val skewRate = sys.env.getOrElse("SPARK_GRAFT_SKEW_RATE", "20000").toInt
+    val skewSteps = skewShares.map(s =>
+      StreamThroughput.mainJobStep(spark, skewRate, feedMs, skewShare = s))
+    val skewLat = skewShares.map(s =>
+      StreamThroughput.mainLatencyStep(spark, skewRate, feedMs,
+        skewShare = s))
+
     // r14: end-to-end latency receipts (landed→sink-visible percentiles,
     // BASELINE.md's SLA table) at each job's sustained operating point —
     // rates overridable via SPARK_GRAFT_LAT_{MAIN,INGEST,ANN}; set a
@@ -116,7 +130,8 @@ object StreamBench {
       steps.filter(_.sustained).map(s => math.round(s.sustainedRate))
         .foldLeft(0L)(math.max)
     val allSteps = (mainSteps ++ ingestSteps ++ annSteps ++
-      ingestBinSteps ++ annBinSteps ++ annLayoutSteps ++ trigSteps)
+      ingestBinSteps ++ annBinSteps ++ annLayoutSteps ++ trigSteps ++
+      skewSteps)
       .map(_.json).mkString(",")
     println(
       s"""{"metric":"stream_max_sustained_events_per_sec",""" +
@@ -128,7 +143,7 @@ object StreamBench {
       s""""feed_ms":$feedMs,"cpus":$cpus,""" +
       s""""reference_envelope_events_per_sec":50,""" +
       s""""steps":[$allSteps],""" +
-      s""""latency":[${latSteps.map(_.json).mkString(",")}]}""")
+      s""""latency":[${(latSteps ++ skewLat).map(_.json).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -43,14 +43,22 @@ object StreamingEventGenerator {
    *                      the reference generator), larger values compress
    *                      time so tests cross window/join/watermark bounds
    *                      in wall-seconds instead of wall-minutes
+   * @param skewShare     hot-key regime (the EventScaleSmoke axis on the
+   *                      STREAMING side, r15): this share of all rows is
+   *                      routed to `hotCampaign` by an independent draw,
+   *                      the rest keep the uniform pick. 0 (default) =
+   *                      the unchanged uniform generator.
+   * @param hotCampaign   the key receiving the skewed share
    * @return (impressions, clicks) streaming frames in the reference's
    *         column layout; clicks carry the Bernoulli draw + delay
    */
   def events(spark: SparkSession, rowsPerSecond: Int = 50,
              startMs: Long = 0L, campaigns: Int = 10,
              clickRatio: Double = 0.1, ctrCap: Double = 0.6,
-             simMsPerRow: Long = 0L)
+             simMsPerRow: Long = 0L,
+             skewShare: Double = 0.0, hotCampaign: String = "camp-1")
       : (DataFrame, DataFrame) = {
+    require(skewShare >= 0.0 && skewShare <= 1.0, s"skewShare $skewShare")
     // double-based pacing: integer 1000/rate would be 0 above 1000 rows/s
     // (frozen event time, watermark never advances) and ~2x off for 501-999
     val msPerRowExpr =
@@ -67,7 +75,9 @@ object StreamingEventGenerator {
       .withColumn("event_timestamp", lit(startMs) + msPerRowExpr)
       .withColumn("minute", ((col("event_timestamp") - startMs) / 60000L).cast("long"))
       .withColumn("campaign_id",
-        concat(lit("camp-"), pick(10, campaigns).cast("string")))
+        when(lit(skewShare) > 0.0 && draw(col("idx"), 15) < skewShare,
+          lit(hotCampaign))
+          .otherwise(concat(lit("camp-"), pick(10, campaigns).cast("string"))))
 
     val impressions = base.select(
       concat(lit("imp-"), col("idx")).as("impression_id"),

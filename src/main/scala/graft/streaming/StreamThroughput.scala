@@ -47,7 +47,8 @@ object StreamThroughput {
   final case class StepResult(job: String, rate: Int, eventsIn: Long,
                               feedMs: Long, drainMs: Long,
                               ratePerSec: Double, p95BatchMs: Long,
-                              batches: Int, sustained: Boolean) {
+                              batches: Int, sustained: Boolean,
+                              stateRows: Long = -1L) {
     def sustainedRate: Double =
       if (sustained) eventsIn * 1000.0 / math.max(feedMs, 1L) else ratePerSec
     def json: String =
@@ -56,7 +57,7 @@ object StreamThroughput {
         s""""events_per_sec":${math.round(ratePerSec)},""" +
         s""""sustained_events_per_sec":${math.round(sustainedRate)},""" +
         s""""p95_batch_ms":$p95BatchMs,"batches":$batches,""" +
-        s""""sustained":$sustained}"""
+        s""""state_rows":$stateRows,"sustained":$sustained}"""
   }
 
   /** Backlog-drain budget for a step to count as sustained: a quarter of
@@ -144,14 +145,24 @@ object StreamThroughput {
       consumers.foreach(_.processAllAvailable())
       val drainEnd = System.nanoTime()
       val eventsIn = topics.map(countFn).sum
-      val batchMs = consumers.flatMap(_.recentProgress.toSeq)
+      val progress = consumers.flatMap(_.recentProgress.toSeq)
+      val batchMs = progress
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      // peak TOTAL state rows across the topology's batches (join +
+      // dedup + window-agg stores summed) — the hot-key ladder's state
+      // axis: skew concentrates UPDATES on few keys, so total state
+      // should stay ~flat while per-partition load skews
+      val stateRows = progress
+        .map(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsTotal).sum)
+        .foldLeft(-1L)(math.max)
       val feedWallMs = (feedEnd - feedStart) / 1000000L
       val drainMs = (drainEnd - feedEnd) / 1000000L
       StepResult(job, rate, eventsIn, feedWallMs, drainMs,
         ratePerSec = eventsIn * 1000.0 / math.max(feedWallMs + drainMs, 1L),
         p95BatchMs = p95(batchMs), batches = batchMs.size,
-        sustained = drainMs <= drainBudgetMs(feedMs, tailAllowanceMs))
+        sustained = drainMs <= drainBudgetMs(feedMs, tailAllowanceMs),
+        stateRows = stateRows)
     } finally {
       feeders.foreach(f => if (f.isActive) f.stop())
       consumers.foreach(_.stop())
@@ -163,12 +174,13 @@ object StreamThroughput {
     * three chained queries), measured as deployed. */
   def mainJobStep(spark: SparkSession, rate: Int, feedMs: Long = 20000L,
                   simMsPerRow: Long = 20L,
-                  stateStoreProvider: Option[String] = None): StepResult = {
+                  stateStoreProvider: Option[String] = None,
+                  skewShare: Double = 0.0): StepResult = {
     val root = Files.createTempDirectory("graft-sthr-main")
     val impr = root.resolve("impressions")
     val clk = root.resolve("clicks")
     val (iStream, cStream) = StreamingEventGenerator.events(spark, rate,
-      startMs = 0L, simMsPerRow = simMsPerRow)
+      startMs = 0L, simMsPerRow = simMsPerRow, skewShare = skewShare)
     // coalesce: the rate source defaults to one partition per core; at
     // these volumes 32 files per topic per microbatch is pure listing
     // overhead for the consumer
@@ -179,7 +191,8 @@ object StreamThroughput {
     // 12s tail: three chained queries drained twice in topology order,
     // each with a multi-second state-commit batch floor — measured
     // rate-independent (no backlog component) across 5k..80k ev/s
-    runStep("main", rate, feedMs, tailAllowanceMs = 12000L,
+    runStep(if (skewShare > 0) s"main-skew$skewShare" else "main",
+      rate, feedMs, tailAllowanceMs = 12000L,
       Seq(f1, f2), Seq(impr, clk),
       () => StreamingJobs.runMainJob(spark, impr.toString, clk.toString,
         root.resolve("work").toString, maxFilesPerTrigger = 10000,
@@ -474,13 +487,14 @@ object StreamThroughput {
    */
   def mainLatencyStep(spark: SparkSession, rate: Int,
                       feedMs: Long = 20000L,
-                      simMsPerRow: Long = 20L): LatencyResult = {
+                      simMsPerRow: Long = 20L,
+                      skewShare: Double = 0.0): LatencyResult = {
     val root = Files.createTempDirectory("graft-lat-main")
     val impr = root.resolve("impressions")
     val clk = root.resolve("clicks")
     val work = root.resolve("work")
     val (iStream, cStream) = StreamingEventGenerator.events(spark, rate,
-      startMs = 0L, simMsPerRow = simMsPerRow)
+      startMs = 0L, simMsPerRow = simMsPerRow, skewShare = skewShare)
     val f1 = JsonStreams.writeValueTopic(JsonStreams.encode(iStream).coalesce(2),
       impr.toString, root.resolve("_ck/impr").toString)
     val f2 = JsonStreams.writeValueTopic(JsonStreams.encode(cStream).coalesce(2),
@@ -524,7 +538,8 @@ object StreamThroughput {
       .agg(min(col("__out")).as("__out"))
     val joined = out.join(in, Seq("window_start", "campaign_id"))
       .select((col("__out") - col("__in")).as("__lat"))
-    val res = latencyOf(joined, "main", rate)
+    val res = latencyOf(joined,
+      if (skewShare > 0) s"main-skew$skewShare" else "main", rate)
     // A sink with closed windows but an EMPTY in/out join is a
     // measurement-code mismatch (window reconstruction drifted from the
     // job), not "no windows closed" — fail loudly instead of reporting

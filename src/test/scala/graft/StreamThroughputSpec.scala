@@ -100,4 +100,38 @@ class StreamThroughputSpec extends SparkSpec {
     assert(ok.isDefined,
       "no attempt produced closed windows with p95 landed->visible <= 60s")
   }
+
+  test("hot-key regime (one campaign takes 90% of rows): the deployed " +
+    "main job still clears the uniform throughput and latency floors") {
+    // The r14 batch skew rung's STREAMING sibling (r15): the interval
+    // join keys on impression_id (unique — campaign skew cannot hot-spot
+    // its state), so the pressure lands on the windowed aggregations'
+    // shuffle, where one partition receives ~90% of update traffic. The
+    // floor is the SAME bound the uniform specs pin — hot-key must cost
+    // no more than factor 1 of the uniform CI floors (throughput 100x
+    // envelope end-to-end, latency p95 <= 60 s) — with the stepped
+    // quiet-box comparison recorded in BASELINE.md. If this ever
+    // degrades, the bucketed interval-join variant
+    // (ops/IntervalJoin.scala) is the wired remedy.
+    awaitQuietSession()
+    val step = StreamThroughput.mainJobStep(spark, rate = 10000,
+      feedMs = 12000L, skewShare = 0.9)
+    info("skew throughput: " + step.json)
+    assert(step.ratePerSec >= 100.0 * 50.0,
+      s"hot-key end-to-end rate below the uniform 100x floor: ${step.json}")
+    // state stays key-bounded, not traffic-bounded: the skewed window
+    // agg holds one row per (window, campaign) regardless of share
+    assert(step.stateRows > 0, s"no state metrics captured: ${step.json}")
+    val attempts = Iterator.range(0, 3).map { i =>
+      if (i > 0) Thread.sleep(5000L)
+      awaitQuietSession()
+      val r = StreamThroughput.mainLatencyStep(spark, rate = 2000,
+        feedMs = 8000L, simMsPerRow = 200L, skewShare = 0.9)
+      info("skew latency: " + r.json)
+      r
+    }
+    val ok = attempts.find(r => r.nRows > 0 && r.p95Ms <= 60000L)
+    assert(ok.isDefined,
+      "no hot-key attempt closed windows with p95 landed->visible <= 60s")
+  }
 }

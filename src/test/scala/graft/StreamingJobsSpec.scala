@@ -178,4 +178,98 @@ class StreamingJobsSpec extends SparkSpec {
       wantCtr.collect().map(_.toSeq).toSet, "post-recovery ctr != batch ctr")
     assert(gotCtr.count() == gotCtr.dropDuplicates().count())
   }
+
+  test("chained-topology double restart: BOTH jobs killed at staggered " +
+    "offsets recover exactly-once ACROSS the topic boundary (r15)") {
+    // T6 recovery was proven per-job; this is the COMPOSED drill on the
+    // reference's cross-job dataflow edge (P1's ctr sink feeding P2,
+    // flink/flink_job.sql:53 ↔ flink/anomaly_job.sql:21): the anomaly
+    // job dies first (while the main job keeps writing ctr rows it never
+    // saw), then the main job dies too; both restart from their own
+    // checkpoints, and the final alert set must equal the no-crash batch
+    // run — offsets into the INTERMEDIATE topic are themselves
+    // checkpointed state, so neither the rows written during P2's outage
+    // nor the windows closed after P1's restart may be lost or doubled.
+    val root = Files.createTempDirectory("graft-stream-chain-recovery")
+    val imprTopic = root.resolve("impressions")
+    val clickTopic = root.resolve("clicks")
+    val work = root.resolve("work").toString
+
+    val ev = AdEventGenerator.generate(startMs = 3600000L, minutes = 6,
+      impressionsPerMinutePerCampaign = 20, campaigns = 2)
+    val cutMs = 3600000L + 3 * 60000L
+    val sentinelBase = 3600000L + 8 * 60000L
+    def sentinelImpr(off: Long) =
+      s"""{"impression_id":"imp-s-$off","user_id":"user-1","campaign_id":"camp-sentinel","ad_id":"ad-1","device_type":"sentinel","browser":"chrome","event_timestamp":${sentinelBase + off},"cost":0.25}"""
+    def sentinelClick(off: Long) =
+      s"""{"click_id":"clk-s-$off","impression_id":"imp-s-$off","user_id":"user-1","event_timestamp":${sentinelBase + off}}"""
+
+    def launchMain() = StreamingJobs.runMainJob(
+      spark, imprTopic.toString, clickTopic.toString, work,
+      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes")
+    def launchAnomaly() =
+      StreamingJobs.runAnomalyJob(spark, s"$work/ctr_results", work)
+
+    // phase 1: both jobs live; first half of the stream flows end to end
+    writeWave(imprTopic, "w0.json",
+      jsonLines(ev.impressions.filter(_.event_timestamp < cutMs).toDF()))
+    writeWave(clickTopic, "w0.json",
+      jsonLines(ev.clicks.filter(_.event_timestamp < cutMs).toDF()))
+    val main1 = launchMain()
+    val anomaly1 = launchAnomaly()
+    try {
+      main1.foreach(_.processAllAvailable())
+      anomaly1.processAllAvailable()
+    } finally anomaly1.stop() // CRASH 1: the downstream job dies first
+
+    // the upstream job keeps running: second half lands, ctr rows are
+    // written that the dead anomaly job has never seen
+    try {
+      writeWave(imprTopic, "w1.json",
+        jsonLines(ev.impressions.filter(_.event_timestamp >= cutMs).toDF()))
+      writeWave(clickTopic, "w1.json",
+        jsonLines(ev.clicks.filter(_.event_timestamp >= cutMs).toDF()))
+      main1.foreach(_.processAllAvailable())
+    } finally main1.foreach(_.stop()) // CRASH 2: upstream dies later
+
+    // both restart from their checkpoints; sentinel waves drive the
+    // remaining windows closed through the WHOLE chain
+    val main2 = launchMain()
+    val anomaly2 = launchAnomaly()
+    try {
+      def stepAll(): Unit = {
+        main2.foreach(_.processAllAvailable())
+        anomaly2.processAllAvailable()
+      }
+      stepAll()
+      (0 to 6).foreach { k =>
+        writeWave(imprTopic, s"s$k.json", Seq(sentinelImpr(k * 5 * 60000L)))
+        writeWave(clickTopic, s"s$k.json", Seq(sentinelClick(k * 5 * 60000L)))
+        stepAll()
+      }
+    } finally { main2.foreach(_.stop()); anomaly2.stop() }
+
+    val iBatch = EventTime.withEventTime(ev.impressions.toDF())
+    val cBatch = EventTime.withEventTime(ev.clicks.toDF())
+    val wantCtr = AdPipelines.ctrByCampaign(
+      AdPipelines.joined(iBatch, cBatch))
+    val gotCtr = spark.read.schema(AdModel.ctrResultSchema)
+      .json(s"$work/ctr_results")
+      .filter($"campaign_id" =!= "camp-sentinel")
+    assert(gotCtr.collect().map(_.toSeq).toSet ==
+      wantCtr.collect().map(_.toSeq).toSet,
+      "double-restart ctr != batch ctr")
+    // the composed contract: the final alert set equals the no-crash
+    // run's — exactly-once THROUGH the topic boundary, not just within
+    // each job — with no duplicate alerts from either restart
+    val gotAlerts = spark.read.schema(AdModel.anomalyAlertSchema)
+      .json(s"$work/anomaly_alerts")
+      .filter($"campaign_id" =!= "camp-sentinel")
+    val wantAlerts = AdPipelines.anomalyAlerts(wantCtr)
+    assert(gotAlerts.collect().map(_.toSeq).toSet ==
+      wantAlerts.collect().map(_.toSeq).toSet,
+      "double-restart alerts != no-crash batch alerts")
+    assert(gotAlerts.count() == gotAlerts.dropDuplicates().count(),
+      "duplicate alerts after the double restart")
+  }
 }
