@@ -300,6 +300,15 @@ object DataPipelineQueries {
       weights = Some(qclsWeights(spark, sfDir)))
   }
 
+  /** The LR model's held-out receipt — same eval, LR weights. */
+  def qualityClassifierLrEvalQ(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    TextAnalysis.classifierEval(docs(spark, sfDir), col("lang") === "en",
+      sharedTf = Some(docTokenCounts(spark, sfDir)),
+      weights = Some(qclsLrWeights(spark, sfDir)))
+  }
+
   /** DSIR importance weights over the shared token frame. The target
     * slice is the 'en' half of one source — standing in for the small
     * curated reference corpus (wiki/books) a production run would pass.
@@ -1691,12 +1700,14 @@ object DataPipelineQueries {
     * weights, then the exact tie-aware Mann–Whitney AUC in integer
     * space (µ-int score keys, 2U accumulated over distinct scores) and
     * the per-class µ-int mean logits. */
-  val qualityClassifierEvalOracle: String =
-    s"""WITH $qualityClassifierTrainCte,
-      |sc AS (SELECT doc_id,
+  /** The eval tail parameterized by the weight relation — ONE definition
+    * for the NB and LR receipts (divergent copies would silently split
+    * the engines on the AUC arithmetic). */
+  private def classifierEvalTailSql(wtRel: String): String =
+    s"""sc AS (SELECT doc_id,
       |    CAST(round(CAST(sum(c * wt.w) AS DOUBLE)
       |      / CAST(sum(c) AS BIGINT)) AS BIGINT) AS s
-      |  FROM h JOIN wt USING (b) GROUP BY doc_id),
+      |  FROM h JOIN $wtRel wt USING (b) GROUP BY doc_id),
       |ev AS (SELECT sc.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
       |  FROM sc JOIN documents d USING (doc_id)
       |  WHERE sc.doc_id NOT IN (SELECT doc_id FROM trn)),
@@ -1721,6 +1732,17 @@ object DataPipelineQueries {
       |    floor(CAST(u2 AS DOUBLE) * 1000000.0
       |      / (2.0 * n_pos * n_neg) + 0.5) / 1000000.0 END AS auc
       |FROM agg CROSS JOIN mn""".stripMargin
+
+  val qualityClassifierEvalOracle: String =
+    s"""WITH $qualityClassifierTrainCte,
+      |${classifierEvalTailSql("wt")}""".stripMargin
+
+  /** Held-out separation receipt for the LR-trained model — the same
+    * eval tail over the epoch-unrolled LR weights. */
+  val qualityClassifierLrEvalOracle: String =
+    s"""WITH $qualityClassifierTrainCte,
+      |${qualityClassifierLrCtes(qclsLrEpochs, qclsLrRate)},
+      |${classifierEvalTailSql(s"lw$qclsLrEpochs")}""".stripMargin
 
   /** Same hashed-unigram DSIR construction as `TextAnalysis.dsirWeights`:
     * identical md5 bucketing, add-one-smoothed target/raw multinomials
@@ -2760,6 +2782,8 @@ object DataPipelineQueries {
       Some(qualityClassifierEvalOracle)),
     NamedQuery("quality_classifier_lr", qualityClassifierLrQ,
       Some(qualityClassifierLrOracle)),
+    NamedQuery("quality_classifier_lr_eval", qualityClassifierLrEvalQ,
+      Some(qualityClassifierLrEvalOracle)),
     NamedQuery("dsir_weights", dsirWeightsQ, Some(dsirWeightsOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),

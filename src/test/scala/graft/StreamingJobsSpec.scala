@@ -181,6 +181,16 @@ class StreamingJobsSpec extends SparkSpec {
 
   test("chained-topology double restart: BOTH jobs killed at staggered " +
     "offsets recover exactly-once ACROSS the topic boundary (r15)") {
+    chainedDoubleRestart(stateStoreProvider = None)
+  }
+
+  test("chained-topology double restart under RocksDB — the composed " +
+    "drill on the reference's state backend (r15)") {
+    chainedDoubleRestart(stateStoreProvider =
+      Some(graft.streaming.StateBackend.RocksDb))
+  }
+
+  private def chainedDoubleRestart(stateStoreProvider: Option[String]): Unit = {
     // T6 recovery was proven per-job; this is the COMPOSED drill on the
     // reference's cross-job dataflow edge (P1's ctr sink feeding P2,
     // flink/flink_job.sql:53 ↔ flink/anomaly_job.sql:21): the anomaly
@@ -206,9 +216,11 @@ class StreamingJobsSpec extends SparkSpec {
 
     def launchMain() = StreamingJobs.runMainJob(
       spark, imprTopic.toString, clickTopic.toString, work,
-      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes")
+      watermarkDelay = "2 seconds", chainedWatermarkDelay = "16 minutes",
+      stateStoreProvider = stateStoreProvider)
     def launchAnomaly() =
-      StreamingJobs.runAnomalyJob(spark, s"$work/ctr_results", work)
+      StreamingJobs.runAnomalyJob(spark, s"$work/ctr_results", work,
+        stateStoreProvider = stateStoreProvider)
 
     // phase 1: both jobs live; first half of the stream flows end to end
     writeWave(imprTopic, "w0.json",
