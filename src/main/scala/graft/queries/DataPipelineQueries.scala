@@ -35,6 +35,22 @@ object DataPipelineQueries {
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.normalizedExact(docs(spark, sfDir))
 
+  /** [[Dedup.unicodeExact]] — the multi-script canonical dedup (NFC +
+    * casefold + category tokens; dedup_normalized's `[^a-z0-9 ]` class
+    * erases non-Latin scripts entirely). */
+  def dedupUnicode(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.unicodeExact(docs(spark, sfDir))
+
+  /** Verbatim [[Dedup.unicodeForm]] in DuckDB. */
+  val dedupUnicodeOracle: String =
+    s"""SELECT min(doc_id) AS doc_id,
+       |  md5(array_to_string(list_filter(regexp_split_to_array(
+       |    lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'),
+       |    s -> s <> ''), ' ')) AS fingerprint,
+       |  count(*) AS group_size,
+       |  count(DISTINCT md5(text)) AS n_variants
+       |FROM documents GROUP BY 2""".stripMargin
+
   /** Duplicate-span window width shared with the oracle SQL. */
   private val spanWindow = 12
 
@@ -2741,6 +2757,7 @@ object DataPipelineQueries {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("dedup_exact", dedupExact, Some(dedupExactOracle)),
     NamedQuery("dedup_normalized", dedupNormalized, Some(dedupNormalizedOracle)),
+    NamedQuery("dedup_unicode", dedupUnicode, Some(dedupUnicodeOracle)),
     NamedQuery("dedup_spans", dedupSpans, Some(dedupSpansOracle)),
     NamedQuery("span_boilerplate", spanBoilerplate, Some(spanBoilerplateOracle)),
     NamedQuery("strip_boilerplate", stripBoilerplateQ, Some(stripBoilerplateOracle)),

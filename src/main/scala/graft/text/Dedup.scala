@@ -73,6 +73,40 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"), col("group_size"),
         col("n_variants"))
 
+  /** The Unicode-canonical form: NFC + casefold + letter/digit-run
+    * tokens re-joined by single spaces ([[TextOps.unicodeTokens]] — ONE
+    * canonicalization shared with the tokenizer knob, not a second
+    * regex). Where [[normalizedForm]]'s `[^a-z0-9 ]` class erases every
+    * non-Latin script (a Cyrillic document normalizes to EMPTY and all
+    * such documents collapse into one false dup group), this keeps all
+    * scripts and folds what Unicode says is equal. */
+  def unicodeForm(text: Column): Column =
+    // explicit null guard: Spark's concat_ws returns "" on a NULL array
+    // (it skips nulls) while DuckDB's array_to_string propagates NULL —
+    // a NULL text must read a NULL form on both engines, not collapse
+    // into the empty-document dup group on one of them
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(" ", TextOps.unicodeTokens(text)))
+
+  /**
+   * Unicode-canonical exact dedup — [[normalizedExact]] for multi-script
+   * corpora: fingerprints over [[unicodeForm]], so canonically
+   * equivalent byte sequences ("é" composed vs decomposed), case
+   * variants in ANY script, and punctuation/whitespace reformattings
+   * collapse — while non-Latin documents keep their identity instead of
+   * being erased to the empty string. Same output shape and the same
+   * scale shape as [[exact]]: narrow per-row canonicalization fused into
+   * the scan (the NFC expression has an already-normalized fast path),
+   * then ONE map-side-partial hash shuffle on the fingerprint.
+   */
+  def unicodeExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(unicodeForm(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"),
+        countDistinct(md5(col("text"))).as("n_variants"))
+      .select(col("doc_id"), col("fingerprint"), col("group_size"),
+        col("n_variants"))
+
   /**
    * (doc_id, sh) with sh the DISTINCT word n-gram shingle set as an array
    * column — pure narrow projection, no shuffle. This is the shared

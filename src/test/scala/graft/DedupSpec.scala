@@ -32,6 +32,39 @@ class DedupSpec extends SparkSpec {
       same.head.getAs[Long]("n_variants") == 1L)
   }
 
+  test("unicodeExact: canonically equivalent / case-variant multi-script " +
+    "docs collapse; distinct non-Latin docs KEEP their identity where " +
+    "normalizedExact erases them") {
+    // docs 1-2: composed é (U+00E9) vs decomposed e+U+0301 — byte-
+    // different, Unicode-equal; doc 3: a case variant of the same text;
+    // docs 4-5: two DIFFERENT Cyrillic documents
+    val df = docsDF(
+      1L -> "Café,  Déjà vu!",
+      2L -> "café déjà vu", // decomposed accents
+      3L -> "CAFÉ DÉJÀ VU",
+      4L -> "Москва столица",
+      5L -> "Киев столица")
+    val uni = Dedup.unicodeExact(df)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_size"),
+        r.getAs[Long]("n_variants"))).sortBy(_._1)
+    assert(uni.toSeq == Seq((1L, 3L, 3L), (4L, 1L, 1L), (5L, 1L, 1L)),
+      s"got ${uni.toSeq}")
+    // the failure mode the variant exists for: normalizedForm's
+    // [^a-z0-9 ] class erases BOTH Cyrillic docs to the empty string —
+    // two different documents read as one dup group
+    val ascii = Dedup.normalizedExact(df.filter(col("doc_id") >= 4L))
+      .collect()
+    assert(ascii.length == 1 && ascii.head.getAs[Long]("group_size") == 2L,
+      "expected the ASCII normalizer to (wrongly) collapse the Cyrillic docs")
+    // NULL text keeps a NULL fingerprint group (the concat_ws guard):
+    // it must not fall into the empty-document group
+    val withNull = Dedup.unicodeExact(
+      Seq((7L, "!!!"), (8L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[String]("fingerprint")).isDefined))
+    assert(withNull.toSet == Set((7L, true), (8L, false)), withNull.toSeq)
+  }
+
   test("duplicateSpanStats: cross-doc spans counted, within-doc repeats are not") {
     val out = Dedup.duplicateSpanStats(docsDF(
       1L -> "a b c d",          // windows: "a b c", "b c d"

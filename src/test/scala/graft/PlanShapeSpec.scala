@@ -59,8 +59,10 @@ class PlanShapeSpec extends SparkSpec {
       "ann_recall_audit",
       // r14: the AUC receipt attaches its SINGLE-ROW class-mean frame to
       // the single-row rank aggregate via a cross join (the dsir_weights
-      // totals pattern — one row broadcast over one row)
-      "quality_classifier_eval")
+      // totals pattern — one row broadcast over one row); r15: the LR
+      // model's receipt is the same classifierEval plan over different
+      // weights
+      "quality_classifier_eval", "quality_classifier_lr_eval")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —
