@@ -37,16 +37,28 @@ object StreamingCuration {
    *                   (catches case/punct/whitespace variants at ingest;
    *                   the normalization is a stateless per-row projection,
    *                   so state size and semantics are otherwise identical)
+   * @param unicode fingerprint the [[graft.text.Dedup.unicodeForm]]
+   *                   canonical text (NFC + casefold + category tokens)
+   *                   — the streaming twin of
+   *                   [[graft.text.Dedup.unicodeExact]], for multi-script
+   *                   ingest where `normalized`'s ASCII class would erase
+   *                   non-Latin documents to one false dup group (r15);
+   *                   same stateless-projection cost shape
    */
   def exactDedup(docs: DataFrame, timeCol: String = "ingest_time",
                  watermarkDelay: String = "10 seconds",
-                 normalized: Boolean = false): DataFrame =
+                 normalized: Boolean = false,
+                 unicode: Boolean = false): DataFrame = {
+    require(!(normalized && unicode),
+      "pick ONE canonical form: normalized (ASCII) or unicode")
     docs
       .withColumn("fingerprint",
-        if (normalized) md5(Dedup.normalizedForm(col("text")))
+        if (unicode) md5(Dedup.unicodeForm(col("text")))
+        else if (normalized) md5(Dedup.normalizedForm(col("text")))
         else md5(col("text")))
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+  }
 
   /**
    * Streaming token-frequency analysis — the windowed twin of

@@ -154,6 +154,38 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unicode streaming dedup collapses composed/decomposed + case " +
+    "variants across scripts at ingest; batch-fingerprint parity") {
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val out = StreamingCuration.exactDedup(
+      stream.toDF().toDF("doc_id", "text", "ingest_time"), unicode = true)
+    // doc 2 carries DECOMPOSED accents (e + U+0301), doc 3 is a case
+    // variant; doc 4 is a different Cyrillic doc that must survive
+    stream.addData(
+      (1L, "Café déjà", ts(100)),
+      (2L, "cafe\u0301 de\u0301ja\u0300", ts(101)),
+      (3L, "CAFÉ DÉJÀ!", ts(102)),
+      (4L, "Москва столица", ts(103)))
+    val q = out.writeStream.format("memory").queryName("sdedup_uni")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((99L, "sentinel", ts(10000)))
+      q.processAllAvailable()
+      val got = spark.table("sdedup_uni").filter(col("doc_id") =!= 99L)
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(got.toSeq == Seq(1L, 4L), s"got ${got.toSeq}")
+      val batch = Dedup.unicodeExact(
+        Seq((1L, "Café déjà"), (2L, "cafe\u0301 de\u0301ja\u0300"),
+          (3L, "CAFÉ DÉJÀ!"), (4L, "Москва столица"))
+          .toDF("doc_id", "text"))
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      val streamFp = spark.table("sdedup_uni").filter(col("doc_id") =!= 99L)
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      assert(streamFp == batch)
+    } finally q.stop()
+  }
+
   test("duplicates beyond the watermark horizon re-emit (state was GC'd)") {
     val stream = MemoryStream[(Long, String, Timestamp)](spark)
     val out = StreamingCuration.exactDedup(
