@@ -381,6 +381,37 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: unicodeTokens/unicodeForm match a plain-JDK re-derivation " +
+    "on random mixed-script text (8 corpora)") {
+    import spark.implicits._
+    // alphabet spanning the classes the tokenizer must handle: ASCII,
+    // precomposed accents, COMBINING marks (NFC must fold them), a
+    // non-Latin bicameral script (casefold), CJK (letter category, no
+    // case), digits, punctuation/separators (split points)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "a", "B", "z", "7", "é", "É", "ö", "Ж", "д", "漢", "字",
+      "e\u0301", "o\u0308", "A\u0300", // decomposed: NFC must fold these
+      " ", ".", ",", "-", "!", "_", "½", " ")
+    def jdkForm(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+      nfc.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+", -1).filter(_.nonEmpty).mkString(" ")
+    }
+    val rnd2 = new scala.util.Random(1503L)
+    val rows = (1L to 8L).map { d =>
+      (d, (0 until 20 + rnd2.nextInt(60))
+        .map(_ => pool(rnd2.nextInt(pool.length))).mkString)
+    }
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Dedup.unicodeForm(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, s) =>
+      assert(got(d) == jdkForm(s),
+        s"doc $d: spark='${got(d)}' jdk='${jdkForm(s)}' raw='$s'")
+    }
+  }
+
   /** Independent plain-Scala BPE trainer (counting, tie rule, greedy
     * non-overlapping application) for the fuzz below. */
   private def scalaBpe(texts: Seq[String], n: Int)
