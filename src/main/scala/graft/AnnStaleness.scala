@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
  * yesterday's corpus), and how much does retraining recover?
  *
  * For fractionNew ∈ {0, 0.5, 1, 2, 4}× the base corpus:
- *  - fresh vectors are the base distribution plus a deterministic mean
- *    shift on the first 16 dims (exactly the axis the registered
- *    `embedding_drift` monitor measures) and a per-vector hash jitter;
+ *  - fresh vectors come from a GENUINELY new distribution: 8
+ *    hash-generated clusters in a region the base corpus does not
+ *    occupy, every center carrying a +0.35 mean shift on the first 16
+ *    dims (exactly the axis the registered `embedding_drift` monitor
+ *    measures) — see [[freshShifted]], including why a copy-and-nudge
+ *    generator would measure the OPPOSITE effect;
  *  - the STALE index assigns base+fresh under the centroids frozen on
  *    the base corpus alone, and recall@5 is audited against brute force
  *    over the combined corpus for two query populations: old-
@@ -67,15 +70,23 @@ object AnnStaleness {
   /** Mean recall@5 over `corpus` (queries = vec_id < nQ): assignments
     * AND probes both under the EXPLICIT centroid array (frozen or
     * retrained — the serving configuration under test), audited against
-    * brute force. Deterministic end to end. */
+    * brute force. Deterministic end to end.
+    *
+    * @param brute pass the corpus's precomputed (ideally persisted)
+    *              [[Similarity.bruteForceTopK]] frame when auditing the
+    *              SAME corpus under several centroid arrays — the exact
+    *              scan is each rung's dominant cost and recomputing it
+    *              per audit doubles the harness (r15 review) */
   def meanRecall(corpus: DataFrame, cells: Array[(Long, Seq[Double], Double)],
-                 nQ: Int, nCells: Int, nProbe: Int): Double = {
+                 nQ: Int, nCells: Int, nProbe: Int,
+                 brute: Option[DataFrame] = None): Double = {
     val approx = Similarity.ivfHashTopKPruned(corpus,
       Similarity.ivfCellAssignmentsWith(corpus, cells),
       nQueries = nQ, k = 5, nCells = nCells, nProbe = nProbe,
       cells = Some(cells))
-    val brute = Similarity.bruteForceTopK(corpus, nQueries = nQ, k = 5)
-    val r = Similarity.recallAudit(approx, brute, 5)
+    val exact = brute.getOrElse(
+      Similarity.bruteForceTopK(corpus, nQueries = nQ, k = 5))
+    val r = Similarity.recallAudit(approx, exact, 5)
       .agg(avg(col("recall_at_k"))).collect()(0)
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
@@ -113,9 +124,15 @@ object AnnStaleness {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBase = base.count()
 
-    def recall(corpus: DataFrame,
-               cells: Array[(Long, Seq[Double], Double)]): Double =
-      meanRecall(corpus, cells, nQ, nCells, nProbe)
+    // each corpus's brute-force ground truth computes ONCE and persists:
+    // the exact scan dominates a rung's cost and both the frozen and the
+    // retrained audit read the same truth
+    def withBrute[T](corpus: DataFrame)(
+        f: (DataFrame, Option[DataFrame]) => T): T = {
+      val brute = Similarity.bruteForceTopK(corpus, nQueries = nQ, k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try f(corpus, Some(brute)) finally brute.unpersist()
+    }
     def newQueryView(b: DataFrame, fresh: DataFrame): DataFrame =
       AnnStaleness.newQueryView(b, fresh, nQ)
 
@@ -133,20 +150,23 @@ object AnnStaleness {
         else Similarity.embeddingDrift(combined,
             col("vec_id") >= 100000000L)
           .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
-      val recallOldFrozen = recall(combined, frozen)
-      val recallNewFrozen =
-        if (nFresh == 0) recallOldFrozen
-        else recall(newQueryView(base, fresh), frozen)
       val (retrainSec, retrained) = {
         val t0 = System.nanoTime()
         val c = Similarity.freezeAnnIndex(combined, nCells)
           .getOrElse(sys.error("combined corpus too small")).cells.toArray
         ((System.nanoTime() - t0) / 1e9, c)
       }
-      val recallOldRetrained = recall(combined, retrained)
-      val recallNewRetrained =
-        if (nFresh == 0) recallOldRetrained
-        else recall(newQueryView(base, fresh), retrained)
+      val (recallOldFrozen, recallOldRetrained) =
+        withBrute(combined) { (c, brute) =>
+          (meanRecall(c, frozen, nQ, nCells, nProbe, brute),
+            meanRecall(c, retrained, nQ, nCells, nProbe, brute))
+        }
+      val (recallNewFrozen, recallNewRetrained) =
+        if (nFresh == 0) (recallOldFrozen, recallOldRetrained)
+        else withBrute(newQueryView(base, fresh)) { (v, brute) =>
+          (meanRecall(v, frozen, nQ, nCells, nProbe, brute),
+            meanRecall(v, retrained, nQ, nCells, nProbe, brute))
+        }
       println(f"""{"metric":"ann_staleness","frac_new":$frac,""" +
         f""""n_base":$nBase,"n_fresh":$nFresh,"cells":$nCells,""" +
         f""""probe":$nProbe,"queries":$nQ,"drift_z":$driftZ%.3f,""" +

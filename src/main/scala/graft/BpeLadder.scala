@@ -46,7 +46,8 @@ object BpeLadder {
       val merges = TextAnalysis.bpeTrain(docs, nMerges = nMerges,
         sharedVocab = Some(vocab), batch = batch)
       val wall = (System.nanoTime() - t0) / 1e9
-      (wall, TextAnalysis.lastTrainRounds, merges.map(m => (m.symA, m.symB)))
+      (wall, TextAnalysis.lastTrainRounds.get,
+        merges.map(m => (m.symA, m.symB)))
     }
 
     for (n <- Seq(8, 64, 256)) {
@@ -55,10 +56,14 @@ object BpeLadder {
       require(mSeq == mBat,
         s"batched merges diverged from sequential at nMerges=$n - " +
           "admitBatch equivalence is broken; fix before trusting the ladder")
+      // merges/round over the merges ACTUALLY learned (the pair
+      // population can exhaust before nMerges — dividing the REQUEST by
+      // rounds would overstate the batching receipt)
       println(f"""{"metric":"bpe_ladder","n_merges":$n,""" +
+        f""""merges_learned":${mBat.size},""" +
         f""""seq_sec":$wSeq%.2f,"seq_rounds":$rSeq,""" +
         f""""batched_sec":$wBat%.2f,"batched_rounds":$rBat,""" +
-        f""""merges_per_round":${n.toDouble / rBat}%.2f,""" +
+        f""""merges_per_round":${mBat.size.toDouble / rBat}%.2f,""" +
         f""""speedup":${wSeq / wBat}%.2f}""")
     }
     spark.stop()

@@ -148,14 +148,23 @@ object StreamThroughput {
       val progress = consumers.flatMap(_.recentProgress.toSeq)
       val batchMs = progress
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      // peak TOTAL state rows across the topology's batches (join +
-      // dedup + window-agg stores summed) — the hot-key ladder's state
-      // axis: skew concentrates UPDATES on few keys, so total state
-      // should stay ~flat while per-partition load skews
-      val stateRows = progress
+      // topology-wide state rows: each StreamingQueryProgress covers ONE
+      // query of the chain, so take every QUERY's own peak (max over its
+      // batches of its state stores summed) and SUM across the queries —
+      // a max over per-batch readings would report only the largest
+      // single store and silently miss skew-driven growth in the smaller
+      // ones (r15 review). Peaks need not be simultaneous, so this is a
+      // slight upper estimate of any instant's total. -1 = no stateful
+      // operator reported. The hot-key ladder's state axis: skew
+      // concentrates UPDATES on few keys, so total state stays
+      // key-bounded while per-partition load skews.
+      val perQueryPeaks = consumers.map(_.recentProgress.toSeq
         .map(p => Option(p.stateOperators).toSeq.flatten
           .map(_.numRowsTotal).sum)
-        .foldLeft(-1L)(math.max)
+        .foldLeft(-1L)(math.max))
+      val stateRows =
+        if (perQueryPeaks.forall(_ < 0)) -1L
+        else perQueryPeaks.filter(_ >= 0).sum
       val feedWallMs = (feedEnd - feedStart) / 1000000L
       val drainMs = (drainEnd - feedEnd) / 1000000L
       StepResult(job, rate, eventsIn, feedWallMs, drainMs,

@@ -905,21 +905,31 @@ object TextAnalysis {
                minWordCount: Long = 1L,
                batch: Int = 1): Seq[BpeMerge] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    // localCheckpoint, not persist: each round's collect materializes the
-    // evolving vocabulary AND TRUNCATES ITS LINEAGE. Under plain persist
-    // the logical plan keeps every prior round's fold — at toy merge
-    // counts that is invisible, but a 64+-round training run grows a
-    // plan whose mere tree-string rendering (SQLExecution emits one per
-    // action) OOMs the driver long before the data does. The vocabulary
-    // frame is small and MEMORY_AND_DISK-backed, so the documented
-    // localCheckpoint caveat (lost-executor recompute is impossible)
-    // costs at most a training restart; a run on preemptible executors
-    // should swap in reliable checkpoint(). Old rounds' cached RDDs are
-    // released by the ContextCleaner once unreferenced.
+    // Cache discipline, two requirements in tension:
+    //  1. LINEAGE must be cut periodically — under plain persist the
+    //     logical plan keeps every prior round's fold, and a 64+-round
+    //     run OOMs the DRIVER on plan-tree STRING rendering alone
+    //     (SQLExecution stringifies the plan for every action) long
+    //     before the data costs anything.
+    //  2. Cached copies must be RELEASED explicitly — localCheckpoint
+    //     RDDs are only reclaimed by the ContextCleaner after driver GC,
+    //     so checkpointing EVERY round would strand one MEMORY_AND_DISK
+    //     vocabulary copy per round on a mostly-idle driver heap
+    //     (thousands, at the 32k-merge scale batching exists for).
+    // Resolution: persist each round (retired one round late by the
+    // explicit unpersist — the Lloyd discipline, ≤ 2 live copies), and
+    // every `cutEvery` rounds localCheckpoint INSTEAD — plan depth stays
+    // ≤ cutEvery folds, and stranded checkpoint copies are bounded at
+    // rounds/cutEvery tiny frames (unpersist on them is a harmless
+    // no-op; the ContextCleaner reclaims them). A run on preemptible
+    // executors should swap the localCheckpoint for reliable
+    // checkpoint() — the lost-executor caveat costs a training restart.
+    val cutEvery = 16
     var vocab = sharedVocab.getOrElse(wordCounts(docs))
       .filter(col("__wc") >= minWordCount)
       .select(charSyms(col("word")).as("syms"), col("__wc"))
       .localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var rounds = 0
     try {
@@ -931,6 +941,8 @@ object TextAnalysis {
           .limit(want + 1)
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        prev.foreach(_.unpersist())
+        prev = Some(vocab)
         if (window.isEmpty) return merges.toSeq
         val keep = admitBatch(window.toSeq, want)
         keep.foreach { case (a, b, c) =>
@@ -939,22 +951,30 @@ object TextAnalysis {
         // ONE map-side pass applies the whole batch: the rank-ordered
         // fold of per-merge greedy applications inside a single select —
         // no action, no shuffle, no extra round-trip per merge
-        vocab = keep.foldLeft(vocab) { case (v, (a, b, _)) =>
+        val folded = keep.foldLeft(vocab) { case (v, (a, b, _)) =>
           v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
-        }.localCheckpoint(false)
+        }
+        vocab =
+          if (rounds % cutEvery == 0) folded.localCheckpoint(false)
+          else folded
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       merges.toSeq
     } finally {
-      lastTrainRounds = rounds
+      lastTrainRounds.set(rounds)
+      prev.foreach(_.unpersist())
+      vocab.unpersist()
     }
   }
 
-  /** Driver rounds (serialized collect actions) the LAST [[bpeTrain]]
-    * call on this JVM took — measurement instrumentation for the
+  /** Driver rounds (serialized collect actions) the calling THREAD's
+    * last [[bpeTrain]] took — measurement instrumentation for the
     * batching ladder (graft.BpeLadder), not an API: the sub-linearity
     * receipt needs actions-per-merge, which the merge list alone cannot
-    * reveal. */
-  @volatile private[graft] var lastTrainRounds: Int = 0
+    * reveal. Thread-local so concurrent sessions (the ConcurrentBench
+    * regime) cannot clobber each other's reading. */
+  private[graft] val lastTrainRounds: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
 
   /**
    * Batched-round admission: from one ranked pair window (count DESC,

@@ -606,10 +606,14 @@ class SimilaritySpec extends SparkSpec {
       .get.cells.toArray
     val baseline = AnnStaleness.meanRecall(base, frozen, nQ, 16, 4)
     val view = AnnStaleness.newQueryView(base, fresh, nQ)
-    val frozenNew = AnnStaleness.meanRecall(view, frozen, nQ, 16, 4)
+    val viewBrute = Some(
+      Similarity.bruteForceTopK(view, nQueries = nQ, k = 5).persist())
+    val frozenNew = AnnStaleness.meanRecall(view, frozen, nQ, 16, 4,
+      brute = viewBrute)
     val retrained = Similarity.freezeAnnIndex(view, nCells = 16)
       .get.cells.toArray
-    val retrainedNew = AnnStaleness.meanRecall(view, retrained, nQ, 16, 4)
+    val retrainedNew = AnnStaleness.meanRecall(view, retrained, nQ, 16, 4,
+      brute = viewBrute)
     // everything above is hash-deterministic, so these are fixed values,
     // not statistical claims: staleness costs new-distribution recall...
     assert(frozenNew < retrainedNew,
@@ -649,6 +653,7 @@ class SimilaritySpec extends SparkSpec {
       spark.read.parquet(s"$work/merged"),
       nQueries = 8, k = 5, nCells = 16, nProbe = 4, cells = Some(frozen)))
     assert(gotRows == wantRows && gotRows.nonEmpty)
+    viewBrute.foreach(_.unpersist())
     base.unpersist(); fresh.unpersist()
   }
 }
