@@ -422,6 +422,18 @@ object DataPipelineQueries {
           sharedVocab = Some(bpeWordCounts(spark, sfDir))))
     }
 
+  /** Tokenizer fertility per source under the TRAINED vocab — the
+    * compression (chars/token) and fertility (tokens/word) numbers a
+    * pipeline reads before committing to a tokenizer
+    * ([[TextAnalysis.bpeFertility]] over the broadcast dictionary). */
+  val bpeFertilityQ: (SparkSession, String) => DataFrame =
+    memoized("bpeFertility") { (spark, sfDir) =>
+      TextAnalysis.bpeFertility(docs(spark, sfDir),
+        TextAnalysis.bpeDictionary(docs(spark, sfDir),
+          bpeMergesTrained(spark, sfDir),
+          sharedVocab = Some(bpeWordCounts(spark, sfDir))))
+    }
+
   /** The BPE training loop unrolled as DuckDB CTEs — round t reads
     * vocabulary v{t-1} (words as space-prefixed symbol strings), counts
     * adjacent symbol pairs weighted by word count (p{t}), takes the
@@ -466,12 +478,13 @@ object DataPipelineQueries {
        |$unions""".stripMargin
   }
 
-  /** Replays [[bpeDocTokensQ]]: the word→symbols dictionary rebuilt by
-    * applying each learned merge t{t} to every DISTINCT word's spaced
-    * symbol string (the same list_reduce greedy fold the training CTEs
-    * use), then per-doc token rows join it and sum symbol counts (an
-    * empty word counts 0 but keeps its doc's row). */
-  val bpeDocTokensOracle: String = {
+  /** The word→symbols DICTIONARY rebuilt in SQL: each learned merge
+    * t{t} applied to every DISTINCT word's spaced symbol string (the
+    * same list_reduce greedy fold the training CTEs use) — w0..wN CTEs
+    * shared by the doc-tokens and fertility oracles, plus `dt` (the
+    * per-doc token rows) and `pdt` (per-doc subword counts; an empty
+    * word counts 0 but keeps its doc's row). */
+  private def bpeDictCtes: String = {
     val dictRounds = (1 to bpeTrainRounds).map { t =>
       s"""w$t AS (SELECT word, CASE WHEN w = '' OR t.a IS NULL THEN w ELSE
          |    list_reduce(list_transform(string_split(substr(w, 2), ' '),
@@ -481,20 +494,46 @@ object DataPipelineQueries {
          |        ELSE acc || x END) END AS w
          |  FROM w${t - 1} LEFT JOIN t$t t ON true)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
-       |w0 AS (SELECT word, array_to_string(list_transform(range(length(word)),
+    s"""w0 AS (SELECT word, array_to_string(list_transform(range(length(word)),
        |    i -> ' ' || substr(word, i + 1, 1)), '') AS w
        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
        |        FROM documents WHERE text IS NOT NULL) z),
        |$dictRounds,
        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents WHERE text IS NOT NULL)
-       |SELECT dt.doc_id, CAST(sum(CASE WHEN d.w = '' THEN 0
+       |  FROM documents WHERE text IS NOT NULL),
+       |pdt AS (SELECT dt.doc_id, CAST(sum(CASE WHEN d.w = '' THEN 0
        |    ELSE len(string_split(substr(d.w, 2), ' ')) END) AS BIGINT)
-       |  AS n_subword_tokens
-       |FROM dt JOIN w$bpeTrainRounds d USING (word)
-       |GROUP BY dt.doc_id""".stripMargin
+       |    AS n_subword_tokens
+       |  FROM dt JOIN w$bpeTrainRounds d USING (word)
+       |  GROUP BY dt.doc_id)""".stripMargin
   }
+
+  /** Replays [[bpeDocTokensQ]] via the shared dictionary CTEs. */
+  val bpeDocTokensOracle: String =
+    s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
+       |$bpeDictCtes
+       |SELECT doc_id, n_subword_tokens FROM pdt""".stripMargin
+
+  /** Replays [[bpeFertilityQ]]: the per-doc subword counts joined back
+    * to documents for the per-source char/word sides, ratios on the
+    * µ-int grid (identical operand order to the Spark side). */
+  val bpeFertilityOracle: String =
+    s"""WITH ${bpeRoundCtes(bpeTrainRounds)},
+       |$bpeDictCtes,
+       |pw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM dt
+       |  GROUP BY doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(pdt.n_subword_tokens) AS BIGINT) AS n_subword_tokens,
+       |  CASE WHEN sum(pdt.n_subword_tokens) > 0 THEN
+       |    floor(CAST(sum(d.n_chars) AS DOUBLE)
+       |      / sum(pdt.n_subword_tokens) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS chars_per_token,
+       |  CASE WHEN sum(pw.nw) > 0 THEN
+       |    floor(CAST(sum(pdt.n_subword_tokens) AS DOUBLE)
+       |      / sum(pw.nw) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS tokens_per_word
+       |FROM pdt JOIN pw USING (doc_id) JOIN documents d USING (doc_id)
+       |GROUP BY d.source""".stripMargin
 
   /** Replays [[bpeEncodeQ]]: symbol counts over the final vocabulary
     * v$bpeTrainRounds, weighted by word count — identical to counting
@@ -2809,6 +2848,7 @@ object DataPipelineQueries {
     NamedQuery("bpe_vocab", bpeVocabQ, Some(bpeVocabOracle)),
     NamedQuery("bpe_encode", bpeEncodeQ, Some(bpeEncodeOracle)),
     NamedQuery("bpe_doc_tokens", bpeDocTokensQ, Some(bpeDocTokensOracle)),
+    NamedQuery("bpe_fertility", bpeFertilityQ, Some(bpeFertilityOracle)),
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("source_mix_temperature", sourceMixTemperature,
       Some(sourceMixTemperatureOracle)),

@@ -1085,6 +1085,40 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(size(col("syms"))).as("n_subword_tokens"))
 
+  /**
+   * Tokenizer FERTILITY under a learned vocabulary — the per-source
+   * numbers a pipeline reads to judge a tokenizer against a corpus
+   * before committing to it: characters per subword token (compression
+   * — how much text each token carries) and subword tokens per word
+   * (fertility proper — how many pieces the tokenizer shreds a word
+   * into; high fertility on a source means the vocabulary was trained
+   * on different text and every downstream token budget inflates).
+   *
+   * Scale shape: per-doc subword counts come from the broadcast
+   * dictionary join ([[bpeTokenCounts]] — the corpus is never
+   * re-folded), the char/word sides are per-row projections, and the
+   * rollup is one |sources|-key aggregation. Ratios quantized to the
+   * µ-int grid (ratios of integer sums — the robust-z half-tie rule),
+   * NULL for a source with zero subword tokens.
+   */
+  def bpeFertility(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val perDoc = bpeTokenCounts(docs, dict)
+    def grid(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("__nw"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subword_tokens")).as("n_subword_tokens"),
+        when(sum(col("n_subword_tokens")) > 0,
+          grid(sum(col("n_chars")).cast("double")
+            / sum(col("n_subword_tokens")))).as("chars_per_token"),
+        when(sum(col("__nw")) > 0,
+          grid(sum(col("n_subword_tokens")).cast("double")
+            / sum(col("__nw")))).as("tokens_per_word"))
+  }
+
   /** Corpus-total symbol counts under a learned merge list — the rollup
     * form of [[bpeEncode]]: totals aggregate at VOCABULARY grain
     * (Σ_word wc · occurrences-of-sym-in-word), so after the one

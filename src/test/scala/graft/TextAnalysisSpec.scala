@@ -149,6 +149,31 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("a", "b", 5L), ("c", "d", 5L)))
   }
 
+  test("bpeFertility: hand-traced chars/token and tokens/word per source " +
+    "under a trained dictionary") {
+    // trained on the textbook corpus: merges (a,b), (a,a), (ab,ab) —
+    // dict: abab→[abab], ab→[ab], aaaa→[aa,aa]
+    val train = docsDF(1L -> "abab abab abab ab ab aaaa")
+    val merges = TextAnalysis.bpeTrain(train, nMerges = 3)
+    // scored corpus: srcA doc1 "abab ab" (7 chars, 2 words → 2 subwords),
+    // srcA doc2 "aaaa" (4 chars, 1 word → 2 subwords);
+    // srcB doc3 "ab" (2 chars, 1 word → 1 subword)
+    val docs = Seq(
+      (1L, "abab ab", "srcA", 7L),
+      (2L, "aaaa", "srcA", 4L),
+      (3L, "ab", "srcB", 2L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dict = TextAnalysis.bpeDictionary(docs, merges)
+    val out = TextAnalysis.bpeFertility(docs, dict).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_subword_tokens"),
+          r.getAs[Double]("chars_per_token"),
+          r.getAs[Double]("tokens_per_word"))).toMap
+    // srcA: 11 chars / 4 subwords = 2.75; 4 subwords / 3 words = 1.333333
+    assert(out("srcA") == ((2L, 4L, 2.75, 1.333333)), s"got ${out("srcA")}")
+    assert(out("srcB") == ((1L, 1L, 2.0, 1.0)), s"got ${out("srcB")}")
+  }
+
   test("unicodeTokens: NFC folds composed/decomposed accents; casefold; " +
     "category split on mixed-script text; unicodeStats hand values") {
     import graft.text.TextOps
