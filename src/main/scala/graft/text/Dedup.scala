@@ -66,8 +66,16 @@ object Dedup {
    * corpus.
    */
   def normalizedExact(docs: DataFrame): DataFrame =
+    canonicalExact(docs, normalizedForm(col("text")))
+
+  /** Shared body of the canonical-form dedups ([[normalizedExact]],
+    * [[unicodeExact]]): group on the md5 of the given canonical form,
+    * keep the smallest doc_id, count the group and its distinct RAW
+    * texts (n_variants = 1 everywhere ⇒ canonicalization found nothing
+    * byte-hashing would not). */
+  private def canonicalExact(docs: DataFrame, form: Column): DataFrame =
     docs
-      .groupBy(md5(normalizedForm(col("text"))).as("fingerprint"))
+      .groupBy(md5(form).as("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"),
         countDistinct(md5(col("text"))).as("n_variants"))
       .select(col("doc_id"), col("fingerprint"), col("group_size"),
@@ -100,12 +108,7 @@ object Dedup {
    * then ONE map-side-partial hash shuffle on the fingerprint.
    */
   def unicodeExact(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(md5(unicodeForm(col("text"))).as("fingerprint"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"),
-        countDistinct(md5(col("text"))).as("n_variants"))
-      .select(col("doc_id"), col("fingerprint"), col("group_size"),
-        col("n_variants"))
+    canonicalExact(docs, unicodeForm(col("text")))
 
   /**
    * (doc_id, sh) with sh the DISTINCT word n-gram shingle set as an array

@@ -445,17 +445,26 @@ object TextAnalysis {
    * the driver; retraining at 100 TB costs one pass over the token
    * frame restricted to trainN documents.
    */
-  def trainNbWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
-                     trainN: Int = 256, salt: String = "qcls",
-                     sharedTf: Option[DataFrame] = None): Array[Long] = {
-    // when/otherwise, not a bare cast: a NULL predicate row must read
-    // ALIEN (the oracle's CASE ... ELSE 0), not null-out of both counts
-    val lab = docs.filter(col("text").isNotNull)
+  /** The classifier family's bounded deterministic sample — the
+    * `trainN` tokenizable documents with the smallest md5(salt:doc_id),
+    * labeled by `isTarget` as `__y` ∈ {0, 1}. ONE definition for the NB
+    * fit, the LR fit and the held-out eval's complement cut (divergent
+    * copies would silently train and evaluate on different samples).
+    * when/otherwise, not a bare cast: a NULL predicate row must read
+    * ALIEN (the oracle's CASE ... ELSE 0), not null-out of both counts. */
+  private def labeledSample(docs: DataFrame, isTarget: Column,
+                            trainN: Int, salt: String): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
         md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
       .orderBy(col("__hk"), col("doc_id"))
       .limit(trainN)
       .select(col("doc_id"), col("__y"))
+
+  def trainNbWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
+                     trainN: Int = 256, salt: String = "qcls",
+                     sharedTf: Option[DataFrame] = None): Array[Long] = {
+    val lab = labeledSample(docs, isTarget, trainN, salt)
     val counts = sharedTf.getOrElse(docTokenCounts(docs))
       .join(broadcast(lab), Seq("doc_id"))
       .withColumn("__b",
@@ -523,12 +532,7 @@ object TextAnalysis {
                      trainN: Int = 256, salt: String = "qcls",
                      sharedTf: Option[DataFrame] = None,
                      epochs: Int = 4, lr: Long = 256L): Array[Long] = {
-    val lab = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
-        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
-      .orderBy(col("__hk"), col("doc_id"))
-      .limit(trainN)
-      .select(col("doc_id"), col("__y"))
+    val lab = labeledSample(docs, isTarget, trainN, salt)
     val hTrn = sharedTf.getOrElse(docTokenCounts(docs))
       .join(broadcast(lab), Seq("doc_id"))
       .withColumn("__b",
@@ -593,11 +597,7 @@ object TextAnalysis {
                      weights: Option[Array[Long]] = None): DataFrame = {
     val scored = hashedLinearScore(docs, nBuckets, sharedTf = sharedTf,
       weights = weights)
-    val trainIds = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
-      .orderBy(col("__hk"), col("doc_id"))
-      .limit(trainN)
+    val trainIds = labeledSample(docs, isTarget, trainN, salt)
       .select(col("doc_id"))
     val ev = scored
       .join(broadcast(trainIds.withColumn("__tr", lit(1))), Seq("doc_id"), "left")
