@@ -410,16 +410,23 @@ object DataPipelineQueries {
         .limit(40)
     }
 
+  /** The trained word→symbols DICTIONARY, one persisted copy per
+    * (session, sfDir) — vocabulary-sized, shared by every consumer that
+    * tokenizes under the learned vocab (doc tokens, fertility); without
+    * the memo each query re-runs the nMerges-fold dictionary build. */
+  private def bpeDict(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "bpeDict")(
+      TextAnalysis.bpeDictionary(docs(spark, sfDir),
+        bpeMergesTrained(spark, sfDir),
+        sharedVocab = Some(bpeWordCounts(spark, sfDir))))
+
   /** Per-document token counts under the TRAINED vocab — the budget
     * number downstream packing/length gates re-base onto the learned
     * subwords ([[TextAnalysis.bpeTokenCounts]] over the broadcast
     * dictionary). */
   val bpeDocTokensQ: (SparkSession, String) => DataFrame =
     memoized("bpeDocTokens") { (spark, sfDir) =>
-      TextAnalysis.bpeTokenCounts(docs(spark, sfDir),
-        TextAnalysis.bpeDictionary(docs(spark, sfDir),
-          bpeMergesTrained(spark, sfDir),
-          sharedVocab = Some(bpeWordCounts(spark, sfDir))))
+      TextAnalysis.bpeTokenCounts(docs(spark, sfDir), bpeDict(spark, sfDir))
     }
 
   /** Tokenizer fertility per source under the TRAINED vocab — the
@@ -428,10 +435,7 @@ object DataPipelineQueries {
     * ([[TextAnalysis.bpeFertility]] over the broadcast dictionary). */
   val bpeFertilityQ: (SparkSession, String) => DataFrame =
     memoized("bpeFertility") { (spark, sfDir) =>
-      TextAnalysis.bpeFertility(docs(spark, sfDir),
-        TextAnalysis.bpeDictionary(docs(spark, sfDir),
-          bpeMergesTrained(spark, sfDir),
-          sharedVocab = Some(bpeWordCounts(spark, sfDir))))
+      TextAnalysis.bpeFertility(docs(spark, sfDir), bpeDict(spark, sfDir))
     }
 
   /** The BPE training loop unrolled as DuckDB CTEs — round t reads

@@ -411,6 +411,22 @@ object TextAnalysis {
         (microLogit(col("__sw"), col("n_tokens"), mult) >= threshold).as("keep"))
   }
 
+  /** The classifier family's bounded deterministic sample — the
+    * `trainN` tokenizable documents with the smallest md5(salt:doc_id),
+    * labeled by `isTarget` as `__y` ∈ {0, 1}. ONE definition for the NB
+    * fit, the LR fit and the held-out eval's complement cut (divergent
+    * copies would silently train and evaluate on different samples).
+    * when/otherwise, not a bare cast: a NULL predicate row must read
+    * ALIEN (the oracle's CASE ... ELSE 0), not null-out of both counts. */
+  private def labeledSample(docs: DataFrame, isTarget: Column,
+                            trainN: Int, salt: String): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
+      .orderBy(col("__hk"), col("doc_id"))
+      .limit(trainN)
+      .select(col("doc_id"), col("__y"))
+
   /**
    * Hashed-unigram Naive Bayes training — the fit that turns
    * [[hashedLinearScore]] from a stub into a trained quality/language
@@ -445,22 +461,6 @@ object TextAnalysis {
    * the driver; retraining at 100 TB costs one pass over the token
    * frame restricted to trainN documents.
    */
-  /** The classifier family's bounded deterministic sample — the
-    * `trainN` tokenizable documents with the smallest md5(salt:doc_id),
-    * labeled by `isTarget` as `__y` ∈ {0, 1}. ONE definition for the NB
-    * fit, the LR fit and the held-out eval's complement cut (divergent
-    * copies would silently train and evaluate on different samples).
-    * when/otherwise, not a bare cast: a NULL predicate row must read
-    * ALIEN (the oracle's CASE ... ELSE 0), not null-out of both counts. */
-  private def labeledSample(docs: DataFrame, isTarget: Column,
-                            trainN: Int, salt: String): DataFrame =
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), when(isTarget, 1).otherwise(0).as("__y"),
-        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
-      .orderBy(col("__hk"), col("doc_id"))
-      .limit(trainN)
-      .select(col("doc_id"), col("__y"))
-
   def trainNbWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 4096,
                      trainN: Int = 256, salt: String = "qcls",
                      sharedTf: Option[DataFrame] = None): Array[Long] = {
@@ -1102,11 +1102,19 @@ object TextAnalysis {
    * NULL for a source with zero subword tokens.
    */
   def bpeFertility(docs: DataFrame, dict: DataFrame): DataFrame = {
-    val perDoc = bpeTokenCounts(docs, dict)
+    // ONE tokenize pass: subword and word counts both come from the same
+    // explode + broadcast-dictionary join (every corpus word is in the
+    // dictionary, so count(*) at doc grain IS the word count — a second
+    // size(tokens) projection would re-split every document)
+    val perDoc = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).as("n_subword_tokens"),
+        count(lit(1)).as("__nw"))
     def grid(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        size(TextOps.tokens(col("text"))).cast("long").as("__nw"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
       .join(perDoc, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
