@@ -99,6 +99,22 @@ object StreamBench {
     val skewLat = skewShares.map(s =>
       StreamThroughput.mainLatencyStep(spark, skewRate, feedMs,
         skewShare = s))
+    // SPARK_GRAFT_ATTR_SKEW_SHARES: hot-USER ladder on the attribution
+    // job — the one topology whose state keys on a skewable key
+    // (user_id); a uniform-rate baseline runs first. Off by default.
+    val attrShares = sys.env.get("SPARK_GRAFT_ATTR_SKEW_SHARES").toSeq
+      .flatMap(_.split(",").map(_.trim.toDouble).toSeq)
+    val attrRate = sys.env.getOrElse("SPARK_GRAFT_ATTR_RATE", "8000").toInt
+    val attrSteps =
+      (if (attrShares.nonEmpty) Seq(0.0) ++ attrShares else Nil).flatMap(s =>
+        Seq(
+          StreamThroughput.attributionJobStep(spark, attrRate, feedMs,
+            skewShare = s),
+          // the hot-key remedy measured beside the default: progressive
+          // prefix-finalize bounds per-key state by the watermark
+          // horizon instead of the key's lifetime
+          StreamThroughput.attributionJobStep(spark, attrRate, feedMs,
+            skewShare = s, progressive = true)))
 
     // r14: end-to-end latency receipts (landed→sink-visible percentiles,
     // BASELINE.md's SLA table) at each job's sustained operating point —
@@ -131,7 +147,7 @@ object StreamBench {
         .foldLeft(0L)(math.max)
     val allSteps = (mainSteps ++ ingestSteps ++ annSteps ++
       ingestBinSteps ++ annBinSteps ++ annLayoutSteps ++ trigSteps ++
-      skewSteps)
+      skewSteps ++ attrSteps)
       .map(_.json).mkString(",")
     println(
       s"""{"metric":"stream_max_sustained_events_per_sec",""" +

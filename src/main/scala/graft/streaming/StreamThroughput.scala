@@ -48,7 +48,8 @@ object StreamThroughput {
                               feedMs: Long, drainMs: Long,
                               ratePerSec: Double, p95BatchMs: Long,
                               batches: Int, sustained: Boolean,
-                              stateRows: Long = -1L) {
+                              stateRows: Long = -1L,
+                              stateBytes: Long = -1L) {
     def sustainedRate: Double =
       if (sustained) eventsIn * 1000.0 / math.max(feedMs, 1L) else ratePerSec
     def json: String =
@@ -57,7 +58,8 @@ object StreamThroughput {
         s""""events_per_sec":${math.round(ratePerSec)},""" +
         s""""sustained_events_per_sec":${math.round(sustainedRate)},""" +
         s""""p95_batch_ms":$p95BatchMs,"batches":$batches,""" +
-        s""""state_rows":$stateRows,"sustained":$sustained}"""
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+        s""""sustained":$sustained}"""
   }
 
   /** Backlog-drain budget for a step to count as sustained: a quarter of
@@ -158,20 +160,25 @@ object StreamThroughput {
       // operator reported. The hot-key ladder's state axis: skew
       // concentrates UPDATES on few keys, so total state stays
       // key-bounded while per-partition load skews.
-      val perQueryPeaks = consumers.map(_.recentProgress.toSeq
-        .map(p => Option(p.stateOperators).toSeq.flatten
-          .map(_.numRowsTotal).sum)
-        .foldLeft(-1L)(math.max))
-      val stateRows =
-        if (perQueryPeaks.forall(_ < 0)) -1L
-        else perQueryPeaks.filter(_ >= 0).sum
+      // numRowsTotal counts KEYS (one state row per key — a
+      // flatMapGroupsWithState key's whole buffer is ONE value), so the
+      // hot-key buffer mass only shows in memoryUsedBytes; report both.
+      def peakSum(f: org.apache.spark.sql.streaming.StateOperatorProgress
+          => Long): Long = {
+        val perQuery = consumers.map(_.recentProgress.toSeq
+          .map(p => Option(p.stateOperators).toSeq.flatten.map(f).sum)
+          .foldLeft(-1L)(math.max))
+        if (perQuery.forall(_ < 0)) -1L else perQuery.filter(_ >= 0).sum
+      }
+      val stateRows = peakSum(_.numRowsTotal)
+      val stateBytes = peakSum(_.memoryUsedBytes)
       val feedWallMs = (feedEnd - feedStart) / 1000000L
       val drainMs = (drainEnd - feedEnd) / 1000000L
       StepResult(job, rate, eventsIn, feedWallMs, drainMs,
         ratePerSec = eventsIn * 1000.0 / math.max(feedWallMs + drainMs, 1L),
         p95BatchMs = p95(batchMs), batches = batchMs.size,
         sustained = drainMs <= drainBudgetMs(feedMs, tailAllowanceMs),
-        stateRows = stateRows)
+        stateRows = stateRows, stateBytes = stateBytes)
     } finally {
       feeders.foreach(f => if (f.isActive) f.stop())
       consumers.foreach(_.stop())
@@ -206,6 +213,59 @@ object StreamThroughput {
       () => StreamingJobs.runMainJob(spark, impr.toString, clk.toString,
         root.resolve("work").toString, maxFilesPerTrigger = 10000,
         stateStoreProvider = stateStoreProvider),
+      spark)
+  }
+
+  /** Raw event stream in [[StreamingJobs.eventSchema]] shape (the
+    * attribution job's input): ~20% clicks, per-row hash user pick, and
+    * the hot-USER regime — `skewShare` of all rows routed to one user.
+    * Unlike the main job (join keyed on unique impression_id, aggs
+    * absorbed map-side), the attribution topology keys
+    * flatMapGroupsWithState state on user_id, so a hot user is the
+    * documented pathological key: its buffer cannot finalize while its
+    * events keep arriving. */
+  def rawEventStream(spark: SparkSession, rowsPerSecond: Int,
+                     startMs: Long = 0L, simMsPerRow: Long = 20L,
+                     users: Int = 5000, skewShare: Double = 0.0,
+                     hotUser: Long = 1L): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("value").as("idx"))
+      .select(
+        col("idx").as("event_id"),
+        timestamp_millis(lit(startMs) + col("idx") * simMsPerRow).as("ts"),
+        when(lit(skewShare) > 0.0 &&
+            (pmod(xxhash64(col("idx"), lit(31)), lit(1000000L)).cast("double")
+              / 1000000.0) < skewShare, lit(hotUser))
+          .otherwise(pmod(xxhash64(col("idx"), lit(32)), lit(users)) + 2)
+          .as("user_id"),
+        when(pmod(xxhash64(col("idx"), lit(33)), lit(5)) === 0, "click")
+          .otherwise("view").as("event_type"))
+
+  /** One attribution-job step: [[rawEventStream]] → events topic →
+    * [[StreamingJobs.runAttributionJob]] (streaming as-of join:
+    * buffer-until-finalized flatMapGroupsWithState keyed on user_id),
+    * measured as deployed. The state axis is the point: at high
+    * `skewShare` one user receives most rows and its key stays
+    * continuously active. */
+  def attributionJobStep(spark: SparkSession, rate: Int,
+                         feedMs: Long = 20000L, simMsPerRow: Long = 20L,
+                         skewShare: Double = 0.0,
+                         progressive: Boolean = false): StepResult = {
+    val root = Files.createTempDirectory("graft-sthr-attr")
+    val ev = root.resolve("events")
+    val feeder = JsonStreams.writeValueTopic(
+      JsonStreams.encode(rawEventStream(spark, rate,
+        simMsPerRow = simMsPerRow, skewShare = skewShare)).coalesce(2),
+      ev.toString, root.resolve("_ck/ev").toString)
+    val name = (if (progressive) "attrib-prog" else "attrib") +
+      (if (skewShare > 0) s"-skew$skewShare" else "")
+    runStep(name, rate, feedMs, tailAllowanceMs = 8000L,
+      Seq(feeder), Seq(ev),
+      () => Seq(StreamingJobs.runAttributionJob(spark, ev.toString,
+        root.resolve("work").toString, maxFilesPerTrigger = 10000,
+        progressive = progressive)),
       spark)
   }
 

@@ -135,7 +135,8 @@ object StreamingJobs {
                         watermarkDelay: String = "10 seconds",
                         finalizeDelayMs: Long = 10000L,
                         maxFilesPerTrigger: Int = 8,
-                        stateStoreProvider: Option[String] = None): StreamingQuery =
+                        stateStoreProvider: Option[String] = None,
+                        progressive: Boolean = false): StreamingQuery =
     StateBackend.withProvider(spark, stateStoreProvider) {
     val ev = JsonStreams.decode(
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -145,7 +146,8 @@ object StreamingJobs {
     val attributed = StreamingAsOfJoin.lastBeforeStream(
       side("view"), side("click"),
       key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
-      watermarkDelay = watermarkDelay, finalizeDelayMs = finalizeDelayMs)
+      watermarkDelay = watermarkDelay, finalizeDelayMs = finalizeDelayMs,
+      progressive = progressive)
     JsonStreams.writeValueTopic(JsonStreams.encode(attributed),
       s"$workDir/attributions", s"$workDir/_checkpoints/attributions")
   }

@@ -184,6 +184,85 @@ class StreamingAsOfJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progressive prefix-finalize: a continuously-active key emits " +
+    "attributions as the watermark passes them (the hot-key remedy), " +
+    "carries the latest pruned view, and matches the batch twin exactly") {
+    // ONE user stays active the whole run — the inactivity timeout never
+    // fires, which in default mode defers every emission to the flush
+    // (and lets the buffer grow with the stream's lifetime)
+    val u = 7L
+    val vStream = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cStream = MemoryStream[(Long, Long, Timestamp)](spark)
+    def df(s: MemoryStream[(Long, Long, Timestamp)]) =
+      s.toDF().toDF("event_id", "user_id", "ts")
+    val out = StreamingAsOfJoin.lastBeforeStream(
+      df(vStream), df(cStream),
+      key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id",
+      watermarkDelay = "1 second", progressive = true)
+    val q = out.writeStream.format("memory").queryName("sasof_prog")
+      .outputMode("append").start()
+    val views = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Timestamp)]
+    val clicks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Timestamp)]
+    def addV(rows: (Long, Long, Timestamp)*): Unit = {
+      views ++= rows; vStream.addData(rows: _*)
+    }
+    def addC(rows: (Long, Long, Timestamp)*): Unit = {
+      clicks ++= rows; cStream.addData(rows: _*)
+    }
+    try {
+      // b1: view 1 @10, equal-ts views 11/12 @12, clicks @12 and @15
+      // (watermark is unset during the first batch — nothing finalizes)
+      addV((1L, u, ts(10)), (11L, u, ts(12)), (12L, u, ts(12)))
+      addC((101L, u, ts(12)), (100L, u, ts(15)))
+      q.processAllAvailable()
+      // b2: a far view pushes the watermark; during THIS batch wm = 14 s
+      // (from b1's max 15 − 1 s) → click 101 @12 finalizes; view 1 is
+      // pruned and the tie pair @12 is retained as the carry
+      addV((2L, u, ts(1000)))
+      q.processAllAvailable()
+      // b3: wm = 999 s → click 100 @15 finalizes against the CARRIED
+      // tie-winning view (its own-era views were pruned in b2); the new
+      // click @1001 is in-bound (≥ wm) and stays live. The key never
+      // went inactive — in default mode NOTHING would be visible yet.
+      addC((103L, u, ts(1001)))
+      q.processAllAvailable()
+      val early = spark.table("sasof_prog").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong))
+        .toMap
+      assert(early.keySet == Set(100L, 101L),
+        s"prefix-finalize should have emitted both b1 clicks, got $early")
+      assert(early(100L).contains(12L),
+        s"carry after pruning must keep the tie-winning view: $early")
+      // advance wm past 1001 over two batches → click 103 finalizes
+      // against the live-era view 2 @1000
+      addV((3L, u, ts(5000)))
+      q.processAllAvailable()
+      addV((9L, u, ts(100000)))
+      q.processAllAvailable()
+      val mid = spark.table("sasof_prog").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong))
+        .toMap
+      assert(mid(103L).contains(2L), s"live-view match: $mid")
+      // final flush batch, then compare the FULL run with the batch twin
+      addV((10L, u, ts(200000)))
+      q.processAllAvailable()
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("lag_ms")).map(_.toLong))
+      val got = spark.table("sasof_prog").collect().map(keyOf).toSet
+      val want = AsOfJoin.lastBefore(
+        views.toSeq.toDF("event_id", "user_id", "ts"),
+        clicks.toSeq.toDF("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", leftId = "event_id", rightId = "event_id")
+        .collect().map(keyOf).toSet
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+      assert(got.size == clicks.size)
+    } finally q.stop()
+  }
+
   test("matchSeq equals lastBefore on randomized inputs, any arrival order") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 30) {
