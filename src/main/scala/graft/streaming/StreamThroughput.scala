@@ -135,6 +135,33 @@ object StreamThroughput {
     val countFn: Path => Long =
       countTopic.getOrElse(t => spark.read.text(t.toString).count())
     topics.foreach(awaitTopic(_))
+    // Peak accumulation MUST outlive the progress ring buffer:
+    // recentProgress retains only the last
+    // spark.sql.streaming.numRecentProgressUpdates (~100) entries, so a
+    // long feed with many microbatches can evict the peak batch and
+    // silently under-report the state axis (r15 advice). A listener sees
+    // EVERY progress event; its bus is async, so the final reads below
+    // still merge in recentProgress (synchronous, covers the tail the
+    // listener may not have drained yet) — max of both per query is
+    // complete.
+    val rowPeaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val bytePeaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = Option(e.progress.stateOperators).toSeq.flatten
+        if (ops.nonEmpty) {
+          val mergeMax = (m: java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long], v: Long) =>
+            m.merge(e.progress.id, java.lang.Long.valueOf(v),
+              (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(math.max(a, b)))
+          mergeMax(rowPeaks, ops.map(_.numRowsTotal).sum)
+          mergeMax(bytePeaks, ops.map(_.memoryUsedBytes).sum)
+        }
+      }
+    }
+    spark.streams.addListener(listener)
     val consumers = startConsumer()
     try {
       val feedStart = System.nanoTime()
@@ -164,14 +191,19 @@ object StreamThroughput {
       // flatMapGroupsWithState key's whole buffer is ONE value), so the
       // hot-key buffer mass only shows in memoryUsedBytes; report both.
       def peakSum(f: org.apache.spark.sql.streaming.StateOperatorProgress
-          => Long): Long = {
-        val perQuery = consumers.map(_.recentProgress.toSeq
-          .map(p => Option(p.stateOperators).toSeq.flatten.map(f).sum)
-          .foldLeft(-1L)(math.max))
+          => Long,
+          peaks: java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]): Long = {
+        val perQuery = consumers.map { q =>
+          val recent = q.recentProgress.toSeq
+            .map(p => Option(p.stateOperators).toSeq.flatten.map(f).sum)
+            .foldLeft(-1L)(math.max)
+          val listened = Option(peaks.get(q.id)).map(_.longValue).getOrElse(-1L)
+          math.max(recent, listened)
+        }
         if (perQuery.forall(_ < 0)) -1L else perQuery.filter(_ >= 0).sum
       }
-      val stateRows = peakSum(_.numRowsTotal)
-      val stateBytes = peakSum(_.memoryUsedBytes)
+      val stateRows = peakSum(_.numRowsTotal, rowPeaks)
+      val stateBytes = peakSum(_.memoryUsedBytes, bytePeaks)
       val feedWallMs = (feedEnd - feedStart) / 1000000L
       val drainMs = (drainEnd - feedEnd) / 1000000L
       StepResult(job, rate, eventsIn, feedWallMs, drainMs,
@@ -182,6 +214,7 @@ object StreamThroughput {
     } finally {
       feeders.foreach(f => if (f.isActive) f.stop())
       consumers.foreach(_.stop())
+      spark.streams.removeListener(listener)
     }
   }
 

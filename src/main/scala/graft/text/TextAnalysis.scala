@@ -898,7 +898,8 @@ object TextAnalysis {
    *                    serialized driver actions a vocabulary costs
    *                    (a real 32k-merge vocabulary stops being 32k
    *                    round-trips). Equivalence is additionally
-   *                    fuzz-pinned batch∈{2,4,8} in BpeTrainSpec.
+   *                    fuzz-pinned batch∈{2,4,8} in KnobFuzzSpec and
+   *                    hand-traced in TextAnalysisSpec.
    */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
                sharedVocab: Option[DataFrame] = None,
@@ -944,7 +945,8 @@ object TextAnalysis {
         prev.foreach(_.unpersist())
         prev = Some(vocab)
         if (window.isEmpty) return merges.toSeq
-        val keep = admitBatch(window.toSeq, want)
+        val keep = admitBatch(window.toSeq, want,
+          merges.iterator.map(m => m.symA + m.symB).toSet)
         keep.foreach { case (a, b, c) =>
           merges += BpeMerge(merges.size + 1, a, b, c)
         }
@@ -1005,15 +1007,39 @@ object TextAnalysis {
    *     (a,z), the NEW ("az", y) ties (c,d) at 5 and sorts first — so
    *     the admitted TAIL is trimmed to counts STRICTLY above c_stop
    *     (the head is the round-1 winner unconditionally).
+   *  4. Concat-collision truncation: rule 3's ≤ c_stop bound on created
+   *     pairs assumes the merged symbol a·b is FRESH. When the same
+   *     symbol string has two merge derivations (base symbols are single
+   *     chars, so every multi-char symbol is some prior merge's
+   *     concatenation — e.g. "aba" via (a,ba) and via (ab,a)), a kept
+   *     merge whose concatenation equals an ALREADY-EXISTING symbol
+   *     AUGMENTS a pre-existing pair (x, a·b): post-count = pre-count
+   *     (≤ c_stop — a pair naming the concat ranked above the stop would
+   *     itself have been the rule-1 stop) + created occurrences
+   *     (≤ c_stop), up to 2·c_stop — enough to overtake a kept tail pair
+   *     with count in (c_stop, 2·c_stop] in its sequential round. So the
+   *     kept list is cut immediately AFTER the first pair whose
+   *     concatenation is in `priorConcats` (symbols from earlier rounds)
+   *     or equals an earlier kept pair's concatenation in this batch
+   *     (the fold creates that symbol mid-batch). The colliding pair
+   *     itself is safe — its own round's challengers were created by
+   *     earlier kept merges only, all fresh-symbol (it is the FIRST
+   *     collision), hence ≤ c_stop < its count.
    *
    * Net: ≥1 merge per round always (the conflict-density fallback to
    * B=1 the r14 verdict asked for), up to `want` when the ranked head
    * is clean, and the merge list is bit-identical to sequential
    * training — which is what keeps the sequential-unrolled DuckDB
    * oracle valid for every batch setting.
+   *
+   * @param priorConcats concatenated symbols of every merge admitted in
+   *        EARLIER rounds of this training run — the complete multi-char
+   *        symbol alphabet the current vocabulary can contain
    */
   private[graft] def admitBatch(window: Seq[(String, String, Long)],
-                               want: Int): Seq[(String, String, Long)] = {
+                               want: Int,
+                               priorConcats: Set[String] = Set.empty)
+      : Seq[(String, String, Long)] = {
     val admitted = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     var cStop = Long.MinValue
@@ -1029,7 +1055,19 @@ object TextAnalysis {
       }
     }
     if (admitted.isEmpty) Seq.empty
-    else admitted.head +: admitted.tail.takeWhile(_._3 > cStop).toSeq
+    else {
+      val kept = admitted.head +: admitted.tail.takeWhile(_._3 > cStop)
+      // rule 4: cut right after the first concat collision
+      val alpha = scala.collection.mutable.Set.empty[String] ++= priorConcats
+      var cut = kept.size
+      var i = 0
+      while (i < kept.size && cut == kept.size) {
+        val concat = kept(i)._1 + kept(i)._2
+        if (alpha.contains(concat)) cut = i + 1 else alpha += concat
+        i += 1
+      }
+      kept.take(cut).toSeq
+    }
   }
 
   /** The corpus (word, __wc) word-count vocabulary — the BPE family's

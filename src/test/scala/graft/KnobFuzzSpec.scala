@@ -445,6 +445,35 @@ class KnobFuzzSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("fuzz: batched bpeTrain survives multi-derivation symbol collisions " +
+    "(2-char alphabet, deep merge lists) — the rule-4 augmentation class") {
+    import spark.implicits._
+    // A 2-char alphabet maximizes concat collisions: after a few rounds
+    // most candidate concatenations ("aba", "abab", ...) name symbols
+    // that ALREADY exist via a different derivation, so a kept merge
+    // AUGMENTS pre-existing pair counts — the exact class the strict
+    // c_stop trim alone cannot bound (post-count ≤ 2·c_stop). Deep merge
+    // lists (up to 12) give the collisions rounds to compound.
+    val rnd4 = new scala.util.Random(1604L)
+    for (i <- 1 to 8) {
+      val docRows = (0 until (3 + rnd4.nextInt(4))).map { d =>
+        (d.toLong, (0 until (8 + rnd4.nextInt(12))).map(_ =>
+          (0 until (1 + rnd4.nextInt(6)))
+            .map(_ => "ab".charAt(rnd4.nextInt(2))).mkString)
+          .mkString(" "))
+      }
+      val nMerges = 6 + rnd4.nextInt(7)
+      val df = docRows.toDF("doc_id", "text")
+      val want = scalaBpe(docRows.map(_._2), nMerges)
+      for (b <- Seq(2, 4, 8)) {
+        val batched = graft.text.TextAnalysis.bpeTrain(df, nMerges, batch = b)
+          .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+        assert(batched == want,
+          s"collision corpus#$i nMerges=$nMerges batch=$b: $batched != $want")
+      }
+    }
+  }
+
   test("fuzz: bpeTrain matches a plain-Scala trainer at 6 random corpora " +
     "and merge counts; the dictionary agrees word for word") {
     import spark.implicits._

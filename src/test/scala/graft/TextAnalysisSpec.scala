@@ -137,6 +137,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.admitBatch(
       Seq(("a", "b", 9L), ("ab", "q", 4L), ("x", "y", 3L)), want = 3) ==
       Seq(("a", "b", 9L)))
+    // Rule-4 concat-collision truncation: symbol "aba" pre-exists (two
+    // merge derivations — priorConcats carries it), so admitting
+    // ("ab","a") AUGMENTS any pre-existing (x,"aba") pair by up to
+    // c_stop: post-count ≤ 2·c_stop = 10 can overtake the kept tail
+    // (q,r)=6 in its sequential round. The batch must cut right after
+    // the colliding pair.
+    assert(TextAnalysis.admitBatch(
+      Seq(("ab", "a", 10L), ("q", "r", 6L), ("x", "aba", 5L)), want = 3,
+      priorConcats = Set("ab", "ba", "aba")) ==
+      Seq(("ab", "a", 10L)))
+    // Same-batch collision: two disjoint kept pairs with EQUAL concats
+    // ("x"+"yz" and "xy"+"z" both → "xyz") — the first creates the
+    // symbol mid-fold, so the second collides and cuts the batch after
+    // itself, holding back the tail (p,q).
+    assert(TextAnalysis.admitBatch(
+      Seq(("x", "yz", 9L), ("xy", "z", 8L), ("p", "q", 7L), ("m", "n", 1L)),
+      want = 4) ==
+      Seq(("x", "yz", 9L), ("xy", "z", 8L)))
+    // No collision when the concat is fresh: priorConcats that do NOT
+    // contain the concat leave the clean path untouched.
+    assert(TextAnalysis.admitBatch(
+      Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L)), want = 3,
+      priorConcats = Set("zz", "qq")) ==
+      Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L)))
     // Clean window: disjoint, concat-safe, strictly separated counts →
     // the whole budget admits (the sub-linear path).
     assert(TextAnalysis.admitBatch(
