@@ -66,6 +66,73 @@ object BpeLadder {
         f""""merges_per_round":${mBat.size.toDouble / rBat}%.2f,""" +
         f""""speedup":${wSeq / wBat}%.2f}""")
     }
+
+    // ── heterogeneous-corpus rung (r16) ─────────────────────────────
+    // The sf corpus above draws every document from ONE shared token
+    // vocabulary, so its ranked pair window is conflict-dense and
+    // admission falls back toward B=1 — by design, but it hides the
+    // batching upside. Real multi-script corpora have DISJOINT
+    // per-source symbol sets (Latin vs Cyrillic vs CJK sources never
+    // share a pair symbol), so top-ranked pairs from different sources
+    // are automatically co-admissible. This rung trains on exactly that
+    // shape — S sources, each over a private 6-char alphabet — at
+    // production-ish merge counts, and compares the full-recount loop
+    // against the incremental pair-count maintenance
+    // (TextAnalysis.bpeTrain(incremental = true)) at two vocabulary
+    // sizes: the recount path's per-round cost scales with the
+    // VOCABULARY (every word explodes every round), the incremental
+    // path's with the AFFECTED SLICE (only words containing an admitted
+    // pair explode).
+    import spark.implicits._
+    def heteroVocab(nSources: Int, wordsPerSource: Int): org.apache.spark.sql.DataFrame = {
+      val rh = new scala.util.Random(1616L)
+      val rows = for {
+        s <- 0 until nSources
+        _ <- 0 until wordsPerSource
+      } yield {
+        val alpha = (0 until 6).map(j => (0x100 + s * 8 + j).toChar)
+        val len = 2 + rh.nextInt(7)
+        ((0 until len).map(_ => alpha(rh.nextInt(6))).mkString,
+          (1 + rh.nextInt(1000)).toLong)
+      }
+      rows.toDF("word", "__wc").groupBy("word")
+        .agg(org.apache.spark.sql.functions.sum("__wc").as("__wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def hcell(v: org.apache.spark.sql.DataFrame, nMerges: Int, batch: Int,
+              incremental: Boolean): (Double, Int, Seq[(String, String)]) = {
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.bpeTrain(v, nMerges = nMerges,
+        sharedVocab = Some(v), batch = batch, incremental = incremental)
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, TextAnalysis.lastTrainRounds.get,
+        merges.map(m => (m.symA, m.symB)))
+    }
+    val small = heteroVocab(64, 500)
+    val big = heteroVocab(64, 2000)
+    val nSmall = small.count()
+    val nBig = big.count()
+    // ground-truth gate at 256 merges: sequential vs batched-recount vs
+    // batched-incremental must be merge-for-merge identical BEFORE any
+    // timing is trusted
+    val (_, _, mSeqH) = hcell(small, 256, batch = 1, incremental = false)
+    for (n <- Seq(256, 1024); (v, nWords, tag) <- Seq((small, nSmall, "32k"),
+        (big, nBig, "128k"))) {
+      val (wRec, rRec, mRec) = hcell(v, n, batch = 64, incremental = false)
+      val (wInc, rInc, mInc) = hcell(v, n, batch = 64, incremental = true)
+      require(mRec == mInc,
+        s"incremental merges diverged at hetero n=$n vocab=$tag")
+      if (n == 256 && tag == "32k")
+        require(mRec == mSeqH,
+          "batched merges diverged from sequential on the hetero fixture")
+      println(f"""{"metric":"bpe_hetero","n_merges":$n,"vocab":"$tag",""" +
+        f""""n_words":$nWords,"merges_learned":${mRec.size},""" +
+        f""""recount_sec":$wRec%.2f,"recount_rounds":$rRec,""" +
+        f""""incremental_sec":$wInc%.2f,"incremental_rounds":$rInc,""" +
+        f""""merges_per_round":${mRec.size.toDouble / rRec}%.2f,""" +
+        f""""recount_sec_per_round":${wRec / rRec}%.3f,""" +
+        f""""incremental_sec_per_round":${wInc / rInc}%.3f}""")
+    }
     spark.stop()
   }
 }

@@ -900,12 +900,23 @@ object TextAnalysis {
    *                    round-trips). Equivalence is additionally
    *                    fuzz-pinned batch∈{2,4,8} in KnobFuzzSpec and
    *                    hand-traced in TextAnalysisSpec.
+   * @param incremental maintain the pair-count table as persisted state
+   *                    updated by affected-slice deltas instead of
+   *                    recounting the vocabulary each round
+   *                    ([[bpeTrainIncremental]] — window-identical, so
+   *                    the merge list and the oracle are unchanged);
+   *                    pays off when rounds greatly outnumber the
+   *                    affected-word fraction (deep merge lists)
    */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
                sharedVocab: Option[DataFrame] = None,
                minWordCount: Long = 1L,
-               batch: Int = 1): Seq[BpeMerge] = {
+               batch: Int = 1,
+               incremental: Boolean = false): Seq[BpeMerge] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
+    if (incremental)
+      return bpeTrainIncremental(docs, nMerges, sharedVocab, minWordCount,
+        batch)
     // Cache discipline, two requirements in tension:
     //  1. LINEAGE must be cut periodically — under plain persist the
     //     logical plan keeps every prior round's fold, and a 64+-round
@@ -966,6 +977,127 @@ object TextAnalysis {
       lastTrainRounds.set(rounds)
       prev.foreach(_.unpersist())
       vocab.unpersist()
+    }
+  }
+
+  /**
+   * INCREMENTAL-pair-count BPE training — the r15 "known next lever":
+   * the batched trainer still RECOUNTS every adjacent pair of every
+   * vocabulary word each round, so the per-round cost is one full
+   * vocabulary explode+shuffle even when the round merges one rare
+   * pair. This variant maintains the pair-count table as persisted
+   * STATE and updates it by delta:
+   *
+   *   - the ranked window comes from the standing pair table `P`
+   *     directly (a map-side top-k scan — no explode, no shuffle);
+   *   - a merge (a, b) changes a word's pair multiset ONLY if the word
+   *     contains the (a, b) adjacency (rule-2 disjointness extends
+   *     this to a whole admitted batch: admitted pairs are
+   *     symbol-disjoint and never concat-named, so no admitted merge
+   *     creates or destroys another's adjacencies), so the delta is
+   *     pairs(affected words, after) − pairs(affected words, before) —
+   *     the EXPLODE touches only the affected slice;
+   *   - `P' = P ⊎ delta` by one full-outer join on (a, b): the
+   *     persisted side arrives hash-partitioned on the join keys from
+   *     its own construction, so per round only the (small) delta
+   *     shuffles; counts are exact integers, so `P'` equals the full
+   *     recount BIT-FOR-BIT and the window — hence the merge list,
+   *     hence the sequential-unrolled oracle — is unchanged
+   *     (fuzz-pinned against the plain-Scala trainer in KnobFuzzSpec).
+   *
+   * Cache retirement is DELAYED relative to [[bpeTrain]]'s one-round
+   * lag: in incremental mode nothing materializes the new vocabulary
+   * until the NEXT round's delta scans it, so `vocab` retires two
+   * rounds late and `P` one round late (≤ 3 live vocabulary-sized
+   * frames, all tiny). Lineage cuts EVERY round here, not every 16:
+   * unlike the recount loop's single linear fold, each incremental
+   * round references the previous vocabulary two-plus times (affected
+   * slice, complement, before-pairs), so the logical plan grows
+   * EXPONENTIALLY between cuts — 16 uncut rounds is a 2^16-node plan
+   * and analysis alone dwarfs the data — hence a lazy localCheckpoint
+   * per round (LogicalRDD leaf immediately; stranded checkpoint copies
+   * stay bounded because the retirement queues still unpersist retired
+   * frames explicitly). Crossover: at the registered sf0.01 point
+   * (8 merges, clean windows) the standing-state overhead costs more
+   * than it saves — the registered `bpe_vocab` stays on the recount
+   * path; the win is measured on the heterogeneous ladder
+   * (graft.BpeLadder, ≥ 1024 merges — BASELINE.md r16).
+   */
+  private def bpeTrainIncremental(docs: DataFrame, nMerges: Int,
+                                  sharedVocab: Option[DataFrame],
+                                  minWordCount: Long,
+                                  batch: Int): Seq[BpeMerge] = {
+    var vocab = sharedVocab.getOrElse(wordCounts(docs))
+      .filter(col("__wc") >= minWordCount)
+      .select(charSyms(col("word")).as("syms"), col("__wc"))
+      .localCheckpoint(false)
+    var pairs = vocabPairs(vocab).localCheckpoint(false)
+    // retirement queues: unpersist vocab two rounds late, pairs one
+    // round late (see scaladoc — lazy materialization cascades through
+    // the window collects)
+    val oldV = scala.collection.mutable.Queue.empty[DataFrame]
+    val oldP = scala.collection.mutable.Queue.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rounds = 0
+    try {
+      while (merges.size < nMerges) {
+        rounds += 1
+        val want = math.min(batch, nMerges - merges.size)
+        val window = pairs
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(want + 1)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        while (oldV.size > 1) oldV.dequeue().unpersist()
+        while (oldP.nonEmpty) oldP.dequeue().unpersist()
+        if (window.isEmpty) return merges.toSeq
+        val keep = admitBatch(window.toSeq, want,
+          merges.iterator.map(m => m.symA + m.symB).toSet)
+        keep.foreach { case (a, b, c) =>
+          merges += BpeMerge(merges.size + 1, a, b, c)
+        }
+        // affected-word predicate: a codegen'd arrays_overlap on the
+        // admitted LEFT symbols prunes the vast non-affected majority
+        // before the interpreted exists runs (HOFs are CodegenFallback);
+        // the exists probes ONE map literal per position (admitted pairs
+        // are symbol-disjoint, so a→b is a well-defined map). coalesce:
+        // exists' three-valued logic can yield NULL (missing map key →
+        // null comparison), and filter(!NULL) would silently DROP the
+        // row from the not-affected side.
+        val abMap = keep.map { case (a, b, _) => a -> b }.toMap
+        val adj = coalesce(
+          size(col("syms")) >= 2 &&
+            arrays_overlap(col("syms"), typedlit(keep.map(_._1))) &&
+            exists(sequence(lit(1), size(col("syms")) - 1), i =>
+              element_at(typedlit(abMap), element_at(col("syms"), i)) ===
+                element_at(col("syms"), (i + lit(1)).cast("int"))),
+          lit(false))
+        val affected = vocab.filter(adj)
+        val foldedAff = keep.foldLeft(affected) { case (v, (a, b, _)) =>
+          v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
+        }
+        val delta = vocabPairs(foldedAff)
+          .union(vocabPairs(affected)
+            .select(col("a"), col("b"), (-col("c")).as("c")))
+          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("__dc"))
+        val mergedP = pairs
+          .join(delta, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("c"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+              .as("c"))
+          .filter(col("c") > 0)
+        val newVocab = vocab.filter(!adj).union(foldedAff)
+        oldV.enqueue(vocab)
+        oldP.enqueue(pairs)
+        vocab = newVocab.localCheckpoint(false)
+        pairs = mergedP.localCheckpoint(false)
+      }
+      merges.toSeq
+    } finally {
+      lastTrainRounds.set(rounds)
+      (oldV ++ oldP).foreach(_.unpersist())
+      vocab.unpersist()
+      pairs.unpersist()
     }
   }
 

@@ -471,6 +471,18 @@ class KnobFuzzSpec extends SparkSpec {
         assert(batched == want,
           s"collision corpus#$i nMerges=$nMerges batch=$b: $batched != $want")
       }
+      // incremental pair-count maintenance must produce bit-identical
+      // windows, hence the same merge list — on the collision-dense
+      // corpus its delta path (affected-slice explodes, full-outer
+      // merge, zero-count eviction) is exercised hardest
+      for (b <- Seq(1, 4)) {
+        val inc = graft.text.TextAnalysis.bpeTrain(df, nMerges, batch = b,
+          incremental = true)
+          .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+        assert(inc == want,
+          s"collision corpus#$i nMerges=$nMerges batch=$b incremental: " +
+            s"$inc != $want")
+      }
     }
   }
 
@@ -502,6 +514,11 @@ class KnobFuzzSpec extends SparkSpec {
         assert(batched == want,
           s"corpus#$i nMerges=$nMerges batch=$b: $batched != $want")
       }
+      val inc = graft.text.TextAnalysis.bpeTrain(df, nMerges, batch = 4,
+        incremental = true)
+        .map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+      assert(inc == want,
+        s"corpus#$i nMerges=$nMerges incremental: $inc != $want")
       // dictionary parity under the learned merges
       val merges = got.map { case (r, a, b, c) =>
         graft.text.TextAnalysis.BpeMerge(r, a, b, c) }

@@ -273,6 +273,139 @@ class StreamingAnnIngestSpec extends SparkSpec {
       s"only-landed=${landed -- want} only-batch=${want -- landed}")
   }
 
+  test("drift-triggered retrain + atomic hot swap: the policy gates on " +
+    "monitor AND budget, a publish racing a serve loop never yields a " +
+    "mixed-model result, offsets survive the generation restart, and " +
+    "post-swap recall on new-distribution queries recovers") {
+    import graft.similarity.AnnLifecycle
+    val nCells = 16
+    val nProbe = 4
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val nBase = base.count()
+    val work = Files.createTempDirectory("ann_swap").toString
+    val dir = s"$work/index"
+    val topic = s"$work/emb_topic"
+    val ck = s"$work/ck"
+    Files.createDirectories(java.nio.file.Paths.get(topic))
+
+    // generation 1: freeze on the base corpus, publish, start ingest
+    val cells1 = Similarity.freezeAnnIndex(base, nCells).get.cells.toArray
+    AnnLifecycle.publish(spark, dir, 1, cells1, base)
+    assert(AnnLifecycle.currentVersion(dir).contains(1))
+
+    val fresh = AnnStaleness.freshShifted(spark, 2 * nBase)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .persist()
+    val nFresh = fresh.count()
+    def feed(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val lines = JsonStreams.encode(df).collect().map(_.getString(0))
+      Files.write(java.nio.file.Paths.get(s"$topic/$name.json"),
+        String.join("\n", lines: _*).getBytes)
+    }
+
+    val gen1 = AnnLifecycle.runIngestGeneration(spark, dir, 1, topic, ck)
+    try {
+      // batch 1: genuinely shifted but BELOW the share budget — the
+      // monitor fires (z is share-independent), the policy must NOT
+      val cut = 100000000L + nBase / 10
+      feed(fresh.filter(col("vec_id") < cut), "b1")
+      gen1.processAllAvailable()
+      val d1 = AnnLifecycle.maybeRetrainSwap(spark, dir, base, nCells)
+      assert(d1.driftZ > 3.0, s"monitor should fire on the shifted batch: $d1")
+      assert(!d1.fired && d1.published.isEmpty && d1.newShare <= 0.25,
+        s"below-budget share must not retrain: $d1")
+      assert(AnnLifecycle.currentVersion(dir).contains(1))
+      // batch 2: the rest — share 2.0 clears the budget
+      feed(fresh.filter(col("vec_id") >= cut), "b2")
+      gen1.processAllAvailable()
+    } finally gen1.stop()
+
+    // race the publish against a serve loop: every observed result must
+    // row-equal exactly ONE generation's expected output (version dirs
+    // are immutable and the manifest flip is atomic — never a mix)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val nQ = 4
+    val (vPre, pre) = AnnLifecycle.serveTopK(spark, dir, base, nQ, 5,
+      nCells, nProbe)
+    assert(vPre == 1)
+    val observed = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Set[(Long, Long, Double, Int)])]
+    observed += ((vPre, rows(pre)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val swap = Future {
+      AnnLifecycle.maybeRetrainSwap(spark, dir, base, nCells)
+    }
+    while (!swap.isCompleted) {
+      val (v, df) = AnnLifecycle.serveTopK(spark, dir, base, nQ, 5,
+        nCells, nProbe)
+      observed += ((v, rows(df)))
+    }
+    val d2 = Await.result(swap, scala.concurrent.duration.Duration.Inf)
+    assert(d2.fired && d2.published.exists(_.version == 2), s"$d2")
+    assert(AnnLifecycle.currentVersion(dir).contains(2))
+    val (vPost, post) = AnnLifecycle.serveTopK(spark, dir, base, nQ, 5,
+      nCells, nProbe)
+    assert(vPost == 2)
+    observed += ((vPost, rows(post)))
+    val expected = Map(
+      1 -> rows(AnnLifecycle.serveTopKAt(spark, dir, 1, base, nQ, 5,
+        nCells, nProbe)),
+      2 -> rows(AnnLifecycle.serveTopKAt(spark, dir, 2, base, nQ, 5,
+        nCells, nProbe)))
+    assert(expected(1) != expected(2),
+      "fixture must actually change the serving result across the swap")
+    observed.foreach { case (v, r) =>
+      assert(r == expected(v),
+        s"serve under v$v diverged from that generation's expected rows")
+    }
+    assert(observed.exists(_._1 == 1) && observed.exists(_._1 == 2))
+
+    // exactly-once across the boundary: generation 2's snapshot holds
+    // every vector exactly once
+    val l2 = spark.read.parquet(s"$dir/v2/layout")
+    assert(l2.count() == nBase + nFresh)
+    assert(l2.select(col("vec_id")).distinct().count() == nBase + nFresh)
+
+    // generation restart against the SAME checkpoint: already-drained
+    // offsets are not re-read (live_v2 stays empty), new arrivals land
+    // under the new model and serve immediately
+    val gen2 = AnnLifecycle.runIngestGeneration(spark, dir, 2, topic, ck)
+    try {
+      gen2.processAllAvailable()
+      assert(AnnLifecycle.liveVectors(spark, dir, 2).count() == 0,
+        "drained offsets were re-ingested into the new generation")
+      val extra = AnnStaleness.freshShifted(spark, 10)
+        .select((col("vec_id") + lit(300000000L)).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      feed(extra, "b3")
+      gen2.processAllAvailable()
+      assert(AnnLifecycle.liveVectors(spark, dir, 2).count() == 10)
+      val (v3, served) = AnnLifecycle.serveTopK(spark, dir, base, nQ, 5,
+        nCells, nProbe)
+      assert(v3 == 2 && rows(served).nonEmpty)
+    } finally gen2.stop()
+
+    // recall recovery for new-distribution queries: the retrained
+    // generation's centroids must beat the frozen ones (AnnStaleness
+    // r15: frozen ~0.8, retrained 1.0 at the sf0.01 rung)
+    val view = AnnStaleness.newQueryView(base, fresh, 16)
+      .persist()
+    val cells2 = AnnLifecycle.loadCells(spark, dir, 2)
+    val rFrozen = AnnStaleness.meanRecall(view, cells1, 16, nCells, nProbe)
+    val rRetrained = AnnStaleness.meanRecall(view, cells2, 16, nCells, nProbe)
+    info(s"new-query recall: frozen=$rFrozen retrained=$rRetrained")
+    assert(rRetrained > rFrozen,
+      s"retrain must recover new-query recall: $rFrozen -> $rRetrained")
+    assert(rRetrained >= 0.9, s"retrained recall $rRetrained below floor")
+    view.unpersist(); base.unpersist(); fresh.unpersist()
+  }
+
   test("a processing-time trigger changes microbatch cadence, never the " +
     "codes: trigger-run output equals the default-trigger batch parity") {
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
