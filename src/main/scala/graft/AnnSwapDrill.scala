@@ -65,7 +65,7 @@ object AnnSwapDrill {
     import scala.concurrent.ExecutionContext.Implicits.global
     val t0 = System.nanoTime()
     val swap = Future {
-      AnnLifecycle.maybeRetrainSwap(spark, dir, base, nCells)
+      AnnLifecycle.maybeRetrainSwap(spark, dir, nCells)
     }
     var mixes = 0
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

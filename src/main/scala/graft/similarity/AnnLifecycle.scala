@@ -18,21 +18,27 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *   <dir>/v<N>/centroids/          parquet (cell, centroid, nrm)
  *   <dir>/v<N>/layout/cell=<c>/…   full reassignment snapshot
  *                                  (vec_id, v, nrm) under v<N>'s cells
- *   <dir>/live_v<N>/               streaming arrivals assigned under
- *                                  v<N> (written by generation N of the
- *                                  ingest job — see the swap protocol)
+ *   <dir>/live/cell=<c>/…          streaming arrivals, every row
+ *                                  STAMPED model_version = the
+ *                                  generation whose centroids assigned
+ *                                  it (ONE dir + ONE sink metadata log
+ *                                  + ONE source checkpoint across all
+ *                                  generations — the file sink's batch
+ *                                  ids continue from the checkpoint, so
+ *                                  a per-generation output dir would
+ *                                  hole its metadata log)
  *   <dir>/MANIFEST                 current version, written tmp +
  *                                  ATOMIC_MOVE
  * }}}
  *
  * Serving invariant — "never a mix": a query resolves the manifest
- * ONCE, then reads only `v<N>/layout ∪ live_v<N>`, both populated
- * exclusively with assignments under v<N>'s centroids; version
- * directories are never rewritten after publish, so a swap concurrent
- * with a running query cannot splice two models into one result
- * (StreamingAnnIngestSpec races a publish against a serve loop and
- * asserts every observed result row-equals exactly one version's
- * expected output).
+ * ONCE, then reads `v<N>/layout ∪ live WHERE model_version = N` — every
+ * candidate row assigned under v<N>'s centroids. Version directories
+ * are never rewritten after publish and the version filter partitions
+ * the live rows disjointly, so a swap concurrent with a running query
+ * cannot splice two models into one result (StreamingAnnIngestSpec
+ * races a publish against a serve loop and asserts every observed
+ * result row-equals exactly one generation's expected output).
  *
  * Swap protocol (the caller owns the ingest query because Structured
  * Streaming plans freeze model literals at build — a running query
@@ -42,20 +48,22 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *  1. stop ingest generation N and drain its in-flight microbatch
  *     (offsets-only checkpoint — nothing else to recover);
  *  2. [[maybeRetrainSwap]]: monitor fires → freeze new centroids over
- *     base ∪ live_v<N>, write `v<N+1>` (reassign EVERYTHING — the
+ *     snapshot<N> ∪ live(N), write `v<N+1>` (reassign EVERYTHING — the
  *     bounded full-rebuild the staleness ladder timed at ≤ 2.1 s on a
  *     4× corpus), flip MANIFEST;
  *  3. restart ingest as generation N+1 against the SAME source
- *     checkpoint (offsets continue — rows already drained into
- *     live_v<N> are inside v<N+1>'s snapshot and are not re-read),
- *     writing to `live_v<N+1>`.
+ *     checkpoint and the SAME live dir (offsets and sink batch ids
+ *     continue — rows already landed are not re-read; they serve from
+ *     v<N+1>'s snapshot, while their old version-stamped live copies go
+ *     dead and are reclaimed by the next live-dir compaction, the
+ *     [[graft.sources.TableLayout.mergeCellSegments]]
+ *     rebuild-and-repoint discipline).
  *
  * At 100 TB the same shape holds: the snapshot write is one
  * partitioned pass over the corpus (executor-parallel, nothing
  * corpus-sized near the driver — centroids are the only collect), the
  * manifest flip is O(1), and old generations are dropped asynchronously
- * once their readers finish (the LSM rebuild-and-repoint discipline of
- * [[graft.sources.TableLayout.mergeCellSegments]]).
+ * once their readers finish.
  *
  * Reference scope: the reference engine has no vector serving at all —
  * this is part of the LLM-pipeline extension surface; the policy
@@ -100,9 +108,9 @@ object AnnLifecycle {
    * Publish generation `version`: write the centroid table and the full
    * corpus reassignment under those centroids into the IMMUTABLE
    * `v<version>/` tree, then flip the manifest. `corpus` must be the
-   * complete vector set this generation serves (base ∪ everything
-   * arrived); one partitioned write, centroid literals the only driver
-   * value.
+   * complete (vec_id, embedding) set this generation serves (previous
+   * snapshot ∪ everything arrived); one partitioned write, centroid
+   * literals the only driver value.
    */
   def publish(spark: SparkSession, dir: String, version: Int,
               cells: Array[(Long, Seq[Double], Double)],
@@ -129,33 +137,49 @@ object AnnLifecycle {
         r.getAs[Double]("nrm")))
       .sortBy(_._1)
 
-  /** A generation's live-arrival dir (written by ingest generation N). */
-  def liveDir(dir: String, version: Int): String = s"$dir/live_v$version"
+  /** The shared live-arrivals dir (version-stamped rows). */
+  def liveDir(dir: String): String = s"$dir/live"
 
-  /** Arrived vectors of generation `version` as (vec_id, embedding) —
-    * empty frame when nothing landed yet (a streaming parquet sink dir
-    * may not exist before the first commit). */
-  def liveVectors(spark: SparkSession, dir: String,
-                  version: Int): DataFrame = {
-    val d = liveDir(dir, version)
+  /** Live rows (vec_id, v, nrm, cell, model_version), or None before
+    * the first sink commit (a streaming parquet dir does not exist
+    * until then). */
+  private def liveFrame(spark: SparkSession, dir: String)
+      : Option[DataFrame] = {
+    val d = liveDir(dir)
     val hasData = Files.exists(Paths.get(d)) && {
       val s = Files.list(Paths.get(d))
       try s.anyMatch(p => !p.getFileName.toString.startsWith("_"))
       finally s.close()
     }
-    if (hasData)
-      spark.read.parquet(d).select(col("vec_id"), col("v").as("embedding"))
-    else
-      spark.range(0).select(col("id").as("vec_id"),
-        lit(Array.empty[Double]).as("embedding")).filter(lit(false))
+    if (hasData) Some(spark.read.parquet(d)) else None
   }
+
+  /** Generation `version`'s arrived vectors as (vec_id, embedding) —
+    * empty when nothing landed under that generation yet. */
+  def liveVectors(spark: SparkSession, dir: String,
+                  version: Int): DataFrame =
+    liveFrame(spark, dir) match {
+      case Some(l) => l.filter(col("model_version") === version)
+        .select(col("vec_id"), col("v").as("embedding"))
+      case None =>
+        spark.range(0).select(col("id").as("vec_id"),
+          lit(Array.empty[Double]).as("embedding")).filter(lit(false))
+    }
+
+  /** A published generation's full corpus as (vec_id, embedding) —
+    * its snapshot plus its own version-stamped arrivals. */
+  def corpusAt(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(s"$dir/v$version/layout")
+      .select(col("vec_id"), col("v").as("embedding"))
+      .unionByName(liveVectors(spark, dir, version))
 
   /**
    * The serving read of one consistent generation: manifest resolved
-   * ONCE, then `v<N>/layout ∪ live_v<N>` — every candidate row assigned
-   * under the same frozen centroids. Returns (version, topK frame).
-   * `queries` needs (vec_id, embedding) with query ids < nQueries (the
-   * probe contract of [[Similarity.ivfHashTopKPruned]]).
+   * ONCE, then `v<N>/layout ∪ live WHERE model_version = N` — every
+   * candidate row assigned under the same frozen centroids. Returns
+   * (version, topK frame). `queries` needs (vec_id, embedding) with
+   * query ids < nQueries (the probe contract of
+   * [[Similarity.ivfHashTopKPruned]]).
    */
   def serveTopK(spark: SparkSession, dir: String, queries: DataFrame,
                 nQueries: Int, k: Int, nCells: Int,
@@ -167,21 +191,22 @@ object AnnLifecycle {
 
   /** [[serveTopK]] pinned to an explicit generation — the immutable
     * read the drill uses to compute per-version expected results after
-    * a concurrent swap. */
+    * a concurrent swap (a generation's snapshot never changes; its live
+    * slice only grows while that generation's ingest is running, which
+    * the swap protocol stops first). */
   def serveTopKAt(spark: SparkSession, dir: String, version: Int,
                   queries: DataFrame, nQueries: Int, k: Int, nCells: Int,
                   nProbe: Int): DataFrame = {
     val snapshot = spark.read.parquet(s"$dir/v$version/layout")
-    val live = {
-      val d = liveDir(dir, version)
-      val hasData = Files.exists(Paths.get(d)) && {
-        val s = Files.list(Paths.get(d))
-        try s.anyMatch(p => !p.getFileName.toString.startsWith("_"))
-        finally s.close()
-      }
-      if (hasData) Some(spark.read.parquet(d)) else None
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+    val layout = liveFrame(spark, dir) match {
+      case Some(l) => snapshot.unionByName(
+        l.filter(col("model_version") === version)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cell").cast("int").as("cell")))
+      case None => snapshot
     }
-    val layout = live.map(snapshot.unionByName(_)).getOrElse(snapshot)
     Similarity.ivfHashTopKPruned(queries, layout, nQueries, k,
       nCells = nCells, nProbe = nProbe,
       cells = Some(loadCells(spark, dir, version)))
@@ -190,16 +215,16 @@ object AnnLifecycle {
   /**
    * The retrain controller — one evaluation of the measured policy:
    * read the current generation's arrivals, compute the drift monitor's
-   * max per-dim mean-shift z over base-vs-arrived and the arrived
-   * share, and when BOTH clear their thresholds (the AnnStaleness
-   * policy: the monitor alone fires from the first shifted batch; the
-   * share budget keeps a handful of outliers from forcing a rebuild),
-   * retrain over base ∪ arrived and [[publish]] the next generation.
-   * Two bounded collects (centroid freeze) + one partitioned write;
-   * the caller then restarts the ingest job as the next generation
-   * (see the swap protocol above).
+   * max per-dim mean-shift z (snapshot corpus vs arrivals) and the
+   * arrived share, and when BOTH clear their thresholds (the
+   * AnnStaleness policy: the monitor alone fires from the first shifted
+   * batch; the share budget keeps a handful of outliers from forcing a
+   * rebuild), retrain over snapshot ∪ arrived and [[publish]] the next
+   * generation. Two bounded collects (centroid freeze) + one
+   * partitioned write; the caller then restarts the ingest job as the
+   * next generation (see the swap protocol above).
    */
-  def maybeRetrainSwap(spark: SparkSession, dir: String, base: DataFrame,
+  def maybeRetrainSwap(spark: SparkSession, dir: String,
                        nCells: Int, zThreshold: Double = 3.0,
                        shareBudget: Double = 0.25,
                        ivfSalt: String = "ivf"): Decision = {
@@ -210,11 +235,11 @@ object AnnLifecycle {
     try {
       val nA = arrived.count()
       if (nA == 0) return Decision(0.0, 0.0, fired = false, None)
-      val nB = base.count()
+      val snap = spark.read.parquet(s"$dir/v$v/layout")
+        .select(col("vec_id"), col("v").as("embedding"))
+      val nB = snap.count()
       val share = nA.toDouble / math.max(nB, 1L)
-      val baseE = base.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val combined = baseE.withColumn("__new", lit(false))
+      val combined = snap.withColumn("__new", lit(false))
         .unionByName(arrived.withColumn("__new", lit(true)))
       val z = Similarity.embeddingDrift(combined, col("__new"))
         .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
@@ -234,11 +259,12 @@ object AnnLifecycle {
   /**
    * Ingest generation N: arrivals from `topic` (JSON-lines
    * (vec_id, embedding)) assigned under generation N's frozen centroids
-   * (plan literals — stateless projection) and landed cell-partitioned
-   * into `live_v<N>`. Reuse ONE `checkpoint` across generations: the
-   * file-source offsets continue, so rows drained into `live_v<N>` are
-   * never re-read into `live_v<N+1>` (they arrive there through
-   * v<N+1>'s snapshot instead).
+   * (plan literals — stateless projection), STAMPED
+   * `model_version = N`, and landed cell-partitioned into the shared
+   * live dir. Reuse ONE `checkpoint` across generations: the
+   * file-source offsets and the sink's metadata-log batch ids continue,
+   * so rows drained under generation N are never re-read by generation
+   * N+1 (they arrive there through v<N+1>'s snapshot instead).
    */
   def runIngestGeneration(spark: SparkSession, dir: String, version: Int,
                           topic: String, checkpoint: String,
@@ -257,7 +283,8 @@ object AnnLifecycle {
         size(col("embedding")) === dim)
     val cells = loadCells(spark, dir, version)
     graft.sources.TableLayout.streamToCellPartitioned(
-      Similarity.ivfCellAssignmentsWith(raw, cells),
-      liveDir(dir, version), checkpoint)
+      Similarity.ivfCellAssignmentsWith(raw, cells)
+        .withColumn("model_version", lit(version)),
+      liveDir(dir), checkpoint)
   }
 }

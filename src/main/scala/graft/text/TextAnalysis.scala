@@ -930,13 +930,21 @@ object TextAnalysis {
     //     (thousands, at the 32k-merge scale batching exists for).
     // Resolution: persist each round (retired one round late by the
     // explicit unpersist — the Lloyd discipline, ≤ 2 live copies), and
-    // every `cutEvery` rounds localCheckpoint INSTEAD — plan depth stays
-    // ≤ cutEvery folds, and stranded checkpoint copies are bounded at
-    // rounds/cutEvery tiny frames (unpersist on them is a harmless
-    // no-op; the ContextCleaner reclaims them). A run on preemptible
-    // executors should swap the localCheckpoint for reliable
-    // checkpoint() — the lost-executor caveat costs a training restart.
-    val cutEvery = 16
+    // every `cutEveryFolds` APPLIED MERGES localCheckpoint INSTEAD —
+    // plan depth stays ≤ cutEveryFolds folds, and stranded checkpoint
+    // copies are bounded at merges/cutEveryFolds tiny frames (unpersist
+    // on them is a harmless no-op; the ContextCleaner reclaims them). A
+    // run on preemptible executors should swap the localCheckpoint for
+    // reliable checkpoint() — the lost-executor caveat costs a restart.
+    // Cut pacing counts FOLDS APPLIED, not rounds: each applied merge
+    // nests one ~20-node `aggregate` expression in the symbol column,
+    // and the serialized task recurses per node at DEserialization —
+    // 16 uncut rounds at batch=64 was a ~20k-deep object graph and a
+    // task-deserializer StackOverflowError (found live on the
+    // heterogeneous ladder, where wide windows admit ~10 merges/round).
+    // 64 folds ≈ 1.3k-deep — comfortably inside the thread stack.
+    val cutEveryFolds = 64
+    var foldsSinceCut = 0
     var vocab = sharedVocab.getOrElse(wordCounts(docs))
       .filter(col("__wc") >= minWordCount)
       .select(charSyms(col("word")).as("syms"), col("__wc"))
@@ -967,9 +975,12 @@ object TextAnalysis {
         val folded = keep.foldLeft(vocab) { case (v, (a, b, _)) =>
           v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
         }
+        foldsSinceCut += keep.size
         vocab =
-          if (rounds % cutEvery == 0) folded.localCheckpoint(false)
-          else folded
+          if (foldsSinceCut >= cutEveryFolds) {
+            foldsSinceCut = 0
+            folded.localCheckpoint(false)
+          } else folded
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       merges.toSeq
@@ -997,10 +1008,12 @@ object TextAnalysis {
    *     creates or destroys another's adjacencies), so the delta is
    *     pairs(affected words, after) − pairs(affected words, before) —
    *     the EXPLODE touches only the affected slice;
-   *   - `P' = P ⊎ delta` by one full-outer join on (a, b): the
-   *     persisted side arrives hash-partitioned on the join keys from
-   *     its own construction, so per round only the (small) delta
-   *     shuffles; counts are exact integers, so `P'` equals the full
+   *   - `P' = P ⊎ delta` by one full-outer join on (a, b) — a
+   *     pair-table-sized shuffle, which is the point: |P| rows move
+   *     instead of the vocabulary EXPLODING (the recount pays one
+   *     explode of every adjacent pair of every word per round, plus
+   *     the same-sized shuffle); counts are exact integers, so `P'`
+   *     equals the full
    *     recount BIT-FOR-BIT and the window — hence the merge list,
    *     hence the sequential-unrolled oracle — is unchanged
    *     (fuzz-pinned against the plain-Scala trainer in KnobFuzzSpec).
@@ -1009,30 +1022,74 @@ object TextAnalysis {
    * lag: in incremental mode nothing materializes the new vocabulary
    * until the NEXT round's delta scans it, so `vocab` retires two
    * rounds late and `P` one round late (≤ 3 live vocabulary-sized
-   * frames, all tiny). Lineage cuts EVERY round here, not every 16:
-   * unlike the recount loop's single linear fold, each incremental
-   * round references the previous vocabulary two-plus times (affected
-   * slice, complement, before-pairs), so the logical plan grows
-   * EXPONENTIALLY between cuts — 16 uncut rounds is a 2^16-node plan
-   * and analysis alone dwarfs the data — hence a lazy localCheckpoint
-   * per round (LogicalRDD leaf immediately; stranded checkpoint copies
-   * stay bounded because the retirement queues still unpersist retired
-   * frames explicitly). Crossover: at the registered sf0.01 point
-   * (8 merges, clean windows) the standing-state overhead costs more
-   * than it saves — the registered `bpe_vocab` stays on the recount
-   * path; the win is measured on the heterogeneous ladder
-   * (graft.BpeLadder, ≥ 1024 merges — BASELINE.md r16).
+   * frames, all tiny); lineage cuts EVERY round with the stranded
+   * copies released explicitly ([[freeCheckpoint]] — see the in-body
+   * note for the three live-measured pathologies that force this
+   * exact discipline). Crossover: at the registered sf0.01
+   * point (8 merges, clean windows) the standing-state overhead costs
+   * more than it saves — the registered `bpe_vocab` stays on the
+   * recount path; the win is measured on the heterogeneous ladder
+   * (graft.BpeLadder — BASELINE.md r16), where it tracks VOCABULARY
+   * size: the larger the vocabulary relative to the affected slice,
+   * the more the skipped explode+shuffle is worth.
    */
   private def bpeTrainIncremental(docs: DataFrame, nMerges: Int,
                                   sharedVocab: Option[DataFrame],
                                   minWordCount: Long,
                                   batch: Int): Seq[BpeMerge] = {
+    // Constraint propagation MUST be off for the loop's lifetime: a
+    // checkpoint's LogicalRDD CARRIES the source dataset's constraint
+    // set (LogicalRDD.fromDataset), so each round's filter(!adj) — a
+    // batch-sized predicate with two array/map literals — would
+    // COMPOUND through every subsequent checkpoint: task binaries grew
+    // ~10 KB/round to 3.5 MiB and round ~75 died of a
+    // StackOverflowError deserializing the nested constraint
+    // expressions (found live on the 1M hetero rung). Constraints only
+    // enable extra optimizer inferences; none applies to this loop's
+    // plans. Session-scoped set/restore — callers in the concurrent
+    // regime run their own sessions.
+    val sess = docs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = sess.conf.getOption(cpKey)
+    sess.conf.set(cpKey, "false")
+    try bpeTrainIncrementalBody(docs, nMerges, sharedVocab, minWordCount,
+      batch)
+    finally cpPrev match {
+      case Some(v) => sess.conf.set(cpKey, v)
+      case None => sess.conf.unset(cpKey)
+    }
+  }
+
+  private def bpeTrainIncrementalBody(docs: DataFrame, nMerges: Int,
+                                      sharedVocab: Option[DataFrame],
+                                      minWordCount: Long,
+                                      batch: Int): Seq[BpeMerge] = {
+    // Incremental state discipline — three pathologies, each found
+    // LIVE on the hetero ladder, shape the design:
+    //   1. the per-round vocabulary filter(!adj) ∪ folded(affected)
+    //      references the previous vocabulary twice, so an uncut plan
+    //      grows EXPONENTIALLY (2^16-node plans by round 16) and the
+    //      union SUMS partition counts (a 110k-empty-task stage by
+    //      round 13) → localCheckpoint EVERY round + coalesce back to
+    //      the input width;
+    //   2. Dataset.unpersist is a CacheManager NO-OP on checkpointed
+    //      frames, so per-round checkpoints stranded one vocab+pairs
+    //      copy per round and the per-round cost GREW 0.48→0.85 s
+    //      across 93 rounds → [[freeCheckpoint]] releases the
+    //      materialized LogicalRDD blocks explicitly through the
+    //      retirement queues;
+    //   3. folding the WHOLE vocabulary instead (the recount loop's
+    //      update, to dodge 1+2) keeps per-round cost ∝ vocabulary —
+    //      measured 3.3 vs the recount's 2.8 s/round at 633k words,
+    //      i.e. no crossover EVER, because the explode saved is then
+    //      the only difference and the fixed extra stages eat it.
     var vocab = sharedVocab.getOrElse(wordCounts(docs))
       .filter(col("__wc") >= minWordCount)
       .select(charSyms(col("word")).as("syms"), col("__wc"))
       .localCheckpoint(false)
+    val nPart = math.max(vocab.rdd.getNumPartitions, 1)
     var pairs = vocabPairs(vocab).localCheckpoint(false)
-    // retirement queues: unpersist vocab two rounds late, pairs one
+    // retirement queues: release vocab two rounds late, pairs one
     // round late (see scaladoc — lazy materialization cascades through
     // the window collects)
     val oldV = scala.collection.mutable.Queue.empty[DataFrame]
@@ -1048,8 +1105,8 @@ object TextAnalysis {
           .limit(want + 1)
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        while (oldV.size > 1) oldV.dequeue().unpersist()
-        while (oldP.nonEmpty) oldP.dequeue().unpersist()
+        while (oldV.size > 1) freeCheckpoint(oldV.dequeue())
+        while (oldP.nonEmpty) freeCheckpoint(oldP.dequeue())
         if (window.isEmpty) return merges.toSeq
         val keep = admitBatch(window.toSeq, want,
           merges.iterator.map(m => m.symA + m.symB).toSet)
@@ -1086,20 +1143,48 @@ object TextAnalysis {
             (coalesce(col("c"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
               .as("c"))
           .filter(col("c") > 0)
-        val newVocab = vocab.filter(!adj).union(foldedAff)
+        // vocabulary update ∝ the AFFECTED slice: unaffected words pass
+        // through the filter untouched (no fold evaluated on them)
+        val newVocab = vocab.filter(!adj).union(foldedAff).coalesce(nPart)
         oldV.enqueue(vocab)
         oldP.enqueue(pairs)
-        vocab = newVocab.localCheckpoint(false)
-        pairs = mergedP.localCheckpoint(false)
+        // EAGER checkpoints, deliberately: a lazy localCheckpoint's
+        // lineage truncation does not land in time under AQE's
+        // stage-level job submission, and the untruncated chains
+        // compounded into task closures at ~800 bytes per APPLIED MERGE
+        // (probe-measured: 0.4 → 1.8 MB over 40 rounds; a 4 MB closure
+        // of nested expression collections then dies of a
+        // task-deserializer StackOverflowError — the 1M-fixture crash).
+        // Eager materialize-and-truncate holds the closure flat at
+        // ~11 KB for both frames, measured over the same 40 rounds.
+        vocab = newVocab.localCheckpoint(true)
+        pairs = mergedP.localCheckpoint(true)
       }
       merges.toSeq
     } finally {
       lastTrainRounds.set(rounds)
-      (oldV ++ oldP).foreach(_.unpersist())
-      vocab.unpersist()
-      pairs.unpersist()
+      (oldV ++ oldP).foreach(freeCheckpoint)
+      freeCheckpoint(vocab)
+      freeCheckpoint(pairs)
     }
   }
+
+  /** Explicitly release a localCheckpointed frame's materialized
+    * blocks. `Dataset.unpersist` routes through the CacheManager and is
+    * a NO-OP on checkpointed frames (their storage hangs off the
+    * LogicalRDD's RDD, not a cache entry) — relying on it stranded one
+    * vocabulary copy per training round until driver GC (measured as a
+    * 0.48→0.85 s/round cost creep across 93 rounds on the hetero
+    * ladder). Callers must guarantee every consumer of the frame has
+    * already MATERIALIZED (a checkpointed RDD cannot recompute its
+    * blocks — lineage was truncated), which is exactly what the
+    * delayed retirement queues in [[bpeTrainIncremental]] provide. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => df.unpersist()
+    }
 
   /** Driver rounds (serialized collect actions) the calling THREAD's
     * last [[bpeTrain]] took — measurement instrumentation for the

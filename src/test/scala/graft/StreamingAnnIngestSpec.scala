@@ -313,7 +313,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
       val cut = 100000000L + nBase / 10
       feed(fresh.filter(col("vec_id") < cut), "b1")
       gen1.processAllAvailable()
-      val d1 = AnnLifecycle.maybeRetrainSwap(spark, dir, base, nCells)
+      val d1 = AnnLifecycle.maybeRetrainSwap(spark, dir, nCells)
       assert(d1.driftZ > 3.0, s"monitor should fire on the shifted batch: $d1")
       assert(!d1.fired && d1.published.isEmpty && d1.newShare <= 0.25,
         s"below-budget share must not retrain: $d1")
@@ -339,7 +339,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val swap = Future {
-      AnnLifecycle.maybeRetrainSwap(spark, dir, base, nCells)
+      AnnLifecycle.maybeRetrainSwap(spark, dir, nCells)
     }
     while (!swap.isCompleted) {
       val (v, df) = AnnLifecycle.serveTopK(spark, dir, base, nQ, 5,

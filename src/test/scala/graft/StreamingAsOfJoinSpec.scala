@@ -263,6 +263,161 @@ class StreamingAsOfJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progressive lateness bound: in-bound late arrivals are exact; a " +
+    "beyond-bound late view costs exactly the rights already finalized " +
+    "before it arrived (default mode repairs them)") {
+    val u = 7L
+    def run(progressive: Boolean): Map[Long, Option[Long]] = {
+      val vStream = MemoryStream[(Long, Long, Timestamp)](spark)
+      val cStream = MemoryStream[(Long, Long, Timestamp)](spark)
+      def df(s: MemoryStream[(Long, Long, Timestamp)]) =
+        s.toDF().toDF("event_id", "user_id", "ts")
+      val out = StreamingAsOfJoin.lastBeforeStream(
+        df(vStream), df(cStream),
+        key = "user_id", ts = "ts", leftId = "event_id",
+        rightId = "event_id", watermarkDelay = "5 seconds",
+        progressive = progressive)
+      val name = s"sasof_late_$progressive"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // b1: views @5 and @10, click 100 @12 — and a pacer @20 so the
+        // NEXT batch's watermark (20−5 = 15 s) finalizes the prefix
+        vStream.addData((4L, u, ts(5)), (1L, u, ts(10)), (90L, u, ts(20)))
+        cStream.addData((100L, u, ts(12)))
+        q.processAllAvailable()
+        // b2 (wm 15): the prefix finalizes — click 100 → view 1; view 4
+        // @5 is PRUNED (view 1 @10 is the newest below-wm left, the
+        // only carry). An IN-BOUND late view @18 (≥ wm) arrives out of
+        // order with click 101 @19 — both stay live.
+        vStream.addData((2L, u, ts(18)))
+        cStream.addData((101L, u, ts(19)))
+        q.processAllAvailable()
+        // b3: pacer @40 → wm 35 next batch; @18/@19 finalize there —
+        // in-bound lateness must be EXACT in both modes
+        vStream.addData((91L, u, ts(40)))
+        q.processAllAvailable()
+        // b4 (wm 35): BEYOND-BOUND late click 103 @7 — its oracle match
+        // is the PRUNED view 4 @5 (the carry view 1 @10 is after it, so
+        // matchSeq finds nothing ≤ 7): the documented miss class,
+        // repaired by default mode (the key never went inactive, its
+        // buffer still holds view 4). Click 102 @38 is live/in-bound.
+        cStream.addData((102L, u, ts(38)), (103L, u, ts(7)))
+        q.processAllAvailable()
+        // flush: far sentinel advances wm past everything, then the
+        // inactivity timeout fires on a second wave
+        vStream.addData((92L, u, ts(100000)))
+        q.processAllAvailable()
+        vStream.addData((93L, 999L, ts(200000)))
+        q.processAllAvailable()
+        spark.table(name).filter(col("user_id") =!= 999L).collect()
+          .map(r => r.getAs[Long]("event_id") ->
+            Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong))
+          .toMap
+      } finally q.stop()
+    }
+    val dflt = run(progressive = false)
+    val prog = run(progressive = true)
+    // oracle over the complete set (arrival order irrelevant)
+    val views = Seq((4L, ts(5)), (1L, ts(10)), (90L, ts(20)), (2L, ts(18)),
+      (91L, ts(40)), (92L, ts(100000))).map { case (i, t) => (i, u, t) }
+    val clicks = Seq((100L, ts(12)), (101L, ts(19)), (102L, ts(38)),
+      (103L, ts(7))).map { case (i, t) => (i, u, t) }
+    val oracle = AsOfJoin.lastBefore(
+        views.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", leftId = "event_id",
+        rightId = "event_id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong))
+      .toMap
+    // default mode repairs every in-run late arrival (keys stay active)
+    assert(dflt == oracle, s"default diverged: $dflt vs $oracle")
+    // every in-bound click — including the one matching the in-bound
+    // LATE view — is exact in progressive mode too
+    for (c <- Seq(100L, 101L, 102L))
+      assert(prog(c) == oracle(c), s"in-bound click $c: $prog vs $oracle")
+    assert(oracle(101L).contains(2L) && oracle(102L).contains(91L))
+    // the beyond-bound miss is CONFINED to click 103 and takes the
+    // documented form: its oracle view was pruned, so it reads
+    // unmatched rather than wrongly matched (the carry @10 is after it)
+    assert(oracle(103L).contains(4L))
+    assert(prog(103L).isEmpty,
+      s"expected the pruned-intermediate-left miss on 103: $prog")
+    assert((prog - 103L) == (oracle - 103L),
+      s"divergence leaked beyond the late click: $prog vs $oracle")
+  }
+
+  test("progressive attribution job: crash mid-stream, restart from the " +
+    "checkpoint under RocksDB — final attributions equal the batch " +
+    "oracle with zero duplicates") {
+    import graft.streaming.StreamingJobs
+    val root = java.nio.file.Files.createTempDirectory("graft-asof-prog-rs")
+    val topic = root.resolve("events")
+    java.nio.file.Files.createDirectories(topic)
+    val work = root.resolve("work").toString
+    def ev(id: Long, user: Long, sec: Long, t: String) =
+      (id, new Timestamp(sec * 1000L), user, t)
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String)]): Unit =
+      java.nio.file.Files.write(topic.resolve(name), String.join("\n",
+        rows.toDF("event_id", "ts", "user_id", "event_type")
+          .toJSON.collect(): _*).getBytes)
+    val rocks = Some("rocksdb")
+    // wave 0: two users, clicks already finalizable once the watermark
+    // moves (pacer @200)
+    val wave0 = Seq(
+      ev(1, 7, 10, "view"), ev(100, 7, 15, "click"),
+      ev(2, 7, 20, "view"), ev(101, 7, 25, "click"),
+      ev(3, 8, 30, "view"), ev(102, 8, 35, "click"),
+      ev(50, 6, 200, "view"))
+    write("w0.json", wave0)
+    val q1 = StreamingJobs.runAttributionJob(spark, topic.toString, work,
+      watermarkDelay = "5 seconds", finalizeDelayMs = 5000L,
+      stateStoreProvider = rocks, progressive = true)
+    try q1.processAllAvailable() finally q1.stop() // CRASH mid-stream
+    // wave 1 lands while the job is DOWN: more clicks for the same keys
+    val wave1 = Seq(
+      ev(4, 7, 40, "view"), ev(103, 7, 45, "click"),
+      ev(104, 8, 50, "click"), ev(51, 6, 400, "view"))
+    write("w1.json", wave1)
+    val q2 = StreamingJobs.runAttributionJob(spark, topic.toString, work,
+      watermarkDelay = "5 seconds", finalizeDelayMs = 5000L,
+      stateStoreProvider = rocks, progressive = true)
+    try {
+      q2.processAllAvailable()
+      // flush waves: advance the watermark far, then fire timeouts
+      write("s1.json", Seq(ev(900, 999, 100000, "view")))
+      q2.processAllAvailable()
+      write("s2.json", Seq(ev(901, 999, 200000, "view")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val emitted = spark.read.schema(
+        "event_id long, user_id long, ts timestamp, " +
+          "matched_event_id long, matched_ts timestamp, lag_ms long")
+      .json(s"$work/attributions")
+      .filter(col("user_id") =!= 999L)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)))
+    val all = (wave0 ++ wave1).toDF("event_id", "ts", "user_id", "event_type")
+    val want = AsOfJoin.lastBefore(
+        all.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts"),
+        all.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", leftId = "event_id",
+        rightId = "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)))
+      .toSet
+    assert(emitted.length == emitted.toSet.size,
+      s"duplicate attributions after the restart: ${emitted.toSeq}")
+    assert(emitted.toSet == want,
+      s"only-stream=${emitted.toSet -- want} only-batch=${want -- emitted.toSet}")
+  }
+
   test("matchSeq equals lastBefore on randomized inputs, any arrival order") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 30) {
