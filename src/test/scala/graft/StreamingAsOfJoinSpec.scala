@@ -263,9 +263,10 @@ class StreamingAsOfJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("progressive lateness bound: in-bound late arrivals are exact; a " +
-    "beyond-bound late view costs exactly the rights already finalized " +
-    "before it arrived (default mode repairs them)") {
+  test("progressive lateness bound: in-bound late arrivals are exact in " +
+    "both modes; beyond-bound arrivals are dropped by the operator's " +
+    "late-input filter in BOTH modes — progressive output ≡ default " +
+    "output under the watermark contract") {
     val u = 7L
     def run(progressive: Boolean): Map[Long, Option[Long]] = {
       val vStream = MemoryStream[(Long, Long, Timestamp)](spark)
@@ -297,11 +298,12 @@ class StreamingAsOfJoinSpec extends SparkSpec {
         // in-bound lateness must be EXACT in both modes
         vStream.addData((91L, u, ts(40)))
         q.processAllAvailable()
-        // b4 (wm 35): BEYOND-BOUND late click 103 @7 — its oracle match
-        // is the PRUNED view 4 @5 (the carry view 1 @10 is after it, so
-        // matchSeq finds nothing ≤ 7): the documented miss class,
-        // repaired by default mode (the key never went inactive, its
-        // buffer still holds view 4). Click 102 @38 is live/in-bound.
+        // b4 (wm 35): BEYOND-BOUND late click 103 @7 — the stateful
+        // operator's late-input filter (every row below the watermark)
+        // drops it BEFORE the state function in BOTH modes: the class
+        // progressive pruning could have missed (its oracle view 4 @5
+        // was pruned in b2) never reaches the buffer in the default
+        // form either. Click 102 @38 is live/in-bound.
         cStream.addData((102L, u, ts(38)), (103L, u, ts(7)))
         q.processAllAvailable()
         // flush: far sentinel advances wm past everything, then the
@@ -332,21 +334,25 @@ class StreamingAsOfJoinSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") ->
         Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong))
       .toMap
-    // default mode repairs every in-run late arrival (keys stay active)
-    assert(dflt == oracle, s"default diverged: $dflt vs $oracle")
+    // MODE EQUIVALENCE — the r16 drill's settled finding: on any input
+    // the watermark admits, progressive output equals default output
+    // (the carry retains the newest below-watermark left, and any
+    // pruned left is strictly older than what an in-bound right can
+    // need), and beyond-bound arrivals never reach either mode's buffer
+    assert(dflt == prog, s"modes diverged: $dflt vs $prog")
     // every in-bound click — including the one matching the in-bound
-    // LATE view — is exact in progressive mode too
+    // LATE view — is exact vs the batch oracle in both modes
     for (c <- Seq(100L, 101L, 102L))
       assert(prog(c) == oracle(c), s"in-bound click $c: $prog vs $oracle")
-    assert(oracle(101L).contains(2L) && oracle(102L).contains(91L))
-    // the beyond-bound miss is CONFINED to click 103 and takes the
-    // documented form: its oracle view was pruned, so it reads
-    // unmatched rather than wrongly matched (the carry @10 is after it)
+    assert(oracle(101L).contains(2L) && oracle(102L).contains(90L))
+    // the batch oracle sees the beyond-bound click (batch has no
+    // watermark); BOTH streaming modes dropped it at the late-input
+    // filter — the watermark contract, not a progressive-only trade
     assert(oracle(103L).contains(4L))
-    assert(prog(103L).isEmpty,
-      s"expected the pruned-intermediate-left miss on 103: $prog")
+    assert(!prog.contains(103L) && !dflt.contains(103L),
+      s"beyond-bound click should be dropped in both modes: $prog $dflt")
     assert((prog - 103L) == (oracle - 103L),
-      s"divergence leaked beyond the late click: $prog vs $oracle")
+      s"divergence beyond the dropped late click: $prog vs $oracle")
   }
 
   test("progressive attribution job: crash mid-stream, restart from the " +
@@ -363,26 +369,28 @@ class StreamingAsOfJoinSpec extends SparkSpec {
       java.nio.file.Files.write(topic.resolve(name), String.join("\n",
         rows.toDF("event_id", "ts", "user_id", "event_type")
           .toJSON.collect(): _*).getBytes)
-    val rocks = Some("rocksdb")
+    val rocks = Some(graft.streaming.StateBackend.RocksDb)
     // wave 0: two users, clicks already finalizable once the watermark
-    // moves (pacer @200)
+    // moves (pacer @60 → wm 55; wave-1 event times must stay ABOVE the
+    // recovered watermark or the late-input filter correctly drops them)
     val wave0 = Seq(
       ev(1, 7, 10, "view"), ev(100, 7, 15, "click"),
       ev(2, 7, 20, "view"), ev(101, 7, 25, "click"),
       ev(3, 8, 30, "view"), ev(102, 8, 35, "click"),
-      ev(50, 6, 200, "view"))
+      ev(50, 6, 60, "view"))
     write("w0.json", wave0)
     val q1 = StreamingJobs.runAttributionJob(spark, topic.toString, work,
-      watermarkDelay = "5 seconds", finalizeDelayMs = 5000L,
+      watermarkDelay = "5 seconds", finalizeDelayMs = 3600000L,
       stateStoreProvider = rocks, progressive = true)
     try q1.processAllAvailable() finally q1.stop() // CRASH mid-stream
-    // wave 1 lands while the job is DOWN: more clicks for the same keys
+    // wave 1 lands while the job is DOWN: more in-bound events for the
+    // same keys (all ts > the recovered watermark of 55 s)
     val wave1 = Seq(
-      ev(4, 7, 40, "view"), ev(103, 7, 45, "click"),
-      ev(104, 8, 50, "click"), ev(51, 6, 400, "view"))
+      ev(4, 7, 70, "view"), ev(103, 7, 75, "click"),
+      ev(104, 8, 80, "click"), ev(51, 6, 400, "view"))
     write("w1.json", wave1)
     val q2 = StreamingJobs.runAttributionJob(spark, topic.toString, work,
-      watermarkDelay = "5 seconds", finalizeDelayMs = 5000L,
+      watermarkDelay = "5 seconds", finalizeDelayMs = 3600000L,
       stateStoreProvider = rocks, progressive = true)
     try {
       q2.processAllAvailable()
