@@ -67,9 +67,21 @@ object UnicodeScale {
 
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count().toInt
     Files.createDirectories(Paths.get(work))
+    // single-FILE parquet, like the driver's testdata: the DuckDB gate
+    // (tools/check.py) opens '<dir>/documents.parquet' as one file
     multiScriptDocs(spark, nDocs)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$work/_docs_tmp")
+    val part = {
+      val s = Files.list(Paths.get(s"$work/_docs_tmp"))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.move(part, Paths.get(s"$work/documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$work/_docs_tmp"))
 
     val uniQueries = Seq("text_stats", "text_stats_unicode", "dedup_unicode",
       "dedup_normalized")
