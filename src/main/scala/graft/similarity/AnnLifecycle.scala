@@ -166,13 +166,6 @@ object AnnLifecycle {
           lit(Array.empty[Double]).as("embedding")).filter(lit(false))
     }
 
-  /** A published generation's full corpus as (vec_id, embedding) —
-    * its snapshot plus its own version-stamped arrivals. */
-  def corpusAt(spark: SparkSession, dir: String, version: Int): DataFrame =
-    spark.read.parquet(s"$dir/v$version/layout")
-      .select(col("vec_id"), col("v").as("embedding"))
-      .unionByName(liveVectors(spark, dir, version))
-
   /**
    * The serving read of one consistent generation: manifest resolved
    * ONCE, then `v<N>/layout ∪ live WHERE model_version = N` — every

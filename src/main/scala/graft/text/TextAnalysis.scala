@@ -979,7 +979,10 @@ object TextAnalysis {
         vocab =
           if (foldsSinceCut >= cutEveryFolds) {
             foldsSinceCut = 0
-            folded.localCheckpoint(false)
+            // eager, like the incremental loop's cuts: a lazy cut's
+            // truncation may never land under AQE stage-level jobs and
+            // the closure then grows ~800 bytes per applied merge
+            folded.localCheckpoint(true)
           } else folded
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
