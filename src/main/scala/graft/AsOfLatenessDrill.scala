@@ -26,13 +26,17 @@ import java.sql.Timestamp
  *    with a far-future sentinel key, and each mode's (click →
  *    matched view) map is diffed against [[AsOfJoin.lastBefore]] over
  *    the complete event set;
- *  - expected shape: zero differences for BOTH modes at depth < 1
- *    (in-bound is exact by the matchSeq buffer argument); at depth > 1
- *    the default buffer-until-inactive form still repairs every
- *    in-run late arrival (keys stay active through the feed), while
- *    progressive misses exactly the rights it already finalized before
- *    the late left arrived — the measured price of the 16×-smaller
- *    flat hot-key state (BASELINE.md r15 attribution ladder).
+ *  - measured outcome (BASELINE.md r16 — this drill settled it): the
+ *    two modes are IDENTICAL at every (rate, depth) cell. A
+ *    beyond-bound arrival is dropped by the stateful operator's
+ *    late-input filter BEFORE either mode's buffer, so the class
+ *    progressive pruning could have missed never reaches the default
+ *    buffer either — beyond-bound diffs (both modes vs batch) are the
+ *    watermark contract itself, not a mode cost. The small in-bound
+ *    residual is the drill's own 10 s arrival-batch quantization,
+ *    mode-identical. Consequence: progressive's 16×-smaller flat
+ *    hot-key state (r15 attribution ladder) comes at ZERO output cost,
+ *    which is why it is now the topology default.
  *
  * One JSON line per (rate, depth) cell.
  *

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
  * GATE reads only the sign of the logit (keep = logit >= 0) and the
  * selection queries read only ranks, so epochs past the point where
  * DECISIONS stabilize buy calibration nobody consumes. This ladder
- * measures, per epochs ∈ {1, 2, 4} on the SPARK_GRAFT_SF_DIR corpus:
+ * measures, per epochs ∈ {1, 2, 3, 4} on the SPARK_GRAFT_SF_DIR corpus
+ * (epoch 3 matters: the r16 parity-oscillation finding rests on it):
  *
  *   - fit wall seconds (the registered query's dominant cost),
  *   - held-out AUC (the ranking receipt — epoch-invariance here means
@@ -29,6 +30,13 @@ import org.apache.spark.sql.functions._
  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.LrEpochLadder"
  */
 object LrEpochLadder {
+
+  /** JSON-safe double: a degenerate corpus can make AUC NaN, and a raw
+    * interpolated NaN token breaks every downstream JSON parse of the
+    * receipt line (ADVICE r16). */
+  private def jsonNum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -77,7 +85,7 @@ object LrEpochLadder {
       val keepDiff = dec.count { case (id, (_, k)) => ref(id)._2 != k }
       val logitDiff = dec.count { case (id, (s, _)) => ref(id)._1 != s }
       println(s"""{"corpus":"testdata","sf_dir":"$sfDir","epochs":$e,""" +
-        s""""fit_sec":${f"$sec%.2f"},"auc":$a,""" +
+        s""""fit_sec":${f"$sec%.2f"},"auc":${jsonNum(a)},""" +
         s""""keep_diff_vs4":$keepDiff,"logit_diff_vs4":$logitDiff,""" +
         s""""n_docs":${dec.size}}""")
     }
@@ -104,7 +112,7 @@ object LrEpochLadder {
     val fixRef = fixCells.last._3
     fixCells.foreach { case (e, a, keeps) =>
       val keepDiff = keeps.count { case (id, k) => fixRef(id) != k }
-      println(s"""{"corpus":"fixture","epochs":$e,"auc":$a,""" +
+      println(s"""{"corpus":"fixture","epochs":$e,"auc":${jsonNum(a)},""" +
         s""""keep_diff_vs4":$keepDiff,"n_docs":${keeps.size}}""")
     }
     spark.stop()

@@ -394,6 +394,25 @@ object DataPipelineQueries {
       .toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
   }
 
+  /** The SAME merge table trained through the incremental pair-count
+    * maintenance path (delta off the affected slice instead of a
+    * per-round vocabulary recount — the r16 2.05× deep-merge-list win).
+    * Merge-list identity to the recount trainer IS the claim, so this
+    * query shares [[bpeVocabOracle]] VERBATIM — the full-outer-join
+    * delta path earns a value-verified CORRECTNESS row every round
+    * (r16 verdict ask #4), not only its fuzz/ladder pins. Deliberately
+    * NOT memo-shared with [[bpeMergesTrained]]: sharing the value would
+    * skip the path under test. */
+  def bpeVocabIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    SharedFrames.memoValue(spark, sfDir, "bpeMerges8Incremental") {
+      TextAnalysis.bpeTrain(docs(spark, sfDir), nMerges = bpeTrainRounds,
+        sharedVocab = Some(bpeWordCounts(spark, sfDir)),
+        batch = bpeTrainRounds, incremental = true)
+    }.map(m => (m.rank, m.symA, m.symB, m.nOccurrences))
+      .toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
+  }
+
   /** Corpus symbol counts under the TRAINED vocab — tokenization with
     * learned merges, rolled up to the top-40 symbol table (ties to the
     * lexicographically smaller symbol). Uses the vocabulary-grain
@@ -2850,6 +2869,8 @@ object DataPipelineQueries {
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     NamedQuery("bpe_merges", bpeMerges, Some(bpeMergesOracle)),
     NamedQuery("bpe_vocab", bpeVocabQ, Some(bpeVocabOracle)),
+    NamedQuery("bpe_vocab_incremental", bpeVocabIncrementalQ,
+      Some(bpeVocabOracle)),
     NamedQuery("bpe_encode", bpeEncodeQ, Some(bpeEncodeOracle)),
     NamedQuery("bpe_doc_tokens", bpeDocTokensQ, Some(bpeDocTokensOracle)),
     NamedQuery("bpe_fertility", bpeFertilityQ, Some(bpeFertilityOracle)),

@@ -88,18 +88,22 @@ object StreamingAsOfJoin {
    *   (ts ≥ watermark) can never need. Measured at lateness rates
    *   1/5/10% × depths 0.5/2/4× the watermark delay:
    *   diff-vs-batch-oracle IDENTICAL between modes at every cell, zero
-   *   at in-bound depth (BASELINE.md r16). Progressive is therefore
-   *   safe to default-on for hot-key corpora; the knob default stays
-   *   OFF only for bit-exact run-shape continuity of the registered
-   *   topology (default emits nothing until a key's flush — some
-   *   downstream consumers key on that batching).
+   *   at in-bound depth (BASELINE.md r16). Progressive is therefore the
+   *   DEFAULT since r17 — at 100 TB a continuously-hot key under the
+   *   inactivity-only form grows state with the stream's lifetime, and
+   *   the drill proved the bounded form costs nothing in output.
+   *   `progressive = false` remains the knob for consumers that key on
+   *   the flush-batched emission shape (nothing emitted for a key until
+   *   its inactivity flush); goldens are pinned under the new default
+   *   AND the legacy form (StreamingAsOfJoinSpec — both modes stay
+   *   batch-exact).
    */
   def lastBeforeStream(left: DataFrame, right: DataFrame,
                        key: String, ts: String,
                        leftId: String, rightId: String,
                        watermarkDelay: String = "10 seconds",
                        finalizeDelayMs: Long = 10000L,
-                       progressive: Boolean = false): DataFrame = {
+                       progressive: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     // null key/ts/id rows dropped (see scaladoc): one poison row must not

@@ -136,7 +136,7 @@ object StreamingJobs {
                         finalizeDelayMs: Long = 10000L,
                         maxFilesPerTrigger: Int = 8,
                         stateStoreProvider: Option[String] = None,
-                        progressive: Boolean = false): StreamingQuery =
+                        progressive: Boolean = true): StreamingQuery =
     StateBackend.withProvider(spark, stateStoreProvider) {
     val ev = JsonStreams.decode(
       spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
