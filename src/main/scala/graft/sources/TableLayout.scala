@@ -348,12 +348,13 @@ object TableLayout {
    */
   def streamToCellPartitioned(assigned: DataFrame, dir: String,
                               checkpoint: String,
-                              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                              partitionCols: Seq[String] = Seq("cell"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = assigned.writeStream.format("parquet")
       .option("path", dir)
       .option("checkpointLocation", checkpoint)
-      .partitionBy("cell")
+      .partitionBy(partitionCols: _*)
       .outputMode("append")
     trigger.foreach(w.trigger)
     w.start()
@@ -718,8 +719,8 @@ object TableLayout {
     * consumed only by the pass that created them, so at maintenance
     * ENTRY any survivor is dead. Runs at every maintenance entry, so a
     * crashed swap self-heals instead of wedging. */
-  private[sources] def healRetired(target: java.nio.file.Path,
-                                   partCol: String = dateCol): Unit = {
+  private[graft] def healRetired(target: java.nio.file.Path,
+                                 partCol: String = dateCol): Unit = {
     val parent = target.toAbsolutePath.getParent
     if (parent != null && Files.isDirectory(parent)) {
       val stagingPrefix = s"${target.getFileName}.staging-"
