@@ -55,14 +55,21 @@ object AnnStaleness {
     * query's neighbors become its own near-copies in its own cell and
     * recall goes UP with staleness — tried and discarded, r15.) */
   def freshShifted(spark: SparkSession, n: Long, dim: Int = 64,
-                   delta: Double = 0.35, nClusters: Int = 8): DataFrame = {
+                   delta: Double = 0.35, nClusters: Int = 8,
+                   dimOffset: Int = 0): DataFrame = {
     def unit(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
       (pmod(xxhash64(cols: _*), lit(2001)) - 1000).cast("double") / lit(1000.0)
+    // dimOffset moves the shifted 16-dim band: a MULTI-generation drill
+    // (AnnLifecycleLoad) shifts a FRESH band each generation — once a
+    // generation's drift is absorbed into the snapshot, re-shifting the
+    // same band reads as mixture variance, not mean shift, and the
+    // monitor's z collapses (measured: z 4.2 -> 1.4 at generation 2)
     spark.range(n).select(
       (col("id") + lit(100000000L)).as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), j =>
         (unit(pmod(col("id"), lit(nClusters)), j, lit(11)) * lit(0.6)
-          + when(j < 16, lit(delta)).otherwise(lit(0.0))
+          + when(j >= dimOffset && j < dimOffset + 16, lit(delta))
+            .otherwise(lit(0.0))
           + unit(col("id"), j, lit(7)) * lit(0.45)).cast("float"))
         .as("embedding"))
   }

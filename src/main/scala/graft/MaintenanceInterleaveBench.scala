@@ -188,12 +188,28 @@ object MaintenanceInterleaveBench {
       new Thread(() => readLoop(s), s"layout-reader-$i")
     }
 
+    // ---- ANN lifecycle thread (r17): the full operating loop — drifted
+    // ingest generations, REAL-policy retrains, atomic swaps, live-dir
+    // compaction — with its own racing serve-verify loop, all while the
+    // registry, the maintenance cycles and the layout readers above
+    // hammer the same session (AnnSwapDrill raced ONE publish on an
+    // idle session; this is the production regime)
+    val annStats = new java.util.concurrent.atomic
+      .AtomicReference[graft.similarity.AnnLifecycleLoad.Stats](null)
+    val annThread = new Thread(() => {
+      annStats.set(graft.similarity.AnnLifecycleLoad.run(spark,
+        s"$work/ann", spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        targetSwaps = 2, schedulerPool = Some("ann-lifecycle")))
+    }, "ann-lifecycle")
+
     // ---- the full registry, concurrently, while the above run
     val order = SparkEntry.queries.toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     val t0 = System.nanoTime()
     maintThread.start()
     readers.foreach(_.start())
+    annThread.start()
     val futures = order.map { case (name, fn) =>
       pool.submit(new java.util.concurrent.Callable[Option[(String, String)]] {
         override def call(): Option[(String, String)] = {
@@ -209,6 +225,7 @@ object MaintenanceInterleaveBench {
     val querySec = (System.nanoTime() - t0) / 1e9
     maintThread.join()
     readers.foreach(_.join())
+    annThread.join()
     val wallSec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
@@ -225,7 +242,9 @@ object MaintenanceInterleaveBench {
       s""""query_sec":$querySec,"wall_sec":$wallSec,""" +
       s""""maint_cycles":$cyclesDone,""" +
       s""""maint_error":${Option(maintErr.get()).map(e => "\"" + esc(e) + "\"").getOrElse("null")},""" +
-      s""""query_errors":$errJson,"readers":$rdJson,"sf":"$sfDir"}""")
+      s""""query_errors":$errJson,"readers":$rdJson,""" +
+      s""""ann_lifecycle":${Option(annStats.get()).map(_.json).getOrElse("null")},""" +
+      s""""sf":"$sfDir"}""")
     org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
     spark.stop()
   }

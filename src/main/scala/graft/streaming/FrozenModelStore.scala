@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/**
+ * Versioned store for FROZEN streaming models — the
+ * [[graft.similarity.AnnLifecycle]] manifest discipline applied to the
+ * stateless streaming twins (r16 verdict ask #6): the quality
+ * classifier, the BM25 router, the MAD/robust-gate baselines and
+ * semantic decontamination all freeze their model tables into the plan
+ * as literals/broadcasts, so before this store a model refresh meant a
+ * restart with NO provenance on emitted rows — a consumer could not
+ * tell which weights scored which document.
+ *
+ * Layout: `<dir>/v<N>/model/` (immutable parquet, any schema) +
+ * `<dir>/MANIFEST` (current version, written tmp + ATOMIC_MOVE — a
+ * reader resolves either the old version or the new one, never a torn
+ * read).
+ *
+ * THE RECIPE every stateless twin shares (drilled over the classifier
+ * stream in FrozenModelSwapSpec; the same steps apply verbatim to
+ * [[StreamingCuration.bm25RouteStream]]'s Bm25Model, the robust-gate
+ * (median, MAD) baselines and the decontamination index):
+ *
+ *  1. train/collect the model table once, [[publish]] it as v1 —
+ *     writes the immutable `v1/model` tree, then flips MANIFEST;
+ *  2. build the stream against [[currentVersion]]'s model and STAMP
+ *     every output row `model_version = N` IN THE SAME PROJECTION the
+ *     frozen literals live in (e.g.
+ *     [[StreamingCuration.qualityClassifierStreamVersioned]]) — a
+ *     Structured Streaming plan freezes literals at build, so the
+ *     stamp and the weights can never disagree within a query's
+ *     lifetime;
+ *  3. refresh = STOP the query, [[publish]] v(N+1), restart the SAME
+ *     builder against the SAME checkpoint: source offsets continue
+ *     (no row re-scored, none skipped), the restarted plan resolves
+ *     the new manifest, and from the first post-restart microbatch
+ *     every row carries the new stamp. Each emitted row is therefore
+ *     attributable to EXACTLY ONE model version, and the output topic
+ *     is self-describing across any number of refreshes.
+ *
+ * At 100 TB nothing here scales with data: a model table is
+ * O(model) bytes written once per refresh, the manifest flip is O(1),
+ * and the stamp is a literal column. Old `v<k>` trees are tiny; retire
+ * them with the [[graft.similarity.AnnLifecycle.pruneGenerations]]
+ * discipline if a deployment accumulates thousands.
+ */
+object FrozenModelStore {
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "MANIFEST")
+
+  /** Current model version, or None before the first publish. */
+  def currentVersion(dir: String): Option[Int] = {
+    val p = manifestPath(dir)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt)
+    else None
+  }
+
+  /** Publish `model` as the immutable generation `version`, then flip
+    * the manifest atomically. */
+  def publish(dir: String, version: Int, model: DataFrame): Unit = {
+    model.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/v$version/model")
+    val tmp = Paths.get(dir, s".MANIFEST.tmp.$version")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, version.toString.getBytes)
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Generation `version`'s frozen model table. */
+  def load(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(s"$dir/v$version/model")
+
+  /** Convenience pair for µ-int weight-vector models (the LR
+    * classifier's Array[Long] indexed by bucket). */
+  def publishWeights(spark: SparkSession, dir: String, version: Int,
+                     weights: Array[Long]): Unit = {
+    import spark.implicits._
+    publish(dir, version,
+      weights.toSeq.zipWithIndex.map { case (w, b) => (b, w) }
+        .toDF("bucket", "w"))
+  }
+
+  def loadWeights(spark: SparkSession, dir: String,
+                  version: Int): Array[Long] =
+    load(spark, dir, version)
+      .orderBy(col("bucket")).select(col("w"))
+      .collect().map(_.getLong(0))
+}

@@ -255,6 +255,34 @@ object StreamingCuration {
       docStream, nBuckets, threshold, weights)
 
   /**
+   * [[qualityClassifierStream]] under a VERSIONED frozen model — the
+   * [[FrozenModelStore]] recipe's classifier instance (r16 verdict ask
+   * #6): resolves the store's current generation ONCE at build, scores
+   * under that generation's weights, and stamps every output row
+   * `model_version` in the same projection the frozen weight literals
+   * live in — so the stamp and the weights can never disagree within a
+   * query's lifetime, and a stop → publish v(N+1) → restart on the SAME
+   * checkpoint leaves every emitted row attributable to exactly one
+   * model version with no row re-scored or skipped (offsets continue).
+   * Drilled in FrozenModelSwapSpec; the recipe scaladoc in
+   * [[FrozenModelStore]] is shared by the other stateless twins
+   * ([[bm25RouteStream]], the robust-gate baselines, semantic
+   * decontamination).
+   */
+  def qualityClassifierStreamVersioned(spark: org.apache.spark.sql.SparkSession,
+                                       docStream: DataFrame, storeDir: String,
+                                       nBuckets: Int = 4096,
+                                       threshold: Double = 0.0): DataFrame = {
+    val v = FrozenModelStore.currentVersion(storeDir).getOrElse(
+      sys.error(s"no published classifier model under $storeDir"))
+    val w = FrozenModelStore.loadWeights(spark, storeDir, v)
+    require(w.length == nBuckets,
+      s"published weight table ${w.length} != nBuckets $nBuckets")
+    qualityClassifierStream(docStream, nBuckets, threshold, Some(w))
+      .withColumn("model_version", org.apache.spark.sql.functions.lit(v))
+  }
+
+  /**
    * Streaming BM25 standing-query router — the ingest-time shape of
    * [[graft.text.Retrieval.bm25MoreLikeThis]]: a frozen
    * [[graft.text.Retrieval.Bm25Model]] (query terms + idf + corpus mean

@@ -93,4 +93,49 @@ class MaintenanceInterleaveSpec extends SparkSpec {
     // final state content-preserved exactly
     assert(sums(spark.read.parquet(dir)) == expectAll)
   }
+
+  test("ANN lifecycle under concurrent load: two REAL-policy retrains " +
+    "fire and swap while a serve-verify loop races every phase and " +
+    "query threads hammer the session — zero mixed results, zero " +
+    "reader failures, zero query errors") {
+    val work = Files.createTempDirectory("interleave_ann").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    // background query load (CI-sized stand-in for the bench's 8-thread
+    // full registry): two threads cycling real corpus aggregations
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val queryErrs = new java.util.concurrent.atomic.AtomicLong(0)
+    val queryOk = new java.util.concurrent.atomic.AtomicLong(0)
+    val load = (0 until 2).map(i => new Thread(() => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      while (!stop.get()) {
+        try {
+          docs.groupBy(col("source")).agg(sum(col("n_chars"))).count()
+          queryOk.incrementAndGet()
+        } catch {
+          case scala.util.control.NonFatal(_) => queryErrs.incrementAndGet()
+        }
+      }
+    }, s"query-load-$i"))
+    load.foreach(_.start())
+
+    val stats = try
+      graft.similarity.AnnLifecycleLoad.run(spark, work, emb,
+        targetSwaps = 2)
+    finally { stop.set(true); load.foreach(_.join()) }
+
+    info(stats.json)
+    assert(stats.error.isEmpty, s"lifecycle failed: ${stats.error}")
+    assert(stats.swapsFired >= 2, s"expected >= 2 retrains: $stats")
+    assert(stats.compactions >= 2,
+      s"each swap must reclaim the dead generation: $stats")
+    assert(stats.mixed == 0, s"mixed-model serve results: $stats")
+    assert(stats.serveErrors == 0, s"serve exceptions under load: $stats")
+    assert(stats.servesValidated > 0,
+      s"the verify loop must land validated serves: $stats")
+    assert(queryErrs.get() == 0 && queryOk.get() > 0,
+      s"background queries: ok=${queryOk.get()} errs=${queryErrs.get()}")
+  }
 }
