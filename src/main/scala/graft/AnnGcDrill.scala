@@ -133,7 +133,12 @@ object AnnGcDrill {
           require(d.fired && d.published.exists(_.version == g + 1),
             s"swap $g->${g + 1} did not fire: $d")
           if (!legacy) {
-            val reclaimed = AnnLifecycle.compactLive(dir)
+            // readerHorizon = 0: this drill is QUIESCENT at this point
+            // (ingest stopped, the measured serve already collected, no
+            // concurrent reader exists), so immediate reclaim is safe
+            // and keeps the per-generation receipts comparable; a store
+            // with serves in flight uses the default horizon instead
+            val reclaimed = AnnLifecycle.compactLive(dir, readerHorizon = 0)
             require(reclaimed == Seq(g), s"expected to reclaim gen $g: $reclaimed")
             // bound the version-tree count too: keep current + 1 pinned
             AnnLifecycle.pruneGenerations(dir, keep = 2)

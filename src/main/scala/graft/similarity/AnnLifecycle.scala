@@ -413,7 +413,15 @@ object AnnLifecycle {
     * top-level `v<k>` debris is restored the same way so an interrupted
     * prune converges by re-deciding; abandoned `.MANIFEST.tmp.*` writes
     * are swept (the atomic move never happened — the manifest is
-    * whichever version last flipped). */
+    * whichever version last flipped). The tmp sweep is AGE-GATED
+    * (ADVICE r17): a GC pass concurrent with a [[flipManifest]] in
+    * another thread/process must not delete the tmp file in the window
+    * between its write and its ATOMIC_MOVE — a fresh tmp is an
+    * in-flight publish, not debris; only files older than
+    * `tmpSweepAgeMs` (default 60 s, orders of magnitude beyond the
+    * write→move gap of a live flip) are abandoned-by-construction. */
+  private[similarity] val tmpSweepAgeMs: Long = 60000L
+
   def healLifecycle(dir: String): Unit = {
     graft.sources.TableLayout.healRetired(Paths.get(liveDir(dir)),
       "model_version")
@@ -436,7 +444,9 @@ object AnnLifecycle {
             org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
           else Files.move(p, live)
         case _ =>
-          if (name.startsWith(".MANIFEST.tmp."))
+          if (name.startsWith(".MANIFEST.tmp.") &&
+              Files.getLastModifiedTime(p).toMillis
+                < System.currentTimeMillis() - tmpSweepAgeMs)
             Files.deleteIfExists(p)
       }
     }
@@ -465,8 +475,25 @@ object AnnLifecycle {
    * log surgery, checkpoint and batch ids untouched; safe concurrent
    * with the CURRENT generation's ingest (it only ever writes
    * `model_version=<current>`). Returns the reclaimed versions.
+   *
+   * `readerHorizon` (ADVICE r17): a serve that resolved the manifest
+   * JUST BEFORE a flip is still scanning live(cur−1) when this pass
+   * runs right after the swap — unlinking that directory under it
+   * fails the read (the listing already happened; `ignoreMissingFiles`
+   * is off by design). The default keeps every generation within
+   * `readerHorizon` of current alive — one flip's worth of in-flight
+   * readers by default, the same discipline as [[pruneGenerations]]'
+   * `keep` — so the pass reclaims `k < cur − readerHorizon` only.
+   * A generation is therefore reclaimed on the NEXT compaction after
+   * the one that followed its supersession, by which time any reader
+   * that resolved it has long finished (a serve is one bounded query,
+   * not a subscription). Pass `readerHorizon = 0` ONLY on a quiescent
+   * store (no serve in flight — e.g. a drill that stops all readers
+   * between phases) to reclaim everything below current immediately.
    */
-  def compactLive(dir: String): Seq[Int] = {
+  def compactLive(dir: String, readerHorizon: Int = 1): Seq[Int] = {
+    require(readerHorizon >= 0,
+      s"readerHorizon must be >= 0, got $readerHorizon")
     val cur = currentVersion(dir).getOrElse(
       sys.error(s"no published index under $dir"))
     healLifecycle(dir)
@@ -480,7 +507,7 @@ object AnnLifecycle {
       while (it.hasNext) {
         val p = it.next()
         p.getFileName.toString match {
-          case partRe(k) if k.toInt < cur => buf += ((k.toInt, p))
+          case partRe(k) if k.toInt < cur - readerHorizon => buf += ((k.toInt, p))
           case _ => ()
         }
       }

@@ -151,6 +151,11 @@ object AnnLifecycleLoad {
             s"policy did not fire at generation $g: $d")
         refreshExpected(g + 1)
         swaps += 1
+        // default readerHorizon: the serve thread races this very call,
+        // and a serve that resolved v(g) just before the flip is still
+        // scanning live(g) — the horizon keeps that directory alive
+        // until the NEXT swap's compaction (ADVICE r17), so the first
+        // pass here reclaims nothing and pass k reclaims live(k-1)
         val reclaimed = AnnLifecycle.compactLive(dir)
         if (reclaimed.nonEmpty) compactions += 1
         g += 1

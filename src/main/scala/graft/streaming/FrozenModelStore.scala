@@ -20,10 +20,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  * reader resolves either the old version or the new one, never a torn
  * read).
  *
- * THE RECIPE every stateless twin shares (drilled over the classifier
- * stream in FrozenModelSwapSpec; the same steps apply verbatim to
- * [[StreamingCuration.bm25RouteStream]]'s Bm25Model, the robust-gate
- * (median, MAD) baselines and the decontamination index):
+ * THE RECIPE every stateless twin shares — instantiated three ways
+ * (literal-folded weights in
+ * [[StreamingCuration.qualityClassifierStreamVersioned]], literal-folded
+ * term rows in [[StreamingCuration.bm25RouteStreamVersioned]], a
+ * broadcast stats TABLE in
+ * [[StreamingCuration.robustLengthGateStreamVersioned]]), all drilled in
+ * FrozenModelSwapSpec; the same steps apply verbatim to the remaining
+ * frozen-table twins (e.g. the decontamination index):
  *
  *  1. train/collect the model table once, [[publish]] it as v1 —
  *     writes the immutable `v1/model` tree, then flips MANIFEST;
@@ -60,8 +64,26 @@ object FrozenModelStore {
   }
 
   /** Publish `model` as the immutable generation `version`, then flip
-    * the manifest atomically. */
-  def publish(dir: String, version: Int, model: DataFrame): Unit = {
+    * the manifest atomically.
+    *
+    * Refuses when `v<version>` already exists (ADVICE r17): the layout
+    * contract declares a published tree IMMUTABLE — output rows stamped
+    * `model_version = N` must be attributable to exactly one weight
+    * set, and silently rewriting `v<N>/model` would attach one stamp to
+    * two histories. `force = true` is the explicit escape hatch for
+    * re-staging a version that never took effect (e.g. a publish that
+    * crashed between the model write and the manifest flip — the same
+    * overwrite-replace-then-flip retry discipline as
+    * [[graft.similarity.AnnLifecycle]]'s staged trees). */
+  def publish(dir: String, version: Int, model: DataFrame,
+              force: Boolean = false): Unit = {
+    val tree = Paths.get(dir, s"v$version")
+    require(force || !Files.exists(tree),
+      s"model generation v$version already exists under $dir — published " +
+        "trees are immutable (rows stamped with this version would become " +
+        "attributable to two weight sets); publish the next version, or " +
+        "pass force = true only to re-stage a crashed publish that never " +
+        "flipped the manifest")
     model.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/v$version/model")
     val tmp = Paths.get(dir, s".MANIFEST.tmp.$version")
@@ -90,4 +112,35 @@ object FrozenModelStore {
     load(spark, dir, version)
       .orderBy(col("bucket")).select(col("w"))
       .collect().map(_.getLong(0))
+
+  /** Convenience pair for frozen BM25 routing models
+    * ([[graft.text.Retrieval.Bm25Model]]): the ≤ nQueries·nTerms
+    * (query_id, term, idf) rows plus the corpus mean length, one row
+    * per term (`avg_len` repeated — the model is tiny, a dozen rows).
+    * An EMPTY model (corpus had no tokens) round-trips as one sentinel
+    * row with a NULL term. */
+  def publishBm25(spark: SparkSession, dir: String, version: Int,
+                  model: graft.text.Retrieval.Bm25Model,
+                  force: Boolean = false): Unit = {
+    import spark.implicits._
+    val rows =
+      if (model.terms.isEmpty)
+        Seq((-1L, Option.empty[String], 0.0, model.avgLen))
+      else model.terms.map { case (q, t, idf) => (q, Option(t), idf, model.avgLen) }
+    publish(dir, version,
+      rows.toDF("query_id", "term", "idf", "avg_len"), force)
+  }
+
+  def loadBm25(spark: SparkSession, dir: String,
+               version: Int): graft.text.Retrieval.Bm25Model = {
+    val rows = load(spark, dir, version)
+      .orderBy(col("query_id"), col("term"))
+      .collect()
+    val avgLen = if (rows.isEmpty) 0.0 else rows.head.getAs[Double]("avg_len")
+    val terms = rows.toSeq
+      .filter(r => !r.isNullAt(r.fieldIndex("term")))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"),
+        r.getAs[Double]("idf")))
+    graft.text.Retrieval.Bm25Model(avgLen, terms)
+  }
 }

@@ -300,6 +300,47 @@ object StreamingCuration {
     graft.text.Retrieval.bm25ScoreStateless(docStream, model)
 
   /**
+   * [[bm25RouteStream]] under a VERSIONED frozen model — the second
+   * [[FrozenModelStore]] instance (r17 verdict ask #3: the recipe is a
+   * recipe, not a classifier one-off): resolves the store's current
+   * generation ONCE at build, scores against that generation's
+   * (query_id, term, idf, avg_len) literals, and stamps every output
+   * row `model_version` in the same projection. Swap discipline is
+   * identical to the classifier's (stop → publish v(N+1) → restart on
+   * the same checkpoint), drilled in FrozenModelSwapSpec.
+   */
+  def bm25RouteStreamVersioned(spark: org.apache.spark.sql.SparkSession,
+                               docStream: DataFrame,
+                               storeDir: String): DataFrame = {
+    val v = FrozenModelStore.currentVersion(storeDir).getOrElse(
+      sys.error(s"no published BM25 model under $storeDir"))
+    val m = FrozenModelStore.loadBm25(spark, storeDir, v)
+    bm25RouteStream(docStream, m)
+      .withColumn("model_version", org.apache.spark.sql.functions.lit(v))
+  }
+
+  /**
+   * [[graft.text.TextAnalysis.robustLengthGateStream]] under a
+   * VERSIONED frozen (median, MAD) baseline — the third
+   * [[FrozenModelStore]] instance, proving the recipe also covers
+   * models carried as a BROADCAST TABLE rather than plan literals: the
+   * per-source stats frame is generation `v<N>/model` (an immutable
+   * path — the stream-static broadcast join re-reads a tree that never
+   * changes under it), and every output row is stamped
+   * `model_version = N`. Same swap discipline; drilled in
+   * FrozenModelSwapSpec.
+   */
+  def robustLengthGateStreamVersioned(spark: org.apache.spark.sql.SparkSession,
+                                      docStream: DataFrame, storeDir: String,
+                                      threshold: Double = 3.5): DataFrame = {
+    val v = FrozenModelStore.currentVersion(storeDir).getOrElse(
+      sys.error(s"no published length-stats model under $storeDir"))
+    val stats = FrozenModelStore.load(spark, storeDir, v)
+    graft.text.TextAnalysis.robustLengthGateStream(docStream, stats, threshold)
+      .withColumn("model_version", org.apache.spark.sql.functions.lit(v))
+  }
+
+  /**
    * Streaming ANN ingest — the living-index twin of
    * [[graft.similarity.Similarity.incrementalAssign]] at the ingest
    * boundary: every arriving vector is assigned its IVF cell and PQ

@@ -134,7 +134,15 @@ class AnnLifecycleGcSpec extends SparkSpec {
       s"live scan listed $files1 files; current generation has $curFiles, " +
         s"dead has $deadFiles — dead files must prune at listing")
 
-    val reclaimed = AnnLifecycle.compactLive(dir)
+    // default reader horizon (ADVICE r17): the generation superseded by
+    // the MOST RECENT flip stays alive — a serve that resolved v1 just
+    // before the swap may still be scanning live(1)
+    assert(AnnLifecycle.compactLive(dir).isEmpty,
+      "default horizon must keep the just-superseded generation")
+    assert(Files.isDirectory(Paths.get(s"$dir/live/model_version=1")),
+      "live(cur-1) survives the default-horizon pass")
+    // quiescent store (no serve in flight here): horizon 0 reclaims now
+    val reclaimed = AnnLifecycle.compactLive(dir, readerHorizon = 0)
     assert(reclaimed == Seq(1))
     assert(!Files.exists(Paths.get(s"$dir/live/model_version=1")),
       "compaction must unlink the dead generation directory")
@@ -151,7 +159,8 @@ class AnnLifecycleGcSpec extends SparkSpec {
     assert(files2 == curFiles && bytes2 == bytes1,
       "post-compaction scan reads the same current-generation files")
 
-    assert(AnnLifecycle.compactLive(dir).isEmpty, "second pass is a no-op")
+    assert(AnnLifecycle.compactLive(dir, readerHorizon = 0).isEmpty,
+      "second pass is a no-op")
     assert(hiddenEntries(s"$dir/live").isEmpty, "zero debris")
     // the ingest continuity surface survives: liveVectors still reads
     assert(AnnLifecycle.liveVectors(spark, dir, 2).count() == 10)
@@ -166,8 +175,9 @@ class AnnLifecycleGcSpec extends SparkSpec {
 
     TableLayout.crashHook = p =>
       if (p == "live-gen-retired") sys.error(s"crash at $p")
-    try intercept[RuntimeException] { AnnLifecycle.compactLive(dir) }
-    finally TableLayout.crashHook = _ => ()
+    try intercept[RuntimeException] {
+      AnnLifecycle.compactLive(dir, readerHorizon = 0)
+    } finally TableLayout.crashHook = _ => ()
     // mid-crash state: dead dir retired under a hidden name — dead rows
     // were never served anyway, so the answer is unchanged
     assert(hiddenEntries(s"$dir/live").nonEmpty, "crash left a retired dir")
@@ -176,13 +186,13 @@ class AnnLifecycleGcSpec extends SparkSpec {
 
     // heal + converge: entry heal restores the retired dir, the pass
     // re-collects it; end state identical to an uncrashed run
-    val reclaimed = AnnLifecycle.compactLive(dir)
+    val reclaimed = AnnLifecycle.compactLive(dir, readerHorizon = 0)
     assert(reclaimed == Seq(1), s"healed pass must reclaim: $reclaimed")
     assert(hiddenEntries(s"$dir/live").isEmpty, "zero debris after heal")
     assert(!Files.exists(Paths.get(s"$dir/live/model_version=1")))
     assert(rows(AnnLifecycle.serveTopK(spark, dir, base(), nQ, 5,
       nCells, nProbe = nCells)._2) == expected)
-    assert(AnnLifecycle.compactLive(dir).isEmpty)
+    assert(AnnLifecycle.compactLive(dir, readerHorizon = 0).isEmpty)
   }
 
   test("pruneGenerations keeps the newest `keep` trees, never the " +

@@ -129,8 +129,11 @@ class MaintenanceInterleaveSpec extends SparkSpec {
     info(stats.json)
     assert(stats.error.isEmpty, s"lifecycle failed: ${stats.error}")
     assert(stats.swapsFired >= 2, s"expected >= 2 retrains: $stats")
-    assert(stats.compactions >= 2,
-      s"each swap must reclaim the dead generation: $stats")
+    // compaction runs with the default reader horizon (serves race every
+    // phase): pass k reclaims live(k-1), so N swaps land N-1 reclaims —
+    // live(N) stays until a quiescent pass or the next swap's compaction
+    assert(stats.compactions >= stats.swapsFired - 1,
+      s"horizon-lagged compaction must reclaim superseded generations: $stats")
     assert(stats.mixed == 0, s"mixed-model serve results: $stats")
     assert(stats.serveErrors == 0, s"serve exceptions under load: $stats")
     assert(stats.servesValidated > 0,
