@@ -264,12 +264,32 @@ object AnnLifecycle {
    * AnnStaleness policy: the monitor alone fires from the first shifted
    * batch; the share budget keeps a handful of outliers from forcing a
    * rebuild), retrain over snapshot ∪ arrived and [[publish]] the next
-   * generation. Two bounded collects (centroid freeze) + one
+   * generation.
+   *
+   * Monitor blind spot, by design (see
+   * [[Similarity.embeddingDrift]]'s multi-generation contract): after a
+   * retrain absorbs a drifted cohort, REPEATED drift along the same
+   * axis reads as snapshot variance and `mean_shift_z` goes quiet
+   * (measured z 4.2 → 1.4 at generation 2) — the controller will not
+   * re-fire on an axis it already learned unless the mean moves
+   * further. Watch the monitor's `std_ratio` column for axis-aligned
+   * spread growth if a deployment's drift is expected to recur on one
+   * axis. Two bounded collects (centroid freeze) + one
    * partitioned write; the caller then restarts the ingest job as the
    * next generation (see the swap protocol above).
+   *
+   * `nCells` defaults to [[Similarity.AutoCells]]: each retrain sizes
+   * the next generation's IVF width to the COMBINED corpus it is about
+   * to index ([[Similarity.scaledCells]] — the r17 frontier policy,
+   * ~128 vectors/cell on a power-of-two rung in [16, 4096]), so a store
+   * that grows across generations widens its quantizer instead of
+   * silently serving a production corpus from the 16-cell toy width.
+   * An explicit width pins every generation (the drills/specs do, for
+   * deterministic receipts).
    */
   def maybeRetrainSwap(spark: SparkSession, dir: String,
-                       nCells: Int, zThreshold: Double = 3.0,
+                       nCells: Int = Similarity.AutoCells,
+                       zThreshold: Double = 3.0,
                        shareBudget: Double = 0.25,
                        ivfSalt: String = "ivf"): Decision = {
     val v = currentVersion(dir).getOrElse(

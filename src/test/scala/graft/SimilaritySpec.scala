@@ -656,4 +656,48 @@ class SimilaritySpec extends SparkSpec {
     viewBrute.foreach(_.unpersist())
     base.unpersist(); fresh.unpersist()
   }
+
+  test("scaledCells width policy: ~128 vectors/cell on a power-of-two " +
+    "rung, clamped to [16, 4096]; small corpora keep the toy width") {
+    // under-2k corpora: the historical width, unconditionally
+    assert(Similarity.scaledCells(0) == 16)
+    assert(Similarity.scaledCells(500) == 16)
+    assert(Similarity.scaledCells(2048) == 16)
+    // the frontier's measured operating point: 1024 cells at 128k
+    assert(Similarity.scaledCells(128000) == 1024)
+    assert(Similarity.scaledCells(131072) == 1024)
+    // interior rungs follow the n/128 ratio
+    assert(Similarity.scaledCells(16000) == 128)
+    assert(Similarity.scaledCells(4096) == 32)
+    // cap: the centroid collect stays bounded at any corpus size
+    assert(Similarity.scaledCells(1000000) == 4096)
+    assert(Similarity.scaledCells(100000000000L) == 4096)
+    // monotone non-decreasing across the rung boundaries near the floor
+    val widths = Seq(2048L, 2049L, 3000L, 4096L, 8192L, 16384L)
+      .map(Similarity.scaledCells)
+    assert(widths == widths.sorted, s"non-monotone: $widths")
+  }
+
+  test("freezeAnnIndex(AutoCells): a small corpus resolves to the " +
+    "explicit-16 model BIT-EXACT (the degenerate form is unchanged); a " +
+    "larger corpus widens the quantizer per the policy") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val auto = Similarity.freezeAnnIndex(emb, Similarity.AutoCells).get
+    val explicit = Similarity.freezeAnnIndex(emb).get
+    assert(auto.cells.length == 16)
+    assert(auto == explicit,
+      "auto width on a small corpus must equal the explicit-16 model")
+
+    // 40k synthetic vectors -> 256 cells (40000/128 = 312.5 -> rung 256),
+    // and the widened model really carries 256 trained centroids
+    val big = AnnStaleness.freshShifted(spark, 40000)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    assert(Similarity.scaledCells(40000) == 256)
+    val wide = Similarity.freezeAnnIndex(big, Similarity.AutoCells).get
+    assert(wide.cells.length == 256)
+    assert(wide.cells.map(_._1).toSeq == (0L until 256L),
+      "trained cells are ordinal-id'd 0..width-1")
+  }
 }
