@@ -262,5 +262,41 @@ class AnnLifecycleGcSpec extends SparkSpec {
     assert(d.fired && AnnLifecycle.currentVersion(dir).contains(2))
   }
 
+  test("controller auto-width (the maybeRetrainSwap default): a retrain " +
+    "over a grown combined corpus widens the next generation's quantizer " +
+    "per scaledCells, and serving picks the wider centroid table up from " +
+    "the store transparently") {
+    val b = base()
+    val nBase = b.count()
+    val work = Files.createTempDirectory("ann_auto").toString
+    val (dir, topic, ck) = (s"$work/index", s"$work/topic", s"$work/ck")
+    Files.createDirectories(Paths.get(topic))
+    // v1 at the explicit toy width (the pre-policy store shape)
+    val cells1 = Similarity.freezeAnnIndex(b, nCells).get.cells.toArray
+    AnnLifecycle.publish(spark, dir, 1, cells1, b)
+
+    // grow the corpus past the first auto rung: 500 base + 3500 drifted
+    // arrivals = 4000 combined -> scaledCells = 32
+    val fresh = AnnStaleness.freshShifted(spark, 3500)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val gen1 = AnnLifecycle.runIngestGeneration(spark, dir, 1, topic, ck)
+    try { feed(topic, fresh, "b1"); gen1.processAllAvailable() }
+    finally gen1.stop()
+
+    assert(Similarity.scaledCells(nBase + 3500) == 32)
+    val d = AnnLifecycle.maybeRetrainSwap(spark, dir) // nCells defaulted
+    assert(d.fired && AnnLifecycle.currentVersion(dir).contains(2))
+    assert(AnnLifecycle.loadCells(spark, dir, 2).length == 32,
+      "the auto-width retrain must widen the quantizer to the policy rung")
+    assert(AnnLifecycle.loadCells(spark, dir, 1).length == nCells,
+      "the published v1 tree is immutable")
+    // serving resolves the stored (wider) centroid table — the nCells
+    // serve parameter is probe-side only
+    val (v, served) = AnnLifecycle.serveTopK(spark, dir, base(), nQ, 5,
+      nCells, nProbe)
+    assert(v == 2 && rows(served).nonEmpty)
+  }
+
   private def nProbe = 4
 }

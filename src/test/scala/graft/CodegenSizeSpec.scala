@@ -31,6 +31,27 @@ class CodegenSizeSpec extends SparkSpec {
     }
   }
 
+  test("ANN assignment codegen stays JIT-compilable at the width-policy " +
+    "CAP (4096 cells) — the packed-centroid design is width-invariant " +
+    "at the widest rung scaledCells can choose") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.col
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cells = Array.tabulate(4096) { i =>
+        val v = Seq.tabulate(64)(j => ((i * 31 + j * 7) % 997) / 997.0 - 0.5)
+        (i.toLong, v, math.sqrt(v.map(x => x * x).sum))
+      }
+      val asg = Similarity.ivfCellAssignmentsWith(emb, cells)
+      val max = CodegenAudit.maxMethodCodeSize(
+        asg.queryExecution.executedPlan)
+      assert(max > 0, "expected a codegen subtree to measure")
+      assert(max <= CodegenAudit.JitCeiling,
+        s"4096-cell assignment generated $max bytecodes (> ceiling)")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
