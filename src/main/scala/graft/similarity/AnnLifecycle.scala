@@ -151,6 +151,17 @@ object AnnLifecycle {
   def publish(spark: SparkSession, dir: String, version: Int,
               cells: Array[(Long, Seq[Double], Double)],
               corpus: DataFrame): PublishInfo = {
+    // immutability guard (the FrozenModelStore discipline, ADVICE r17):
+    // a generation that TOOK EFFECT (<= current manifest) must never be
+    // restaged — serves that resolved it would splice two layouts into
+    // one answer. version > current stays writable: that is the staged-
+    // retry path (an abandoned unflipped tree is overwrite-replaced).
+    currentVersion(dir).foreach { cur =>
+      require(version > cur,
+        s"generation v$version already took effect under $dir (current " +
+          s"v$cur) — flipped trees are immutable; a retrain publishes " +
+          s"v${cur + 1}")
+    }
     val t0 = System.nanoTime()
     val n = stageGeneration(spark, dir, version, cells, corpus)
     flipManifest(dir, version)

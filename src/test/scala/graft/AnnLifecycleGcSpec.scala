@@ -296,6 +296,20 @@ class AnnLifecycleGcSpec extends SparkSpec {
     val (v, served) = AnnLifecycle.serveTopK(spark, dir, base(), nQ, 5,
       nCells, nProbe)
     assert(v == 2 && rows(served).nonEmpty)
+
+    // immutability guard: a generation that took effect can never be
+    // restaged (the FrozenModelStore discipline applied to the index
+    // store) — neither the current version nor an older one
+    val e1 = intercept[IllegalArgumentException] {
+      AnnLifecycle.publish(spark, dir, 2, cells1, b)
+    }
+    assert(e1.getMessage.contains("immutable"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnLifecycle.publish(spark, dir, 1, cells1, b)
+    }
+    assert(e2.getMessage.contains("immutable"))
+    assert(AnnLifecycle.currentVersion(dir).contains(2),
+      "a refused publish must not flip the manifest")
   }
 
   private def nProbe = 4
