@@ -277,15 +277,15 @@ object AnnLifecycle {
    * rebuild), retrain over snapshot ∪ arrived and [[publish]] the next
    * generation.
    *
-   * Monitor blind spot, by design (see
-   * [[Similarity.embeddingDrift]]'s multi-generation contract): after a
-   * retrain absorbs a drifted cohort, REPEATED drift along the same
-   * axis reads as snapshot variance and `mean_shift_z` goes quiet
-   * (measured z 4.2 → 1.4 at generation 2) — the controller will not
-   * re-fire on an axis it already learned unless the mean moves
-   * further. Watch the monitor's `std_ratio` column for axis-aligned
-   * spread growth if a deployment's drift is expected to recur on one
-   * axis. Two bounded collects (centroid freeze) + one
+   * Monitor contract across generations (see
+   * [[Similarity.embeddingDrift]]'s three cases): after a retrain
+   * absorbs a drifted cohort, REPEATED same-delta drift on that axis
+   * reads as snapshot variance and `mean_shift_z` goes quiet (measured
+   * z 4.2 → 1.4 at generation 2) — correct, the snapshot serves that
+   * region; PROGRESSIVE drift (the mean keeps moving) re-fires; and
+   * axis-aligned SPREAD growth never moves z at all — watch the
+   * monitor's `std_ratio` column for that failure mode (an encoder
+   * losing normalization widens dims in place). Two bounded collects (centroid freeze) + one
    * partitioned write; the caller then restarts the ingest job as the
    * next generation (see the swap protocol above).
    *

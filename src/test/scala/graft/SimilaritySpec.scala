@@ -657,6 +657,68 @@ class SimilaritySpec extends SparkSpec {
     base.unpersist(); fresh.unpersist()
   }
 
+  test("multi-generation drift contract: repeated same-delta drift on an " +
+    "absorbed axis reads quiet (case 1), progressive drift re-fires " +
+    "(case 2), and axis-aligned spread growth is invisible to z but " +
+    "fires std_ratio on exactly the grown dims (case 3)") {
+    import graft.AnnStaleness
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    def maxZ(df: org.apache.spark.sql.DataFrame,
+             isNew: org.apache.spark.sql.Column): Double =
+      Similarity.embeddingDrift(df, isNew)
+        .agg(max(col("mean_shift_z"))).collect()(0).getDouble(0)
+
+    // case 1 — ABSORPTION: generation 1's cohort folds into the
+    // snapshot (exactly what maybeRetrainSwap indexes); generation 2
+    // re-sends the SAME band at the SAME delta (disjoint ids)
+    val cohort1 = AnnStaleness.freshShifted(spark, 2 * n)
+    val snapshot2 = base.unionAll(cohort1)
+    val cohort2same = AnnStaleness.freshShifted(spark, 2 * n)
+      .select((col("vec_id") + lit(500000000L)).as("vec_id"),
+        col("embedding"))
+    val z1 = maxZ(base.unionAll(cohort1), col("vec_id") >= 100000000L)
+    val z2same = maxZ(snapshot2.unionAll(cohort2same),
+      col("vec_id") >= 500000000L)
+    assert(z2same < z1 / 2.5,
+      s"absorption must collapse the repeated-axis z: gen1=$z1 " +
+        s"gen2(same delta)=$z2same")
+
+    // case 2 — PROGRESSIVE drift: the mean moves FURTHER (the lifecycle
+    // drill's growing-delta regime) and the monitor re-fires vs the
+    // quiet same-delta reading
+    val cohort2grown = AnnStaleness.freshShifted(spark, 2 * n, delta = 1.25)
+      .select((col("vec_id") + lit(500000000L)).as("vec_id"),
+        col("embedding"))
+    val z2grown = maxZ(snapshot2.unionAll(cohort2grown),
+      col("vec_id") >= 500000000L)
+    assert(z2grown > 2 * z2same,
+      s"progressive drift must re-fire: same=$z2same grown=$z2grown")
+
+    // case 3 — SPREAD growth, mean in place: same population, band dims
+    // scaled 2x (an encoder losing normalization). z stays far under
+    // the fire threshold; std_ratio fires on exactly the grown band
+    val popA = AnnStaleness.freshShifted(spark, 2 * n, delta = 0.0)
+    val popB = AnnStaleness.freshShifted(spark, 2 * n, delta = 0.0)
+      .select((col("vec_id") + lit(700000000L)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i < 16, x * lit(2.0)).otherwise(x))
+          .as("embedding"))
+    val rows3 = Similarity.embeddingDrift(popA.unionAll(popB),
+      col("vec_id") >= 700000000L).collect()
+    val z3 = rows3.map(_.getAs[Double]("mean_shift_z")).max
+    assert(z3 < 1.5, s"spread growth must stay under the z threshold: $z3")
+    val (band, off) = rows3.partition(_.getAs[Int]("dim") < 16)
+    assert(band.forall(_.getAs[Double]("std_ratio") > 1.5),
+      s"every grown dim must fire the ratio: " +
+        s"${band.map(_.getAs[Double]("std_ratio")).min}")
+    assert(off.forall(r => math.abs(
+        math.log(r.getAs[Double]("std_ratio"))) < math.log(1.3)),
+      "untouched dims must sit near ratio 1")
+  }
+
   test("scaledCells width policy: ~128 vectors/cell on a power-of-two " +
     "rung, clamped to [16, 4096]; small corpora keep the toy width") {
     // under-2k corpora: the historical width, unconditionally
