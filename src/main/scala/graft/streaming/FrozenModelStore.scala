@@ -48,9 +48,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  *
  * At 100 TB nothing here scales with data: a model table is
  * O(model) bytes written once per refresh, the manifest flip is O(1),
- * and the stamp is a literal column. Old `v<k>` trees are tiny; retire
- * them with the [[graft.similarity.AnnLifecycle.pruneGenerations]]
- * discipline if a deployment accumulates thousands.
+ * and the stamp is a literal column. Old `v<k>` trees are tiny;
+ * [[pruneVersions]] retires them past a keep horizon (the
+ * [[graft.similarity.AnnLifecycle.pruneGenerations]] discipline) if a
+ * deployment accumulates thousands.
  */
 object FrozenModelStore {
 
@@ -96,6 +97,67 @@ object FrozenModelStore {
   /** Generation `version`'s frozen model table. */
   def load(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(s"$dir/v$version/model")
+
+  /** Versions whose `v<k>` tree exists under `dir`, ascending. */
+  def publishedVersions(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+      .sorted.toSeq
+    finally s.close()
+  }
+
+  /**
+   * Retire old `v<k>` model trees, keeping the newest `keep` (the
+   * current version is never pruned, nor anything newer than it). A
+   * pruned generation's rows remain attributable — the output topic
+   * carries `model_version` stamps forever; pruning only removes the
+   * WEIGHTS, so size `keep` to the re-score/audit horizon. Model trees
+   * are O(model) bytes: this exists for deployments that refresh on a
+   * tight cadence for years, not as a space emergency. Same
+   * crash-safety shape as the ANN store's generation prune — each tree
+   * is removed via a hidden retire-rename then delete, and a tree that
+   * lost its rename race is simply re-decided next pass (the manifest
+   * is never touched). Returns the pruned versions.
+   */
+  def pruneVersions(dir: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val cur = currentVersion(dir).getOrElse(
+      sys.error(s"no published model under $dir"))
+    // heal: a `.v<k>.retired-*` survivor means a prior pass died between
+    // its rename and its delete — restore it when the original is gone
+    // (the pass re-decides under THIS keep), drop it when the original
+    // exists (the rename raced a re-publish; the live tree wins)
+    val d = Paths.get(dir)
+    val retiredRe = "^\\.(v\\d+)\\.retired(-[0-9a-fA-F-]+)?$".r
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      val debris = try s.toArray.map(_.asInstanceOf[Path]).toSeq
+      finally s.close()
+      debris.foreach { p =>
+        p.getFileName.toString match {
+          case retiredRe(orig, _) =>
+            val live = d.resolve(orig)
+            if (Files.exists(live))
+              org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+            else Files.move(p, live)
+          case _ => ()
+        }
+      }
+    }
+    val horizon = cur - keep + 1
+    val dead = publishedVersions(dir).filter(k => k < horizon && k < cur)
+    dead.foreach { k =>
+      val target = Paths.get(dir, s"v$k")
+      val retired = target.resolveSibling(
+        s".v$k.retired-${java.util.UUID.randomUUID()}")
+      Files.move(target, retired)
+      org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+    }
+    dead
+  }
 
   /** Convenience pair for µ-int weight-vector models (the LR
     * classifier's Array[Long] indexed by bucket). */

@@ -268,4 +268,37 @@ class FrozenModelSwapSpec extends SparkSpec {
       force = true)
     assert(FrozenModelStore.loadWeights(spark, store, 1).toSeq == Seq(3L))
   }
+
+  test("pruneVersions keeps the newest `keep` trees, never the current, " +
+    "heals retire debris, and pruned stamps stay attributable (the " +
+    "manifest and survivors are untouched)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("frozen_prune").resolve("s").toString
+    (1 to 5).foreach { v =>
+      FrozenModelStore.publish(store, v, Seq((0, v.toLong)).toDF("bucket", "w"))
+    }
+    assert(FrozenModelStore.currentVersion(store).contains(5))
+    assert(FrozenModelStore.publishedVersions(store) == Seq(1, 2, 3, 4, 5))
+
+    assert(FrozenModelStore.pruneVersions(store, keep = 2) == Seq(1, 2, 3))
+    assert(FrozenModelStore.publishedVersions(store) == Seq(4, 5))
+    assert(FrozenModelStore.currentVersion(store).contains(5))
+    assert(FrozenModelStore.loadWeights(spark, store, 4).toSeq == Seq(4L))
+    assert(FrozenModelStore.pruneVersions(store, keep = 2).isEmpty,
+      "second pass is a no-op")
+
+    // crash debris: a tree renamed but not deleted is re-decided —
+    // restored when inside the keep horizon, pruned again when not
+    Files.move(Paths.get(store, "v4"),
+      Paths.get(store, ".v4.retired-deadbeef"))
+    assert(FrozenModelStore.pruneVersions(store, keep = 2).isEmpty,
+      "healed v4 is inside keep=2 and must survive")
+    assert(FrozenModelStore.publishedVersions(store) == Seq(4, 5))
+    assert(FrozenModelStore.loadWeights(spark, store, 4).toSeq == Seq(4L))
+
+    // keep = 1: only the current tree survives; current never pruned
+    assert(FrozenModelStore.pruneVersions(store, keep = 1) == Seq(4))
+    assert(FrozenModelStore.publishedVersions(store) == Seq(5))
+    assert(FrozenModelStore.loadWeights(spark, store, 5).toSeq == Seq(5L))
+  }
 }
