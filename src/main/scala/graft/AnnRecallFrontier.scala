@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
  * One JSON line per (cells, init, probe).
  *
  *   sbt "runMain graft.AnnRecallFrontier"
+ *
+ * `SPARK_GRAFT_ANN_AUTO=1` runs the AUTO-WIDTH arm instead of the
+ * explicit lattice (r18): `ivfCells(emb, AutoCells)` — width from
+ * [[Similarity.scaledCells]], Lloyd sample grown to 8 rows/cell — so
+ * the policy's chosen rung gets the same recall/train-cost/codegen
+ * receipt as the hand-picked widths. Run it at n = 128 000 (the rung
+ * the frontier recommended) and at an n that reaches the 4096 cap.
  */
 object AnnRecallFrontier {
 
@@ -78,6 +85,37 @@ object AnnRecallFrontier {
     def timed[T](f: => T): (Double, T) = {
       val t0 = System.nanoTime(); val r = f
       ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    if (sys.env.get("SPARK_GRAFT_ANN_AUTO").contains("1")) {
+      val width = Similarity.scaledCells(n)
+      val (tTrain, cents) = timed(Similarity.ivfCells(emb, Similarity.AutoCells))
+      require(cents.length == width,
+        s"auto width mismatch: policy $width, trained ${cents.length}")
+      val layout = Similarity.ivfCellAssignmentsWith(emb, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      layout.count()
+      for (nProbe <- Seq(1, 2, 4, 8, 16).filter(_ <= width)) {
+        val approx = Similarity.ivfHashTopKPruned(emb, layout, nQ, 5,
+          nCells = width, nProbe = nProbe, cells = Some(cents))
+        val (tServe, _) = timed(approx.collect().length)
+        val r = Similarity.recallAudit(approx, brute, 5)
+          .agg(avg(col("recall_at_k"))).collect()(0)
+        val recall = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        val maxCode = CodegenAudit.maxMethodCodeSize(
+          approx.queryExecution.executedPlan)
+        println(f"""{"metric":"ann_recall_frontier","n":$n,""" +
+          f""""clusters":$nClusters,"cells":$width,"init":"auto",""" +
+          f""""probe":$nProbe,""" +
+          f""""probe_frac":${nProbe.toDouble / width}%.4f,""" +
+          f""""train_sec":$tTrain%.2f,"serve_sec":$tServe%.2f,""" +
+          f""""recall_at_5":$recall%.3f,""" +
+          f""""max_method_bytecodes":$maxCode,""" +
+          f""""over_jit_ceiling":${if (maxCode > 8000) 1 else 0}}""")
+      }
+      layout.unpersist()
+      spark.stop()
+      return
     }
 
     for (nCells <- Seq(64, 256, 1024)) {
