@@ -738,6 +738,14 @@ class SimilaritySpec extends SparkSpec {
     val widths = Seq(2048L, 2049L, 3000L, 4096L, 8192L, 16384L)
       .map(Similarity.scaledCells)
     assert(widths == widths.sorted, s"non-monotone: $widths")
+
+    // the serving companion: a probe FRACTION converts to whatever
+    // width the store was built at (the width-stable knob, r18 receipt)
+    assert(Similarity.scaledProbe(1024) == 4)
+    assert(Similarity.scaledProbe(4096) == 16)
+    assert(Similarity.scaledProbe(16) == 1)
+    assert(Similarity.scaledProbe(256, 0.02) == 6)
+    assert(Similarity.scaledProbe(16, 1.0) == 16)
   }
 
   test("freezeAnnIndex(AutoCells): a small corpus resolves to the " +
