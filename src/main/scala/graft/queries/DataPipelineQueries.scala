@@ -849,6 +849,20 @@ object DataPipelineQueries {
         cells = Some(ivfCells(spark, sfDir)))
     }
 
+  /** SemDeDup (r18): within-trained-cell cosine eviction — the
+    * published cluster-then-dedup recipe over the shared IVF quantizer;
+    * τ = 0.42, the sign-LSH dedup family's near-dup floor on this
+    * corpus. Memoized: shares the [[ivfCells]] train-once collect with
+    * the whole IVF family. */
+  val dedupSemanticCells: (SparkSession, String) => DataFrame =
+    memoized("dedupSemanticCells") { (spark, sfDir) =>
+      Similarity.semanticDedupCells(embs(spark, sfDir),
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
+  val dedupSemanticCellsOracle: String =
+    Similarity.semanticDedupCellsOracleSql()
+
   /** IVF index-health audit (r13): per-cell occupancy + member-cosine
     * coherence under the shared trained quantizer — the monitoring row
     * that puts the trained centroids themselves under the value gate.
@@ -1092,6 +1106,15 @@ object DataPipelineQueries {
     memoized("packSequences") { (spark, sfDir) =>
       TextAnalysis.packSequences(docs(spark, sfDir))
     }
+
+  /** Token-budget mixture materialization (r18): per-source best-first
+    * admission under the quality-gate priority, via the pack_shards
+    * two-pass prefix sum. */
+  val selectTokenBudgetQ: (SparkSession, String) => DataFrame =
+    memoized("selectTokenBudget") { (spark, sfDir) =>
+      TextAnalysis.selectTokenBudget(docs(spark, sfDir))
+    }
+
 
   /** Memoized: the containment path persists its df-capped inverted
     * index at build time (same cap as the capped jaccard). */
@@ -1667,6 +1690,24 @@ object DataPipelineQueries {
       |       round(stop, 6) AS stopword_ratio, round(rep, 6) AS rep_ratio,
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
+
+  /** Replicates [[graft.text.TextAnalysis.selectTokenBudget]]: the gate
+    * oracle supplies the identical priority signals (keep + 6-dp-rounded
+    * rep_ratio), the serial window form the oracle can afford replays
+    * the two-pass prefix value for value, and admission is the same
+    * strict before < budget greedy. */
+  val selectTokenBudgetOracle: String =
+    s"""WITH g AS ($qualityGateOracle),
+       |m AS (SELECT g.doc_id, d.source, g.n_tokens, g.rep_ratio,
+       |    CASE WHEN g.keep THEN 0 ELSE 1 END AS pk
+       |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
+       |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY pk, rep_ratio, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS before_tokens FROM m)
+       |SELECT doc_id, source, n_tokens, rep_ratio, before_tokens,
+       |  before_tokens < 800 AS selected
+       |FROM c""".stripMargin
 
   /** The gate oracle as a subquery + the source lookup — same
     * composition as the Spark side (passThrough ≡ the doc_id join). */
@@ -2882,12 +2923,16 @@ object DataPipelineQueries {
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
     NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
+    NamedQuery("select_token_budget", selectTokenBudgetQ,
+      Some(selectTokenBudgetOracle)),
     NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
     NamedQuery("doc_length_mad_gate", docLengthMadGateQ,
       Some(docLengthMadGateOracle)),
     NamedQuery("doc_percentile_gate", docPercentileGateQ,
       Some(docPercentileGateOracle)),
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    NamedQuery("dedup_semantic_cells", dedupSemanticCells,
+      Some(dedupSemanticCellsOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("embedding_drift", embeddingDrift,
       Some(Similarity.embeddingDriftOracleSql())),

@@ -1990,6 +1990,80 @@ object TextAnalysis {
   }
 
   /**
+   * Token-budget selection — MATERIALIZING a mixture: given a per-source
+   * token budget, admit each source's documents best-first until the
+   * budget fills, the step that turns mixing weights
+   * ([[sourceMixTemperature]]) into an actual training corpus. Priority
+   * within a source is (gate-passing first, less repetitive first, then
+   * doc_id) — the [[qualityGate]] signals, so the docs a curator would
+   * keep anyway fill the budget before the marginal ones. Admission is
+   * greedy fill-then-spill (a doc is admitted iff the tokens BEFORE it
+   * in priority order are under budget — the source overflows by at
+   * most one document, the same atomic-document trade as
+   * [[packShards]]). One row per document, admitted or not:
+   * (doc_id, source, n_tokens, rep_ratio, before_tokens, selected) — a
+   * report, so the rejected tail is auditable, not silently dropped.
+   *
+   * Scale shape: the priority prefix sum is the SAME distributed
+   * two-pass discipline as [[packShards]] — range-partition by
+   * (source, priority key), per-(partition, source) token totals
+   * windowed into broadcast base offsets, then a within-partition
+   * running sum — so a single giant source never serializes into one
+   * task chain; the gate metrics themselves are narrow per-row
+   * expressions. Ordering ties break on the 6-dp-ROUNDED repetition
+   * ratio (both engines compare the identical rounded value) and then
+   * doc_id, so the admitted set is a pure function of the data.
+   */
+  def selectTokenBudget(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val gated = qualityGate(docs, passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("rep_ratio"),
+        when(col("keep"), 0).otherwise(1).as("__pk"))
+    val parts = graft.queries.SharedFrames.aux(
+      gated.repartitionByRange(col("source"), col("__pk"), col("rep_ratio"),
+          col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("source"), col("__base"))
+    val wIn = W.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("__pk"), col("rep_ratio"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    parts
+      .join(broadcast(bases), Seq("__pid", "source"))
+      .withColumn("before_tokens",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rep_ratio"),
+        col("before_tokens"), (col("before_tokens") < budget).as("selected"))
+  }
+
+  /** The one-window form of [[selectTokenBudget]] — per-source serial
+    * prefix sum over the same priority order. Kept as the equivalence
+    * baseline the spec checks the two-pass default against (the
+    * [[packShardsGlobalWindow]] role). */
+  def selectTokenBudgetGlobalWindow(docs: DataFrame,
+                                    budget: Long = 800L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source"))
+      .orderBy(col("__pk"), col("rep_ratio"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    qualityGate(docs, passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("rep_ratio"),
+        when(col("keep"), 0).otherwise(1).as("__pk"))
+      .withColumn("before_tokens",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rep_ratio"),
+        col("before_tokens"), (col("before_tokens") < budget).as("selected"))
+  }
+
+  /**
    * Concat-and-chunk sequence packing — the OTHER half of context-length
    * packing, complementing [[packShards]] (whole-document shards): lay
    * every document's tokens end-to-end in one deterministic global

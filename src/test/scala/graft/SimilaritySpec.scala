@@ -770,4 +770,63 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.cells.map(_._1).toSeq == (0L until 256L),
       "trained cells are ordinal-id'd 0..width-1")
   }
+
+  test("semanticDedupCells: planted parallel cliques evict all but the " +
+    "smallest id; orthogonal mates never match; cap disables pairing") {
+    // clique A: ids 0,1,2 parallel along +x (pairwise cosine 1.0);
+    // clique B: ids 10,11 parallel along +y — whatever the trained cells
+    // do, cross-clique cosine is 0 < τ so only within-clique pairs fire
+    val x = Array(1f, 0f, 0f, 0f); val y = Array(0f, 1f, 0f, 0f)
+    val df = Seq(
+      (0L, x, 0), (1L, x.map(_ * 2f), 0), (2L, x.map(_ * 3f), 0),
+      (10L, y, 0), (11L, y.map(_ * 5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedupCells(df, nCells = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("match_id")),
+          Option(r.getAs[java.lang.Double]("match_cosine")))).toMap
+    assert(out.size == 5)
+    // smallest id of each clique survives with no match
+    assert(out(0L) == (("keep", None, None)))
+    assert(out(10L) == (("keep", None, None)))
+    // later clique members evict against a smaller-id mate at cosine 1.0
+    assert(out(1L) == (("dup", Some(0L), Some(1.0))))
+    assert(out(10L)._1 == "keep")
+    assert(out(11L) == (("dup", Some(10L), Some(1.0))))
+    // id 2's best match ties at cosine 1.0 between mates 0 and 1 →
+    // smaller keep_id wins (the documented tie rule)
+    assert(out(2L) == (("dup", Some(0L), Some(1.0))))
+
+    // maxCellSize below any occupancy → no pairs, everything keeps
+    val capped = Similarity.semanticDedupCells(df, nCells = 2,
+      maxCellSize = 1).collect()
+    assert(capped.forall(_.getAs[String]("verdict") == "keep"))
+  }
+
+  test("semanticDedupCells invariants on sf0.001 embeddings: one row " +
+    "per vector, per-cell smallest id always keeps, dup matches are " +
+    "smaller-id co-cell mates at/above threshold") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDedupCells(embs, threshold = 0.42).collect()
+    assert(out.length == embs.count())
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, rows) =>
+      val minId = rows.map(_.getAs[Long]("vec_id")).min
+      val minRow = rows.find(_.getAs[Long]("vec_id") == minId).get
+      assert(minRow.getAs[String]("verdict") == "keep",
+        s"smallest id $minId in its cell must keep")
+    }
+    out.filter(_.getAs[String]("verdict") == "dup").foreach { r =>
+      assert(r.getAs[Long]("match_id") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("match_cosine") >= 0.42)
+      // the match lives in the same cell
+      val cellIds = byCell(r.getAs[Long]("cell"))
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(cellIds.contains(r.getAs[Long]("match_id")))
+    }
+    out.filter(_.getAs[String]("verdict") == "keep").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("match_id")) &&
+        r.isNullAt(r.fieldIndex("match_cosine")))
+    }
+  }
 }

@@ -560,6 +560,52 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("selectTokenBudget: gate-passing docs jump the queue, greedy " +
+    "fill-then-spill at the budget boundary") {
+    // d1..d3 fail the gate (too_short, rep 0) → priority order is doc_id;
+    // d9 PASSES the gate (32 tokens, high stopword ratio) so it fills
+    // the budget FIRST despite the largest doc_id
+    val passing = "the cat sat on the mat and the dog ran to the park " +
+      "with a ball while the sun was up over the hill and a bird flew " +
+      "by in the morning"
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (9L, passing))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val gate = TextAnalysis.qualityGate(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(gate == Map(1L -> false, 2L -> false, 3L -> false, 9L -> true))
+    val out = TextAnalysis.selectTokenBudget(df, budget = 39L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("before_tokens"), r.getAs[Boolean]("selected"))).toMap
+    // d9 (32 tokens) first: before 0; then d1 before 32, d2 before 35,
+    // d3 before 38 — all under 39; shrink the budget to expose the cut:
+    // rerun at 36 — d3 (before 38) must drop while d2 (before 35) stays
+    assert(out(9L) == (0L, true) && out(1L) == (32L, true) &&
+      out(2L) == (35L, true) && out(3L) == (38L, true))
+    val cut = TextAnalysis.selectTokenBudget(df, budget = 36L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap
+    assert(cut(9L) && cut(1L) && cut(2L) && !cut(3L))
+  }
+
+  test("selectTokenBudget two-pass prefix sum == global window, incl. " +
+    "one giant source") {
+    // same 100 TB shape as the packShards equivalence: one dominant
+    // source must not serialize the priority prefix sum into one task
+    val giant = spark.range(0, 5000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'web' END AS source",
+      "repeat('t ', CAST(id % 6 + 1 AS INT)) AS text")
+    val twoPass = TextAnalysis.selectTokenBudget(giant, budget = 64L)
+    val oneWindow = TextAnalysis.selectTokenBudgetGlobalWindow(giant, budget = 64L)
+    assert(twoPass.exceptAll(oneWindow).isEmpty &&
+      oneWindow.exceptAll(twoPass).isEmpty,
+      "two-pass admission diverged from the global-window baseline")
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"two-pass plan lost its range-partition-id windowing:\n$plan")
+  }
+
   test("hashedLinearScore: matches a Scala re-derivation; weights broadcast") {
     // independent re-derivation of the stub model in plain Scala — the
     // operator must agree doc-for-doc, and the plan must broadcast the
