@@ -196,6 +196,48 @@ object DataPipelineQueries {
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.corpusStats(docs(spark, sfDir))
 
+  /** Corpus snapshot diff (r18): documents vs a deterministically
+    * mutated "next release" — doc_id % 7 == 0 removed, % 11 == 3
+    * edited (marker token appended), % 13 == 5 re-added under
+    * doc_id + 100000 — so every status arm is populated and the whole
+    * fixture replays in the oracle verbatim. */
+  val corpusDiffQ: (SparkSession, String) => DataFrame =
+    memoized("corpusDiff") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val d = docs(spark, sfDir)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" r18edit"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 5)
+          .withColumn("doc_id", col("doc_id") + lit(100000L)))
+      TextAnalysis.corpusDiff(d, next)
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.corpusDiff]] over the same
+    * mutated-snapshot fixture: md5 content keys, full-outer join on
+    * doc_id, new side wins the source for changed docs. */
+  val corpusDiffOracle: String =
+    """WITH olds AS (SELECT doc_id, source, md5(text) h,
+      |  CAST(len(string_split(text, ' ')) AS INT) toks FROM documents),
+      |news0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 3 THEN text || ' r18edit' ELSE text END
+      |      AS text,
+      |    source FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, source FROM documents
+      |  WHERE doc_id % 13 = 5),
+      |news AS (SELECT doc_id, source, md5(text) h,
+      |  CAST(len(string_split(text, ' ')) AS INT) toks FROM news0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  COALESCE(n.source, o.source) AS source,
+      |  CASE WHEN o.h IS NULL THEN 'added'
+      |       WHEN n.h IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  o.toks AS old_tokens, n.toks AS new_tokens
+      |FROM olds o FULL OUTER JOIN news n ON n.doc_id = o.doc_id""".stripMargin
+
   def docSplit(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.splitSummary(docs(spark, sfDir))
 
@@ -1041,6 +1083,41 @@ object DataPipelineQueries {
       .filter(col("doc_id") % 43 =!= 0)
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
+
+  /**
+   * Curation funnel report (r18) — the pipeline's yield observability:
+   * per (stage, source) CUMULATIVE survivor counts through the exact
+   * [[curateCorpus]] stage order (ingest → exact-canonical → gate-pass
+   * → decontaminated → near-dup-canonical → eval-holdout), the table a
+   * curator reads to see WHERE a source's volume went before the final
+   * corpus ships. Every stage reuses the memoized operator frames the
+   * curate query itself consumes, so the funnel costs six tiny
+   * per-source rollups over already-landed id sets — stage keys are
+   * index-prefixed so the natural sort reads in pipeline order.
+   */
+  val curateFunnelQ: (SparkSession, String) => DataFrame =
+    memoized("curateFunnel") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions.{col, count, lit, not}
+      val d = docs(spark, sfDir).select(col("doc_id"), col("source"))
+      val exactKeep = Dedup.exact(docs(spark, sfDir)).select("doc_id")
+      val pass = TextAnalysis.qualityGate(docs(spark, sfDir))
+        .filter(col("keep")).select("doc_id")
+      val contaminated = dedupDecontaminate(spark, sfDir).select("doc_id")
+      val nonCanonical = dedupClusters(spark, sfDir)
+        .filter(not(col("is_canonical"))).select("doc_id")
+      val s2 = d.join(exactKeep, "doc_id")
+      val s3 = s2.join(pass, "doc_id")
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      val s5 = s4.join(nonCanonical, Seq("doc_id"), "left_anti")
+      val s6 = s5.filter(col("doc_id") % 43 =!= 0)
+      Seq("01_ingest" -> d, "02_exact_canonical" -> s2,
+        "03_gate_pass" -> s3, "04_decontaminated" -> s4,
+        "05_near_dup_canonical" -> s5, "06_eval_holdout" -> s6)
+        .map { case (stage, f) =>
+          f.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+            .select(lit(stage).as("stage"), col("source"), col("n_docs")) }
+        .reduce(_ unionByName _)
+    }
 
   /**
    * Cross-modal curation — [[curateCorpus]] with the SEMANTIC dedup tier
@@ -2342,6 +2419,33 @@ object DataPipelineQueries {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM ($dedupClustersOracle) k
        |                       WHERE NOT is_canonical)""".stripMargin
 
+  /** Replicates [[curateFunnelQ]]: the same stage subqueries as
+    * [[curateCorpusOracle]], materialized CUMULATIVELY and each rolled
+    * up per source. */
+  val curateFunnelOracle: String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+       |ek AS (SELECT doc_id FROM ($dedupExactOracle) e),
+       |gp AS (SELECT doc_id FROM ($qualityGateOracle) q WHERE keep),
+       |ct AS (SELECT doc_id FROM ($decontaminateOracle) c),
+       |nc AS (SELECT doc_id FROM ($dedupClustersOracle) k
+       |       WHERE NOT is_canonical),
+       |s2 AS (SELECT d.* FROM d JOIN ek USING (doc_id)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM ct)),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nc)),
+       |s6 AS (SELECT * FROM s5 WHERE doc_id % 43 <> 0)
+       |SELECT '01_ingest' AS stage, source, count(*) AS n_docs
+       |  FROM d GROUP BY 2
+       |UNION ALL SELECT '02_exact_canonical', source, count(*)
+       |  FROM s2 GROUP BY 2
+       |UNION ALL SELECT '03_gate_pass', source, count(*) FROM s3 GROUP BY 2
+       |UNION ALL SELECT '04_decontaminated', source, count(*)
+       |  FROM s4 GROUP BY 2
+       |UNION ALL SELECT '05_near_dup_canonical', source, count(*)
+       |  FROM s5 GROUP BY 2
+       |UNION ALL SELECT '06_eval_holdout', source, count(*)
+       |  FROM s6 GROUP BY 2""".stripMargin
+
   /** The curate oracle with the semantic tier's anti-join stacked on —
     * the same nesting-of-stage-oracles discipline as curate_corpus.
     * lazy: embeddingClustersOracle is declared later in object-init
@@ -2883,6 +2987,7 @@ object DataPipelineQueries {
     NamedQuery("text_stats_unicode", textStatsUnicode,
       Some(textStatsUnicodeOracle)),
     NamedQuery("corpus_stats", corpusStats, Some(corpusStatsOracle)),
+    NamedQuery("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
     NamedQuery("doc_split", docSplit, Some(docSplitOracle)),
     NamedQuery("doc_length_quantiles_approx", docLengthQuantilesApprox, None),
     NamedQuery("doc_length_quantiles", docLengthQuantiles,
@@ -2969,6 +3074,7 @@ object DataPipelineQueries {
     // order is bench pipeline order, so the composite reuses the shared
     // frames its stages just built instead of absorbing their build cost
     NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
+    NamedQuery("curate_funnel", curateFunnelQ, Some(curateFunnelOracle)),
     // after curate_corpus AND embedding_clusters: reuses both frames
     NamedQuery("curate_corpus_semantic", curateCorpusSemantic,
       Some(curateCorpusSemanticOracle)),

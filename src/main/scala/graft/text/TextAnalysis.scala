@@ -174,6 +174,45 @@ object TextAnalysis {
         round(percentile(col("n_chars"), lit(0.5)), 6).as("median_chars"))
 
   /**
+   * Corpus snapshot diff — the dataset-release audit: given two
+   * snapshots of the same corpus (an OLD release and a NEW candidate),
+   * classify every document id present in either as added / removed /
+   * changed / unchanged, with both sides' token counts, so a release
+   * note ("+12 M docs, −3 M takedowns, 0.4 % edited") is a query, not
+   * a guess, and an unexpected mass-removal or mass-edit fails review
+   * before the corpus ships. Change detection compares md5(text) — the
+   * same content key the dedup family trusts — never the texts
+   * themselves across the join.
+   *
+   * One row per doc_id in either snapshot:
+   * (doc_id, source, status, old_tokens, new_tokens) — source from
+   * whichever side has the row (new side wins for changed docs),
+   * old_tokens/new_tokens NULL on the side the doc is absent from.
+   *
+   * Scale shape: ONE equi-keyed full-outer join on doc_id (each side
+   * pre-projected to (id, source, md5, token count) — the texts are
+   * dropped map-side before the shuffle, so the join moves ~40 bytes a
+   * row, not documents); everything else is narrow per-row expressions.
+   * Linear in corpus size with one shuffle at any scale.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(d: DataFrame, tag: String): DataFrame =
+      d.select(col("doc_id"),
+        col("source").as(s"${tag}_source"),
+        md5(col("text")).as(s"${tag}_h"),
+        size(TextOps.tokens(col("text"))).as(s"${tag}_tokens"))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("new_source"), col("old_source")).as("source"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_tokens"), col("new_tokens"))
+  }
+
+  /**
    * Deterministic train/val/test assignment — the split a training
    * pipeline must reproduce run-over-run and engine-over-engine: the
    * first two hex chars of md5(content) are uniform over 256 values, so

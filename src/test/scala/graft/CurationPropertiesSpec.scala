@@ -98,4 +98,29 @@ class CurationPropertiesSpec extends SparkSpec {
       assert(out.map(_.getAs[Long]("group_size")).sum == rows.size)
     }
   }
+
+  test("curate_funnel: per-source counts are monotonically non-increasing " +
+    "through the stage order, start at ingest, end at the curate count") {
+    val sfDir = "/root/testdata/sf0.001"
+    val funnel = graft.queries.DataPipelineQueries
+      .curateFunnelQ(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.sortBy(_.getAs[String]("stage"))
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")))
+      .toMap
+    assert(funnel.nonEmpty)
+    funnel.foreach { case (src, stages) =>
+      assert(stages.head._1 == "01_ingest", s"$src funnel must start at ingest")
+      val counts = stages.map(_._2)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"$src funnel not monotone: $stages")
+    }
+    // the funnel's final stage total equals the curate query's row count
+    val kept = graft.queries.DataPipelineQueries
+      .curateCorpus(spark, sfDir).count()
+    val lastTotal = funnel.values
+      .flatMap(_.filter(_._1 == "06_eval_holdout").map(_._2)).sum
+    assert(lastTotal == kept,
+      s"funnel end $lastTotal != curate_corpus count $kept")
+  }
 }

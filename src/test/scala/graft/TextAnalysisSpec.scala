@@ -606,6 +606,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("corpusDiff: every status arm classified, new side wins the " +
+    "source for changed docs, absent sides read NULL tokens") {
+    val a = Seq((1L, "x y", "s1"), (2L, "a b c", "s1"), (3L, "k", "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((2L, "a b c", "s1"), (3L, "k edited", "s9"),
+      (4L, "new doc", "s3")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.corpusDiff(a, b).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("source"),
+          Option(r.getAs[java.lang.Integer]("old_tokens")),
+          Option(r.getAs[java.lang.Integer]("new_tokens")))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == (("removed", "s1", Some(2), None)))
+    assert(out(2L) == (("unchanged", "s1", Some(3), Some(3))))
+    assert(out(3L) == (("changed", "s9", Some(1), Some(2))))
+    assert(out(4L) == (("added", "s3", None, Some(2))))
+  }
+
   test("hashedLinearScore: matches a Scala re-derivation; weights broadcast") {
     // independent re-derivation of the stub model in plain Scala — the
     // operator must agree doc-for-doc, and the plan must broadcast the
