@@ -103,7 +103,8 @@ object MaintenanceInterleaveBench {
     // identity upsert: ALL rows of two touched-date users, unchanged —
     // kept∪updates == original content, but the pass really stages+swaps
     val upsertRows = layoutDF()
-      .filter(col(TableLayout.dateCol).cast("string").isin(touchedDates: _*))
+      .filter(col(TableLayout.dateCol).cast("string")
+        .isin(touchedDates.toIndexedSeq: _*))
       .select(col("user_id"), col("ts"), col("value"))
       .filter(col("user_id") % 97 === 0)
       .collect()
@@ -121,7 +122,8 @@ object MaintenanceInterleaveBench {
         var c = 0
         while (c < cycles) {
           TableLayout.compactDatePartitions(spark, eventsDir,
-            col(TableLayout.dateCol).cast("string").isin(touchedDates: _*))
+            col(TableLayout.dateCol).cast("string")
+              .isin(touchedDates.toIndexedSeq: _*))
           // keysSpanDates = false: identity updates never move a row's
           // date, and the flag keeps the pass from probing (and thus
           // rewriting) the same users' rows in the UNTOUCHED dates —

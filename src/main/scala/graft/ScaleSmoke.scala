@@ -776,7 +776,7 @@ object AnnScaleSmoke {
       val hot = assignedAll.groupBy(col("cell")).count()
         .orderBy(col("count").desc, col("cell")).limit(2)
         .collect().map(_.getLong(0))
-      val assignedSeg = assignedAll.filter(col("cell").isin(hot: _*))
+      val assignedSeg = assignedAll.filter(col("cell").isin(hot.toIndexedSeq: _*))
       val segDir = s"$work/seg_k$k"
       assignedSeg.write.partitionBy("cell").parquet(segDir)
       assignedAll.unpersist()

@@ -88,7 +88,7 @@ object UnicodeScale {
     // force full evaluation without letting column pruning delete the
     // projection (the count() bisect lie — verify skill)
     def force(df: DataFrame): Long = df.agg(max(xxhash64(
-      struct(df.columns.map(col): _*)))).collect()(0).getLong(0)
+      struct(df.columns.toIndexedSeq.map(col): _*)))).collect()(0).getLong(0)
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       force(SparkEntry.queries(name)(spark, dir))

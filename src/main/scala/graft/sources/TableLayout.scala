@@ -588,7 +588,8 @@ object TableLayout {
           .select(col(dateCol)).distinct()).distinct()
     val existing = layout.join(touchedDates, Seq(dateCol), "left_semi")
     val kept = existing.join(updateKeys, keyCols, "left_anti")
-    val merged = kept.unionByName(dated.select(kept.columns.map(col): _*))
+    val merged = kept.unionByName(
+      dated.select(kept.columns.toIndexedSeq.map(col): _*))
       .repartition(col(dateCol))
     val dates = touchedDates.collect().map(r => partDirName(dateCol, r.get(0)))
       .toIndexedSeq

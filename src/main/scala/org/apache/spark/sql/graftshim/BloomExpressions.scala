@@ -166,7 +166,7 @@ case class BloomShingleHit(shingles: Expression, bitmap: Expression,
     require(bitmap.foldable,
       "Bloom bitmap child must be a literal (foldable) expression")
     val ad = bitmap.eval(null).asInstanceOf[ArrayData]
-    if (ad == null) Array.empty else ad.toLongArray
+    if (ad == null) Array.empty else ad.toLongArray()
   }
 
   override protected def nullSafeEval(sh: Any, bm: Any, k: Any): Any =

@@ -47,7 +47,7 @@ object PqExpressions {
       "PQ codebook child must be a literal (foldable) expression")
     val ad = codebook.eval(null).asInstanceOf[ArrayData]
     if (ad == null) Array.empty
-    else Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray)
+    else Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
 }
 
