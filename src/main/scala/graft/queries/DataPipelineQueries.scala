@@ -21,6 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object DataPipelineQueries {
 
+  /** The pipeline-wide eval/benchmark id convention: documents with
+    * doc_id % this == 0 are the held-out benchmark set — decontaminate
+    * flags training docs overlapping them, curate_corpus (and the
+    * funnel's final stage) drops them from the shipped corpus. ONE
+    * constant threaded through every Spark arm and oracle string so a
+    * retune cannot drift the stages apart (review r18: it was spelled
+    * literally in five places). */
+  private val EvalHoldoutMod = 43
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.spread(spark, sfDir, "documents")
 
@@ -199,8 +208,11 @@ object DataPipelineQueries {
   /** Corpus snapshot diff (r18): documents vs a deterministically
     * mutated "next release" — doc_id % 7 == 0 removed, % 11 == 3
     * edited (marker token appended), % 13 == 5 re-added under
-    * doc_id + 100000 — so every status arm is populated and the whole
-    * fixture replays in the oracle verbatim. */
+    * doc_id + 10^9 (far past any sf dir's id range — a small offset
+    * would collide with live ids at larger corpora and fan the
+    * full-outer join out to contradictory status rows, review r18) —
+    * so every status arm is populated and the whole fixture replays in
+    * the oracle verbatim. */
   val corpusDiffQ: (SparkSession, String) => DataFrame =
     memoized("corpusDiff") { (spark, sfDir) =>
       import org.apache.spark.sql.functions.{col, concat, lit, when}
@@ -209,7 +221,7 @@ object DataPipelineQueries {
         .withColumn("text", when(col("doc_id") % 11 === 3,
           concat(col("text"), lit(" r18edit"))).otherwise(col("text")))
         .unionByName(d.filter(col("doc_id") % 13 === 5)
-          .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
       TextAnalysis.corpusDiff(d, next)
     }
 
@@ -225,7 +237,7 @@ object DataPipelineQueries {
       |      AS text,
       |    source FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 100000, text, source FROM documents
+      |  SELECT doc_id + 1000000000, text, source FROM documents
       |  WHERE doc_id % 13 = 5),
       |news AS (SELECT doc_id, source, md5(text) h,
       |  CAST(len(string_split(text, ' ')) AS INT) toks FROM news0)
@@ -992,7 +1004,8 @@ object DataPipelineQueries {
   val dedupDecontaminate: (SparkSession, String) => DataFrame =
     (spark, sfDir) => SharedFrames.memo(spark, sfDir, "dedupDecontaminate") {
       Dedup.decontaminate(docs(spark, sfDir),
-        isBenchmark = org.apache.spark.sql.functions.col("doc_id") % 43 === 0)
+        isBenchmark = org.apache.spark.sql.functions.col("doc_id")
+          % EvalHoldoutMod === 0)
     }
 
   /** Near-dup clusters over the MinHash pair graph (the memoized
@@ -1068,19 +1081,30 @@ object DataPipelineQueries {
     SharedFrames.memo(spark, sfDir, "curatedCorpus")(
       curateCorpusBuild(spark, sfDir))
 
+  /** The exact-dedup canonical-keeper and gate-pass id sets, memoized:
+    * both curate_corpus and curate_funnel consume them (tiny one-column
+    * frames, persisted once per session — review r18: the funnel's
+    * docstring claimed frame sharing the build didn't actually do). */
+  private def exactKeepIds(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "exactKeepIds")(
+      Dedup.exact(docs(spark, sfDir)).select("doc_id"))
+
+  private def gatePassIds(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "gatePassIds")(
+      TextAnalysis.qualityGate(docs(spark, sfDir))
+        .filter(org.apache.spark.sql.functions.col("keep")).select("doc_id"))
+
   private def curateCorpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val d = docs(spark, sfDir)
-    val pass = TextAnalysis.qualityGate(d).filter(col("keep")).select("doc_id")
-    val exactKeep = Dedup.exact(d).select("doc_id")
     val contaminated = dedupDecontaminate(spark, sfDir).select("doc_id")
     val nonCanonical = dedupClusters(spark, sfDir)
       .filter(not(col("is_canonical"))).select("doc_id")
-    d.join(exactKeep, "doc_id")
-      .join(pass, "doc_id")
+    d.join(exactKeepIds(spark, sfDir), "doc_id")
+      .join(gatePassIds(spark, sfDir), "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(nonCanonical, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 43 =!= 0)
+      .filter(col("doc_id") % EvalHoldoutMod =!= 0)
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
@@ -1112,10 +1136,8 @@ object DataPipelineQueries {
       val mark = (f: DataFrame, c: String) =>
         f.select(col("doc_id"), lit(1).as(c))
       val flags = d
-        .join(mark(Dedup.exact(docs(spark, sfDir)), "__ek"),
-          Seq("doc_id"), "left")
-        .join(mark(TextAnalysis.qualityGate(docs(spark, sfDir))
-          .filter(col("keep")), "__gp"), Seq("doc_id"), "left")
+        .join(mark(exactKeepIds(spark, sfDir), "__ek"), Seq("doc_id"), "left")
+        .join(mark(gatePassIds(spark, sfDir), "__gp"), Seq("doc_id"), "left")
         .join(mark(dedupDecontaminate(spark, sfDir), "__ct"),
           Seq("doc_id"), "left")
         .join(mark(dedupClusters(spark, sfDir)
@@ -1125,7 +1147,7 @@ object DataPipelineQueries {
             .when(col("__gp").isNull, 2)
             .when(col("__ct").isNotNull, 3)
             .when(col("__nc").isNotNull, 4)
-            .when(col("doc_id") % 43 === 0, 5)
+            .when(col("doc_id") % EvalHoldoutMod === 0, 5)
             .otherwise(6).as("__max_stage"))
       val perSrc = flags.groupBy(col("source"), col("__max_stage"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
@@ -2313,15 +2335,16 @@ object DataPipelineQueries {
 
   /** Same word-5-gram split/shingle pipeline as `Dedup.decontaminate`. */
   val decontaminateOracle: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       |sh AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i ->
       |  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
       |  toks[i+4] || ' ' || toks[i+5])) AS shingle
       |  FROM t WHERE len(toks) >= 5),
       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
       |bench AS (SELECT shingle, min(doc_id) AS bid FROM shd
-      |  WHERE doc_id % 43 = 0 GROUP BY shingle),
-      |train AS (SELECT doc_id, shingle FROM shd WHERE doc_id % 43 <> 0)
+      |  WHERE doc_id % $EvalHoldoutMod = 0 GROUP BY shingle),
+      |train AS (SELECT doc_id, shingle FROM shd
+      |  WHERE doc_id % $EvalHoldoutMod <> 0)
       |SELECT tr.doc_id AS doc_id, count(*) AS n_shared,
       |       min(b.bid) AS contaminant_id
       |FROM train tr JOIN bench b ON b.shingle = tr.shingle
@@ -2434,7 +2457,7 @@ object DataPipelineQueries {
        |FROM documents d
        |JOIN (SELECT doc_id FROM ($dedupExactOracle) e) ek USING (doc_id)
        |JOIN (SELECT doc_id FROM ($qualityGateOracle) q WHERE keep) g USING (doc_id)
-       |WHERE d.doc_id % 43 <> 0
+       |WHERE d.doc_id % $EvalHoldoutMod <> 0
        |  AND d.doc_id NOT IN (SELECT doc_id FROM ($decontaminateOracle) c)
        |  AND d.doc_id NOT IN (SELECT doc_id FROM ($dedupClustersOracle) k
        |                       WHERE NOT is_canonical)""".stripMargin
@@ -2453,7 +2476,7 @@ object DataPipelineQueries {
        |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
        |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM ct)),
        |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nc)),
-       |s6 AS (SELECT * FROM s5 WHERE doc_id % 43 <> 0)
+       |s6 AS (SELECT * FROM s5 WHERE doc_id % $EvalHoldoutMod <> 0)
        |SELECT '01_ingest' AS stage, source, count(*) AS n_docs
        |  FROM d GROUP BY 2
        |UNION ALL SELECT '02_exact_canonical', source, count(*)

@@ -791,7 +791,6 @@ class SimilaritySpec extends SparkSpec {
     assert(out(10L) == (("keep", None, None)))
     // later clique members evict against a smaller-id mate at cosine 1.0
     assert(out(1L) == (("dup", Some(0L), Some(1.0))))
-    assert(out(10L)._1 == "keep")
     assert(out(11L) == (("dup", Some(10L), Some(1.0))))
     // id 2's best match ties at cosine 1.0 between mates 0 and 1 →
     // smaller keep_id wins (the documented tie rule)
