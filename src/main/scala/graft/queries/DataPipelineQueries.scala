@@ -917,6 +917,23 @@ object DataPipelineQueries {
   val dedupSemanticCellsOracle: String =
     Similarity.semanticDedupCellsOracleSql()
 
+  /** Incremental SemDeDup admission (r18): every 10th vector plays the
+    * arriving batch (the `dedup_incremental` split convention,
+    * vec_id-keyed), the rest the existing corpus — each arrival
+    * verdicted dup/new against its trained cell's corpus members.
+    * Streaming twin: [[graft.streaming.StreamingCuration
+    * .semanticDedupStream]] (flagged-id parity pinned in
+    * StreamingCurationSpec). */
+  val dedupSemanticIncremental: (SparkSession, String) => DataFrame =
+    memoized("dedupSemanticIncremental") { (spark, sfDir) =>
+      Similarity.semanticDedupIncremental(embs(spark, sfDir),
+        org.apache.spark.sql.functions.col("vec_id") % 10 === 0,
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
+  val dedupSemanticIncrementalOracle: String =
+    Similarity.semanticDedupIncrementalOracleSql("vec_id % 10 = 0")
+
   /** IVF index-health audit (r13): per-cell occupancy + member-cosine
     * coherence under the shared trained quantizer — the monitoring row
     * that puts the trained centroids themselves under the value gate.
@@ -3081,6 +3098,8 @@ object DataPipelineQueries {
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_semantic_cells", dedupSemanticCells,
       Some(dedupSemanticCellsOracle)),
+    NamedQuery("dedup_semantic_incremental", dedupSemanticIncremental,
+      Some(dedupSemanticIncrementalOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),
     NamedQuery("embedding_drift", embeddingDrift,
       Some(Similarity.embeddingDriftOracleSql())),

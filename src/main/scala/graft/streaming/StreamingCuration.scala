@@ -207,6 +207,34 @@ object StreamingCuration {
       embStream, evalIndex, threshold, bits, tables, timeCol, watermarkDelay)
 
   /**
+   * Streaming SemDeDup admission — the embedding-space sibling of the
+   * MinHash ingest dedup: each arriving vector is flagged when an
+   * EXISTING corpus vector in its trained IVF cell reaches `threshold`
+   * cosine, so a continuous ingest can route semantic near-duplicates
+   * away from the landed corpus the way
+   * [[graft.text.Dedup.incremental]] routes textual ones. Delegates to
+   * [[graft.similarity.Similarity.semanticDedupFlags]]; flagged-id
+   * parity with the batch
+   * [[graft.similarity.Similarity.semanticDedupIncremental]]'s 'dup'
+   * verdicts over the same split is pinned in StreamingCurationSpec.
+   * Only the flag SET is contract (the per-flag best match is
+   * microbatch-order dependent — the scaladoc there explains); state is
+   * one watermark-bounded per-vec dedup, the static corpus side prunes
+   * to touched cells.
+   *
+   * @param embStream streaming (vec_id, embedding, `timeCol`)
+   * @param corpus    static (vec_id, embedding); caller-persisted
+   * @param cells     frozen trained centroids shared with the batch twin
+   */
+  def semanticDedupStream(embStream: DataFrame, corpus: DataFrame,
+                          cells: Array[(Long, Seq[Double], Double)],
+                          threshold: Double = 0.42, maxCellSize: Int = 4096,
+                          timeCol: String = "ingest_time",
+                          watermarkDelay: String = "10 seconds"): DataFrame =
+    graft.similarity.Similarity.semanticDedupFlags(embStream, corpus,
+      cells, threshold, maxCellSize, timeCol, watermarkDelay)
+
+  /**
    * Windowed count-min sketch over an event stream — the streaming twin
    * of [[graft.ops.Sketches.countMinCells]]: per tumbling window, the
    * `depth × width` cell table, emitted append-mode on window close.

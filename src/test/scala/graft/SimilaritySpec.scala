@@ -802,6 +802,25 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_.getAs[String]("verdict") == "keep"))
   }
 
+  test("semanticDedupIncremental: arrivals verdict against corpus " +
+    "cell-mates only, one row per arrival, corpus never re-deduped") {
+    val x = Array(1f, 0f, 0f, 0f); val y = Array(0f, 1f, 0f, 0f)
+    val z = Array(0f, 0f, 1f, 0f)
+    // corpus: 1 (x), 2 (y); arrivals (id >= 100): 100 ∥ corpus 1 → dup,
+    // 110 ⊥ everything → new regardless of which cell it lands in
+    val df = Seq((1L, x, 0), (2L, y, 0),
+      (100L, x.map(_ * 2f), 0), (110L, z, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedupIncremental(df,
+      col("vec_id") >= 100L, nCells = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("match_id")),
+          Option(r.getAs[java.lang.Double]("match_cosine")))).toMap
+    assert(out.size == 2, s"one row per ARRIVAL only, got ${out.keySet}")
+    assert(out(100L) == (("dup", Some(1L), Some(1.0))))
+    assert(out(110L) == (("new", None, None)))
+  }
+
   test("semanticDedupCells invariants on sf0.001 embeddings: one row " +
     "per vector, per-cell smallest id always keeps, dup matches are " +
     "smaller-id co-cell mates at/above threshold") {

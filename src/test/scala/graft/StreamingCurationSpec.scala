@@ -554,4 +554,49 @@ class StreamingCurationSpec extends SparkSpec {
         s"streaming flags $got != batch flags $want")
     } finally { q.stop(); benchIndex.unpersist() }
   }
+
+  test("semanticDedupStream: flagged-id set equals the batch incremental " +
+    "operator's dup verdicts over the same split and frozen cells") {
+    import graft.similarity.Similarity
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant corpus-side parallel clones of two ARRIVING vectors (ids
+    // 10015/10025: % 10 == 5 → corpus) so the dup set is provably
+    // non-empty whatever the organic near-dup density
+    val extra = base.filter(col("vec_id").isin(10L, 20L))
+      .select((col("vec_id") + lit(10005L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+    val all = base.unionByName(extra)
+    val isNew = col("vec_id") % 10 === 0
+    val cells = Similarity.ivfCells(all)
+    val corpus = all.filter(!isNew)
+    val newRows = all.filter(isNew).collect().zipWithIndex.map {
+      case (r, i) => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+        new Timestamp(3600000L + i * 1000L))
+    }
+    val stream = MemoryStream[(Long, Seq[Float], Timestamp)](spark)
+    val out = StreamingCuration.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "embedding", "ingest_time"),
+      corpus, cells, threshold = 0.42, watermarkDelay = "1 hour")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("semdedupstr")
+      .outputMode("append").start()
+    try {
+      stream.addData(newRows.take(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(newRows.drop(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("semdedupstr").collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      val want = Similarity.semanticDedupIncremental(all, isNew,
+          cells = Some(cells))
+        .filter(col("verdict") === "dup").collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(Set(10L, 20L).subsetOf(want),
+        s"planted parallel clones must verdict dup, got $want")
+      assert(got == want,
+        s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+  }
 }
