@@ -103,6 +103,32 @@ object SemDedupScale {
     rung(16, 4096)          // toy width: the local quadratic, measured
     rung(scaled, 4096)      // the AutoCells policy rung: same dups
     rung(16, 1000)          // over-cap honesty: zero pairs, flat wall
+
+    // admission rung: the INCREMENTAL form at the policy width — every
+    // 10th vector plays the arriving batch; the receipt is admissions/s
+    // against the corpus (the continuous-ingest cost a pipeline pays
+    // per landed vector, not the one-off full dedup above)
+    {
+      val isNew = col("vec_id") % 10 === 0
+      // the quantizer is FROZEN in production admission — train it
+      // OUTSIDE the timed window (the lifecycle pays training once per
+      // retrain, not per arriving batch)
+      val frozen = Similarity.ivfCells(emb, scaled)
+      val t0 = System.nanoTime()
+      val out = Similarity.semanticDedupIncremental(emb, isNew,
+        nCells = scaled, cells = Some(frozen))
+      val verdicts = out.groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n")).toMap
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nBatch = verdicts.values.sum
+      println(s"""{"metric":"semdedup_admission","n":$n,""" +
+        s""""n_batch":$nBatch,"width":$scaled,""" +
+        s""""dups":${verdicts.getOrElse("dup", 0L)},""" +
+        s""""news":${verdicts.getOrElse("new", 0L)},""" +
+        s""""wall_sec":${math.round(wall * 100) / 100.0},""" +
+        s""""admissions_per_sec":${math.round(nBatch / wall)}}""")
+    }
     spark.stop()
   }
 }

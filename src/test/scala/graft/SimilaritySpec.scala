@@ -802,6 +802,20 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_.getAs[String]("verdict") == "keep"))
   }
 
+  test("semanticDedupCells(AutoCells): resolves the width policy (small " +
+    "corpus == explicit-16 bit-exact) instead of training an empty " +
+    "codebook") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Similarity.semanticDedupCells(embs,
+      nCells = Similarity.AutoCells).collect()
+    assert(auto.length == embs.count(),
+      "AutoCells must yield one row per vector, not a zero-row frame")
+    val explicit = Similarity.semanticDedupCells(embs).collect()
+    assert(auto.map(_.toString).sorted.toSeq ==
+      explicit.map(_.toString).sorted.toSeq,
+      "auto width on a small corpus must equal the explicit-16 result")
+  }
+
   test("semanticDedupIncremental: arrivals verdict against corpus " +
     "cell-mates only, one row per arrival, corpus never re-deduped") {
     val x = Array(1f, 0f, 0f, 0f); val y = Array(0f, 1f, 0f, 0f)
