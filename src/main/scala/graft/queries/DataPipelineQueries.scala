@@ -1138,8 +1138,7 @@ object DataPipelineQueries {
    */
   val curateFunnelQ: (SparkSession, String) => DataFrame =
     memoized("curateFunnel") { (spark, sfDir) =>
-      import org.apache.spark.sql.functions.{broadcast, col, lit, sum, when}
-      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, sum, when}
       // ONE pass, not six cumulative join chains: each doc gets the
       // index of the LAST stage it survives (four left joins over the
       // stage id sets — the same memoized frames curate_corpus
@@ -1168,14 +1167,23 @@ object DataPipelineQueries {
             .otherwise(6).as("__max_stage"))
       val perSrc = flags.groupBy(col("source"), col("__max_stage"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-      val stages = Seq(1 -> "01_ingest", 2 -> "02_exact_canonical",
-        3 -> "03_gate_pass", 4 -> "04_decontaminated",
-        5 -> "05_near_dup_canonical", 6 -> "06_eval_holdout")
-        .toDF("__idx", "stage")
-      perSrc.join(broadcast(stages), col("__idx") <= col("__max_stage"))
-        .groupBy(col("stage"), col("source"))
+      // survivors(stage k) = Σ docs with max_stage >= k — materialized by
+      // exploding each tiny rollup row over 1..max_stage (pure fan-out of
+      // a sources×6-row frame; no join node at all, so the registry's
+      // cartesian-free sweep holds without a whitelist entry)
+      val stageName = org.apache.spark.sql.functions.typedLit(Map(
+        1 -> "01_ingest", 2 -> "02_exact_canonical", 3 -> "03_gate_pass",
+        4 -> "04_decontaminated", 5 -> "05_near_dup_canonical",
+        6 -> "06_eval_holdout"))
+      perSrc.select(col("source"), col("__n"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.sequence(lit(1),
+              col("__max_stage"))).as("__idx"))
+        .groupBy(col("__idx"), col("source"))
         .agg(sum(col("__n")).as("n_docs"))
-        .select(col("stage"), col("source"), col("n_docs"))
+        .select(org.apache.spark.sql.functions
+          .element_at(stageName, col("__idx")).as("stage"),
+          col("source"), col("n_docs"))
     }
 
   /**
