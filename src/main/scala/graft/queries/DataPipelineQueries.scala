@@ -630,6 +630,36 @@ object DataPipelineQueries {
     TextAnalysis.temperatureSourceMix(docs(spark, sfDir), alpha = 0.5,
       fraction = 0.9)
 
+  /** Epoch plan (r18): α=0.5-tempered per-source token targets over a
+    * 30k-token training budget, decomposed into exact repeat factors —
+    * the recipe table between `source_mix_temperature` (weights) and
+    * `select_token_budget` (materialization). Memoized: the share
+    * denominator is a bounded driver scalar folded at build. */
+  val mixEpochPlanQ: (SparkSession, String) => DataFrame =
+    memoized("mixEpochPlan") { (spark, sfDir) =>
+      TextAnalysis.mixEpochPlan(docs(spark, sfDir))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.mixEpochPlan]]: the µ-int
+    * tempered weight (floor(pow·1e6+0.5) — exact-int on both engines),
+    * the order-proof int64 share denominator, and pure integer div/mod
+    * for every emitted number. */
+  val mixEpochPlanOracle: String =
+    """WITH a AS (SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) avail_tokens
+      |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+      |p AS (SELECT source, avail_tokens,
+      |  CAST(floor(pow(CAST(avail_tokens AS DOUBLE), 0.5) * 1e6 + 0.5)
+      |    AS BIGINT) p6 FROM a),
+      |s AS (SELECT CAST(sum(p6) AS BIGINT) tot FROM p),
+      |t AS (SELECT source, avail_tokens,
+      |  (30000 * p6) // tot AS target_tokens FROM p, s)
+      |SELECT source, avail_tokens, target_tokens,
+      |  target_tokens // avail_tokens AS full_epochs,
+      |  target_tokens % avail_tokens AS rem_tokens,
+      |  (target_tokens * 1000) // avail_tokens AS repeat_milli
+      |FROM t""".stripMargin
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -3091,6 +3121,7 @@ object DataPipelineQueries {
     NamedQuery("source_mix", sourceMix, Some(sourceMixOracle)),
     NamedQuery("source_mix_temperature", sourceMixTemperature,
       Some(sourceMixTemperatureOracle)),
+    NamedQuery("mix_epoch_plan", mixEpochPlanQ, Some(mixEpochPlanOracle)),
     NamedQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     NamedQuery("doc_chunks", docChunks, Some(docChunksOracle)),
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),

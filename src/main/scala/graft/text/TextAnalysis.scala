@@ -2103,6 +2103,50 @@ object TextAnalysis {
   }
 
   /**
+   * Epoch planning — the data-RECIPE step between mixing weights and
+   * materialization: given a total training-token budget and a
+   * temperature exponent, compute each source's token TARGET
+   * (α-tempered share of the budget) against what it actually HAS, and
+   * express the consequence as repeat factors — the "3.2 epochs of
+   * wiki, 0.4 of web" table a pre-training run is configured from
+   * (over-sampled sources repeat; under-sampled ones are subset by
+   * [[selectTokenBudget]]). One row per source:
+   * (source, avail_tokens, target_tokens, full_epochs, rem_tokens,
+   * repeat_milli) — full_epochs/rem = the div/mod decomposition of the
+   * target over the available tokens, repeat_milli the repeat factor in
+   * exact milli-units.
+   *
+   * Engine-portable arithmetic: the tempered weight is
+   * floor(avail^α · 10^6 + 0.5) — ONE pow per source on the µ-int grid
+   * (the temperatureSourceMix discipline) — so the share denominator is
+   * an order-proof int64 sum, and every downstream number is integer
+   * div/mod: no float division ever reaches the output. The share
+   * denominator folds in as a plan literal (the tfidf corpus-total
+   * pattern — one bounded driver scalar at build, no cross join).
+   *
+   * Scale shape: one per-source rollup (map-side partials over ~|sources|
+   * keys) plus narrow arithmetic — |sources| rows out at any corpus size.
+   */
+  def mixEpochPlan(docs: DataFrame, totalBudget: Long = 30000L,
+                   alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val avail = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("avail_tokens"))
+      .withColumn("__p6",
+        floor(pow(col("avail_tokens").cast("double"), lit(alpha)) * 1e6
+          + 0.5).cast("long"))
+    val tot = avail.agg(sum(col("__p6"))).head().getLong(0)
+    avail
+      .withColumn("target_tokens", expr(s"$totalBudget * __p6 div $tot"))
+      .select(col("source"), col("avail_tokens"), col("target_tokens"),
+        expr("target_tokens div avail_tokens").as("full_epochs"),
+        expr("target_tokens % avail_tokens").as("rem_tokens"),
+        expr("target_tokens * 1000 div avail_tokens").as("repeat_milli"))
+  }
+
+  /**
    * Concat-and-chunk sequence packing — the OTHER half of context-length
    * packing, complementing [[packShards]] (whole-document shards): lay
    * every document's tokens end-to-end in one deterministic global

@@ -606,6 +606,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"two-pass plan lost its range-partition-id windowing:\n$plan")
   }
 
+  test("mixEpochPlan: exact integer recipe — tempered targets, div/mod " +
+    "epoch decomposition, milli repeat factor") {
+    // s1: 8 tokens available, s2: 2 → p6 = floor(sqrt·1e6+0.5) =
+    // 2828427 / 1414214, tot 4242641; at budget 100:
+    //   s1 target = 100·2828427 div tot = 66 → 8 epochs rem 2, 8.250×
+    //   s2 target = 100·1414214 div tot = 33 → 16 epochs rem 1, 16.500×
+    val df = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"),
+      (3L, "i j", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mixEpochPlan(df, totalBudget = 100L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("full_epochs"), r.getAs[Long]("rem_tokens"),
+          r.getAs[Long]("repeat_milli"))).toMap
+    assert(out("s1") == ((8L, 66L, 8L, 2L, 8250L)))
+    assert(out("s2") == ((2L, 33L, 16L, 1L, 16500L)))
+    // floor rounding never over-allocates the budget
+    assert(out.values.map(_._2).sum <= 100L)
+  }
+
   test("corpusDiff: every status arm classified, new side wins the " +
     "source for changed docs, absent sides read NULL tokens") {
     val a = Seq((1L, "x y", "s1"), (2L, "a b c", "s1"), (3L, "k", "s2"))
