@@ -68,6 +68,75 @@ class KnobFuzzSpec extends SparkSpec {
         s"only-right=${(rb -- ra).take(3)} (|l|=${ra.size}, |r|=${rb.size})")
   }
 
+  test("fuzz: semanticDedupCells equals a driver-side Scala " +
+    "re-derivation at 12 random (nCells, rounds, threshold, cap) configs") {
+    // the r18 SemDeDup family joins the knob-fuzz program: same
+    // resolved centroids on both sides (property-4 discipline), the
+    // DEDUP logic — rounded-cosine argmax assignment, occupancy cap,
+    // smaller-id greedy eviction, (cos DESC, id ASC) best match —
+    // re-derived independently in plain Scala
+    val data = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotA(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (_ <- 1 to 12) {
+      val nCells = 1 + rnd.nextInt(10)
+      val rounds = rnd.nextInt(3)
+      val tau = 0.2 + rnd.nextInt(7) * 0.1
+      val cap = 1 + rnd.nextInt(50)
+      val salt = s"fzs${rnd.nextInt(1000)}"
+      val label = s"semdedup cells=$nCells rounds=$rounds tau=$tau cap=$cap"
+      val cells = Similarity.ivfCells(embs, nCells, salt, rounds)
+      val nrm = data.map { case (id, v) =>
+        id -> math.sqrt(dotA(v, v.toIndexedSeq)) }.toMap
+      val asg = data.map { case (id, v) =>
+        id -> cells.map { case (cid, cv, cn) =>
+          (r6(dotA(v, cv) / (nrm(id) * cn)), cid) }
+          .maxBy { case (cc, cid) => (cc, -cid) }._2
+      }.toMap
+      val occ = asg.values.groupBy(identity).view.mapValues(_.size).toMap
+      val small = data.filter { case (id, _) => occ(asg(id)) <= cap }
+      val vec = data.toMap
+      val pairs = for {
+        (ia, va) <- small
+        (ib, _) <- small
+        if ia < ib && asg(ia) == asg(ib)
+        den = nrm(ia) * nrm(ib)
+        if den != 0
+        c = r6(dotA(va, vec(ib).toIndexedSeq) / den)
+        if c >= tau
+      } yield (ib, ia, c)
+      val best = pairs.groupBy(_._1).view.mapValues(
+        _.minBy { case (_, kid, c) => (-c, kid) }).toMap
+      val expected = data.map { case (id, _) =>
+        best.get(id) match {
+          case Some((_, kid, c)) => (id, asg(id), "dup", Some(kid), Some(c))
+          case None => (id, asg(id), "keep",
+            None: Option[Long], None: Option[Double])
+        }
+      }.toSet
+      val got = Similarity.semanticDedupCells(embs, nCells = nCells,
+          threshold = tau, salt = salt, rounds = rounds, maxCellSize = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("match_cosine")).map(_.toDouble)))
+        .toSet
+      assert(got == expected,
+        s"[$label] only-spark=${(got -- expected).take(3)} " +
+          s"only-scala=${(expected -- got).take(3)}")
+    }
+  }
+
   test("fuzz: literal-LUT ADC equals broadcast-LUT ADC at 25 random " +
     "(m, k, rounds, nQueries, topK) configs") {
     for (_ <- 1 to 25) {
