@@ -137,6 +137,79 @@ class KnobFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: semanticDedupIncremental equals a driver-side Scala " +
+    "re-derivation at 10 random (nCells, rounds, threshold, cap, split) " +
+    "configs") {
+    // the ADMISSION form's own surface beyond the cells fuzz above: the
+    // batch/corpus split, the cap applied to CORPUS-side occupancy only,
+    // and one row per arrival (never per corpus member)
+    val data = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotA(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (_ <- 1 to 10) {
+      val nCells = 1 + rnd.nextInt(10)
+      val rounds = rnd.nextInt(3)
+      val tau = 0.2 + rnd.nextInt(7) * 0.1
+      val cap = 1 + rnd.nextInt(50)
+      val mod = 3 + rnd.nextInt(8) // vec_id % mod == 0 plays the batch
+      val salt = s"fzn${rnd.nextInt(1000)}"
+      val label = s"semadmit cells=$nCells rounds=$rounds tau=$tau " +
+        s"cap=$cap mod=$mod"
+      val cells = Similarity.ivfCells(embs, nCells, salt, rounds)
+      val nrm = data.map { case (id, v) =>
+        id -> math.sqrt(dotA(v, v.toIndexedSeq)) }.toMap
+      val asg = data.map { case (id, v) =>
+        id -> cells.map { case (cid, cv, cn) =>
+          (r6(dotA(v, cv) / (nrm(id) * cn)), cid) }
+          .maxBy { case (cc, cid) => (cc, -cid) }._2
+      }.toMap
+      val (batch, corpus) = data.partition { case (id, _) => id % mod == 0 }
+      val corpOcc = corpus.map(c => asg(c._1))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val corpSmall = corpus.filter { case (id, _) =>
+        corpOcc(asg(id)) <= cap }
+      val best = (for {
+        (ib, vb) <- batch
+        (ic, vc) <- corpSmall
+        if asg(ib) == asg(ic)
+        den = nrm(ib) * nrm(ic)
+        if den != 0
+        c = r6(dotA(vb, vc.toIndexedSeq) / den)
+        if c >= tau
+      } yield (ib, ic, c))
+        .groupBy(_._1).view
+        .mapValues(_.minBy { case (_, cid, c) => (-c, cid) }).toMap
+      val expected = batch.map { case (id, _) =>
+        best.get(id) match {
+          case Some((_, cid, c)) => (id, asg(id), "dup", Some(cid), Some(c))
+          case None => (id, asg(id), "new",
+            None: Option[Long], None: Option[Double])
+        }
+      }.toSet
+      val got = Similarity.semanticDedupIncremental(embs,
+          col("vec_id") % mod === 0, nCells = nCells, threshold = tau,
+          salt = salt, rounds = rounds, maxCellSize = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("match_cosine")).map(_.toDouble)))
+        .toSet
+      assert(got == expected,
+        s"[$label] only-spark=${(got -- expected).take(3)} " +
+          s"only-scala=${(expected -- got).take(3)}")
+    }
+  }
+
   test("fuzz: literal-LUT ADC equals broadcast-LUT ADC at 25 random " +
     "(m, k, rounds, nQueries, topK) configs") {
     for (_ <- 1 to 25) {
