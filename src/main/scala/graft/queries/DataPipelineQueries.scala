@@ -227,9 +227,13 @@ object DataPipelineQueries {
 
   /** Replicates [[graft.text.TextAnalysis.corpusDiff]] over the same
     * mutated-snapshot fixture: md5 content keys, full-outer join on
-    * doc_id, new side wins the source for changed docs. */
+    * doc_id, new side wins the source for changed docs. Presence comes
+    * from the per-side constant marker (`1 AS p`), not the hash's
+    * nullability, and the hash compare is null-safe — so a NULL-text
+    * row diffs by where the ROW is, matching the Spark side (ADVICE
+    * r18). */
   val corpusDiffOracle: String =
-    """WITH olds AS (SELECT doc_id, source, md5(text) h,
+    """WITH olds AS (SELECT doc_id, source, 1 AS p, md5(text) h,
       |  CAST(len(string_split(text, ' ')) AS INT) toks FROM documents),
       |news0 AS (
       |  SELECT doc_id,
@@ -239,13 +243,13 @@ object DataPipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000000, text, source FROM documents
       |  WHERE doc_id % 13 = 5),
-      |news AS (SELECT doc_id, source, md5(text) h,
+      |news AS (SELECT doc_id, source, 1 AS p, md5(text) h,
       |  CAST(len(string_split(text, ' ')) AS INT) toks FROM news0)
       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
       |  COALESCE(n.source, o.source) AS source,
-      |  CASE WHEN o.h IS NULL THEN 'added'
-      |       WHEN n.h IS NULL THEN 'removed'
-      |       WHEN o.h <> n.h THEN 'changed'
+      |  CASE WHEN o.p IS NULL THEN 'added'
+      |       WHEN n.p IS NULL THEN 'removed'
+      |       WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
       |       ELSE 'unchanged' END AS status,
       |  o.toks AS old_tokens, n.toks AS new_tokens
       |FROM olds o FULL OUTER JOIN news n ON n.doc_id = o.doc_id""".stripMargin

@@ -194,20 +194,27 @@ object TextAnalysis {
    * dropped map-side before the shuffle, so the join moves ~40 bytes a
    * row, not documents); everything else is narrow per-row expressions.
    * Linear in corpus size with one shuffle at any scale.
+   *
+   * Row PRESENCE is carried by a per-side constant marker, never by the
+   * hash's nullability: a NULL-text document hashes to NULL but is still
+   * PRESENT in its snapshot, so it must read removed/added/changed by
+   * where the ROW is, and NULL-text-on-both-sides compares unchanged
+   * (null-safe hash equality) — ADVICE r18.
    */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def side(d: DataFrame, tag: String): DataFrame =
       d.select(col("doc_id"),
         col("source").as(s"${tag}_source"),
+        lit(1).as(s"${tag}_p"),
         md5(col("text")).as(s"${tag}_h"),
         size(TextOps.tokens(col("text"))).as(s"${tag}_tokens"))
     side(oldDocs, "old")
       .join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("new_source"), col("old_source")).as("source"),
-        when(col("old_h").isNull, "added")
-          .when(col("new_h").isNull, "removed")
-          .when(col("old_h") =!= col("new_h"), "changed")
+        when(col("old_p").isNull, "added")
+          .when(col("new_p").isNull, "removed")
+          .when(!(col("old_h") <=> col("new_h")), "changed")
           .otherwise("unchanged").as("status"),
         col("old_tokens"), col("new_tokens"))
   }
@@ -2137,7 +2144,17 @@ object TextAnalysis {
       .withColumn("__p6",
         floor(pow(col("avail_tokens").cast("double"), lit(alpha)) * 1e6
           + 0.5).cast("long"))
-    val tot = avail.agg(sum(col("__p6"))).head().getLong(0)
+    // Empty-corpus guard (ADVICE r18): sum over zero rows is NULL — a
+    // bare getLong would NPE, and tot == 0 would integer-div to NULL
+    // targets. Return the empty typed frame instead (the
+    // semanticDedupCells empty-corpus convention).
+    val tot = Option(avail.agg(sum(col("__p6"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (tot == 0L)
+      return avail.select(col("source"), col("avail_tokens"),
+        lit(0L).as("target_tokens"), lit(0L).as("full_epochs"),
+        lit(0L).as("rem_tokens"), lit(0L).as("repeat_milli"))
+        .filter(lit(false))
     avail
       .withColumn("target_tokens", expr(s"$totalBudget * __p6 div $tot"))
       .select(col("source"), col("avail_tokens"), col("target_tokens"),

@@ -643,6 +643,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == (("added", "s3", None, Some(2))))
   }
 
+  test("corpusDiff: NULL-text rows diff by ROW presence, not hash " +
+    "nullability (ADVICE r18)") {
+    // doc 1: NULL text present only in OLD → removed (not 'added');
+    // doc 2: NULL → text edit → changed (not 'added');
+    // doc 3: text → NULL edit → changed (not 'removed');
+    // doc 4: NULL on BOTH sides → unchanged
+    val a = Seq((1L, null: String, "s1"), (2L, null: String, "s1"),
+      (3L, "x y", "s1"), (4L, null: String, "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((2L, "now text", "s1"), (3L, null: String, "s1"),
+      (4L, null: String, "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.corpusDiff(a, b).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed", 3L -> "changed",
+      4L -> "unchanged"))
+  }
+
+  test("mixEpochPlan: empty / all-NULL-text corpus returns the empty " +
+    "typed frame, no NPE (ADVICE r18)") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mixEpochPlan(empty)
+    assert(out.columns.toSeq == Seq("source", "avail_tokens",
+      "target_tokens", "full_epochs", "rem_tokens", "repeat_milli"))
+    assert(out.count() == 0L)
+    val allNull = Seq((1L, null: String, "s1"), (2L, null: String, "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.mixEpochPlan(allNull).count() == 0L)
+  }
+
   test("hashedLinearScore: matches a Scala re-derivation; weights broadcast") {
     // independent re-derivation of the stub model in plain Scala — the
     // operator must agree doc-for-doc, and the plan must broadcast the
