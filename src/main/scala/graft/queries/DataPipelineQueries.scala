@@ -664,6 +664,60 @@ object DataPipelineQueries {
       |  (target_tokens * 1000) // avail_tokens AS repeat_milli
       |FROM t""".stripMargin
 
+  /** Epoch materialization (r19): the `mix_epoch_plan` repeat factors
+    * composed with the `select_token_budget` admission order into the
+    * epoch-stamped document manifest a trainer consumes — source
+    * repeated full_epochs times (explode-sequence fan-out) plus the
+    * remainder-token greedy subset at epoch = full_epochs. Memoized:
+    * the plan's share denominator is a bounded driver scalar folded at
+    * build; the admission aux-persists its range-partitioned frame. */
+  val materializeEpochsQ: (SparkSession, String) => DataFrame =
+    memoized("materializeEpochs") { (spark, sfDir) =>
+      TextAnalysis.materializeEpochs(docs(spark, sfDir))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.materializeEpochs]]: the
+    * mix_epoch_plan CTEs yield (full_epochs, rem_tokens) per source; the
+    * full arm replays the integer repeat with
+    * `unnest(generate_series(0, F-1))` (empty when F = 0, and guarded
+    * F >= 1 on both sides); the remainder arm is the
+    * select_token_budget admission — gate signals over the
+    * NULL-text-filtered corpus the plan counted, serial-window prefix —
+    * at budget rem_tokens. */
+  lazy val materializeEpochsOracle: String =
+    s"""WITH a AS (SELECT source,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) avail_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |p AS (SELECT source, avail_tokens,
+       |  CAST(floor(pow(CAST(avail_tokens AS DOUBLE), 0.5) * 1e6 + 0.5)
+       |    AS BIGINT) p6 FROM a),
+       |s AS (SELECT CAST(sum(p6) AS BIGINT) tot FROM p),
+       |pl AS (SELECT source,
+       |  ((30000 * p6) // tot) // avail_tokens AS full_epochs,
+       |  ((30000 * p6) // tot) % avail_tokens AS rem_tokens
+       |  FROM p, s),
+       |fl AS (SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS INT) n_tokens,
+       |    unnest(generate_series(0, pl.full_epochs - 1)) AS epoch
+       |  FROM documents d JOIN pl USING (source)
+       |  WHERE d.text IS NOT NULL AND pl.full_epochs >= 1),
+       |g AS (${qualityGateOracleFrom(
+              "(SELECT * FROM documents WHERE text IS NOT NULL)")}),
+       |m AS (SELECT g.doc_id, d.source, g.n_tokens, g.rep_ratio,
+       |    CASE WHEN g.keep THEN 0 ELSE 1 END AS pk
+       |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
+       |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY pk, rep_ratio, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS before_tokens FROM m),
+       |rm AS (SELECT c.doc_id, c.source, c.n_tokens,
+       |    pl.full_epochs AS epoch
+       |  FROM c JOIN pl USING (source)
+       |  WHERE c.before_tokens < pl.rem_tokens)
+       |SELECT doc_id, source, n_tokens, epoch FROM fl
+       |UNION ALL
+       |SELECT doc_id, source, n_tokens, epoch FROM rm""".stripMargin
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -1843,9 +1897,11 @@ object DataPipelineQueries {
 
   /** Same signals, thresholds, and rule order as
     * `TextAnalysis.qualityGate`'s defaults; gates compare the unrounded
-    * doubles (identical IEEE divisions on both engines). */
-  val qualityGateOracle: String =
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+    * doubles (identical IEEE divisions on both engines). `rel`
+    * parameterizes the source relation (r19: the epoch materializer
+    * gates the NULL-text-filtered corpus its plan counted). */
+  def qualityGateOracleFrom(rel: String): String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM $rel),
       |m AS (SELECT doc_id,
       |  CAST(len(toks) AS INT) AS n_tokens,
       |  $mtlSql AS mtl,
@@ -1868,6 +1924,8 @@ object DataPipelineQueries {
       |       round(stop, 6) AS stopword_ratio, round(rep, 6) AS rep_ratio,
       |       reason, reason = 'pass' AS keep
       |FROM g""".stripMargin
+
+  val qualityGateOracle: String = qualityGateOracleFrom("documents")
 
   /** Replicates [[graft.text.TextAnalysis.selectTokenBudget]]: the gate
     * oracle supplies the identical priority signals (keep + 6-dp-rounded
@@ -3133,6 +3191,8 @@ object DataPipelineQueries {
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
     NamedQuery("select_token_budget", selectTokenBudgetQ,
       Some(selectTokenBudgetOracle)),
+    NamedQuery("mix_epoch_materialize", materializeEpochsQ,
+      Some(materializeEpochsOracle)),
     NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
     NamedQuery("doc_length_mad_gate", docLengthMadGateQ,
       Some(docLengthMadGateOracle)),

@@ -2164,6 +2164,74 @@ object TextAnalysis {
   }
 
   /**
+   * Epoch MATERIALIZATION — the missing last step from recipe to
+   * training manifest: [[mixEpochPlan]] says "3 full epochs of wiki plus
+   * 412 remainder tokens"; this emits the actual epoch-stamped document
+   * list a trainer consumes. For each source with plan row
+   * (full_epochs = F, rem_tokens = R):
+   *
+   *  - every live (non-NULL-text) document of the source appears once
+   *    per FULL pass, `epoch` = 0..F−1;
+   *  - the remainder pass (`epoch` = F) is the [[selectTokenBudget]]
+   *    greedy admission — quality-gate-passing first, less repetitive
+   *    first, doc_id tiebreak — run against budget R, so the partial
+   *    epoch holds the documents a curator would keep anyway.
+   *
+   * One row per (document × epoch): (doc_id, source, n_tokens, epoch).
+   * Row count = Σ_src (F_src · n_docs_src + remainder-admitted docs).
+   *
+   * Scale shape: the plan is |sources| rows, broadcast into both arms;
+   * the full-pass repeat is `explode(sequence(0, F−1))` — a map-side
+   * fan-out (the curate_funnel pattern), NEVER a join on the repeat
+   * factor; the remainder admission is the [[selectTokenBudget]]
+   * distributed two-pass prefix sum (range-partition → broadcast base
+   * offsets → within-partition window), so a single giant source never
+   * serializes into one task chain. Output is linear in
+   * Σ F_src · n_docs_src with one shuffle (the admission's range
+   * partitioning) at any corpus size.
+   */
+  def materializeEpochs(docs: DataFrame, totalBudget: Long = 30000L,
+                        alpha: Double = 0.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val plan = mixEpochPlan(docs, totalBudget, alpha)
+      .select(col("source"), col("full_epochs"), col("rem_tokens"))
+    val live = docs.filter(col("text").isNotNull)
+    val full = live
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("full_epochs") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("full_epochs") - 1)).as("epoch"))
+    val gated = qualityGate(live, passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("rep_ratio"), when(col("keep"), 0).otherwise(1).as("__pk"))
+    val parts = graft.queries.SharedFrames.aux(
+      gated.repartitionByRange(col("source"), col("__pk"), col("rep_ratio"),
+          col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("source"), col("__base"))
+    val wIn = W.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("__pk"), col("rep_ratio"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val rem = parts
+      .join(broadcast(bases), Seq("__pid", "source"))
+      .withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base"))
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("__before") < col("rem_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("full_epochs").as("epoch"))
+    full.unionByName(rem)
+  }
+
+  /**
    * Concat-and-chunk sequence packing — the OTHER half of context-length
    * packing, complementing [[packShards]] (whole-document shards): lay
    * every document's tokens end-to-end in one deterministic global

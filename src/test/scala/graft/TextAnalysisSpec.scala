@@ -625,6 +625,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.map(_._2).sum <= 100L)
   }
 
+  test("materializeEpochs: full passes fan out 0..F-1, the remainder " +
+    "pass admits the selectTokenBudget priority prefix at epoch F") {
+    // the mixEpochPlan fixture: s1 avail 8 → target 66 → F=8 rem=2;
+    // s2 avail 2 → target 33 → F=16 rem=1. All docs fail the gate
+    // (too_short, pk=1) with rep_ratio 0, so remainder priority is pure
+    // doc_id order: s1 admits doc 1 (before 0 < 2), rejects doc 2
+    // (before 4); s2 admits doc 3 (before 0 < 1).
+    val df = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"),
+      (3L, "i j", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.materializeEpochs(df, totalBudget = 100L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    assert(out.length == 2 * 8 + 1 + 16 + 1) // Σ F·n_src + remainder docs
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc(1L) == (0L to 8L).toSeq)  // 8 full passes + remainder
+    assert(byDoc(2L) == (0L to 7L).toSeq)  // full passes only
+    assert(byDoc(3L) == (0L to 16L).toSeq) // 16 full passes + remainder
+  }
+
   test("corpusDiff: every status arm classified, new side wins the " +
     "source for changed docs, absent sides read NULL tokens") {
     val a = Seq((1L, "x y", "s1"), (2L, "a b c", "s1"), (3L, "k", "s2"))
