@@ -1005,6 +1005,18 @@ object DataPipelineQueries {
   val dedupSemanticCellsOracle: String =
     Similarity.semanticDedupCellsOracleSql()
 
+  /** SemDeDup cell-health audit (r19): occupancy / over-cap / exempted
+    * share / pair-mass bound per cell + rollup total, composed over the
+    * memoized `dedup_semantic_cells` output — zero extra assignment
+    * cost; the over-cap all-keep degradation is no longer silent. */
+  val semdedupCellAuditQ: (SparkSession, String) => DataFrame =
+    memoized("semdedupCellAudit") { (spark, sfDir) =>
+      Similarity.semanticDedupCellAudit(dedupSemanticCells(spark, sfDir))
+    }
+
+  val semdedupCellAuditOracle: String =
+    Similarity.semanticDedupCellAuditOracleSql()
+
   /** Incremental SemDeDup admission (r18): every 10th vector plays the
     * arriving batch (the `dedup_incremental` split convention,
     * vec_id-keyed), the rest the existing corpus — each arrival
@@ -3201,6 +3213,9 @@ object DataPipelineQueries {
     NamedQuery("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     NamedQuery("dedup_semantic_cells", dedupSemanticCells,
       Some(dedupSemanticCellsOracle)),
+    // right after dedup_semantic_cells: consumes its memoized frame
+    NamedQuery("semdedup_cell_audit", semdedupCellAuditQ,
+      Some(semdedupCellAuditOracle)),
     NamedQuery("dedup_semantic_incremental", dedupSemanticIncremental,
       Some(dedupSemanticIncrementalOracle)),
     NamedQuery("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeOracle)),

@@ -802,6 +802,47 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_.getAs[String]("verdict") == "keep"))
   }
 
+  test("semanticDedupCellAudit: over-cap cells surface as exempted with " +
+    "their share, under-cap cells carry the pair-mass bound, rollup " +
+    "total closes (plain-Scala re-derivation)") {
+    val x = Array(1f, 0f, 0f, 0f); val y = Array(0f, 1f, 0f, 0f)
+    val df = Seq(
+      (0L, x, 0), (1L, x.map(_ * 2f), 0), (2L, x.map(_ * 3f), 0),
+      (10L, y, 0), (11L, y.map(_ * 5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cap = 2
+    val verdicts = Similarity.semanticDedupCells(df, nCells = 2,
+      maxCellSize = cap)
+    val occ = verdicts.collect().groupBy(_.getAs[Long]("cell"))
+      .view.mapValues(_.length.toLong).toMap
+    // fixture sanity: the orthogonal cliques land 3/2, so BOTH arms run
+    assert(occ.values.toSeq.sorted == Seq(2L, 3L),
+      s"expected a 3/2 cell split, got $occ")
+    val audit = Similarity.semanticDedupCellAudit(verdicts, maxCellSize = cap)
+      .collect()
+      .map(r => Option(r.getAs[java.lang.Long]("cell")).map(_.toLong) ->
+        (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vectors"),
+          r.getAs[Long]("n_over_cap"), r.getAs[Long]("exempted_vectors"),
+          r.getAs[Long]("exempted_ppm"), r.getAs[Long]("pair_bound"))).toMap
+    assert(audit.size == occ.size + 1) // per-cell rows + rollup total
+    occ.foreach { case (cell, n) =>
+      val over = n > cap
+      assert(audit(Some(cell)) == ((1L, n, if (over) 1L else 0L,
+        if (over) n else 0L, if (over) 1000000L else 0L,
+        if (over) 0L else n * (n - 1) / 2)))
+    }
+    val totalExempted = occ.values.filter(_ > cap).sum
+    assert(audit(None) == ((occ.size.toLong, 5L,
+      occ.values.count(_ > cap).toLong, totalExempted,
+      totalExempted * 1000000L / 5L,
+      occ.values.filter(_ <= cap).map(n => n * (n - 1) / 2).sum)))
+    // the exempted members are exactly the ones the dedup degraded to
+    // all-keep: the over-cap cell pairs nothing
+    val overCells = occ.collect { case (c, n) if n > cap => c }.toSet
+    verdicts.collect().filter(r => overCells(r.getAs[Long]("cell")))
+      .foreach(r => assert(r.getAs[String]("verdict") == "keep"))
+  }
+
   test("semanticDedupCells(AutoCells): resolves the width policy (small " +
     "corpus == explicit-16 bit-exact) instead of training an empty " +
     "codebook") {
