@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.text.{Dedup, TextOps}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Streaming twins of the curation operators — the form a training-data
@@ -233,6 +234,83 @@ object StreamingCuration {
                           watermarkDelay: String = "10 seconds"): DataFrame =
     graft.similarity.Similarity.semanticDedupFlags(embStream, corpus,
       cells, threshold, maxCellSize, timeCol, watermarkDelay)
+
+  /** Input row of [[selectTokenBudgetStream]] after the token meter
+    * (public: encoder codegen cannot deserialize a private class). */
+  final case class DocTokens(doc_id: Long, source: String, n_tokens: Int)
+
+  /** Output row of [[selectTokenBudgetStream]]: `admitted_before` is the
+    * source's ADMITTED token count at this document's arrival (the
+    * running-budget state), `selected` = admitted_before < budget. */
+  final case class TokenBudgetAdmit(doc_id: Long, source: String,
+                                    n_tokens: Int, admitted_before: Long,
+                                    selected: Boolean)
+
+  /**
+   * Continuous token-budget admission — the streaming twin of
+   * [[graft.text.TextAnalysis.selectTokenBudget]] (the last curation
+   * stage without one, r18 verdict ask #4): a continuous ingest wants
+   * per-source RUNNING-budget admission, flagging each arriving document
+   * admitted/rejected against what remains of its source's budget. One
+   * `flatMapGroupsWithState` keyed by source (the StreamingAnomaly LAG
+   * pattern) carrying a single long of state — the source's admitted
+   * token total.
+   *
+   * CONTRACT (pinned in StreamingCurationSpec, restart case included) —
+   * batch parity is deliberately NOT claimed, because the batch
+   * operator admits in the quality-gate PRIORITY order while a stream
+   * admits in ARRIVAL order (an engine cannot sort documents that have
+   * not arrived yet; a pipeline that wants priority admission lands the
+   * corpus and runs the batch operator):
+   *
+   *  - a document is admitted iff its source's admitted tokens at
+   *    arrival are strictly under `budget` — the batch greedy's
+   *    fill-then-spill rule, which for any FIXED order admits the
+   *    identical prefix (rejected documents never advance either
+   *    engine's cursor once the budget is reached);
+   *  - per-source admitted token SUM never exceeds budget + one
+   *    document (the same atomic-document overflow as the batch twin);
+   *  - state is monotone (admission only ever consumes budget) and one
+   *    long per source — bounded by |sources| at any stream length, no
+   *    timeout needed;
+   *  - restart on the same checkpoint recovers the admitted total: a
+   *    source whose budget filled before the stop admits NOTHING after
+   *    the restart.
+   *
+   * Within a microbatch the group's rows process in doc_id order (the
+   * perCampaign sort discipline), so a replayed batch admits
+   * identically. NULL-text documents are dropped (they carry no
+   * tokens), matching the batch operator's live-corpus convention.
+   */
+  def selectTokenBudgetStream(docStream: DataFrame,
+                              budget: Long = 800L): Dataset[TokenBudgetAdmit] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    docStream
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .as[DocTokens]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        perSourceAdmit(budget))
+  }
+
+  /** The per-source admission fold of [[selectTokenBudgetStream]]. */
+  private def perSourceAdmit(budget: Long)(
+      source: String, rows: Iterator[DocTokens],
+      state: GroupState[Long]): Iterator[TokenBudgetAdmit] = {
+    var admitted = state.getOption.getOrElse(0L)
+    val out = rows.toIndexedSeq.sortBy(_.doc_id).map { d =>
+      val before = admitted
+      val sel = before < budget
+      if (sel) admitted += d.n_tokens
+      TokenBudgetAdmit(d.doc_id, source, d.n_tokens, before, sel)
+    }
+    state.update(admitted)
+    out.iterator
+  }
 
   /**
    * Windowed count-min sketch over an event stream — the streaming twin

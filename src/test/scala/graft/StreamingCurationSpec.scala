@@ -599,4 +599,95 @@ class StreamingCurationSpec extends SparkSpec {
         s"only-stream=${got -- want} only-batch=${want -- got}")
     } finally q.stop()
   }
+
+  test("selectTokenBudgetStream: per-source running-budget admission — " +
+    "fill-then-spill with at most one-document overflow, monotone state " +
+    "across microbatches, rejects forever once filled") {
+    val stream = MemoryStream[(Long, String, String)](spark)
+    // budget 10; s1 docs carry 4 tokens each → docs 1,2 admit (before
+    // 0, 4), doc 3 admits at before 8 (< 10, overflows to 12), doc 4+
+    // reject; s2 has its own independent budget
+    val out = StreamingCuration.selectTokenBudgetStream(
+      stream.toDF().toDF("doc_id", "text", "source"), budget = 10L)
+    assert(out.isStreaming)
+    val q = out.toDF().writeStream.format("memory").queryName("stb")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "a b c d", "s1"), (2L, "a b c d", "s1"),
+        (20L, "x y z", "s2"))
+      q.processAllAvailable()
+      stream.addData((3L, "a b c d", "s1"), (4L, "a b c d", "s1"),
+        (21L, "x y z w q v e r t", "s2"), (22L, "x", "s2"))
+      q.processAllAvailable()
+      val got = spark.table("stb").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("admitted_before"), r.getAs[Boolean]("selected")))
+        .toMap
+      assert(got.size == 7, "one output row per fed document")
+      assert(got(1L) == ((0L, true)) && got(2L) == ((4L, true)))
+      assert(got(3L) == ((8L, true)),
+        "before 8 < 10 admits — the one-document overflow")
+      assert(got(4L) == ((12L, false)), "budget consumed: reject")
+      // s2 independent: 3 + 9 = 12 > 10 only after doc 21 admits
+      assert(got(20L) == ((0L, true)) && got(21L) == ((3L, true)))
+      assert(got(22L) == ((12L, false)))
+      // contract: selected == admitted_before < budget on every row
+      spark.table("stb").collect().foreach { r =>
+        assert(r.getAs[Boolean]("selected") ==
+          (r.getAs[Long]("admitted_before") < 10L))
+      }
+    } finally q.stop()
+  }
+
+  test("selectTokenBudgetStream: restart on the same checkpoint recovers " +
+    "the admitted total — a source filled before the stop admits NOTHING " +
+    "after it; no document re-admitted or skipped") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("stb_restart")
+    val topic = Files.createDirectories(work.resolve("topic"))
+    val outDir = work.resolve("out").toString
+    val ck = work.resolve("ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    def feed(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val lines = rows.toDF("doc_id", "text", "source").toJSON.collect()
+      Files.write(topic.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    def launch() = StreamingCuration.selectTokenBudgetStream(
+        graft.streaming.JsonStreams.decode(
+          spark.readStream.option("maxFilesPerTrigger", 1)
+            .text(topic.toString), schema),
+        budget = 6L)
+      .toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    // phase 1 fills s1's budget exactly past the brim (4 + 4 ≥ 6)
+    feed("b0.json", Seq((1L, "a b c d", "s1"), (2L, "a b c d", "s1")))
+    val p1 = launch()
+    try p1.processAllAvailable() finally p1.stop()
+
+    // phase 2 on the SAME checkpoint: if state were lost, doc 3 would
+    // re-admit against a fresh budget
+    feed("b1.json", Seq((3L, "a b", "s1"), (30L, "x y", "s2")))
+    val p2 = launch()
+    try p2.processAllAvailable() finally p2.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("admitted_before"), r.getAs[Boolean]("selected")))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 30L),
+      s"docs skipped or re-emitted across restart: ${got.keySet}")
+    assert(got(1L)._2 && got(2L)._2, "phase-1 admissions")
+    assert(got(3L) == ((8L, false)),
+      "recovered state must reject doc 3 against the consumed budget")
+    assert(got(30L) == ((0L, true)), "fresh source admits after restart")
+  }
 }
