@@ -83,11 +83,17 @@ object Bench {
     }
     // Failures are reported as an "errors" map, never as fake timings.
     // Insertion order = pipeline order (SparkEntry.queries is a ListMap).
+    // Each query's wall is build-adjudicated (r18 verdict: a driver-box
+    // transient and a first-consumer memo build were indistinguishable
+    // in the JSON): tracedBuilds records which memo cells this query
+    // PAID to build, emitted as the "built" map — an outlier row either
+    // names the memos it built or convicts the box.
     val timed = order.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
-      val outcome =
+      val (outcome, built) = graft.queries.SharedFrames.tracedBuilds {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // Post-timing (outside the measured window): retire memos whose
       // last consumer just ran. A tag the warm trace missed (data-
@@ -99,17 +105,23 @@ object Bench {
         graft.queries.SharedFrames.release(spark, sfDir, done)
         if (done.exists(_.toLowerCase.contains("cluster"))) System.gc()
       }
-      (name, sec, outcome)
+      (name, sec, outcome, built)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val ok = timed.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = timed.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(m), _) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
+    // only queries that BUILT something appear; "queries" stays a flat
+    // name->seconds map so existing readers are untouched
+    val builtJson = timed.collect { case (k, _, _, b) if b.nonEmpty =>
+      "\"" + k + "\":" + b.toSeq.sorted.map("\"" + esc(_) + "\"")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"built":$builtJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,6 +54,7 @@ object SharedFrames {
     @volatile private var value: DataFrame = _
     private[SharedFrames] var auxFrames: List[DataFrame] = Nil
     private var discarded = false
+    def isBuilt: Boolean = value != null
     def df: DataFrame = {
       if (value == null) synchronized {
         if (value == null) {
@@ -103,6 +104,12 @@ object SharedFrames {
   private val tracer =
     new ThreadLocal[scala.collection.mutable.LinkedHashSet[String]]
 
+  /** BUILD tracer (see [[tracedBuilds]]): records only tags whose cell
+    * was not yet built when this thread demanded it — i.e. whose build
+    * cost lands inside the traced wall. */
+  private val buildTracer =
+    new ThreadLocal[scala.collection.mutable.LinkedHashSet[String]]
+
   def memo(spark: SparkSession, sfDir: String, tag: String,
            persist: Boolean = true)
           (build: => DataFrame): DataFrame = {
@@ -113,6 +120,8 @@ object SharedFrames {
       frames.getOrElseUpdate((spark, sfDir, tag), new Cell(() =>
         if (persist) build.persist(StorageLevel.MEMORY_AND_DISK) else build))
     }
+    val bt = buildTracer.get()
+    if (bt != null && !cell.isBuilt) bt += tag
     cell.df
   }
 
@@ -120,7 +129,11 @@ object SharedFrames {
     * own monitor, so two threads demanding the same key race to ONE build
     * (the loser blocks on that cell alone, never on the global map
     * lock — the same contract as [[Cell]]). */
-  private final class ValCell(mk: () => AnyRef) { lazy val v: AnyRef = mk() }
+  private final class ValCell(mk: () => AnyRef) {
+    @volatile private var built = false
+    lazy val v: AnyRef = { val r = mk(); built = true; r }
+    def isBuilt: Boolean = built
+  }
 
   private val values =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), ValCell]
@@ -138,6 +151,8 @@ object SharedFrames {
       values.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       values.getOrElseUpdate((spark, sfDir, tag), new ValCell(() => build))
     }
+    val bt = buildTracer.get()
+    if (bt != null && !cell.isBuilt) bt += tag
     cell.v.asInstanceOf[T]
   }
 
@@ -155,6 +170,24 @@ object SharedFrames {
       if (outer != null) outer ++= buf
       (r, buf.toList.toSet)
     } finally tracer.set(outer)
+  }
+
+  /** Run `body` recording which memo tags it BUILT (frame or value
+    * cells not yet built when this thread demanded them — a cache hit
+    * records nothing). This is the bench's outlier adjudicator (r18
+    * verdict): a timed query's wall either names the memos it paid to
+    * build, or — with an empty build set — convicts the box for an
+    * anomalous row. Nestable like [[traced]]; inner builds also land in
+    * the outer record. */
+  def tracedBuilds[T](body: => T): (T, Set[String]) = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[String]
+    val outer = buildTracer.get()
+    buildTracer.set(buf)
+    try {
+      val r = body
+      if (outer != null) outer ++= buf
+      (r, buf.toList.toSet)
+    } finally buildTracer.set(outer)
   }
 
   /** Drop the given tags' memos for (spark, sfDir): unpersist built

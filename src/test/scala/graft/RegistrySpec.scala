@@ -145,6 +145,30 @@ class RegistrySpec extends SparkSpec {
       "inner aux survived its own release")
   }
 
+  test("tracedBuilds records only tags whose cell was BUILT inside the " +
+    "wall — cache hits record nothing (the bench outlier adjudicator)") {
+    import graft.queries.SharedFrames
+    val dir = "/tmp/builds-test"
+    def demand() = SharedFrames.memo(spark, dir, "bt-frame", persist = false) {
+      val v = SharedFrames.memoValue(spark, dir, "bt-value") {
+        java.lang.Long.valueOf(7L)
+      }
+      spark.range(v.longValue()).toDF("id")
+    }
+    val (n1, built1) = SharedFrames.tracedBuilds(demand().count())
+    assert(n1 == 7L)
+    assert(built1 == Set("bt-frame", "bt-value"),
+      s"first consumer must own both builds, saw $built1")
+    val (n2, built2) = SharedFrames.tracedBuilds(demand().count())
+    assert(n2 == 7L && built2.isEmpty,
+      s"cache hit attributed a build: $built2")
+    SharedFrames.release(spark, dir, Set("bt-frame", "bt-value"))
+    val (_, built3) = SharedFrames.tracedBuilds(demand().count())
+    assert(built3 == Set("bt-frame", "bt-value"),
+      "released cells must re-attribute on rebuild")
+    SharedFrames.release(spark, dir, Set("bt-frame", "bt-value"))
+  }
+
   test("raw parquet scans push filters down (events by event_type)") {
     // the registry serves cached spread frames; the RAW path — what a
     // 100 TB deployment reads — must push the predicate into the scan
