@@ -680,4 +680,132 @@ class KnobFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzz: selectTokenBudget / mixEpochPlan / materializeEpochs equal " +
+    "plain-Scala re-derivations at seeded-random (budget, totalBudget, " +
+    "alpha) draws (r19: the r18 curation operators join the program)") {
+    import graft.text.TextAnalysis
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 400 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // priority signals from the (independently oracle-gated) quality
+    // gate — the property-4 discipline: shared inputs, re-derived LOGIC
+    case class Sig(id: Long, source: String, n: Int, rep: Double, pk: Int)
+    val sigs = TextAnalysis.qualityGate(docsDf, passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("rep_ratio"), col("keep")).collect()
+      .map(r => Sig(r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), if (r.getBoolean(4)) 0 else 1))
+    // greedy fill-then-spill over the (pk, rep, id) priority order; the
+    // prefix accumulates EVERY doc's tokens (the operator's before
+    // column), per source
+    def admission(budgetOf: String => Long)
+        : Map[Long, (String, Int, Double, Long, Boolean)] =
+      sigs.groupBy(_.source).flatMap { case (src, ss) =>
+        val budget = budgetOf(src)
+        var before = 0L
+        ss.sortBy(s => (s.pk, s.rep, s.id)).map { s =>
+          val row = s.id -> ((src, s.n, s.rep, before, before < budget))
+          before += s.n
+          row
+        }
+      }
+    for (i <- 1 to 8) {
+      val budget = rnd.nextInt(5000).toLong
+      val got = TextAnalysis.selectTokenBudget(docsDf, budget).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("source"), r.getAs[Int]("n_tokens"),
+            r.getAs[Double]("rep_ratio"), r.getAs[Long]("before_tokens"),
+            r.getAs[Boolean]("selected")))).toMap
+      assert(got == admission(_ => budget), s"draw#$i budget=$budget")
+    }
+    // the µ-int tempered plan re-derived with the same IEEE pow
+    val texts = docsDf.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val avail: Map[String, Long] = texts.groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ", -1).length.toLong).sum).toMap
+    def plan(tb: Long, alpha: Double)
+        : Map[String, (Long, Long, Long, Long, Long)] = {
+      val p6 = avail.view.mapValues(a =>
+        math.floor(math.pow(a.toDouble, alpha) * 1e6 + 0.5).toLong).toMap
+      val tot = p6.values.sum
+      avail.map { case (s, a) =>
+        val t = tb * p6(s) / tot
+        s -> ((a, t, t / a, t % a, t * 1000L / a))
+      }
+    }
+    val alphas = Seq(0.25, 0.4, 0.5, 0.6, 0.75, 1.0)
+    for (i <- 1 to 8) {
+      val tb = 1000L + rnd.nextInt(100000)
+      val alpha = alphas(rnd.nextInt(alphas.length))
+      val got = TextAnalysis.mixEpochPlan(docsDf, tb, alpha).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+            r.getAs[Long]("full_epochs"), r.getAs[Long]("rem_tokens"),
+            r.getAs[Long]("repeat_milli")))).toMap
+      assert(got == plan(tb, alpha), s"draw#$i tb=$tb alpha=$alpha")
+    }
+    // the materializer composes the two: full fan-out + remainder
+    // admission at each source's rem budget, epoch-stamped
+    for (i <- 1 to 4) {
+      val tb = 1000L + rnd.nextInt(100000)
+      val alpha = alphas(rnd.nextInt(alphas.length))
+      val pl = plan(tb, alpha)
+      val adm = admission(src => pl(src)._4)
+      val expected: Seq[(Long, String, Int, Long)] =
+        sigs.toSeq.flatMap { s =>
+          val full = pl(s.source)._3
+          (0L until full).map(e => (s.id, s.source, s.n, e))
+        } ++ sigs.toSeq.collect {
+          case s if adm(s.id)._5 => (s.id, s.source, s.n, pl(s.source)._3)
+        }
+      val got = TextAnalysis.materializeEpochs(docsDf, tb, alpha).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Int]("n_tokens"), r.getAs[Long]("epoch")))
+      assert(got.sorted.toSeq == expected.sorted,
+        s"draw#$i tb=$tb alpha=$alpha: ${got.length} vs ${expected.length} rows")
+    }
+    docsDf.unpersist()
+  }
+
+  test("fuzz: distributed Lloyd rounds are BIT-IDENTICAL to the driver " +
+    "loop at 10 random (nCells, rounds, d2) IVF configs and 6 PQ " +
+    "codebook configs (r19: the trainer's cluster-job path)") {
+    // the two paths share accumulateAssign verbatim; what this fuzzes
+    // is the ONLY thing that differs — partitioned partial µ-int sums
+    // merged by reduce vs one sequential accumulation — across widths,
+    // round counts, seeding modes and (for PQ) subspace layouts
+    val saved = Similarity.distLloydThreshold
+    try {
+      for (i <- 1 to 10) {
+        val nCells = 2 + rnd.nextInt(12)
+        val rounds = 1 + rnd.nextInt(3)
+        val d2 = rnd.nextBoolean()
+        val salt = s"fzl$i"
+        Similarity.distLloydThreshold = Long.MaxValue // force driver
+        val driver = Similarity.ivfCells(embs, nCells, salt, rounds, d2)
+        Similarity.distLloydThreshold = 0L // force cluster job
+        val dist = Similarity.ivfCells(embs, nCells, salt, rounds, d2)
+        assert(driver.length == dist.length,
+          s"[ivf cells=$nCells rounds=$rounds d2=$d2] width diverged")
+        driver.zip(dist).foreach { case ((ca, va, na), (cb, vb, nb)) =>
+          assert(ca == cb && va == vb && na == nb,
+            s"[ivf cells=$nCells rounds=$rounds d2=$d2] centroid $ca " +
+              s"diverged: $va vs $vb")
+        }
+      }
+      for (i <- 1 to 6) {
+        val cfg = drawCfg().copy(rounds = 1 + rnd.nextInt(3))
+        Similarity.distLloydThreshold = Long.MaxValue
+        val driver = Similarity.codebook(embs, cfg)
+        Similarity.distLloydThreshold = 0L
+        val dist = Similarity.codebook(embs, cfg)
+        assert(driver.length == dist.length &&
+          driver.zip(dist).forall { case (a, b) => a == b },
+          s"[pq $cfg] codebook diverged")
+      }
+    } finally Similarity.distLloydThreshold = saved
+  }
 }
