@@ -718,6 +718,40 @@ object DataPipelineQueries {
        |UNION ALL
        |SELECT doc_id, source, n_tokens, epoch FROM rm""".stripMargin
 
+  /** Epoch-packed sequences (r19): the [[materializeEpochsQ]] manifest
+    * cut into per-epoch fixed-length training sequences under the
+    * seeded per-epoch shuffle — the recipe → manifest → trainer-input
+    * chain's last step. Memoized; consumes the memoized manifest, so
+    * the plan/admission work is never recomputed. */
+  val packEpochSequencesQ: (SparkSession, String) => DataFrame =
+    memoized("packEpochSequences") { (spark, sfDir) =>
+      TextAnalysis.packEpochSequences(materializeEpochsQ(spark, sfDir))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.packEpochSequences]] over the
+    * materializer oracle's manifest: the md5(epoch:doc_id) shuffle key,
+    * a per-epoch serial prefix (replaying the two-pass value for
+    * value), and the packSequences segment fan-out at seqLen 512. */
+  lazy val packEpochSequencesOracle: String =
+    s"""WITH mf AS ($materializeEpochsOracle),
+       |mo AS (SELECT *, md5(CAST(epoch AS VARCHAR) || ':'
+       |    || CAST(doc_id AS VARCHAR)) AS ord FROM mf),
+       |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+       |    PARTITION BY epoch ORDER BY ord, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS s0 FROM mo),
+       |seg AS (SELECT epoch, doc_id, source, n_tokens, s0,
+       |    s0 + n_tokens AS e0,
+       |    unnest(generate_series(CAST(floor(s0 / 512.0) AS BIGINT),
+       |      CAST(floor((s0 + n_tokens - 1) / 512.0) AS BIGINT))) AS seq_id
+       |  FROM c WHERE n_tokens > 0)
+       |SELECT epoch, doc_id, source, n_tokens, seq_id,
+       |  GREATEST(s0, seq_id * 512) - seq_id * 512 AS seq_offset,
+       |  GREATEST(s0, seq_id * 512) - s0 AS doc_offset,
+       |  LEAST(e0, (seq_id + 1) * 512) - GREATEST(s0, seq_id * 512)
+       |    AS seg_tokens
+       |FROM seg""".stripMargin
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -3205,6 +3239,9 @@ object DataPipelineQueries {
       Some(selectTokenBudgetOracle)),
     NamedQuery("mix_epoch_materialize", materializeEpochsQ,
       Some(materializeEpochsOracle)),
+    // right after the materializer: consumes its memoized manifest
+    NamedQuery("epoch_pack", packEpochSequencesQ,
+      Some(packEpochSequencesOracle)),
     NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
     NamedQuery("doc_length_mad_gate", docLengthMadGateQ,
       Some(docLengthMadGateOracle)),

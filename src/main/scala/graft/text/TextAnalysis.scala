@@ -2299,11 +2299,13 @@ object TextAnalysis {
       seqLen)
   }
 
-  /** Shared segment fan-out for the two [[packSequences]] forms: rows
+  /** Shared segment fan-out for the [[packSequences]] family: rows
     * carry (doc_id, source, n_tokens, __s = global start offset); emit
     * one row per overlapped `seqLen`-token sequence. Zero-token
-    * documents vanish (they contribute no tokens to any sequence). */
-  private def segmentSpans(withStart: DataFrame, seqLen: Long): DataFrame = {
+    * documents vanish (they contribute no tokens to any sequence).
+    * `extra` columns (e.g. `epoch`) pass through ahead of doc_id. */
+  private def segmentSpans(withStart: DataFrame, seqLen: Long,
+                           extra: Seq[String] = Nil): DataFrame = {
     val L = lit(seqLen)
     withStart
       .filter(col("n_tokens") > 0)
@@ -2312,11 +2314,84 @@ object TextAnalysis {
         floor(col("__s") / lit(seqLen.toDouble)).cast("long"),
         floor((col("__e") - 1) / lit(seqLen.toDouble)).cast("long"))))
       .withColumn("__segs", greatest(col("__s"), col("seq_id") * L))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+      .select(extra.map(col) ++ Seq(
+        col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
         (col("__segs") - col("seq_id") * L).as("seq_offset"),
         (col("__segs") - col("__s")).as("doc_offset"),
         (least(col("__e"), (col("seq_id") + 1) * L) - col("__segs"))
-          .as("seg_tokens"))
+          .as("seg_tokens")): _*)
+  }
+
+  /**
+   * Epoch-packed training sequences — the last composition in the
+   * recipe → manifest → trainer-input chain: take a
+   * [[materializeEpochs]] manifest (one row per document × epoch) and
+   * cut each EPOCH's token stream into fixed `seqLen`-token sequences,
+   * the [[packSequences]] layout applied per training pass. Sequences
+   * never cross an epoch boundary (an epoch is a training-pass
+   * boundary; a sequence spanning two passes would train on a seam no
+   * reader ever produces), so `seq_id` restarts at 0 within each epoch
+   * and (epoch, seq_id) names a training sequence.
+   *
+   * The within-epoch stream order is a SEEDED SHUFFLE, not corpus
+   * order: documents lay out by `md5(epoch:doc_id)` (doc_id tiebreak),
+   * so every epoch presents the corpus in a different — but fully
+   * deterministic and engine-portable — order, the way a real training
+   * run shuffles per epoch with a seeded RNG. Replaying corpus order
+   * every epoch is exactly what per-epoch shuffling exists to prevent.
+   *
+   * Output: one row per (manifest row × overlapped sequence) —
+   * (epoch, doc_id, source, n_tokens, seq_id, seq_offset, doc_offset,
+   * seg_tokens); Σ seg_tokens per (epoch, seq_id) = seqLen except each
+   * epoch's final partial sequence.
+   *
+   * Scale shape: the same distributed two-pass prefix sum as
+   * [[packSequences]], range-partitioned by (epoch, shuffle key) with
+   * per-(partition, epoch) token totals windowed into broadcast base
+   * offsets — parallelism scales with partitions, not epochs; the
+   * shuffle key is one md5 per row. Serial baseline:
+   * [[packEpochSequencesGlobalWindow]] (spec-pinned equivalent).
+   */
+  def packEpochSequences(manifest: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = manifest.select(col("doc_id"), col("source"),
+      col("n_tokens"), col("epoch"),
+      md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))).as("__ord"))
+    val parts = graft.queries.SharedFrames.aux(
+      keyed.repartitionByRange(col("epoch"), col("__ord"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("epoch")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("epoch"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("epoch"), col("__base"))
+    val wIn = W.partitionBy(col("__pid"), col("epoch"))
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    segmentSpans(parts
+      .join(broadcast(bases), Seq("__pid", "epoch"))
+      .withColumn("__s",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base")),
+      seqLen, extra = Seq("epoch"))
+  }
+
+  /** The one-window form of [[packEpochSequences]] — a per-epoch serial
+    * running sum over the same shuffled order. Kept as the equivalence
+    * baseline the spec checks the two-pass default against. */
+  def packEpochSequencesGlobalWindow(manifest: DataFrame,
+                                     seqLen: Long = 512L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("epoch")).orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    segmentSpans(manifest.select(col("doc_id"), col("source"),
+        col("n_tokens"), col("epoch"),
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("__ord"))
+      .withColumn("__s", coalesce(sum(col("n_tokens")).over(w), lit(0L))),
+      seqLen, extra = Seq("epoch"))
   }
 
   /**

@@ -645,6 +645,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(3L) == (0L to 16L).toSeq) // 16 full passes + remainder
   }
 
+  test("packEpochSequences: sequences never cross epochs, token mass " +
+    "conserves per epoch, the per-epoch seeded shuffle reorders, and " +
+    "the two-pass form equals the serial baseline") {
+    // hand-built manifest: 6 docs × 2 epochs, 100-token docs, seqLen 128
+    val manifest = (for (e <- 0L to 1L; d <- 1L to 6L)
+      yield (d, s"s${d % 2}", 100, e)).toDF("doc_id", "source", "n_tokens", "epoch")
+    val out = TextAnalysis.packEpochSequences(manifest, seqLen = 128L)
+    val rows = out.collect()
+    // epoch column carried; Σ seg_tokens per epoch == Σ manifest tokens
+    val perEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+      .view.mapValues(_.map(_.getAs[Long]("seg_tokens")).sum).toMap
+    assert(perEpoch == Map(0L -> 600L, 1L -> 600L))
+    // every non-final sequence in an epoch is exactly full
+    rows.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_id")))
+      .foreach { case ((e, sid), segs) =>
+        val tot = segs.map(_.getAs[Long]("seg_tokens")).sum
+        val lastSeq = (600 - 1) / 128 // 4
+        assert(if (sid < lastSeq) tot == 128L else tot == 600L - 128L * lastSeq,
+          s"epoch $e seq $sid holds $tot tokens")
+      }
+    // the seeded shuffle really reorders between epochs: the doc order
+    // along the stream (by doc_offset==0 rows' start = seq_id*128 +
+    // seq_offset) must differ epoch 0 vs epoch 1
+    def orderOf(e: Long): Seq[Long] = rows
+      .filter(r => r.getAs[Long]("epoch") == e &&
+        r.getAs[Long]("doc_offset") == 0L)
+      .sortBy(r => r.getAs[Long]("seq_id") * 128L + r.getAs[Long]("seq_offset"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(orderOf(0L).sorted == (1L to 6L) && orderOf(1L).sorted == (1L to 6L))
+    assert(orderOf(0L) != orderOf(1L),
+      s"per-epoch shuffle must reorder: ${orderOf(0L)} == ${orderOf(1L)}")
+    // two-pass == serial baseline, row-exact
+    val serial = TextAnalysis.packEpochSequencesGlobalWindow(manifest, 128L)
+    assert(out.exceptAll(serial).isEmpty && serial.exceptAll(out).isEmpty,
+      "two-pass epoch packing diverged from the serial baseline")
+  }
+
   test("corpusDiff: every status arm classified, new side wins the " +
     "source for changed docs, absent sides read NULL tokens") {
     val a = Seq((1L, "x y", "s1"), (2L, "a b c", "s1"), (3L, "k", "s2"))
