@@ -752,6 +752,36 @@ object DataPipelineQueries {
        |    AS seg_tokens
        |FROM seg""".stripMargin
 
+  /** Manifest-vs-plan realization audit (r19): per plan source, the
+    * realized token mass against the target, with the one-document
+    * overflow invariant queryable (0 ≤ overflow < max doc tokens).
+    * Consumes both memoized frames — zero recomputation. */
+  val epochManifestAuditQ: (SparkSession, String) => DataFrame =
+    memoized("epochManifestAudit") { (spark, sfDir) =>
+      TextAnalysis.epochManifestAudit(materializeEpochsQ(spark, sfDir),
+        mixEpochPlanQ(spark, sfDir))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.epochManifestAudit]]: the
+    * plan CTEs + the materializer CTEs, one per-source rollup, LEFT
+    * join back onto the plan with zero-coalesced absent sources. */
+  lazy val epochManifestAuditOracle: String =
+    s"""WITH mf AS ($materializeEpochsOracle),
+       |pn AS ($mixEpochPlanOracle),
+       |ag AS (SELECT mf.source,
+       |    CAST(sum(mf.n_tokens) AS BIGINT) rt,
+       |    CAST(count(*) AS BIGINT) nr,
+       |    CAST(sum(CASE WHEN mf.epoch = pn.full_epochs THEN 1 ELSE 0 END)
+       |      AS BIGINT) nrem
+       |  FROM mf JOIN pn USING (source) GROUP BY mf.source)
+       |SELECT pn.source, pn.target_tokens,
+       |  COALESCE(ag.rt, 0) AS realized_tokens,
+       |  COALESCE(ag.rt, 0) - pn.target_tokens AS overflow_tokens,
+       |  pn.full_epochs, pn.rem_tokens,
+       |  COALESCE(ag.nr, 0) AS n_rows,
+       |  COALESCE(ag.nrem, 0) AS n_remainder_docs
+       |FROM pn LEFT JOIN ag USING (source)""".stripMargin
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
 
@@ -3242,6 +3272,8 @@ object DataPipelineQueries {
     // right after the materializer: consumes its memoized manifest
     NamedQuery("epoch_pack", packEpochSequencesQ,
       Some(packEpochSequencesOracle)),
+    NamedQuery("epoch_manifest_audit", epochManifestAuditQ,
+      Some(epochManifestAuditOracle)),
     NamedQuery("pack_sequences", packSequencesQ, Some(packSequencesOracle)),
     NamedQuery("doc_length_mad_gate", docLengthMadGateQ,
       Some(docLengthMadGateOracle)),

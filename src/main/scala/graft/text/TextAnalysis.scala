@@ -2378,6 +2378,45 @@ object TextAnalysis {
       seqLen, extra = Seq("epoch"))
   }
 
+  /**
+   * Manifest-vs-plan realization audit — the release gate on
+   * [[materializeEpochs]]: per source, did the emitted manifest realize
+   * the plan's token target? One row per source:
+   * (source, target_tokens, realized_tokens, overflow_tokens,
+   * full_epochs, rem_tokens, n_rows, n_remainder_docs), all integers.
+   *
+   * The invariant a green audit certifies (and the spec pins):
+   * `0 ≤ overflow_tokens < max doc tokens` — the greedy remainder
+   * admission covers the target and overshoots by at most ONE document
+   * (realized = full_epochs·avail + admitted-remainder, and the
+   * admitted prefix's token sum is ≥ rem_tokens yet < rem_tokens + the
+   * spilling doc). A negative overflow or a multi-document overshoot
+   * means the manifest does not implement the plan — exactly the
+   * corruption class a release note must fail on.
+   *
+   * Scale shape: one |sources|-key rollup over the manifest + a
+   * broadcast join against the |sources|-row plan. O(sources) output.
+   */
+  def epochManifestAudit(manifest: DataFrame, plan: DataFrame): DataFrame = {
+    val p = plan.select(col("source"), col("target_tokens"),
+      col("full_epochs"), col("rem_tokens"))
+    // every PLAN source reports, even one the manifest (correctly)
+    // dropped at target 0 — a zero row, not a missing row
+    val agg = manifest.join(broadcast(p), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("__rt"),
+        count(lit(1)).as("__nr"),
+        count(when(col("epoch") === col("full_epochs"), 1)).as("__nrem"))
+    p.join(broadcast(agg), Seq("source"), "left")
+      .select(col("source"), col("target_tokens"),
+        coalesce(col("__rt"), lit(0L)).as("realized_tokens"),
+        (coalesce(col("__rt"), lit(0L)) - col("target_tokens"))
+          .as("overflow_tokens"),
+        col("full_epochs"), col("rem_tokens"),
+        coalesce(col("__nr"), lit(0L)).as("n_rows"),
+        coalesce(col("__nrem"), lit(0L)).as("n_remainder_docs"))
+  }
+
   /** The one-window form of [[packEpochSequences]] — a per-epoch serial
     * running sum over the same shuffled order. Kept as the equivalence
     * baseline the spec checks the two-pass default against. */

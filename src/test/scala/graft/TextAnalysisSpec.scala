@@ -645,6 +645,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(3L) == (0L to 16L).toSeq) // 16 full passes + remainder
   }
 
+  test("epochManifestAudit: realized mass covers the target with at most " +
+    "one-document overflow; a zero-target plan source reports a zero " +
+    "row, not a missing row") {
+    // s1: two 4-token docs (avail 8); s2: one 1-token doc (avail 1);
+    // budget 3 → targets 2 / 0 (µ-int tempered shares) → s1 admits one
+    // overflowing doc (realized 4, overflow 2 < its 4 tokens), s2 is
+    // planned to zero and must still report
+    val df = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s1"),
+      (3L, "i", "s2")).toDF("doc_id", "text", "source")
+    val plan = TextAnalysis.mixEpochPlan(df, totalBudget = 3L)
+    val manifest = TextAnalysis.materializeEpochs(df, totalBudget = 3L)
+    val audit = TextAnalysis.epochManifestAudit(manifest, plan).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("target_tokens"), r.getAs[Long]("realized_tokens"),
+          r.getAs[Long]("overflow_tokens"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_remainder_docs"))).toMap
+    assert(audit.keySet == Set("s1", "s2"))
+    assert(audit("s1") == ((2L, 4L, 2L, 1L, 1L)))
+    assert(audit("s2") == ((0L, 0L, 0L, 0L, 0L)))
+    // the certified invariant: 0 <= overflow < the spilling doc's size
+    assert(audit.values.forall { case (_, _, ov, _, _) =>
+      ov >= 0L && ov < 4L })
+  }
+
   test("packEpochSequences: sequences never cross epochs, token mass " +
     "conserves per epoch, the per-epoch seeded shuffle reorders, and " +
     "the two-pass form equals the serial baseline") {
