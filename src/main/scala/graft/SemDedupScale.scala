@@ -83,6 +83,7 @@ object SemDedupScale {
       val t0 = System.nanoTime()
       val out = Similarity.semanticDedupCells(emb, nCells = width,
         maxCellSize = cap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one aggregation pass drives the whole operator: per-cell
       // occupancy + dup count, then the under-cap pair bound
       val cells = out.groupBy(col("cell"))
@@ -98,6 +99,18 @@ object SemDedupScale {
         s""""max_occ":${if (occ.isEmpty) 0L else occ.max},""" +
         s""""pair_bound":$pairBound,"dups":$dups,""" +
         s""""wall_sec":${math.round(wall * 100) / 100.0}}""")
+      // the r19 cell-health audit's rollup row over the SAME verdict
+      // frame — the over-cap silence as a printed receipt: exempted
+      // vectors and their ppm share must be 0 except at a binding cap
+      val a = Similarity.semanticDedupCellAudit(out, maxCellSize = cap)
+        .filter(col("cell").isNull).collect()(0)
+      println(s"""{"metric":"semdedup_cell_audit","n":$n,""" +
+        s""""width":$width,"cap":$cap,""" +
+        s""""n_over_cap":${a.getAs[Long]("n_over_cap")},""" +
+        s""""exempted_vectors":${a.getAs[Long]("exempted_vectors")},""" +
+        s""""exempted_ppm":${a.getAs[Long]("exempted_ppm")},""" +
+        s""""pair_bound":${a.getAs[Long]("pair_bound")}}""")
+      out.unpersist(blocking = false)
     }
 
     rung(16, 4096)          // toy width: the local quadratic, measured

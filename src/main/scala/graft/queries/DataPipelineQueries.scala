@@ -249,8 +249,9 @@ object DataPipelineQueries {
       |  COALESCE(n.source, o.source) AS source,
       |  CASE WHEN o.p IS NULL THEN 'added'
       |       WHEN n.p IS NULL THEN 'removed'
-      |       WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
-      |       ELSE 'unchanged' END AS status,
+      |       WHEN o.h = n.h OR (o.h IS NULL AND n.h IS NULL)
+      |         THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
       |  o.toks AS old_tokens, n.toks AS new_tokens
       |FROM olds o FULL OUTER JOIN news n ON n.doc_id = o.doc_id""".stripMargin
 
