@@ -394,6 +394,33 @@ object DataPipelineQueries {
         .filter("lang = 'en' AND source = 'src0'"),
       sharedTf = Some(docTokenCounts(spark, sfDir)))
 
+  /** DSIR-prioritized token-budget selection (r19): the importance-fill
+    * admission over the same target slice as `dsir_weights` — most
+    * target-like documents fill each source's budget first. Memoized:
+    * the two-pass admission aux-persists its range-partitioned frame. */
+  val dsirSelectQ: (SparkSession, String) => DataFrame =
+    memoized("dsirSelect") { (spark, sfDir) =>
+      TextAnalysis.dsirSelectTokenBudget(docs(spark, sfDir),
+        docs(spark, sfDir).filter("lang = 'en' AND source = 'src0'"),
+        sharedTf = Some(docTokenCounts(spark, sfDir)))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.dsirSelectTokenBudget]]: the
+    * dsir_weights oracle supplies the identical 6-dp-rounded priority
+    * values; the serial per-source window replays the two-pass prefix,
+    * strict before < budget greedy. */
+  lazy val dsirSelectOracle: String =
+    s"""WITH w AS ($dsirWeightsOracle),
+       |sd AS (SELECT w.doc_id, dd.source, w.n_tokens, w.avg_log_ratio
+       |  FROM w JOIN documents dd ON dd.doc_id = w.doc_id),
+       |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY avg_log_ratio DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS before_tokens FROM sd)
+       |SELECT doc_id, source, n_tokens, avg_log_ratio, before_tokens,
+       |  before_tokens < 800 AS selected
+       |FROM c""".stripMargin
+
   /** Memoized: unigramLogProb persists its vocabulary frequency frame at
     * build time (ADVICE r6 — un-memoized, every warmup + timed rep
     * stacked a fresh persisted vocab copy for the session lifetime). */
@@ -3247,6 +3274,8 @@ object DataPipelineQueries {
     NamedQuery("quality_classifier_lr_eval", qualityClassifierLrEvalQ,
       Some(qualityClassifierLrEvalOracle)),
     NamedQuery("dsir_weights", dsirWeightsQ, Some(dsirWeightsOracle)),
+    // right after dsir_weights: shares the docTokenCounts memo
+    NamedQuery("dsir_select", dsirSelectQ, Some(dsirSelectOracle)),
     NamedQuery("doc_logprob", docLogprob, Some(docLogprobOracle)),
     NamedQuery("doc_logprob_bigram", docLogprobBigram, Some(docLogprobBigramOracle)),
     NamedQuery("doc_repetition", docRepetition, Some(docRepetitionOracle)),

@@ -2089,6 +2089,61 @@ object TextAnalysis {
         col("before_tokens"), (col("before_tokens") < budget).as("selected"))
   }
 
+  /**
+   * DSIR-prioritized token-budget selection — the importance-weighted
+   * sibling of [[selectTokenBudget]], and the admission rule the DSIR
+   * recipe (Xie et al. 2023) actually runs: fill each source's token
+   * budget with the documents most like the curated TARGET corpus
+   * first, by descending [[dsirWeights]] `avg_log_ratio` (the
+   * per-token hashed-n-gram importance log-ratio). Where the quality
+   * gate ranks by SHAPE (length/repetition), this ranks by
+   * DISTRIBUTION MATCH — the two coexist in a real pipeline (gate
+   * first, then importance-fill the survivors).
+   *
+   * Admission and report shape are [[selectTokenBudget]]'s exactly:
+   * greedy fill-then-spill on the prefix (`before_tokens < budget`),
+   * one row per scored document, rejected tail auditable. Ordering
+   * ties break on the 6-dp-ROUNDED avg_log_ratio (both engines compare
+   * the identical rounded value — the rep_ratio discipline) and then
+   * doc_id. Documents with no tokens carry no weight row and are
+   * absent, matching [[dsirWeights]].
+   *
+   * Scale shape: the same distributed two-pass prefix sum
+   * (range-partition by (source, weight DESC, doc_id) → broadcast base
+   * offsets → within-partition window); the weight model itself is
+   * bucket-grain broadcast per [[dsirWeights]].
+   */
+  def dsirSelectTokenBudget(docs: DataFrame, targetIds: DataFrame,
+                            budget: Long = 800L, nBuckets: Int = 1024,
+                            sharedTf: Option[DataFrame] = None): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val weighted = dsirWeights(docs, targetIds, nBuckets, sharedTf)
+      .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val parts = graft.queries.SharedFrames.aux(
+      weighted.repartitionByRange(col("source"), col("avg_log_ratio").desc,
+          col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val wBase = W.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = parts
+      .groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("source"), col("__base"))
+    val wIn = W.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("avg_log_ratio").desc, col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    parts
+      .join(broadcast(bases), Seq("__pid", "source"))
+      .withColumn("before_tokens",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("avg_log_ratio"), col("before_tokens"),
+        (col("before_tokens") < budget).as("selected"))
+  }
+
   /** The one-window form of [[selectTokenBudget]] — per-source serial
     * prefix sum over the same priority order. Kept as the equivalence
     * baseline the spec checks the two-pass default against (the

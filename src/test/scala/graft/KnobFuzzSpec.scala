@@ -688,7 +688,7 @@ class KnobFuzzSpec extends SparkSpec {
     val docsDf = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 400 && col("text").isNotNull)
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // priority signals from the (independently oracle-gated) quality
     // gate — the property-4 discipline: shared inputs, re-derived LOGIC
@@ -766,6 +766,34 @@ class KnobFuzzSpec extends SparkSpec {
           r.getAs[Int]("n_tokens"), r.getAs[Long]("epoch")))
       assert(got.sorted.toSeq == expected.sorted,
         s"draw#$i tb=$tb alpha=$alpha: ${got.length} vs ${expected.length} rows")
+    }
+    // dsir-prioritized admission (r19): the importance ORDER re-derived
+    // from the operator's own (independently oracle-gated) weight frame
+    val targets = docsDf.filter(col("lang") === "en" &&
+      col("source") === "src0")
+    val wRows = TextAnalysis.dsirWeights(docsDf, targets)
+      .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("avg_log_ratio")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    for (i <- 1 to 4) {
+      val budget = rnd.nextInt(5000).toLong
+      val want = wRows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+        var before = 0L
+        rs.sortBy(r => (-r._4, r._1)).toSeq.map { case (id, _, n, a) =>
+          val row = id -> ((src, n, a, before, before < budget))
+          before += n
+          row
+        }
+      }.toMap
+      val got = TextAnalysis.dsirSelectTokenBudget(docsDf, targets, budget)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+            r.getAs[Double]("avg_log_ratio"),
+            r.getAs[Long]("before_tokens"),
+            r.getAs[Boolean]("selected")))).toMap
+      assert(got == want, s"dsir draw#$i budget=$budget")
     }
     docsDf.unpersist()
   }

@@ -62,7 +62,11 @@ class PlanShapeSpec extends SparkSpec {
       // totals pattern — one row broadcast over one row); r15: the LR
       // model's receipt is the same classifierEval plan over different
       // weights
-      "quality_classifier_eval", "quality_classifier_lr_eval")
+      "quality_classifier_eval", "quality_classifier_lr_eval",
+      // r19: dsir_select consumes the dsirWeights frame and inherits its
+      // single-row totals cross joins (one row broadcast over one row);
+      // the admission itself adds only equi joins + windows
+      "dsir_select")
 
   test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
     // sweep the whole registry so new queries are audited automatically —
