@@ -795,6 +795,17 @@ class KnobFuzzSpec extends SparkSpec {
             r.getAs[Boolean]("selected")))).toMap
       assert(got == want, s"dsir draw#$i budget=$budget")
     }
+    // epoch packer seqLen knob: the two-pass form must equal the serial
+    // baseline row-exactly at every width, not just the spec's 128
+    val manifest = TextAnalysis.materializeEpochs(docsDf, 60000L, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (i <- 1 to 3) {
+      val seqLen = 32L + rnd.nextInt(993)
+      val two = TextAnalysis.packEpochSequences(manifest, seqLen)
+      val one = TextAnalysis.packEpochSequencesGlobalWindow(manifest, seqLen)
+      assertSameRows(two, one, s"epoch_pack draw#$i seqLen=$seqLen")
+    }
+    manifest.unpersist()
     docsDf.unpersist()
   }
 
