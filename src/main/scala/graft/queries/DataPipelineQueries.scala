@@ -2853,6 +2853,32 @@ object DataPipelineQueries {
       |  bef % 4096 AS offset_tokens
       |FROM c""".stripMargin
 
+  /** Shard-fill audit (r19): the pad-waste report over the memoized
+    * `pack_shards` output — fill share in integer ppm, overflow-shard
+    * count, largest shard, per source. Zero extra packing cost. */
+  val packEfficiencyQ: (SparkSession, String) => DataFrame =
+    memoized("packEfficiency") { (spark, sfDir) =>
+      TextAnalysis.packEfficiency(packShardsQ(spark, sfDir))
+    }
+
+  /** Replicates [[graft.text.TextAnalysis.packEfficiency]] over the
+    * pack_shards oracle: (source, shard) rollup, then the per-source
+    * integer summary (ppm by int64 floor division). */
+  lazy val packEfficiencyOracle: String =
+    s"""WITH p AS ($packShardsOracle),
+       |sh AS (SELECT source, shard_id, CAST(sum(n_tokens) AS BIGINT) t,
+       |    CAST(count(*) AS BIGINT) d
+       |  FROM p GROUP BY source, shard_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_shards,
+       |  CAST(sum(d) AS BIGINT) AS n_docs,
+       |  CAST(sum(t) AS BIGINT) AS total_tokens,
+       |  (CAST(sum(t) AS BIGINT) * 1000000)
+       |    // (CAST(count(*) AS BIGINT) * 4096) AS fill_ppm,
+       |  CAST(sum(CASE WHEN t > 4096 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overflow_shards,
+       |  CAST(max(t) AS BIGINT) AS max_shard_tokens
+       |FROM sh GROUP BY source""".stripMargin
+
   /** Replicates [[graft.text.TextAnalysis.packSequences]]'s
     * concat-and-chunk segment map: the same global (source, doc_id)
     * token stream (one running-sum window — the oracle can afford the
@@ -3295,6 +3321,9 @@ object DataPipelineQueries {
     NamedQuery("tfidf_topterms", tfidfTopTermsQ, Some(tfidfTopTermsOracle)),
     NamedQuery("doc_entropy", docEntropy, Some(docEntropyOracle)),
     NamedQuery("pack_shards", packShardsQ, Some(packShardsOracle)),
+    // right after pack_shards: consumes its memoized report
+    NamedQuery("pack_efficiency", packEfficiencyQ,
+      Some(packEfficiencyOracle)),
     NamedQuery("select_token_budget", selectTokenBudgetQ,
       Some(selectTokenBudgetOracle)),
     NamedQuery("mix_epoch_materialize", materializeEpochsQ,

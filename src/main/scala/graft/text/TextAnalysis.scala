@@ -2018,6 +2018,40 @@ object TextAnalysis {
         (col("__before") % budget).as("offset_tokens"))
   }
 
+  /**
+   * Shard-packing efficiency audit — the pad-waste metric a trainer
+   * pays for whole-document packing, computed over a [[packShards]]
+   * report: one row per source with occupied-shard count, document
+   * count, token mass, the FILL share in integer ppm
+   * (total_tokens·10⁶ div (n_shards·budget) — can exceed 10⁶: a shard's
+   * mass includes its last document's spill past the budget line), the
+   * count of overflowing shards, and the largest shard. An oversize
+   * document (> budget tokens) lands whole in one shard and skips shard
+   * ids entirely — occupied-shard count and max_shard_tokens surface
+   * exactly that, the signal to route such documents through
+   * [[packSequences]] (which splits across boundaries) instead.
+   *
+   * Scale shape: a (source, shard) rollup then a |sources| rollup —
+   * map-side partials both; all-integer output.
+   */
+  def packEfficiency(packed: DataFrame, budget: Long = 4096L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sh = packed.groupBy(col("source"), col("shard_id"))
+      .agg(sum(col("n_tokens")).as("__t"), count(lit(1)).as("__d"))
+    sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("__d")).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(when(col("__t") > budget, 1L).otherwise(0L))
+          .as("n_overflow_shards"),
+        max(col("__t")).as("max_shard_tokens"))
+      .select(col("source"), col("n_shards"), col("n_docs"),
+        col("total_tokens"),
+        expr(s"total_tokens * 1000000 div (n_shards * $budget)")
+          .as("fill_ppm"),
+        col("n_overflow_shards"), col("max_shard_tokens"))
+  }
+
   /** The one-window form of [[packShards]] — simplest possible plan,
     * per-source serial prefix sum. Kept as the equivalence baseline the
     * spec checks the two-pass default against; fine whenever no single

@@ -645,6 +645,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(3L) == (0L to 16L).toSeq) // 16 full passes + remainder
   }
 
+  test("packEfficiency: fill ppm, overflow shards and oversize-doc " +
+    "shard-id skips all surface in the per-source audit") {
+    // s1: two 5-token docs at budget 8 → ONE occupied shard of mass 10
+    //     (the one-doc spill) → fill 10e6/8 = 1_250_000 ppm, 1 overflow;
+    // s2: a 20-token OVERSIZE doc (whole in shard 0) then a 2-token doc
+    //     at prefix 20 → shard 2 — shard id 1 is skipped, occupied = 2
+    val df = Seq(
+      (1L, "a b c d e", "s1"), (2L, "f g h i j", "s1"),
+      (3L, Seq.fill(20)("x").mkString(" "), "s2"), (4L, "y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packEfficiency(
+        TextAnalysis.packShards(df, budget = 8L), budget = 8L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_shards"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("fill_ppm"),
+          r.getAs[Long]("n_overflow_shards"),
+          r.getAs[Long]("max_shard_tokens"))).toMap
+    assert(out("s1") == ((1L, 2L, 10L, 1250000L, 1L, 10L)))
+    assert(out("s2") == ((2L, 2L, 22L, 1375000L, 1L, 20L)))
+  }
+
   test("epochManifestAudit: realized mass covers the target with at most " +
     "one-document overflow; a zero-target plan source reports a zero " +
     "row, not a missing row") {
