@@ -632,15 +632,51 @@ object TextAnalysis {
    * AUC is the exact Mann–Whitney rank statistic with the standard
    * half-credit for ties — computed in INTEGER space (logits are µ-ints
    * so ties are well-defined): group by distinct logit, running alien
-   * count below each score via a window, 2·U = Σ_v pos_v·(2·neg_below_v
-   * + neg_v), AUC = 2U / (2·n_pos·n_neg) rounded to 6 dp. No pair join:
-   * one aggregation at distinct-score grain plus one window over it.
+   * count below each score, 2·U = Σ_v pos_v·(2·neg_below_v + neg_v),
+   * AUC = 2U / (2·n_pos·n_neg) rounded to 6 dp. No pair join: one
+   * aggregation at distinct-score grain plus one prefix sum over it.
+   *
+   * Scale shape (r20 — was a partition-less `Window.orderBy(__s)`, a
+   * single-task sort over every distinct logit): the prefix sum is the
+   * [[packShards]]/[[selectTokenBudget]] two-pass discipline —
+   * range-partition the distinct-score frame by `__s`, run the running
+   * alien count WITHIN each partition, roll each partition up to one
+   * (pos, neg, local-2U) row, and close the cross-partition term
+   * relationally: 2U = Σ_i local2U_i + 2·pos_i·negBefore_i, where
+   * negBefore_i (the alien mass in earlier partitions) comes from an
+   * explode-sequence pair fan-out over the ≤|partitions|-row rollup —
+   * all equi joins, no global window, no driver collect. Every term is
+   * an exact int64, so the regrouping is value-identical to the serial
+   * form by construction; [[classifierEvalGlobalWindow]] keeps the
+   * one-window plan as the equivalence baseline TextAnalysisSpec pins.
    */
   def classifierEval(docs: DataFrame, isTarget: Column,
                      nBuckets: Int = 4096, trainN: Int = 256,
                      salt: String = "qcls",
                      sharedTf: Option[DataFrame] = None,
-                     weights: Option[Array[Long]] = None): DataFrame = {
+                     weights: Option[Array[Long]] = None): DataFrame =
+    classifierEvalImpl(docs, isTarget, nBuckets, trainN, salt, sharedTf,
+      weights, twoPass = true)
+
+  /** The pre-r20 single-window form of [[classifierEval]] — one global
+    * `Window.orderBy(__s)` running sum, the simplest possible plan but a
+    * one-task sort at scale. Kept (unregistered) as the equivalence
+    * baseline the spec checks the distributed default against, the
+    * [[packShardsGlobalWindow]] convention. */
+  private[graft] def classifierEvalGlobalWindow(
+      docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 4096, trainN: Int = 256, salt: String = "qcls",
+      sharedTf: Option[DataFrame] = None,
+      weights: Option[Array[Long]] = None): DataFrame =
+    classifierEvalImpl(docs, isTarget, nBuckets, trainN, salt, sharedTf,
+      weights, twoPass = false)
+
+  private def classifierEvalImpl(docs: DataFrame, isTarget: Column,
+                                 nBuckets: Int, trainN: Int, salt: String,
+                                 sharedTf: Option[DataFrame],
+                                 weights: Option[Array[Long]],
+                                 twoPass: Boolean): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val scored = hashedLinearScore(docs, nBuckets, sharedTf = sharedTf,
       weights = weights)
     val trainIds = labeledSample(docs, isTarget, trainN, salt)
@@ -653,16 +689,49 @@ object TextAnalysis {
         Seq("doc_id"))
       // µ-int logit → exact integer score key (ties well-defined)
       .select(col("__y"), floor(col("logit") * 1e6 + 0.5).cast("long").as("__s"))
-    val byScore = ev.groupBy(col("__s"))
+    val bys = ev.groupBy(col("__s"))
       .agg(sum(col("__y")).as("__p"), sum(lit(1) - col("__y")).as("__q"))
-      .withColumn("__qb", coalesce(sum(col("__q")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-    byScore.agg(
-        sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
-        sum(col("__p") * (lit(2) * col("__qb") + col("__q"))).as("__u2"))
+    val rankAgg =
+      if (!twoPass) {
+        bys.withColumn("__qb", coalesce(sum(col("__q")).over(
+            W.orderBy(col("__s"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+          .agg(sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+            sum(col("__p") * (lit(2) * col("__qb") + col("__q"))).as("__u2"))
+      } else {
+        // pass 1: range-partition by score, local running alien count
+        val parts = graft.queries.SharedFrames.aux(
+          bys.repartitionByRange(col("__s"))
+            .withColumn("__pid", spark_partition_id()))
+        val wIn = W.partitionBy(col("__pid")).orderBy(col("__s"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        // pass 2: one row per partition — class masses + the local 2U
+        val perPart = parts
+          .withColumn("__qbl", coalesce(sum(col("__q")).over(wIn), lit(0L)))
+          .groupBy(col("__pid"))
+          .agg(sum(col("__p")).as("__pp"), sum(col("__q")).as("__qq"),
+            sum(col("__p") * (lit(2) * col("__qbl") + col("__q"))).as("__u2l"))
+        // cross-partition closure: negBefore_i = Σ_{j<i} qq_j, built as a
+        // receiver-side explode(sequence(0, i-1)) pair fan-out equi-joined
+        // back on j (≤ |partitions|² pair rows — partition grain, never
+        // data grain), the mix_epoch_materialize fan-out idiom
+        val pairs = perPart
+          .filter(col("__pid") > 0)
+          .select(col("__pid").as("__i"),
+            explode(sequence(lit(0), col("__pid") - 1)).as("__j"))
+        val negBefore = pairs
+          .join(perPart.select(col("__pid").as("__j"), col("__qq").as("__qj")),
+            Seq("__j"))
+          .groupBy(col("__i")).agg(sum(col("__qj")).as("__nb"))
+        perPart
+          .join(negBefore, col("__pid") === col("__i"), "left")
+          .select(col("__pp"), col("__qq"),
+            (col("__u2l") + lit(2) * col("__pp") * coalesce(col("__nb"), lit(0L)))
+              .as("__u2p"))
+          .agg(sum(col("__pp")).as("n_pos"), sum(col("__qq")).as("n_neg"),
+            sum(col("__u2p")).as("__u2"))
+      }
+    rankAgg
       .crossJoin(ev.groupBy(col("__y"))
         .agg((floor(sum(col("__s")).cast("double") / count(lit(1)) + 0.5) / 1e6)
           .as("__m"))
@@ -2357,20 +2426,29 @@ object TextAnalysis {
           size(TextOps.tokens(col("text"))).as("n_tokens"))
         .repartitionByRange(col("source"), col("doc_id"))
         .withColumn("__pid", spark_partition_id()))
-    // global stream: ONE ordered window over the tiny per-partition
-    // totals frame (partition-count rows), not over the corpus
-    val wBase = W.orderBy(col("__pid"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val bases = parts
+    // global stream: the cross-partition base offsets close over the
+    // tiny per-partition totals frame (partition-count rows) WITHOUT a
+    // partition-less window (the r20 sweep bans those, bounded or not):
+    // receiver-side explode(sequence(0, i-1)) pairs each partition with
+    // every earlier one, equi-joined back on the totals — the
+    // classifierEval closure idiom
+    val totals = parts
       .groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__t"))
-      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
-      .select(col("__pid"), col("__base"))
+    val bases = totals
+      .filter(col("__pid") > 0)
+      .select(col("__pid").as("__i"),
+        explode(sequence(lit(0), col("__pid") - 1)).as("__j"))
+      .join(totals.select(col("__pid").as("__j"), col("__t").as("__tj")),
+        Seq("__j"))
+      .groupBy(col("__i")).agg(sum(col("__tj")).as("__base"))
+      .select(col("__i").as("__pid"), col("__base"))
     val wIn = W.partitionBy(col("__pid")).orderBy(col("source"), col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     segmentSpans(parts
-      .join(broadcast(bases), Seq("__pid"))
+      .join(broadcast(bases), Seq("__pid"), "left")
       .withColumn("__s",
-        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("__base")),
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L))
+          + coalesce(col("__base"), lit(0L))),
       seqLen)
   }
 

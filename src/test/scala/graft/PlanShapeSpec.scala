@@ -24,8 +24,38 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  private def assertNoCartesian(name: String, df: DataFrame): Unit = {
-    val plan = finalPlan(df)
+  // every node of AQE's FINAL plan (same caveats as finalPlan): query
+  // stages are leaves wrapping their real plan, so recurse by hand;
+  // cache-build plans (InMemoryTableScan) stay excluded
+  private def finalPlanNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** Window-family nodes with an EMPTY partition spec — every distinct
+    * key moves to ONE task (Spark's own "No Partition Defined" warning),
+    * the single-task-sort cliff the r19 verdict caught in the AUC eval. */
+  private def globalWindowNodes(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Seq[String] =
+    nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+
+  private def assertNoCartesian(name: String, plan: String): Unit = {
     assert(!plan.contains("CartesianProduct"),
       s"$name plan contains a CartesianProduct:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -68,12 +98,42 @@ class PlanShapeSpec extends SparkSpec {
       // the admission itself adds only equi joins + windows
       "dsir_select")
 
-  test("EVERY registered query stays cartesian-free (whitelist: brute-force)") {
-    // sweep the whole registry so new queries are audited automatically —
-    // a forgotten equi conjunct or non-deterministic bucket key degrades
-    // to a cartesian-class join silently otherwise
-    for ((name, fn) <- SparkEntry.queries if !intentionalBnlj(name))
-      assertNoCartesian(name, fn(spark, sf))
+  test("EVERY registered query stays cartesian-free (whitelist: brute-force) " +
+    "and global-window-free (NO whitelist)") {
+    // one sweep, two audits, so new queries are checked automatically:
+    // (a) a forgotten equi conjunct or non-deterministic bucket key
+    //     degrades to a cartesian-class join silently (whitelist: the
+    //     intentional broadcast forms above);
+    // (b) a Window node with an empty partition spec serializes every
+    //     distinct key into ONE task — correct at every tested scale,
+    //     wrong shape for 100× (the r19 AUC-eval finding: the global
+    //     running-count window shipped in r14 and scrolled "No Partition
+    //     Defined" warnings past every Verify run since). NO whitelist:
+    //     a legitimately-global prefix sum must use the two-pass
+    //     partition-rollup discipline (packShards / classifierEval).
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, sf)
+      val nodes = finalPlanNodes(df)
+      if (!intentionalBnlj(name))
+        assertNoCartesian(name, df.queryExecution.executedPlan.toString)
+      val gw = globalWindowNodes(nodes)
+      assert(gw.isEmpty,
+        s"$name plans ${gw.size} partition-less window node(s) (${gw.mkString(", ")}):\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("the global-window detector fires on a planted partition-less window") {
+    // negative control for the sweep above: a deliberate
+    // Window.orderBy-with-no-partitionBy must be detected, else the
+    // sweep is vacuous
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = (1 to 100).toDF("x").withColumn("r",
+      sum(col("x")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("x"))))
+    assert(globalWindowNodes(finalPlanNodes(df)).nonEmpty,
+      "planted global window not detected — sweep is blind")
   }
 
   test("similarity_pq plans join-free: ADC scoring is a map-side projection") {

@@ -1001,6 +1001,38 @@ class TextAnalysisSpec extends SparkSpec {
       s"stub auc=${stub.getAs[Double]("auc")} should be ≈ 0.5")
   }
 
+  test("classifierEval: distributed two-pass AUC ≡ the global-window form " +
+    "(values must not move), and the default plans no partition-less window") {
+    // the packShards equivalence precedent: the r20 two-pass rewrite may
+    // only change the PLAN — every output cell must match the serial
+    // one-window baseline exactly (all terms are exact int64s, so the
+    // partition regrouping is value-identical by construction; this pins
+    // the construction)
+    val df = (0L until 150L).map(i => (i, nbFixtureText(i))).toDF("doc_id", "text")
+    val isPos = col("doc_id") % 2 === 0
+    val w = TextAnalysis.trainNbWeights(df, isPos, trainN = 64)
+    for (wts <- Seq(None, Some(w))) {
+      val twoPass = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+        weights = wts).collect()
+      val serial = TextAnalysis.classifierEvalGlobalWindow(df, isPos,
+        trainN = 64, weights = wts).collect()
+      assert(twoPass.map(_.toSeq).toSeq == serial.map(_.toSeq).toSeq,
+        s"two-pass AUC diverged from the global-window baseline (weights=$wts)")
+    }
+    // plan discipline: the default form must carry NO empty-partition
+    // window (the global baseline exists only as this test's oracle)
+    val ev = TextAnalysis.classifierEval(df, isPos, trainN = 64,
+      weights = Some(w))
+    ev.collect()
+    val plan = ev.queryExecution.executedPlan.toString
+    // the serial baseline's signature is a Window whose spec carries only
+    // an ORDER BY; the two-pass form windows over (__pid, __s)
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("Window ["))
+        .forall(_.contains("__pid")),
+      s"classifierEval plans a window not keyed by __pid:\n$plan")
+  }
+
   test("trainLrWeights: logistic fit separates the signal fixture at " +
     "least as well as NB; stateless twin row-exact; plan unchanged") {
     val df = (0L until 120L).map(i => (i, nbFixtureText(i))).toDF("doc_id", "text")
