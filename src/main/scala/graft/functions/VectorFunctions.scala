@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BloomPositions, BloomShingleHit, ColumnShim, DotProduct, HammingDistance, IvfCellScores, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, MatVecRound6, SignBuckets, SubvectorDist2}
+import org.apache.spark.sql.graftshim.{BloomPositions, BloomShingleHit, ColumnShim, DotProduct, HammingDistance, IvfCellScores, IvfNearestCell, MicroSquaredDistance, PqAdcLut, PqNearestCode, MatVecRound6, SignBuckets, SubvectorDist2, VectorSubtract}
 
 /**
  * Column-level entry points for graft's native vector expressions (see
@@ -18,6 +18,13 @@ object VectorFunctions {
     * whole-stage-codegen'd. */
   def hamming(a: Column, b: Column): Column =
     ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Element-wise a − b over two `ARRAY<DOUBLE>` columns — the residual
+    * map of residual PQ, whole-stage-codegen'd (`zip_with` is
+    * CodegenFallback). */
+  def vsub(a: Column, b: Column): Column =
+    ColumnShim.column(VectorSubtract(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
 
   /** Σ round((aᵢ−bᵢ)²·10⁶) as LONG over two `ARRAY<DOUBLE>` columns —
     * the summation-order-proof µ-scaled squared L2 distance,

@@ -293,10 +293,29 @@ object DataPipelineQueries {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_docs"))
 
+  /** One PERSISTED (doc, tri, count) char-trigram frame per (session,
+    * sfDir) — the [[docTokenCounts]] discipline at character grain,
+    * shared by the lang-id trainer and scorer so the trigram explode
+    * runs once. */
+  val docTriCounts: (SparkSession, String) => DataFrame =
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "docTriCounts")(
+      TextAnalysis.docTrigramCounts(docs(spark, sfDir)))
+
+  /** The trained lang-id weight tables (r20), resolved once per
+    * (session, corpus) — the pqCodebook train-once contract. */
+  private def lidWeights(spark: SparkSession,
+                         sfDir: String): Map[String, Array[Long]] =
+    SharedFrames.memoValue(spark, sfDir, "lidWeights") {
+      TextAnalysis.trainLangIdWeights(docs(spark, sfDir),
+        sharedTri = Some(docTriCounts(spark, sfDir)))
+    }
+
   /** Language-ID confusion matrix: labeled lang × predicted lang — the
-    * classifier-trust audit before the labels drive mixing/filtering. */
+    * classifier-trust audit before the labels drive mixing/filtering.
+    * r20: grades the TRAINED classifier (the marker heuristic stays as
+    * `lang_id_marker`, the measured baseline). */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.langId(docs(spark, sfDir))
+    langIdQ(spark, sfDir)
       .select("doc_id", "predicted_lang")
       .join(docs(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
       .groupBy(org.apache.spark.sql.functions.col("lang").as("label_lang"),
@@ -304,7 +323,20 @@ object DataPipelineQueries {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_docs"))
 
-  def langIdQ(spark: SparkSession, sfDir: String): DataFrame =
+  /** Trained hashed char-trigram NB language ID (r20) — the r19 ask:
+    * the registered lang_id is now the fitted classifier; fit replayed
+    * as CTEs like the quality classifier. Memoized: weight training
+    * collects ≤ |langs|·nBuckets rows at build. */
+  val langIdQ: (SparkSession, String) => DataFrame =
+    memoized("langIdTrained") { (spark, sfDir) =>
+      TextAnalysis.langIdTrained(docs(spark, sfDir),
+        sharedTri = Some(docTriCounts(spark, sfDir)),
+        weights = Some(lidWeights(spark, sfDir)))
+    }
+
+  /** The marker-stopword heuristic — kept registered as the baseline
+    * `lang_confusion`'s diagonal is measured against. */
+  def langIdMarkerQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langId(docs(spark, sfDir))
 
   def qualityGateQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -712,10 +744,16 @@ object DataPipelineQueries {
     * select_token_budget admission — gate signals over the
     * NULL-text-filtered corpus the plan counted, serial-window prefix —
     * at budget rem_tokens. */
-  lazy val materializeEpochsOracle: String =
-    s"""WITH a AS (SELECT source,
+  /** [[materializeEpochsOracle]] parameterized by the document relation
+    * (r20): `release_manifest` runs the SAME epoch lattice over the
+    * CURATED corpus — one generator, so the raw and release forms can
+    * never diverge on the materialization arithmetic. `docRel` may be a
+    * table name or a parenthesized subquery. */
+  def materializeEpochsOracleFrom(docRel: String): String =
+    s"""WITH rdocs AS (SELECT * FROM $docRel zz),
+       |a AS (SELECT source,
        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) avail_tokens
-       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |  FROM rdocs WHERE text IS NOT NULL GROUP BY source),
        |p AS (SELECT source, avail_tokens,
        |  CAST(floor(pow(CAST(avail_tokens AS DOUBLE), 0.5) * 1e6 + 0.5)
        |    AS BIGINT) p6 FROM a),
@@ -727,13 +765,13 @@ object DataPipelineQueries {
        |fl AS (SELECT d.doc_id, d.source,
        |    CAST(len(string_split(d.text, ' ')) AS INT) n_tokens,
        |    unnest(generate_series(0, pl.full_epochs - 1)) AS epoch
-       |  FROM documents d JOIN pl USING (source)
+       |  FROM rdocs d JOIN pl USING (source)
        |  WHERE d.text IS NOT NULL AND pl.full_epochs >= 1),
        |g AS (${qualityGateOracleFrom(
-              "(SELECT * FROM documents WHERE text IS NOT NULL)")}),
+              "(SELECT * FROM rdocs WHERE text IS NOT NULL)")}),
        |m AS (SELECT g.doc_id, d.source, g.n_tokens, g.rep_ratio,
        |    CASE WHEN g.keep THEN 0 ELSE 1 END AS pk
-       |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
+       |  FROM g JOIN rdocs d ON d.doc_id = g.doc_id),
        |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
        |    PARTITION BY source ORDER BY pk, rep_ratio, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -745,6 +783,9 @@ object DataPipelineQueries {
        |SELECT doc_id, source, n_tokens, epoch FROM fl
        |UNION ALL
        |SELECT doc_id, source, n_tokens, epoch FROM rm""".stripMargin
+
+  lazy val materializeEpochsOracle: String =
+    materializeEpochsOracleFrom("documents")
 
   /** Epoch-packed sequences (r19): the [[materializeEpochsQ]] manifest
     * cut into per-epoch fixed-length training sequences under the
@@ -809,6 +850,31 @@ object DataPipelineQueries {
        |  COALESCE(ag.nr, 0) AS n_rows,
        |  COALESCE(ag.nrem, 0) AS n_remainder_docs
        |FROM pn LEFT JOIN ag USING (source)""".stripMargin
+
+  /** Release manifest (r20) — the data-release composition the r19
+    * verdict asked for: a real release feeds the CURATED corpus (the
+    * full [[curateCorpusSemantic]] stage stack) into the epoch chain,
+    * not raw ingest. Same operator, curated input: per-source tempered
+    * targets, full-epoch fan-out and remainder admission all run over
+    * the semantic-curated survivors only, so the manifest IS the
+    * trainer-ready document list of the shipped corpus. Memoized; the
+    * curated id set is the already-memoized frame every curate query
+    * shares. */
+  val releaseManifestQ: (SparkSession, String) => DataFrame =
+    memoized("releaseManifest") { (spark, sfDir) =>
+      TextAnalysis.materializeEpochs(
+        docs(spark, sfDir).join(
+          curateCorpusSemantic(spark, sfDir).select("doc_id"), "doc_id"))
+    }
+
+  /** [[materializeEpochsOracleFrom]] over the curated-survivor relation
+    * — the stage-oracle nesting discipline of curate_corpus_semantic
+    * (its full oracle is the id filter). lazy: the semantic oracle
+    * chain initializes later in the object. */
+  lazy val releaseManifestOracle: String = materializeEpochsOracleFrom(
+    s"""(SELECT d.* FROM documents d
+       |  JOIN ($curateCorpusSemanticOracle) ccs ON ccs.doc_id = d.doc_id)"""
+      .stripMargin)
 
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, sfDir))
@@ -884,6 +950,9 @@ object DataPipelineQueries {
                      // production-width config's recall under the gate
         "pq" -> similarityPq(spark, sfDir),
         "ivfpq" -> similarityIvfPq(spark, sfDir),
+        "ivfpq_flat" -> similarityIvfPqFlat(spark, sfDir), // r20: the
+                     // absolute-encoding baseline the residual default
+                     // is measured against, under the same oracle gate
         "ivfpq_rerank" -> similarityIvfPqRerank(spark, sfDir),
         "lsh" -> similarityAnn(spark, sfDir))
         .map { case (m, approx) =>
@@ -1010,28 +1079,68 @@ object DataPipelineQueries {
         codebook = Some(pqCodebook(spark, sfDir)))
     }
 
-  /** IVF-PQ composite search over the memoized codes — the coarse
+  /** The RESIDUAL PQ codebook (r20) — trained on x − centroid(cell(x))
+    * against the shared coarse quantizer [[ivfCells]], the Faiss-default
+    * encoding the r19 recall ladder asked for. Resolved once per
+    * (session, corpus), the [[pqCodebook]] contract. */
+  private def pqResCodebook(spark: SparkSession,
+                            sfDir: String): Array[Seq[Double]] =
+    SharedFrames.memoValue(spark, sfDir, "pqResCodebook") {
+      Similarity.residualCodebook(embs(spark, sfDir),
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
+  /** Residual PQ codes (r20): one map-side pass emits each vector's
+    * coarse cell + its m residual codes — the stored form of the
+    * IVF-PQ index (codes are only decodable against their cell, so they
+    * travel together, the Faiss IVF-list layout). Memoized WITH
+    * persistence like [[embeddingPq]] — the residual searches serve off
+    * these rows. */
+  val embeddingPqResidual: (SparkSession, String) => DataFrame =
+    (spark, sfDir) => SharedFrames.memo(spark, sfDir, "pqResCodes") {
+      Similarity.productQuantizeResidual(embs(spark, sfDir),
+        codebook = Some(pqResCodebook(spark, sfDir)),
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
+  /** IVF-PQ composite search over the memoized RESIDUAL codes (r20 —
+    * was absolute-vector PQ, whose ADC plateaued at the plain-IVF
+    * recall ceiling; the residual-vs-flat ladder receipt is in
+    * BASELINE.md and `ann_recall_audit` carries both forms). The coarse
     * quantizer restricts candidates, ADC scores them off the stored
-    * codes. Memoized: centroid + query collects run at build time. */
+    * codes against per-(query, probe-cell) residual LUTs. Memoized:
+    * centroid + query collects run at build time. */
   val similarityIvfPq: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPq") { (spark, sfDir) =>
+      Similarity.ivfPqResidualTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
+        sharedCodes = Some(embeddingPqResidual(spark, sfDir)),
+        codebook = Some(pqResCodebook(spark, sfDir)),
+        cells = Some(ivfCells(spark, sfDir)))
+    }
+
+  /** The absolute-vector IVF-PQ form, kept serving off the flat codes
+    * — the measured baseline `ann_recall_audit` compares the residual
+    * default against (`ivfpq_flat` rows). */
+  val similarityIvfPqFlat: (SparkSession, String) => DataFrame =
+    memoized("similarityIvfPqFlat") { (spark, sfDir) =>
       Similarity.ivfPqTopK(embs(spark, sfDir), nQueries = 8, topK = 5,
         sharedCodes = Some(embeddingPq(spark, sfDir)),
         codebook = Some(pqCodebook(spark, sfDir)),
         cells = Some(ivfCells(spark, sfDir)))
     }
 
-  /** IVF+PQ with the exact re-rank tail (r11, the Faiss refine stage):
-    * ADC shortlists 25 per query off the shared stored codes, true
-    * cosine re-ranks the shortlist to top-5 — the standard answer to
-    * the quantization loss ann_recall_audit measures on the unrefined
-    * form. Memoized: centroid/codebook collects run at build. */
+  /** IVF+PQ with the exact re-rank tail (r11, the Faiss refine stage;
+    * residual codes since r20): ADC shortlists 100 per query off the
+    * shared stored codes, true cosine re-ranks the shortlist to top-5 —
+    * the standard answer to the quantization loss ann_recall_audit
+    * measures on the unrefined form. Memoized: centroid/codebook
+    * collects run at build. */
   val similarityIvfPqRerank: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPqRerank") { (spark, sfDir) =>
-      Similarity.ivfPqTopKRefined(embs(spark, sfDir), nQueries = 8,
+      Similarity.ivfPqResidualTopKRefined(embs(spark, sfDir), nQueries = 8,
         topK = 5, rerankDepth = 100,
-        sharedCodes = Some(embeddingPq(spark, sfDir)),
-        codebook = Some(pqCodebook(spark, sfDir)),
+        sharedCodes = Some(embeddingPqResidual(spark, sfDir)),
+        codebook = Some(pqResCodebook(spark, sfDir)),
         cells = Some(ivfCells(spark, sfDir)))
     }
 
@@ -1048,15 +1157,17 @@ object DataPipelineQueries {
         codebook = Some(pqCodebook(spark, sfDir)))
     }
 
-  /** Batch-standing-query IVF-PQ — the LUT-table strategy composed with
-    * the coarse quantizer ([[Similarity.ivfPqTopKBatch]]); all equi
-    * joins, plan bounded by centroid/codebook literals at 128 standing
-    * queries. Shares the memoized codes. */
+  /** Batch-standing-query IVF-PQ (residual since r20) — the residual
+    * form IS the LUT-table strategy (per-(query, probe-cell) LUTs travel
+    * as a broadcast frame), so the 128-standing-query registration is
+    * the same operator at the batch query count; all equi joins, plan
+    * bounded by centroid/codebook literals. Shares the memoized residual
+    * codes. */
   val similarityIvfPqBatchq: (SparkSession, String) => DataFrame =
     memoized("similarityIvfPqBatchq") { (spark, sfDir) =>
-      Similarity.ivfPqTopKBatch(embs(spark, sfDir), nQueries = 128,
-        topK = 5, sharedCodes = Some(embeddingPq(spark, sfDir)),
-        codebook = Some(pqCodebook(spark, sfDir)),
+      Similarity.ivfPqResidualTopK(embs(spark, sfDir), nQueries = 128,
+        topK = 5, sharedCodes = Some(embeddingPqResidual(spark, sfDir)),
+        codebook = Some(pqResCodebook(spark, sfDir)),
         cells = Some(ivfCells(spark, sfDir)))
     }
 
@@ -1318,15 +1429,21 @@ object DataPipelineQueries {
   }
 
   /**
-   * Curation funnel report (r18) — the pipeline's yield observability:
-   * per (stage, source) CUMULATIVE survivor counts through the exact
-   * [[curateCorpus]] stage order (ingest → exact-canonical → gate-pass
-   * → decontaminated → near-dup-canonical → eval-holdout), the table a
-   * curator reads to see WHERE a source's volume went before the final
-   * corpus ships. Every stage reuses the memoized operator frames the
-   * curate query itself consumes, so the funnel costs six tiny
-   * per-source rollups over already-landed id sets — stage keys are
-   * index-prefixed so the natural sort reads in pipeline order.
+   * Curation funnel report (r18; release stages r20) — the pipeline's
+   * yield observability: per (stage, source) CUMULATIVE survivor counts
+   * through the exact release stage order (ingest → exact-canonical →
+   * gate-pass → decontaminated → near-dup-canonical → eval-holdout →
+   * semantic-canonical → release-selected), the table a curator reads
+   * to see WHERE a source's volume went before the shipped corpus. The
+   * last two stages close the full yield story: stage 7 is
+   * [[curateCorpusSemantic]]'s embedding-cluster tier, stage 8 the
+   * epoch-chain admission ([[releaseManifestQ]] membership) — so the
+   * stage-8 total equals the release manifest's distinct-document count
+   * by construction (pinned in DataPipelineSpec). Every stage reuses
+   * the memoized operator frames the curate/release queries themselves
+   * consume, so the funnel costs eight tiny per-source rollups over
+   * already-landed id sets — stage keys are index-prefixed so the
+   * natural sort reads in pipeline order.
    */
   val curateFunnelQ: (SparkSession, String) => DataFrame =
     memoized("curateFunnel") { (spark, sfDir) =>
@@ -1350,23 +1467,34 @@ object DataPipelineQueries {
           Seq("doc_id"), "left")
         .join(mark(dedupClusters(spark, sfDir)
           .filter(!col("is_canonical")), "__nc"), Seq("doc_id"), "left")
+        // r20: the funnel runs through the full release — the semantic
+        // dedup tier (curate_corpus_semantic's extra stage) and the
+        // epoch-chain selection (appears in the release manifest)
+        .join(mark(embeddingClusters(spark, sfDir)
+          .filter(!col("is_canonical"))
+          .select(col("vec_id").as("doc_id")), "__sc"), Seq("doc_id"), "left")
+        .join(mark(releaseManifestQ(spark, sfDir)
+          .select(col("doc_id")).distinct(), "__rm"), Seq("doc_id"), "left")
         .select(col("source"),
           when(col("__ek").isNull, 1)
             .when(col("__gp").isNull, 2)
             .when(col("__ct").isNotNull, 3)
             .when(col("__nc").isNotNull, 4)
             .when(col("doc_id") % EvalHoldoutMod === 0, 5)
-            .otherwise(6).as("__max_stage"))
+            .when(col("__sc").isNotNull, 6)
+            .when(col("__rm").isNull, 7)
+            .otherwise(8).as("__max_stage"))
       val perSrc = flags.groupBy(col("source"), col("__max_stage"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
       // survivors(stage k) = Σ docs with max_stage >= k — materialized by
       // exploding each tiny rollup row over 1..max_stage (pure fan-out of
-      // a sources×6-row frame; no join node at all, so the registry's
+      // a sources×8-row frame; no join node at all, so the registry's
       // cartesian-free sweep holds without a whitelist entry)
       val stageName = org.apache.spark.sql.functions.typedLit(Map(
         1 -> "01_ingest", 2 -> "02_exact_canonical", 3 -> "03_gate_pass",
         4 -> "04_decontaminated", 5 -> "05_near_dup_canonical",
-        6 -> "06_eval_holdout"))
+        6 -> "06_eval_holdout", 7 -> "07_semantic_canonical",
+        8 -> "08_release_selected"))
       perSrc.select(col("source"), col("__n"),
           org.apache.spark.sql.functions.explode(
             org.apache.spark.sql.functions.sequence(lit(1),
@@ -1980,6 +2108,64 @@ object DataPipelineQueries {
        |FROM s""".stripMargin
   }
 
+  /** Replicates [[graft.text.TextAnalysis.langIdTrained]] weight for
+    * weight (r20): the same char-trigram explode (1-based substr over
+    * codepoints in both engines), the classifier family's md5-bucket
+    * hash and md5-ordered 256-doc labeled sample, per-(lang, bucket)
+    * add-one-smoothed µ-int log-likelihoods (one exact-integer division
+    * + one ln — the trainNbWeights residual-risk class), integer-exact
+    * Σ count·w, and the µ-int per-trigram mean argmax with the
+    * declaration-order tie rule. */
+  val langIdTrainedOracle: String = {
+    val langs = TextAnalysis.LangIdLangs
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val pivots = langs
+      .map(l => s"max(CASE WHEN lang = '$l' THEN m END) AS m_$l")
+      .mkString(",\n    ")
+    val cases = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"p.m_$l >= p.m_$o")
+        .mkString(" AND ")
+      s"WHEN p.m_$l IS NOT NULL AND $ge THEN '$l'"
+    }.mkString("\n    ")
+    val scoreCols = langs.map(l => s"p.m_$l / 1000000.0 AS score_$l")
+      .mkString(",\n  ")
+    s"""WITH tt AS (SELECT doc_id, unnest(list_transform(
+       |    range(greatest(len(text) - 2, 0)), i -> substr(text, i + 1, 3)))
+       |    AS tri
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, tri, count(*) AS c FROM tt GROUP BY 1, 2),
+       |h AS (SELECT doc_id, c,
+       |    CAST('0x' || substr(md5(tri), 1, 8) AS BIGINT) % 4096 AS b
+       |  FROM tf),
+       |trn AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL
+       |  ORDER BY md5('lid:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 256),
+       |pc AS (SELECT trn.lang, h.b, CAST(sum(h.c) AS BIGINT) AS c
+       |  FROM h JOIN trn USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM pc GROUP BY 1),
+       |lg AS (SELECT unnest($langList) AS lang),
+       |bk AS (SELECT unnest(generate_series(0, 4095)) AS b),
+       |wt AS (SELECT lg.lang, bk.b,
+       |    CAST(floor(1e6 * ln(CAST(coalesce(pc.c, 0) + 1 AS DOUBLE)
+       |      / (coalesce(tot.t, 0) + 4096)) + 0.5) AS BIGINT) AS w
+       |  FROM lg CROSS JOIN bk
+       |  LEFT JOIN pc ON pc.lang = lg.lang AND pc.b = bk.b
+       |  LEFT JOIN tot ON tot.lang = lg.lang),
+       |sc AS (SELECT h.doc_id, wt.lang,
+       |    CAST(sum(h.c * wt.w) AS BIGINT) AS s,
+       |    CAST(sum(h.c) AS BIGINT) AS n
+       |  FROM h JOIN wt ON wt.b = h.b GROUP BY 1, 2),
+       |ml AS (SELECT doc_id, lang,
+       |    CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS m FROM sc),
+       |piv AS (SELECT doc_id,
+       |    $pivots
+       |  FROM ml GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  $scoreCols,
+       |  CASE $cases
+       |    ELSE 'und' END AS predicted_lang
+       |FROM documents d LEFT JOIN piv p ON p.doc_id = d.doc_id""".stripMargin
+  }
+
   /** LEFT join on the shared id key + per-source rollup; the ppm ratio
     * uses integer division on both engines (DuckDB `//` floors, Spark
     * long/long truncates — identical on non-negative counts). */
@@ -1992,10 +2178,12 @@ object DataPipelineQueries {
       |FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id
       |GROUP BY 1""".stripMargin
 
-  /** The lang-id oracle as a subquery + the label lookup. */
+  /** The TRAINED lang-id oracle as a subquery + the label lookup (r20:
+    * the confusion matrix now grades the trained classifier — its whole
+    * point is deciding whether the labels can drive mixing). */
   val langConfusionOracle: String =
     s"""SELECT d.lang AS label_lang, p.predicted_lang, count(*) AS n_docs
-       |FROM ($langIdOracle) p
+       |FROM ($langIdTrainedOracle) p
        |JOIN documents d ON d.doc_id = p.doc_id
        |GROUP BY 1, 2""".stripMargin
 
@@ -2412,6 +2600,9 @@ object DataPipelineQueries {
        |$similarityIvfOracle
        |) z),
        |ivfpq AS (SELECT query_id, neighbor_id FROM (
+       |${Similarity.ivfPqResidualTopKOracleSql()}
+       |) z),
+       |ivfpqflat AS (SELECT query_id, neighbor_id FROM (
        |${Similarity.ivfPqTopKOracleSql()}
        |) z),
        |lsh AS (SELECT query_id, neighbor_id FROM (
@@ -2435,8 +2626,13 @@ object DataPipelineQueries {
        |  FROM brute b LEFT JOIN ivfpq p
        |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
        |  GROUP BY b.query_id),
+       |r_ivfpqflat AS (SELECT 'ivfpq_flat' AS method, b.query_id,
+       |  CAST(count(p.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
+       |  FROM brute b LEFT JOIN ivfpqflat p
+       |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
        |ivfpqrr AS (SELECT query_id, neighbor_id FROM (
-       |${Similarity.ivfPqTopKRefinedOracleSql()}
+       |${Similarity.ivfPqResidualTopKRefinedOracleSql()}
        |) z),
        |r_lsh AS (SELECT 'lsh' AS method, b.query_id,
        |  CAST(count(l.neighbor_id) AS DOUBLE) / count(DISTINCT b.neighbor_id) AS recall_at_k
@@ -2463,6 +2659,8 @@ object DataPipelineQueries {
        |SELECT method, query_id, recall_at_k FROM r_pq
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_ivfpq
+       |UNION ALL
+       |SELECT method, query_id, recall_at_k FROM r_ivfpqflat
        |UNION ALL
        |SELECT method, query_id, recall_at_k FROM r_ivfpqrr
        |UNION ALL
@@ -2685,19 +2883,26 @@ object DataPipelineQueries {
 
   /** Replicates [[curateFunnelQ]]: the same stage subqueries as
     * [[curateCorpusOracle]], materialized CUMULATIVELY and each rolled
-    * up per source. */
-  val curateFunnelOracle: String =
+    * up per source; r20 adds the semantic tier and the release-manifest
+    * membership as stages 7/8. lazy: references the semantic/release
+    * oracle chain declared later in object-init order. */
+  lazy val curateFunnelOracle: String =
     s"""WITH d AS (SELECT doc_id, source FROM documents),
        |ek AS (SELECT doc_id FROM ($dedupExactOracle) e),
        |gp AS (SELECT doc_id FROM ($qualityGateOracle) q WHERE keep),
        |ct AS (SELECT doc_id FROM ($decontaminateOracle) c),
        |nc AS (SELECT doc_id FROM ($dedupClustersOracle) k
        |       WHERE NOT is_canonical),
+       |sm AS (SELECT vec_id AS doc_id FROM ($embeddingClustersOracle) ec
+       |       WHERE NOT is_canonical),
+       |rm2 AS (SELECT DISTINCT doc_id FROM ($releaseManifestOracle) rr),
        |s2 AS (SELECT d.* FROM d JOIN ek USING (doc_id)),
        |s3 AS (SELECT s2.* FROM s2 JOIN gp USING (doc_id)),
        |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM ct)),
        |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nc)),
-       |s6 AS (SELECT * FROM s5 WHERE doc_id % $EvalHoldoutMod <> 0)
+       |s6 AS (SELECT * FROM s5 WHERE doc_id % $EvalHoldoutMod <> 0),
+       |s7 AS (SELECT * FROM s6 WHERE doc_id NOT IN (SELECT doc_id FROM sm)),
+       |s8 AS (SELECT s7.* FROM s7 JOIN rm2 USING (doc_id))
        |SELECT '01_ingest' AS stage, source, count(*) AS n_docs
        |  FROM d GROUP BY 2
        |UNION ALL SELECT '02_exact_canonical', source, count(*)
@@ -2708,7 +2913,11 @@ object DataPipelineQueries {
        |UNION ALL SELECT '05_near_dup_canonical', source, count(*)
        |  FROM s5 GROUP BY 2
        |UNION ALL SELECT '06_eval_holdout', source, count(*)
-       |  FROM s6 GROUP BY 2""".stripMargin
+       |  FROM s6 GROUP BY 2
+       |UNION ALL SELECT '07_semantic_canonical', source, count(*)
+       |  FROM s7 GROUP BY 2
+       |UNION ALL SELECT '08_release_selected', source, count(*)
+       |  FROM s8 GROUP BY 2""".stripMargin
 
   /** The curate oracle with the semantic tier's anti-join stacked on —
     * the same nesting-of-stage-oracles discipline as curate_corpus.
@@ -3284,7 +3493,8 @@ object DataPipelineQueries {
       Some(docLengthQuantilesOracle)),
     NamedQuery("top_docs_per_source", topDocsPerSource,
       Some(topDocsPerSourceOracle)),
-    NamedQuery("lang_id", langIdQ, Some(langIdOracle)),
+    NamedQuery("lang_id", langIdQ, Some(langIdTrainedOracle)),
+    NamedQuery("lang_id_marker", langIdMarkerQ, Some(langIdOracle)),
     NamedQuery("lang_confusion", langConfusion, Some(langConfusionOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("quality_by_source", qualityBySource,
@@ -3359,10 +3569,14 @@ object DataPipelineQueries {
     // query count where the literal form would bloat the plan
     NamedQuery("similarity_pq_batchq", similarityPqBatchq,
       Some(Similarity.adcTopKOracleSql(nQueries = 128))),
+    // r20: the IVF-PQ family serves RESIDUAL codes (Faiss default) —
+    // the stored-codes query first so the searches share the memo
+    NamedQuery("embedding_pq_residual", embeddingPqResidual,
+      Some(Similarity.productQuantizeResidualOracleSql())),
     NamedQuery("similarity_ivfpq", similarityIvfPq,
-      Some(Similarity.ivfPqTopKOracleSql())),
+      Some(Similarity.ivfPqResidualTopKOracleSql())),
     NamedQuery("similarity_ivfpq_batchq", similarityIvfPqBatchq,
-      Some(Similarity.ivfPqTopKOracleSql(nQueries = 128))),
+      Some(Similarity.ivfPqResidualTopKOracleSql(nQueries = 128))),
     NamedQuery("similarity_incremental", similarityIncremental,
       Some(Similarity.incrementalAssignOracleSql())),
     NamedQuery("sample_cluster_balanced", sampleClusterBalanced,
@@ -3383,6 +3597,10 @@ object DataPipelineQueries {
     // frames its stages just built instead of absorbing their build cost
     NamedQuery("curate_corpus", curateCorpus, Some(curateCorpusOracle)),
     NamedQuery("curate_funnel", curateFunnelQ, Some(curateFunnelOracle)),
+    // r20: the curated corpus fed through the epoch chain — the
+    // trainer-ready manifest of an actual data release
+    NamedQuery("release_manifest", releaseManifestQ,
+      Some(releaseManifestOracle)),
     // after curate_corpus AND embedding_clusters: reuses both frames
     NamedQuery("curate_corpus_semantic", curateCorpusSemantic,
       Some(curateCorpusSemanticOracle)),
@@ -3415,7 +3633,7 @@ object DataPipelineQueries {
     NamedQuery("docs_stats_box", docsStatsBox, Some(docsStatsBoxOracle)),
     NamedQuery("ann_recall_audit", annRecallAudit, Some(annRecallOracle)),
     NamedQuery("similarity_ivfpq_rerank", similarityIvfPqRerank,
-      Some(Similarity.ivfPqTopKRefinedOracleSql())),
+      Some(Similarity.ivfPqResidualTopKRefinedOracleSql())),
     NamedQuery("media_features", mediaFeatures, Some(mediaFeaturesOracle)),
     NamedQuery("events_props", eventsProps, Some(eventsPropsOracle)),
     NamedQuery("cms_heavy_hitters", cmsHeavyHitters,

@@ -1970,6 +1970,178 @@ object TextAnalysis {
       (col("doc_id") +: langs.map(l => col(s"score_$l"))) :+ best.as("predicted_lang"): _*)
   }
 
+  // ================= Trained char-trigram language ID (r20) =============
+  //
+  // The marker heuristic above stays as the library baseline; the
+  // registered lang_id is now a hashed char-TRIGRAM multinomial NB
+  // trained on the corpus's own labels under the classifier discipline
+  // ([[trainNbWeights]]): bounded md5-ordered sample, integer-exact
+  // distributed counting, closed-form µ-int weights, DuckDB CTE replay.
+  // Character n-grams are the standard public language-ID feature
+  // (fastText / langid.py / Cavnar–Trenkle): scripts and orthography
+  // dominate the signal, no tokenizer needed.
+
+  /** The registered language set — the labels present in the corpus;
+    * also the tie-precedence order (earlier wins on equal scores). */
+  val LangIdLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** Char trigrams of a string, one per position (1-based substr, the
+    * same codepoint semantics in Spark and DuckDB); < 3 chars → empty.
+    * `transform` is CodegenFallback, but this runs ONCE per corpus scan
+    * to build the shared trigram-count frame — the hot aggregations all
+    * happen after the explode. */
+  private def charTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One (doc_id, tri, __k) frame per corpus — the char-grain sibling of
+    * [[docTokenCounts]], shared by the language-ID trainer and scorer so
+    * the explode runs once. */
+  def docTrigramCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(charTrigrams(col("text"))).as("tri"))
+      .groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("__k"))
+
+  /**
+   * Multinomial-NB language-ID fit: per language l and hashed trigram
+   * bucket b over the `trainN`-doc md5-ordered labeled sample,
+   *
+   *   w_lb = floor(1e6 · ln((c_lb + 1) / (T_l + B)) + 0.5)
+   *
+   * — the add-one-smoothed log-likelihood on the µ-int grid (both ratio
+   * operands are exact-integer doubles < 2^53, so the one division and
+   * one `ln` see identical IEEE inputs in every engine — the
+   * [[trainNbWeights]] argument verbatim). No class prior: the argmax is
+   * a likelihood comparison, so an imbalanced corpus can't drag every
+   * short document to its majority label (the langid.py convention).
+   * Labels come from the corpus's own `lang` column — the production
+   * shape where a seed-labeled slice supervises the classifier that then
+   * labels the rest.
+   *
+   * Scale shape: sample select is a TakeOrdered (trainN ids on the
+   * driver); counting is the shared trigram frame joined against the
+   * BROADCAST sample; the collect is ≤ |langs|·nBuckets rows. Nothing
+   * corpus-sized near the driver; the corpus is scanned once.
+   */
+  def trainLangIdWeights(docs: DataFrame, langs: Seq[String] = LangIdLangs,
+                         nBuckets: Int = 4096, trainN: Int = 256,
+                         salt: String = "lid",
+                         sharedTri: Option[DataFrame] = None)
+      : Map[String, Array[Long]] = {
+    val lab = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__hk"))
+      .orderBy(col("__hk"), col("doc_id"))
+      .limit(trainN)
+      .select(col("doc_id"), col("lang"))
+    val counts = sharedTri.getOrElse(docTrigramCounts(docs))
+      .join(broadcast(lab), Seq("doc_id"))
+      .withColumn("__b",
+        conv(substring(md5(col("tri")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .groupBy(col("lang"), col("__b"))
+      .agg(sum(col("__k")).as("__c"))
+      .collect()
+    val perLang = counts.groupBy(_.getString(0))
+    langs.map { l =>
+      val c = new Array[Long](nBuckets)
+      perLang.getOrElse(l, Array.empty)
+        .foreach(r => c(r.getLong(1).toInt) = r.getLong(2))
+      val t = c.sum
+      l -> Array.tabulate(nBuckets) { b =>
+        math.floor(1e6 * math.log((c(b) + 1L).toDouble / (t + nBuckets))
+          + 0.5).toLong
+      }
+    }.toMap
+  }
+
+  /**
+   * Trained language ID — scores every document against each language's
+   * broadcast weight table and predicts the argmax: per (doc, lang),
+   * S_l = Σ count·w_lb (exact int64), the per-trigram mean
+   * m_l = floor(S_l/n + 0.5) back at µ precision (length-invariant, the
+   * [[hashedLinearScore]] convention), `score_<l>` = m_l/1e6 and
+   * `predicted_lang` = the earliest language (in `langs` order) whose
+   * m_l ties the maximum. Documents with no trigram (NULL or < 3 chars)
+   * read NULL scores and 'und' — the [[langId]] fallback convention.
+   *
+   * Scale shape: weight tables fold into the plan as |langs| literal
+   * arrays (|langs|·nBuckets longs — the classifier-table size class);
+   * scoring is the shared trigram frame's ONE per-doc aggregation; the
+   * final left join back to doc ids is id-keyed. Nothing corpus-sized
+   * on the driver, no new shuffle grain.
+   */
+  def langIdTrained(docs: DataFrame, langs: Seq[String] = LangIdLangs,
+                    nBuckets: Int = 4096, trainN: Int = 256,
+                    salt: String = "lid",
+                    sharedTri: Option[DataFrame] = None,
+                    weights: Option[Map[String, Array[Long]]] = None)
+      : DataFrame = {
+    val w = weights.getOrElse(trainLangIdWeights(docs, langs, nBuckets,
+      trainN, salt, sharedTri))
+    val tri = sharedTri.getOrElse(docTrigramCounts(docs))
+      .withColumn("__b",
+        conv(substring(md5(col("tri")), 1, 8), 16, 10).cast("long") % nBuckets)
+    val sums = langs.map { l =>
+      val wcol = element_at(typedlit(w(l).toVector), (col("__b") + 1).cast("int"))
+      sum(col("__k") * wcol).as(s"__S_$l")
+    }
+    val agg = tri.groupBy(col("doc_id"))
+      .agg(sum(col("__k")).as("__n"), sums: _*)
+    val withM = langs.foldLeft(agg)((d, l) => d.withColumn(s"__m_$l",
+      floor(col(s"__S_$l").cast("double") / col("__n") + 0.5)))
+    val best = langs.foldRight(lit("und")) { (l, alt) =>
+      val m = col(s"__m_$l")
+      val beatsAll = langs.filter(_ != l)
+        .map(o => m >= col(s"__m_$o")).reduce(_ && _)
+      when(m.isNotNull && beatsAll, lit(l)).otherwise(alt)
+    }
+    docs.select(col("doc_id"))
+      .join(withM, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        langs.map(l => (col(s"__m_$l") / lit(1e6)).as(s"score_$l")) :+
+        best.as("predicted_lang"): _*)
+  }
+
+  /**
+   * Stateless per-row form of [[langIdTrained]] — the INGEST-time shape
+   * ([[hashedLinearScoreStateless]] convention): the |langs| weight
+   * tables are plan literals, each row folds its OWN trigram array with
+   * `aggregate(...)` — no explode, no join, no aggregation, ZERO state
+   * on an unbounded stream. Row-for-row equal to the batch scorer
+   * (pinned in TextAnalysisSpec): the fold sums the same longs in
+   * string order, and long addition commutes exactly.
+   */
+  def langIdTrainedStateless(docs: DataFrame,
+                             langs: Seq[String] = LangIdLangs,
+                             nBuckets: Int = 4096,
+                             weights: Map[String, Array[Long]]): DataFrame = {
+    val tris = charTrigrams(col("text"))
+    val bucketOf = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % nBuckets + 1)
+        .cast("int")
+    val n = size(tris)
+    val withM = langs.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      (d, l) =>
+        val wlit = typedlit(weights(l).toVector)
+        d.withColumn(s"__m_$l",
+          when(col("text").isNotNull && n > 0,
+            floor(aggregate(tris, lit(0L),
+              (acc, t) => acc + element_at(wlit, bucketOf(t))).cast("double")
+              / n + 0.5)))
+    }
+    val best = langs.foldRight(lit("und")) { (l, alt) =>
+      val m = col(s"__m_$l")
+      val beatsAll = langs.filter(_ != l)
+        .map(o => m >= col(s"__m_$o")).reduce(_ && _)
+      when(m.isNotNull && beatsAll, lit(l)).otherwise(alt)
+    }
+    withM.select(col("doc_id") +:
+      langs.map(l => (col(s"__m_$l") / lit(1e6)).as(s"score_$l")) :+
+      best.as("predicted_lang"): _*)
+  }
+
   /**
    * Per-document TF-IDF top terms — the keyword/topic signal a curation
    * pipeline uses for domain tagging and mixture analysis: for each

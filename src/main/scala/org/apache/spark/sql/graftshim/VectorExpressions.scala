@@ -227,6 +227,76 @@ case class MicroSquaredDistance(left: Expression, right: Expression)
 }
 
 /**
+ * Element-wise vector subtraction a − b over two `ARRAY<DOUBLE>` columns
+ * — the residual map of residual product quantization (r20): encoding
+ * x − centroid(cell(x)) instead of x is the standard (Faiss-default)
+ * recall lever for IVF-PQ, and the subtraction sits on the corpus-side
+ * assignment hot path feeding [[PqNearestCode]].
+ *
+ * Why an Expression and not `zip_with(a, b, _ - _)`: higher-order
+ * functions are CodegenFallback (see [[DotProduct]]) — a lambda
+ * interpreter plus an allocation per row, splitting the whole-stage
+ * codegen span right before the PQ assignment loop. This generates one
+ * tight primitive loop and emits an UnsafeArrayData directly.
+ *
+ * Semantics: null input or null ELEMENT → null (the poison convention
+ * of every expression here); mismatched lengths subtract over the
+ * shorter prefix (the [[DotProduct]] convention — the callers guarantee
+ * equal widths). Subtraction is a single exact IEEE op per element, so
+ * the residuals are bit-identical to the oracle's
+ * `list_transform(range(n), i -> a[i+1] - b[i+1])`.
+ */
+case class VectorSubtract(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // see DotProduct: a null ELEMENT yields null even off non-nullable
+  // children, so ev.isNull must stay assignable
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_vsub"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = x.getDouble(i) - y.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = $a.getDouble($i) - $b.getDouble($i);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Byte-wise Hamming distance between two strings — the verify scalar of
  * sketch-based near-dup detection (SimHash bit strings, hex digests).
  * Counts positions with differing bytes over the common prefix plus the

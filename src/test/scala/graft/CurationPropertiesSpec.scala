@@ -115,12 +115,52 @@ class CurationPropertiesSpec extends SparkSpec {
       assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
         s"$src funnel not monotone: $stages")
     }
-    // the funnel's final stage total equals the curate query's row count
+    // the eval-holdout stage total equals the curate query's row count
     val kept = graft.queries.DataPipelineQueries
       .curateCorpus(spark, sfDir).count()
-    val lastTotal = funnel.values
+    val holdoutTotal = funnel.values
       .flatMap(_.filter(_._1 == "06_eval_holdout").map(_._2)).sum
-    assert(lastTotal == kept,
-      s"funnel end $lastTotal != curate_corpus count $kept")
+    assert(holdoutTotal == kept,
+      s"funnel holdout $holdoutTotal != curate_corpus count $kept")
+    // r20 release stages: stage 7 equals the SEMANTIC curate count, and
+    // the funnel's end equals the release manifest's distinct-document
+    // count — the full yield story closes on the shipped corpus
+    val semKept = graft.queries.DataPipelineQueries
+      .curateCorpusSemantic(spark, sfDir).count()
+    val semTotal = funnel.values
+      .flatMap(_.filter(_._1 == "07_semantic_canonical").map(_._2)).sum
+    assert(semTotal == semKept,
+      s"funnel semantic $semTotal != curate_corpus_semantic count $semKept")
+    val manifestDocs = graft.queries.DataPipelineQueries
+      .releaseManifestQ(spark, sfDir).select("doc_id").distinct().count()
+    val endTotal = funnel.values
+      .flatMap(_.filter(_._1 == "08_release_selected").map(_._2)).sum
+    assert(endTotal == manifestDocs,
+      s"funnel end $endTotal != release manifest distinct docs $manifestDocs")
+  }
+
+  test("release_manifest: every manifest document is a semantic-curated " +
+    "survivor, and per-source realized tokens respect the plan overflow " +
+    "invariant on the CURATED corpus") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val manifest = graft.queries.DataPipelineQueries
+      .releaseManifestQ(spark, sfDir)
+    val curated = graft.queries.DataPipelineQueries
+      .curateCorpusSemantic(spark, sfDir).select("doc_id")
+    // manifest ⊆ curated (the chain runs OVER the curated corpus)
+    assert(manifest.join(curated, Seq("doc_id"), "left_anti").count() == 0,
+      "release manifest contains a non-curated document")
+    // epoch stamps are dense from 0 per source (full passes then the
+    // remainder pass) — no source skips an epoch
+    val bySrc = manifest.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("epoch"))
+          .as("n_epochs"),
+        org.apache.spark.sql.functions.max(col("epoch")).as("max_epoch"))
+      .collect()
+    bySrc.foreach { r =>
+      assert(r.getAs[Long]("n_epochs") == r.getAs[Long]("max_epoch") + 1,
+        s"source ${r.get(0)}: non-dense epochs")
+    }
   }
 }

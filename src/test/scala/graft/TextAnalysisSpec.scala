@@ -1168,6 +1168,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == "en") // 1-1 tie: declaration order wins
   }
 
+  // deterministic multilingual fixture for the TRAINED lang id: five
+  // language-distinct word pools (incl. a Han-script one — the
+  // mixed-script case the marker heuristic cannot see at all), word
+  // order varying per doc so the trigram distribution, not memorized
+  // strings, carries the signal
+  private val lidPools: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "and", "of"),
+    "de" -> Seq("der", "schnelle", "braune", "fuchs", "springt", "über",
+      "den", "faulen", "hund", "und"),
+    "fr" -> Seq("le", "renard", "brun", "rapide", "saute", "par",
+      "dessus", "chien", "paresseux", "et"),
+    "es" -> Seq("el", "zorro", "marrón", "rápido", "salta", "sobre",
+      "perro", "perezoso", "y", "una"),
+    "zh" -> Seq("敏捷的", "棕色狐狸", "跳过了", "懒惰的", "狗和猫",
+      "在公园", "里奔跑", "追逐着", "一只鸟", "快乐地"))
+
+  private def lidFixture = (0L until 150L).map { i =>
+    val lang = TextAnalysis.LangIdLangs((i % 5).toInt)
+    val pool = lidPools(lang)
+    val words = (0 until 20).map(j => pool(((i * 7 + j * 13) % 10).toInt))
+    (i, words.mkString(" "), lang)
+  }.toDF("doc_id", "text", "lang")
+
+  test("trained lang id: diagonal mass beats the marker heuristic on the " +
+    "mixed-script fixture; stateless twin row-exact; <3 chars → und") {
+    val fix = lidFixture
+    val w = TextAnalysis.trainLangIdWeights(fix, trainN = 64)
+    val trained = TextAnalysis.langIdTrained(fix, weights = Some(w))
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val marker = TextAnalysis.langId(fix)
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labels = fix.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def diag(pred: Map[Long, String]): Double =
+      labels.count { case (id, l) => pred(id) == l }.toDouble / labels.size
+    val (dTrained, dMarker) = (diag(trained), diag(marker))
+    // the marker set covers 4 of 5 languages and only 5 stopwords each;
+    // the trained trigram NB must dominate it on this fixture — and be
+    // near-perfect (the pools are genuinely disjoint distributions)
+    assert(dTrained > dMarker,
+      s"trained diagonal $dTrained !> marker $dMarker")
+    assert(dTrained >= 0.9, s"trained diagonal $dTrained < 0.9")
+    // ingest-time stateless twin: row-for-row equal to the batch scorer
+    val batch = TextAnalysis.langIdTrained(fix, weights = Some(w))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val stateless = TextAnalysis.langIdTrainedStateless(fix, weights = w)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch == stateless, "stateless lang-id twin diverged from batch")
+    // the und fallback: no trigram (short or NULL text) → 'und'
+    val short = TextAnalysis.langIdTrained(
+      Seq((200L, "ab", "en"), (201L, null.asInstanceOf[String], "en"))
+        .toDF("doc_id", "text", "lang"),
+      weights = Some(w)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(short(200L) == "und" && short(201L) == "und")
+  }
+
   test("clusterSafeSplit: near-dup cluster members land in ONE split " +
     "(the canonical's), unclustered docs keep their hashSplit") {
     import org.apache.spark.sql.functions.col
