@@ -42,7 +42,12 @@ object LloydScale {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val saved = Similarity.distLloydThreshold
-      if (forceDriver) Similarity.distLloydThreshold = Long.MaxValue
+      // pin the EXECUTED path to the PRINTED mode (ADVICE r19): the dist
+      // rungs force threshold 0 (the KnobFuzzSpec force) rather than
+      // relying on the default — a small SPARK_GRAFT_LLOYD_N would
+      // otherwise silently run the driver loop under a "dist" label
+      Similarity.distLloydThreshold =
+        if (forceDriver) Long.MaxValue else 0L
       try {
         val corpus = AnnStaleness.freshShifted(spark, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

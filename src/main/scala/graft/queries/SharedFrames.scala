@@ -55,17 +55,24 @@ object SharedFrames {
     private[SharedFrames] var auxFrames: List[DataFrame] = Nil
     private var discarded = false
     def isBuilt: Boolean = value != null
-    def df: DataFrame = {
+    def df: DataFrame = dfBuilt._1
+    /** The frame plus whether THIS call performed the build — the flag
+      * build attribution needs (ADVICE r19): a pre-check of isBuilt
+      * would also tag a thread that merely BLOCKED on another thread's
+      * in-flight build, double-attributing the cost under concurrent
+      * demand. */
+    def dfBuilt: (DataFrame, Boolean) = {
+      var didBuild = false
       if (value == null) synchronized {
         if (value == null) {
           val outer = building.get()
           building.set(this)
-          try value = mk()
+          try { value = mk(); didBuild = true }
           finally building.set(outer)
           if (discarded) doUnpersist()
         }
       }
-      value
+      (value, didBuild)
     }
     def discard(): Unit = synchronized {
       discarded = true
@@ -120,9 +127,13 @@ object SharedFrames {
       frames.getOrElseUpdate((spark, sfDir, tag), new Cell(() =>
         if (persist) build.persist(StorageLevel.MEMORY_AND_DISK) else build))
     }
+    // attribute the build to the thread that PERFORMED it (ADVICE r19:
+    // a pre-check would also tag a thread that just blocked on another
+    // thread's in-flight build)
+    val (df, didBuild) = cell.dfBuilt
     val bt = buildTracer.get()
-    if (bt != null && !cell.isBuilt) bt += tag
-    cell.df
+    if (bt != null && didBuild) bt += tag
+    df
   }
 
   /** Per-key build cell for [[memoValue]]: `lazy val` gives the cell its
@@ -130,9 +141,19 @@ object SharedFrames {
     * (the loser blocks on that cell alone, never on the global map
     * lock — the same contract as [[Cell]]). */
   private final class ValCell(mk: () => AnyRef) {
-    @volatile private var built = false
-    lazy val v: AnyRef = { val r = mk(); built = true; r }
-    def isBuilt: Boolean = built
+    @volatile private var value: AnyRef = _
+    def isBuilt: Boolean = value != null
+    /** Value plus whether THIS call performed the build — see
+      * [[Cell.dfBuilt]]. Builders return non-null models (the codebook
+      * contract), so the null sentinel is safe. */
+    def vBuilt: (AnyRef, Boolean) = {
+      var didBuild = false
+      if (value == null) synchronized {
+        if (value == null) { value = mk(); didBuild = true }
+      }
+      (value, didBuild)
+    }
+    def v: AnyRef = vBuilt._1
   }
 
   private val values =
@@ -151,9 +172,10 @@ object SharedFrames {
       values.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       values.getOrElseUpdate((spark, sfDir, tag), new ValCell(() => build))
     }
+    val (v, didBuild) = cell.vBuilt
     val bt = buildTracer.get()
-    if (bt != null && !cell.isBuilt) bt += tag
-    cell.v.asInstanceOf[T]
+    if (bt != null && didBuild) bt += tag
+    v.asInstanceOf[T]
   }
 
   /** Run `body` recording the set of memo tags it touches on this thread

@@ -297,7 +297,17 @@ object StreamingCuration {
         perSourceAdmit(budget))
   }
 
-  /** The per-source admission fold of [[selectTokenBudgetStream]]. */
+  /** The per-source admission fold of [[selectTokenBudgetStream]].
+    *
+    * Per-microbatch buffering (ADVICE r19): `rows.toIndexedSeq.sortBy`
+    * materializes ONE source's share of ONE microbatch in the task
+    * before sorting — the STATE is a single long, but a hot source in a
+    * giant trigger concentrates that batch buffer in one task (the
+    * StreamingAnomaly/StreamingZscore per-group discipline). Deployments
+    * with a dominant source should bound the trigger
+    * (maxOffsetsPerTrigger / maxFilesPerTrigger) so a microbatch-group
+    * stays task-sized; the admission itself is order-deterministic at
+    * any trigger size. */
   private def perSourceAdmit(budget: Long)(
       source: String, rows: Iterator[DocTokens],
       state: GroupState[Long]): Iterator[TokenBudgetAdmit] = {

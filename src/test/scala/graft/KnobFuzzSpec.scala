@@ -809,6 +809,84 @@ class KnobFuzzSpec extends SparkSpec {
     docsDf.unpersist()
   }
 
+  test("fuzz: the COMPOSED epoch chain — plan → materialize → pack → " +
+    "audit — conserves tokens per epoch, keeps the one-doc-overflow " +
+    "invariant, and the packer matches a plain-Scala re-derivation at " +
+    "random (alpha, totalBudget, seqLen) draws (the r19 verdict's ask #6)") {
+    import graft.text.TextAnalysis
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 400 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTok: Map[Long, Long] = docsDf.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).length.toLong).toMap
+    val srcOf: Map[Long, String] = docsDf.select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val alphas = Seq(0.25, 0.5, 0.75, 1.0)
+    for (i <- 1 to 3) {
+      val tb = 1000L + rnd.nextInt(100000)
+      val alpha = alphas(rnd.nextInt(alphas.length))
+      val seqLen = 32L + rnd.nextInt(993)
+      val manifest = TextAnalysis.materializeEpochs(docsDf, tb, alpha)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mrows = manifest.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Int]("n_tokens").toLong,
+        r.getAs[Long]("epoch")))
+      val packed = TextAnalysis.packEpochSequences(manifest, seqLen)
+        .collect().map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"),
+          r.getAs[Long]("doc_offset"), r.getAs[Long]("seg_tokens")))
+      // (a) CONSERVATION: Σ segment tokens per epoch ≡ Σ manifest tokens
+      // per epoch — no token invented, dropped, or leaked across epochs
+      val manTok = mrows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      val segTok = packed.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+      assert(segTok == manTok,
+        s"draw#$i tb=$tb α=$alpha seqLen=$seqLen: token conservation broke")
+      // (b) EPOCH PURITY + exact layout: plain-Scala packer — per epoch,
+      // lay documents out by (md5(epoch:doc_id), doc_id), prefix-sum,
+      // cut at seqLen — must reproduce every segment row exactly
+      val expected = mrows.groupBy(_._4).toSeq.flatMap { case (epoch, rs) =>
+        var off = 0L
+        rs.sortBy { case (id, _, _, _) =>
+          (md5hex(s"$epoch:$id"), id)
+        }.flatMap { case (id, _, n, _) =>
+          val s0 = off; off += n
+          val e0 = s0 + n
+          (s0 / seqLen to (e0 - 1) / seqLen).map { seq =>
+            val segs = math.max(s0, seq * seqLen)
+            (epoch, id, seq, segs - seq * seqLen, segs - s0,
+              math.min(e0, (seq + 1) * seqLen) - segs)
+          }
+        }
+      }
+      assert(packed.sorted.toSeq == expected.sorted,
+        s"draw#$i tb=$tb α=$alpha seqLen=$seqLen: packer layout diverged")
+      // (c) ONE-DOC OVERFLOW: per plan source, realized − target is
+      // bounded above by the largest single document of the source (the
+      // greedy fill-then-spill trade), and the audit's realized mass is
+      // the manifest's
+      val audit = TextAnalysis.epochManifestAudit(manifest,
+        TextAnalysis.mixEpochPlan(docsDf, tb, alpha)).collect()
+      audit.foreach { r =>
+        val src = r.getAs[String]("source")
+        val overflow = r.getAs[Long]("overflow_tokens")
+        val maxDoc = nTok.collect { case (id, n) if srcOf(id) == src => n }.max
+        assert(overflow < maxDoc,
+          s"draw#$i $src: overflow $overflow >= max doc $maxDoc")
+        assert(r.getAs[Long]("realized_tokens") ==
+          mrows.filter(_._2 == src).map(_._3).sum,
+          s"draw#$i $src: audit realized != manifest mass")
+      }
+      manifest.unpersist()
+    }
+    docsDf.unpersist()
+  }
+
   test("fuzz: distributed Lloyd rounds are BIT-IDENTICAL to the driver " +
     "loop at 10 random (nCells, rounds, d2) IVF configs and 6 PQ " +
     "codebook configs (r19: the trainer's cluster-job path)") {
