@@ -1183,6 +1183,15 @@ object DataPipelineQueries {
         org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
     }
 
+  /** The residual-encoding ingest twin (r20): same split convention,
+    * frozen coarse cells + RESIDUAL codebook — the ingest path that
+    * matches the registered residual IVF-PQ search family. */
+  val similarityIncrementalResidual: (SparkSession, String) => DataFrame =
+    memoized("similarityIncrementalResidual") { (spark, sfDir) =>
+      Similarity.incrementalAssignResidual(embs(spark, sfDir),
+        org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+    }
+
   /** Cluster-balanced (semantic-mixing) sample: at most 25 vectors per
     * IVF cell by deterministic hash rank — flattens over-represented
     * modes before a training mix. Memoized like the other
@@ -3579,6 +3588,9 @@ object DataPipelineQueries {
       Some(Similarity.ivfPqResidualTopKOracleSql(nQueries = 128))),
     NamedQuery("similarity_incremental", similarityIncremental,
       Some(Similarity.incrementalAssignOracleSql())),
+    NamedQuery("similarity_incremental_residual",
+      similarityIncrementalResidual,
+      Some(Similarity.incrementalAssignResidualOracleSql())),
     NamedQuery("sample_cluster_balanced", sampleClusterBalanced,
       Some(Similarity.clusterBalancedSampleOracleSql())),
     NamedQuery("dedup_decontaminate", dedupDecontaminate, Some(decontaminateOracle)),

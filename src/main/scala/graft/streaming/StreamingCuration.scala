@@ -371,6 +371,25 @@ object StreamingCuration {
       docStream, nBuckets, threshold, weights)
 
   /**
+   * Streaming language ID (r20) — the ingest-time shape of the TRAINED
+   * [[graft.text.TextAnalysis.langIdTrained]]: the |langs| weight
+   * tables fold into the plan as literals and every arriving document
+   * folds its own trigram array per-row
+   * ([[graft.text.TextAnalysis.langIdTrainedStateless]]) — a pure
+   * projection, ZERO state, no watermark, append-safe, row-for-row
+   * equal to the batch scorer (TextAnalysisSpec pins the twin;
+   * StreamingCurationSpec pins it under a real stream). The production
+   * shape: train on a labeled snapshot, stamp language at ingest.
+   */
+  def langIdStream(docStream: DataFrame,
+                   weights: Map[String, Array[Long]],
+                   langs: Seq[String] =
+                     graft.text.TextAnalysis.LangIdLangs,
+                   nBuckets: Int = 4096): DataFrame =
+    graft.text.TextAnalysis.langIdTrainedStateless(
+      docStream, langs, nBuckets, weights)
+
+  /**
    * [[qualityClassifierStream]] under a VERSIONED frozen model — the
    * [[FrozenModelStore]] recipe's classifier instance (r16 verdict ask
    * #6): resolves the store's current generation ONCE at build, scores

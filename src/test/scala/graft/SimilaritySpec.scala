@@ -253,6 +253,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual incremental ingest: stateless assignment against the " +
+    "frozen residual model is code-identical to the batch operator") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.freezeAnnIndexResidual(embs)
+      .getOrElse(fail("corpus should freeze a residual model"))
+    // frozen against the WHOLE corpus, applied to the whole corpus: the
+    // stateless projection must equal productQuantizeResidual against
+    // the same structures row-for-row
+    val stateless = Similarity.annAssignResidualStateless(embs, model)
+      .collect().map(_.toSeq).toSet
+    val batch = Similarity.productQuantizeResidual(embs,
+        codebook = Some(model.codebook.toArray.map(_.toSeq)),
+        cells = Some(model.cells.toArray))
+      .collect().map(_.toSeq).toSet
+    assert(stateless.nonEmpty && stateless == batch,
+      "stateless residual ingest diverged from the batch quantizer")
+    // the incremental split: new rows only, frozen on the complement
+    val inc = Similarity.incrementalAssignResidual(embs,
+      col("vec_id") % 10 === 0).collect()
+    assert(inc.nonEmpty)
+    assert(inc.forall(_.getAs[Long]("vec_id") % 10 == 0))
+  }
+
   test("residual encoding beats absolute on a clustered corpus: lower " +
     "reconstruction error AND recall@5 at equal knobs (the r20 claim)") {
     // the AnnRecallFrontier mixture: hash-placed centers, noise scale

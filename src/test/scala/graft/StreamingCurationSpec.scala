@@ -336,6 +336,38 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lang id: stateless, matches the TRAINED batch scorer " +
+    "across microbatch boundaries") {
+    // language stamping at ingest: the |langs| trained weight tables are
+    // plan literals, scoring is a per-row trigram fold — zero state, so
+    // batch boundaries can't matter and rows equal the batch operator's
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.text.TextAnalysis.trainLangIdWeights(corpus)
+    val docRows = corpus
+      .filter(col("text").isNotNull).limit(80)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = StreamingCuration.langIdStream(
+      stream.toDF().toDF("doc_id", "text"), w)
+    assert(out.isStreaming)
+    stream.addData(docRows.take(40).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("slangid")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(docRows.drop(40).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("slangid").collect().map(_.toSeq).toSet
+      val want = graft.text.TextAnalysis.langIdTrainedStateless(
+        docRows.toSeq.toDF("doc_id", "text"), weights = w)
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty)
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming bm25 router: stateless, matches batch scores " +
     "across microbatch boundaries") {
     // standing-query routing at ingest: the frozen model is plan
