@@ -636,18 +636,23 @@ class SimilaritySpec extends SparkSpec {
     // at 1/k grain, both methods present for all 8 queries
     val audit = graft.queries.DataPipelineQueries
       .annRecallAudit(spark, "/root/testdata/sf0.001").collect()
-    assert(audit.length == 48) // 6 methods x 8 queries (r14: +ivf_d2)
+    assert(audit.length == 56) // 7 methods x 8 queries (r20: +ivfpq_flat)
     assert(audit.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("ivf", "ivf_d2", "ivfpq", "ivfpq_rerank", "lsh", "pq"))
+      Seq("ivf", "ivf_d2", "ivfpq", "ivfpq_flat", "ivfpq_rerank", "lsh",
+        "pq"))
     audit.map(_.getAs[Double]("recall_at_k")).foreach { r =>
       assert(r >= 0.0 && r <= 1.0 && (r * 5).isWhole, r.toString)
     }
-    // the refine stage can only help: exact re-rank of a 25-deep ADC
+    // the refine stage can only help: exact re-rank of a 100-deep ADC
     // shortlist dominates the plain ADC top-5 on aggregate
     def total(m: String) = audit.filter(_.getAs[String]("method") == m)
       .map(_.getAs[Double]("recall_at_k")).sum
     assert(total("ivfpq_rerank") >= total("ivfpq"),
       s"refine lost recall: ${total("ivfpq_rerank")} < ${total("ivfpq")}")
+    // the r20 encoding claim on the registered corpus: residual IVF-PQ
+    // recalls at least as much as the absolute baseline on aggregate
+    assert(total("ivfpq") >= total("ivfpq_flat"),
+      s"residual lost to flat: ${total("ivfpq")} < ${total("ivfpq_flat")}")
   }
 
   test("ivfPqTopKRefined: exact-cosine scores, neighbors drawn from the " +
