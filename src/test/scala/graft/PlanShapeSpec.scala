@@ -55,6 +55,17 @@ class PlanShapeSpec extends SparkSpec {
           if w.partitionSpec.isEmpty => w.nodeName
     }
 
+  /** GLOBAL SortExec nodes — a total ordering of the whole frame (range
+    * exchange + full sort), the same 100×-scale smell as a global
+    * window: top-k must plan TakeOrderedAndProject, rankings must
+    * partition. (Window-feeding sorts are local, global=false.) */
+  private def globalSortNodes(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Seq[String] =
+    nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global =>
+        s.nodeName
+    }
+
   private def assertNoCartesian(name: String, plan: String): Unit = {
     assert(!plan.contains("CartesianProduct"),
       s"$name plan contains a CartesianProduct:\n$plan")
@@ -120,7 +131,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(gw.isEmpty,
         s"$name plans ${gw.size} partition-less window node(s) (${gw.mkString(", ")}):\n" +
           df.queryExecution.executedPlan.toString)
+      // (c) a GLOBAL SortExec totally orders the frame through one
+      //     range exchange — same cliff class; top-k shapes must plan
+      //     TakeOrderedAndProject instead. NO whitelist (r20: the sweep
+      //     found the registry already clean — this pins it).
+      val gs = globalSortNodes(nodes)
+      assert(gs.isEmpty,
+        s"$name plans ${gs.size} global sort node(s):\n" +
+          df.queryExecution.executedPlan.toString)
     }
+  }
+
+  test("the global-sort detector fires on a planted orderBy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).toDF("x").orderBy(col("x"))
+    assert(globalSortNodes(finalPlanNodes(df)).nonEmpty,
+      "planted global sort not detected — sweep is blind")
   }
 
   test("the global-window detector fires on a planted partition-less window") {
