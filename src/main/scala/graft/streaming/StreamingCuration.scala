@@ -495,4 +495,16 @@ object StreamingCuration {
                       model: graft.similarity.Similarity.AnnIndexModel)
       : DataFrame =
     graft.similarity.Similarity.annAssignStateless(embStream, model)
+
+  /** [[annIngestStream]] for a RESIDUAL-encoded index (r20): the frozen
+    * model's codebook was trained on residuals
+    * ([[graft.similarity.Similarity.freezeAnnIndexResidual]]) and
+    * arriving vectors get cells + residual codes in the same zero-state
+    * map-side projection — the ingest stream matching the registered
+    * residual IVF-PQ search family. Row-equal to the batch operator
+    * across microbatch boundaries (StreamingAnnIngestSpec). */
+  def annIngestResidualStream(embStream: DataFrame,
+                              model: graft.similarity.Similarity.AnnIndexModel)
+      : DataFrame =
+    graft.similarity.Similarity.annAssignResidualStateless(embStream, model)
 }

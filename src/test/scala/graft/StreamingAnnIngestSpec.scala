@@ -66,6 +66,35 @@ class StreamingAnnIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annIngestResidualStream matches incrementalAssignResidual across " +
+    "microbatch boundaries with zero state") {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val model = Similarity.freezeAnnIndexResidual(all.filter(!isNew)).get
+    val newRows = all.filter(isNew).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val out = StreamingCuration.annIngestResidualStream(
+      stream.toDF().toDF("vec_id", "embedding"), model)
+    assert(out.isStreaming)
+    stream.addData(newRows.take(newRows.length / 2).toIndexedSeq)
+    val q = out.writeStream.format("memory").queryName("ann_ingest_res")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(newRows.drop(newRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty)
+      val got = spark.table("ann_ingest_res").collect().map(codeRow).toSet
+      val batch = Similarity.incrementalAssignResidual(all, isNew)
+        .collect().map(codeRow).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"only-stream=${got -- batch} only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("runAnnIngestJob: topic-to-topic codes equal the batch assignment; " +
     "malformed and wrong-dim vectors are dropped") {
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
