@@ -2187,6 +2187,35 @@ object DataPipelineQueries {
       |FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id
       |GROUP BY 1""".stripMargin
 
+  /** Replicates [[graft.text.TextAnalysis.langIdMargin]]: the trained
+    * oracle nested, µ-ints recovered from the 6-dp scores by the same
+    * exact floor round-trip, per-row DESC sort with NULLS LAST (the
+    * Spark sort_array desc convention), top-2 gap gated at the default
+    * 500000 µ. */
+  val langIdMarginOracle: String = {
+    val micros = TextAnalysis.LangIdLangs
+      .map(l => s"CAST(floor(score_$l * 1e6 + 0.5) AS BIGINT)")
+      .mkString(", ")
+    s"""WITH li AS ($langIdTrainedOracle),
+       |mm AS (SELECT doc_id, predicted_lang,
+       |    list_sort([$micros], 'DESC', 'NULLS LAST') AS s
+       |  FROM li)
+       |SELECT doc_id, predicted_lang,
+       |  s[1] - s[2] AS margin_micro,
+       |  CASE WHEN predicted_lang <> 'und' AND s[1] - s[2] >= 500000
+       |    THEN predicted_lang ELSE 'und' END AS routed_lang
+       |FROM mm""".stripMargin
+  }
+
+  /** Margin-gated language routing (r20) — the confidence knob on the
+    * trained classifier; shares the memoized weights + trigram frame. */
+  val langIdMarginQ: (SparkSession, String) => DataFrame =
+    memoized("langIdMargin") { (spark, sfDir) =>
+      TextAnalysis.langIdMargin(docs(spark, sfDir),
+        sharedTri = Some(docTriCounts(spark, sfDir)),
+        weights = Some(lidWeights(spark, sfDir)))
+    }
+
   /** The TRAINED lang-id oracle as a subquery + the label lookup (r20:
     * the confusion matrix now grades the trained classifier — its whole
     * point is deciding whether the labels can drive mixing). */
@@ -3504,6 +3533,7 @@ object DataPipelineQueries {
       Some(topDocsPerSourceOracle)),
     NamedQuery("lang_id", langIdQ, Some(langIdTrainedOracle)),
     NamedQuery("lang_id_marker", langIdMarkerQ, Some(langIdOracle)),
+    NamedQuery("lang_id_margin", langIdMarginQ, Some(langIdMarginOracle)),
     NamedQuery("lang_confusion", langConfusion, Some(langConfusionOracle)),
     NamedQuery("quality_gate", qualityGateQ, Some(qualityGateOracle)),
     NamedQuery("quality_by_source", qualityBySource,

@@ -2105,6 +2105,49 @@ object TextAnalysis {
   }
 
   /**
+   * Margin-gated language routing — the CONFIDENCE knob in front of
+   * [[langIdTrained]] (fastText exposes probabilities for the same
+   * reason): `margin_micro` is the µ-int gap between the best and
+   * second-best per-trigram mean log-likelihoods, and `routed_lang`
+   * keeps the prediction only when the gap clears `minMarginMicro` —
+   * low-margin documents route to 'und' instead of polluting a mixing
+   * recipe with coin-flip labels. On a corpus whose labels carry no
+   * signal the margins collapse and the gate routes (nearly) everything
+   * to 'und'; on a genuinely multilingual corpus the margins are wide
+   * and the gate keeps (nearly) everything — measured on both in
+   * BASELINE.md, which is the calibration story this operator exists
+   * to make queryable. The default gate (0.5 per-trigram mean
+   * log-likelihood gap ≈ an e^0.5 likelihood ratio per trigram) sits
+   * an order of magnitude above the label-random corpus's p90 margin
+   * (0.106) and an order below the multilingual fixture's p10 (3.6) —
+   * both measured, BASELINE.md r20.
+   *
+   * Scale shape: one projection over [[langIdTrained]]'s output — the
+   * µ-ints are recovered exactly from the 6-dp scores (integer-valued
+   * doubles round-trip), sorted per row (|langs| elements), no new
+   * shuffle or join. Ties and NULLs: an all-NULL score row (no
+   * trigram) has NULL margin and routes 'und'; sort places NULLs last
+   * in both engines by explicit spec.
+   */
+  def langIdMargin(docs: DataFrame, langs: Seq[String] = LangIdLangs,
+                   nBuckets: Int = 4096, trainN: Int = 256,
+                   salt: String = "lid",
+                   sharedTri: Option[DataFrame] = None,
+                   weights: Option[Map[String, Array[Long]]] = None,
+                   minMarginMicro: Long = 500000L): DataFrame = {
+    val scored = langIdTrained(docs, langs, nBuckets, trainN, salt,
+      sharedTri, weights)
+    val ms = langs.map(l =>
+      floor(col(s"score_$l") * 1e6 + 0.5).cast("long"))
+    val arr = sort_array(array(ms: _*), asc = false)
+    val margin = element_at(arr, 1) - element_at(arr, 2)
+    scored.select(col("doc_id"), col("predicted_lang"),
+      margin.as("margin_micro"),
+      when(col("predicted_lang") =!= "und" && margin >= minMarginMicro,
+        col("predicted_lang")).otherwise("und").as("routed_lang"))
+  }
+
+  /**
    * Stateless per-row form of [[langIdTrained]] — the INGEST-time shape
    * ([[hashedLinearScoreStateless]] convention): the |langs| weight
    * tables are plan literals, each row folds its OWN trigram array with

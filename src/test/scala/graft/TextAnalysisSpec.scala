@@ -1229,6 +1229,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short(200L) == "und" && short(201L) == "und")
   }
 
+  test("langIdMargin: the default gate keeps (nearly) all genuine-signal " +
+    "predictions and routes label-random ones to und — the calibration " +
+    "contrast the operator exists for") {
+    // multilingual fixture: wide margins, everything routed through
+    val fix = lidFixture
+    val kept = TextAnalysis.langIdMargin(fix).collect()
+    assert(kept.nonEmpty)
+    val keptShare = kept.count(_.getAs[String]("routed_lang") != "und")
+      .toDouble / kept.length
+    assert(keptShare >= 0.95, s"fixture kept share $keptShare < 0.95")
+    // margins are the top-2 gap of the µ-int means: non-negative when
+    // present, and routed == predicted exactly when the gate clears
+    kept.foreach { r =>
+      val m = Option(r.getAs[java.lang.Long]("margin_micro")).map(_.toLong)
+      m.foreach(v => assert(v >= 0, s"negative margin $v"))
+      val routed = r.getAs[String]("routed_lang")
+      val pred = r.getAs[String]("predicted_lang")
+      assert(routed == "und" ||
+        (routed == pred && m.exists(_ >= 500000L)), s"$pred/$routed/$m")
+    }
+    // label-random corpus: margins collapse, the gate routes to und
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rnd = TextAnalysis.langIdMargin(corpus).collect()
+    val rndKept = rnd.count(_.getAs[String]("routed_lang") != "und")
+      .toDouble / rnd.length
+    assert(rndKept <= 0.05,
+      s"label-random corpus kept share $rndKept > 0.05 — gate not calibrated")
+  }
+
   test("clusterSafeSplit: near-dup cluster members land in ONE split " +
     "(the canonical's), unclustered docs keep their hashSplit") {
     import org.apache.spark.sql.functions.col
