@@ -65,6 +65,12 @@ object ResidualPqLadder {
       val resCodes = Similarity.productQuantizeResidual(emb,
           nCells = nCells, codebook = Some(resCb), cells = Some(cents))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize both persisted codes frames BEFORE the probe loop
+      // (ADVICE r20 #4): serve_sec must time serving only, never the
+      // first-touch cache build of the corpus codes. (The recon-error
+      // aggs below would also materialize them; the explicit count makes
+      // the measurement contract visible rather than incidental.)
+      flatCodes.count(); resCodes.count()
       val flatErr = flatCodes.agg(avg(col("recon_error"))).first().getDouble(0)
       val resErr = resCodes.agg(avg(col("recon_error"))).first().getDouble(0)
       for (nProbe <- Seq(2, 4, 8, 16).filter(_ <= nCells)) {

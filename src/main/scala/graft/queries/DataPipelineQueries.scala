@@ -733,7 +733,9 @@ object DataPipelineQueries {
     * build; the admission aux-persists its range-partitioned frame. */
   val materializeEpochsQ: (SparkSession, String) => DataFrame =
     memoized("materializeEpochs") { (spark, sfDir) =>
-      TextAnalysis.materializeEpochs(docs(spark, sfDir))
+      TextAnalysis.materializeEpochs(docs(spark, sfDir),
+        sharedParts = Some(gatedParts(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("n_tokens").isNotNull)))
     }
 
   /** Replicates [[graft.text.TextAnalysis.materializeEpochs]]: the
@@ -882,17 +884,42 @@ object DataPipelineQueries {
   def docChunks(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenChunks(docs(spark, sfDir))
 
+  /** One ranked exact-cosine neighbor list per (session, sfDir) — the
+    * brute-force top-10 for the 8-query set. Four consumers share it
+    * (similarity_topk at k = 5, hybrid_rrf's vector arm at k = 10, the
+    * knn label audit and the recall audit's reference set at k = 5):
+    * `row_number` ranks are cut-stable — `rank <= 5` of the k = 10 list
+    * IS the k = 5 list, same window, same (cosine desc, neighbor_id)
+    * tiebreak — so ONE scoring pass over the corpus serves all four
+    * where r20 ran three (guide §1.2: remove repeated passes). */
+  private def bruteRanked10(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "bruteRanked10")(
+      Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 10))
+
   def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 5)
+    bruteRanked10(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 5)
 
   def knnLabelAuditQ(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.knnLabelAudit(embs(spark, sfDir), nQueries = 8, k = 5)
+    Similarity.knnLabelAudit(embs(spark, sfDir), nQueries = 8, k = 5,
+      neighbors = Some(similarityTopK(spark, sfDir)))
+
+  /** One ranked BM25 candidate list per (session, sfDir) — the k = 10
+    * more-like-this scoring pass (8 query docs, 5 TF-IDF terms each)
+    * off the shared token frame. bm25_topk (k = 5) and hybrid_rrf's
+    * lexical arm (k = 10) both consume it via the same cut-stable
+    * `rank <=` filter as [[bruteRanked10]], so the corpus-side scoring
+    * join runs once per session instead of once per query. */
+  private def bm25Ranked10(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "bm25Ranked10")(
+      Retrieval.bm25MoreLikeThis(docs(spark, sfDir), k = 10,
+        sharedTf = Some(docTokenCounts(spark, sfDir))))
 
   /** BM25 more-like-this off the shared token frame (8 query docs, 5
     * TF-IDF query terms each, top-5). */
   def bm25TopkQ(spark: SparkSession, sfDir: String): DataFrame =
-    Retrieval.bm25MoreLikeThis(docs(spark, sfDir),
-      sharedTf = Some(docTokenCounts(spark, sfDir)))
+    bm25Ranked10(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 5)
 
   /** Hybrid lexical ⊕ vector retrieval: RRF-fuse the BM25 and cosine
     * top-10 lists for the same 8 query docs (doc_id ≡ vec_id by the
@@ -900,9 +927,8 @@ object DataPipelineQueries {
     * hybrid top-5. */
   def hybridRrfQ(spark: SparkSession, sfDir: String): DataFrame =
     Retrieval.rrfFuse(
-      Retrieval.bm25MoreLikeThis(docs(spark, sfDir), k = 10,
-        sharedTf = Some(docTokenCounts(spark, sfDir))),
-      Similarity.bruteForceTopK(embs(spark, sfDir), nQueries = 8, k = 10))
+      bm25Ranked10(spark, sfDir),
+      bruteRanked10(spark, sfDir))
 
   val similarityAnn: (SparkSession, String) => DataFrame =
     memoized("similarityAnn") { (spark, sfDir) =>
@@ -942,8 +968,7 @@ object DataPipelineQueries {
   val annRecallAudit: (SparkSession, String) => DataFrame =
     memoized("annRecallAudit") { (spark, sfDir) =>
       import org.apache.spark.sql.functions.{col, lit}
-      val brute = Similarity.bruteForceTopK(embs(spark, sfDir),
-        nQueries = 8, k = 5)
+      val brute = similarityTopK(spark, sfDir) // rank<=5 cut of the memo
       Seq(
         "ivf" -> similarityIvf(spark, sfDir),
         "ivf_d2" -> similarityIvfD2(spark, sfDir), // r14: the D²-seeded
@@ -1580,12 +1605,26 @@ object DataPipelineQueries {
       TextAnalysis.packSequences(docs(spark, sfDir))
     }
 
+  /** ONE gate-priority range-partitioned frame per (session, sfDir) —
+    * `select_token_budget` and `mix_epoch_materialize`'s remainder
+    * admission both consume it (r21, guide §2.4: the two queries used
+    * to each pay the gate scan + range sampling + shuffle). The epoch
+    * consumer filters `n_tokens IS NOT NULL` (≡ text IS NOT NULL: split
+    * of non-null text is never empty) — NULL-token rows carry nothing
+    * into any window sum, so the live rows' prefix values are identical
+    * either way (the two-pass rollup is partitioning-invariant given
+    * order-compatible partitions). */
+  private def gatedParts(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "gatedParts")(
+      TextAnalysis.gatedPriorityParts(docs(spark, sfDir)))
+
   /** Token-budget mixture materialization (r18): per-source best-first
     * admission under the quality-gate priority, via the pack_shards
     * two-pass prefix sum. */
   val selectTokenBudgetQ: (SparkSession, String) => DataFrame =
     memoized("selectTokenBudget") { (spark, sfDir) =>
-      TextAnalysis.selectTokenBudget(docs(spark, sfDir))
+      TextAnalysis.selectTokenBudget(docs(spark, sfDir),
+        sharedParts = Some(gatedParts(spark, sfDir)))
     }
 
 
@@ -2144,18 +2183,21 @@ object DataPipelineQueries {
        |  FROM documents WHERE text IS NOT NULL),
        |tf AS (SELECT doc_id, tri, count(*) AS c FROM tt GROUP BY 1, 2),
        |h AS (SELECT doc_id, c,
-       |    CAST('0x' || substr(md5(tri), 1, 8) AS BIGINT) % 4096 AS b
+       |    CAST('0x' || substr(md5(tri), 1, 8) AS BIGINT)
+       |      % ${TextAnalysis.LangIdBuckets} AS b
        |  FROM tf),
        |trn AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL
-       |  ORDER BY md5('lid:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 256),
+       |  ORDER BY md5('${TextAnalysis.LangIdSalt}:' || CAST(doc_id AS VARCHAR)),
+       |    doc_id LIMIT ${TextAnalysis.LangIdTrainN}),
        |pc AS (SELECT trn.lang, h.b, CAST(sum(h.c) AS BIGINT) AS c
        |  FROM h JOIN trn USING (doc_id) GROUP BY 1, 2),
        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM pc GROUP BY 1),
        |lg AS (SELECT unnest($langList) AS lang),
-       |bk AS (SELECT unnest(generate_series(0, 4095)) AS b),
+       |bk AS (SELECT unnest(generate_series(0, ${TextAnalysis.LangIdBuckets - 1})) AS b),
        |wt AS (SELECT lg.lang, bk.b,
        |    CAST(floor(1e6 * ln(CAST(coalesce(pc.c, 0) + 1 AS DOUBLE)
-       |      / (coalesce(tot.t, 0) + 4096)) + 0.5) AS BIGINT) AS w
+       |      / (coalesce(tot.t, 0) + ${TextAnalysis.LangIdBuckets})) + 0.5)
+       |      AS BIGINT) AS w
        |  FROM lg CROSS JOIN bk
        |  LEFT JOIN pc ON pc.lang = lg.lang AND pc.b = bk.b
        |  LEFT JOIN tot ON tot.lang = lg.lang),
@@ -2202,7 +2244,8 @@ object DataPipelineQueries {
        |  FROM li)
        |SELECT doc_id, predicted_lang,
        |  s[1] - s[2] AS margin_micro,
-       |  CASE WHEN predicted_lang <> 'und' AND s[1] - s[2] >= 500000
+       |  CASE WHEN predicted_lang <> 'und'
+       |    AND s[1] - s[2] >= ${TextAnalysis.LangIdMinMarginMicro}
        |    THEN predicted_lang ELSE 'und' END AS routed_lang
        |FROM mm""".stripMargin
   }

@@ -150,23 +150,35 @@ object Dedup {
    * empty shingle set are excluded, matching the oracle's
    * `WHERE len(toks) >= n`.
    *
-   * Scale shape: explode → df aggregation (map-side partials; hot
-   * boilerplate shingles collapse before the shuffle) → equi-join back
-   * on the shingle → per-doc rollup. Two hash shuffles, both on keys
-   * with bounded skew (df of the hottest shingle caps the join's
-   * biggest task — the same budget as the inverted-index detectors,
-   * without their pairing quadratic).
+   * Scale shape (r21 rewrite, guide §2.3 — shuffle fewer bytes): ONE
+   * aggregation of the exploded inverted-index view at shingle grain
+   * computes each shingle's df AND, for df = 1 shingles, the single
+   * owning document (`min(doc_id)` of one row) — so the novel counts
+   * roll up from the df = 1 rows alone, and the per-doc denominator is
+   * just `size(sh)` off the array frame (the arrays are distinct sets).
+   * The pre-r21 form instead equi-joined the FULL occurrence table back
+   * against the df table — a second corpus-sized shuffle at token
+   * grain; now the only occurrence-grain shuffle is the df aggregation
+   * (map-side partials absorb hot boilerplate shingles), and the join
+   * back to documents moves |novel shingles| ≤ corpus rows at doc
+   * grain. Values are identical: novelty = n_novel/n_shingles in the
+   * same exact-integer-operand IEEE division the old `avg` computed
+   * (pinned in DedupSpec).
    */
   def ngramNovelty(docShingles: DataFrame): DataFrame = {
-    val ds = explodeShingles(docShingles)
-    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    ds.join(dfreq, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"),
-        round(avg(when(col("__df") === 1, 1.0d).otherwise(0.0d)), 6)
-          .as("novelty"))
+    val perDoc = docShingles.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val novelOwners = explodeShingles(docShingles)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner").as("doc_id"))
+      .agg(count(lit(1)).as("__novel"))
+    perDoc.join(novelOwners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("__novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__novel"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double"), 6).as("novelty"))
   }
 
   /**

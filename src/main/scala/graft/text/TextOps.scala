@@ -62,9 +62,24 @@ object TextOps {
    * `list_transform(range(len(toks)-(n-1)), i -> toks[i+1] || ' ' || ...)`.
    * Documents shorter than n tokens yield an empty array (DuckDB's
    * `range` of a negative is empty; Spark's `sequence` is NOT — it counts
-   * down — hence the guard).
+   * down — hence the guard in the HOF form this used to be).
+   *
+   * Codegen'd ([[org.apache.spark.sql.graftshim.WordShingles]], r21):
+   * the `transform(sequence(...), i => concat_ws(" ", slice(...)))` HOF
+   * was CodegenFallback — an interpreted lambda + O(n) slice per
+   * element, ~2.4 s per corpus scan at sf0.1 — and value-identical to
+   * this expression (pinned in TextOpsShimSpec).
    */
   def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.WordShingles(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(toks), n))
+  }
+
+  /** The pre-r21 HOF form of [[shingles]] — kept as the equivalence
+    * baseline TextOpsShimSpec pins the codegen'd expression against. */
+  private[graft] def shinglesHof(toks: Column, n: Int): Column = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     val empty = lit(Array.empty[String]).cast(ArrayType(StringType))
     when(size(toks) >= n,

@@ -286,8 +286,10 @@ case class VectorSubtract(left: Expression, right: Expression)
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $out[$i] = $a.getDouble($i) - $b.getDouble($i);
          |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
 

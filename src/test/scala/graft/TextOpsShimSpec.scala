@@ -1,0 +1,117 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{ArrayCharCount, ArrayCountIn, CharTrigrams, ColumnShim}
+
+/**
+ * Value-equivalence pins for the r21 codegen'd text expressions
+ * (graftshim.ShingleExpressions) against the CodegenFallback HOF forms
+ * they replaced. Every registered oracle replays the HOF arithmetic in
+ * DuckDB, so the codegen'd forms must be VALUE-IDENTICAL on every edge
+ * the corpus can produce: NULL text, empty string, multi-space runs
+ * (empty tokens), sub-width documents, unicode (multi-byte codepoints,
+ * combining marks), and duplicate n-grams.
+ */
+class TextOpsShimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts: Seq[(java.lang.Long, String)] = Seq(
+    (1L, "alpha beta gamma delta alpha beta gamma"),
+    (2L, "a"),
+    (3L, ""),
+    (4L, null),
+    (5L, "x  y   z"), // multi-space runs → empty tokens
+    (6L, "héllo wörld héllo wörld naïve"), // multi-byte codepoints
+    (7L, "éclair éclair"), // combining mark (NFD é)
+    (8L, " lead and trail "),
+    (9L, "one two"),
+    (10L, "汉字 漢字 汉字 test 漢字"),
+    (11L, "the a and of to in is the the"),
+    (12L, (1 to 200).map(i => s"t${i % 13}").mkString(" ")))
+
+  private def df = texts.toDF("doc_id", "text")
+
+  private def hofTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  private def hofCharCount(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  private def hofCountIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def col2(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    ColumnShim.column(e)
+
+  test("WordShingles ≡ HOF shingles for widths 1, 2, 3 on every edge") {
+    for (n <- Seq(1, 2, 3)) {
+      val toks = TextOps.tokens(col("text"))
+      val rows = df.select(col("doc_id"),
+        TextOps.shingles(toks, n).as("fast"),
+        TextOps.shinglesHof(toks, n).as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+          s"width $n doc ${r.get(0)}")
+      }
+    }
+  }
+
+  test("WordShingles over unicode tokenizer matches HOF form") {
+    val toks = TextOps.unicodeTokens(col("text"))
+    val rows = df.select(col("doc_id"),
+      TextOps.shingles(toks, 2).as("fast"),
+      TextOps.shinglesHof(toks, 2).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList) }
+  }
+
+  test("CharTrigrams ≡ HOF substr lattice (codepoint grid, null → empty)") {
+    val rows = df.select(col("doc_id"),
+      col2(CharTrigrams(ColumnShim.expression(col("text")))).as("fast"),
+      hofTrigrams(col("text")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+        s"doc ${r.get(0)}")
+    }
+  }
+
+  test("ArrayCharCount ≡ aggregate(transform(length)) incl. null array") {
+    val toks = TextOps.tokens(col("text"))
+    val rows = df.select(col("doc_id"),
+      col2(ArrayCharCount(ColumnShim.expression(toks))).as("fast"),
+      hofCharCount(toks).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null split on doc ${r.get(0)}")
+      if (!r.isNullAt(1)) assert(r.getInt(1) == r.getInt(2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("ArrayCountIn ≡ size(filter(array_contains)) incl. null array") {
+    val words = Seq("the", "a", "and", "of", "to", "in", "is")
+    val toks = TextOps.tokens(col("text"))
+    val rows = df.select(col("doc_id"),
+      col2(ArrayCountIn(ColumnShim.expression(toks), words)).as("fast"),
+      hofCountIn(toks, words).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null split on doc ${r.get(0)}")
+      if (!r.isNullAt(1)) assert(r.getInt(1) == r.getInt(2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("interpreted eval path agrees with codegen (null-element poison)") {
+    // a null ELEMENT (never produced by split, but part of the contract)
+    val arr = typedLit(Seq[String]("a", null, "bb"))
+    val out = spark.range(1).select(
+      col2(ArrayCharCount(ColumnShim.expression(arr))).as("cc"),
+      col2(ArrayCountIn(ColumnShim.expression(arr), Seq("a"))).as("ci"),
+      TextOps.shingles(arr, 2).as("sh")).collect().head
+    assert(out.isNullAt(0)) // charcount poisons like the fold
+    assert(out.getInt(1) == 1) // null element not counted, like filter
+    // concat_ws skips nulls: ["a", "bb"] joined pairwise
+    assert(out.getSeq[String](2).toList == List("a", "bb"))
+  }
+}
