@@ -193,6 +193,25 @@ object Dedup {
    * matching the oracle's `WHERE len(toks) >= n`.
    */
   def minhashSignature(docShingles: DataFrame, k: Int): DataFrame = {
+    // ONE codegen'd pass computes all k lane minima (r21,
+    // graftshim.MinHashLanes): the per-base `transform(sh, saltedHash)`
+    // + per-lane `array_min(transform(substring))` HOF lattice was
+    // CodegenFallback — an interpreted lambda walk per base and per
+    // lane; the native pass hashes each shingle once per base and
+    // tracks every lane's min together, value-identically
+    // (TextOpsShimSpec pins the column lattice)
+    val lanes = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.MinHashLanes(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(col("sh")), k))
+    docShingles.filter(size(col("sh")) > 0).select(
+      col("doc_id") +:
+        (0 until k).map(i => element_at(lanes, i + 1).as(s"h$i")): _*)
+  }
+
+  /** The pre-r21 HOF form of [[minhashSignature]] — kept as the
+    * equivalence baseline TextOpsShimSpec pins the codegen'd expression
+    * against. */
+  private[graft] def minhashSignatureHof(docShingles: DataFrame, k: Int): DataFrame = {
     val nBase = (k + 3) / 4
     val withBases = docShingles.filter(size(col("sh")) > 0).select(
       col("doc_id") +:

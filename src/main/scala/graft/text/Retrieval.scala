@@ -179,7 +179,14 @@ object Retrieval {
     val entries = model.terms.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (qid, ts) =>
         val s = ts.map { case (_, term, idf) =>
-          val tf = size(filter(toks, t => t === lit(term))).cast("long")
+          // codegen'd occurrence count (r21): `size(filter(toks, _ ===
+          // term))` is a CodegenFallback lambda per term per row on the
+          // ingest routing path; ArrayCountIn counts the same exact-
+          // equality matches natively (TextOpsShimSpec)
+          val tf = org.apache.spark.sql.graftshim.ColumnShim.column(
+            org.apache.spark.sql.graftshim.ArrayCountIn(
+              org.apache.spark.sql.graftshim.ColumnShim.expression(toks),
+              Seq(term))).cast("long")
           when(tf > 0L,
             round(lit(idf) * (tf * lit(k1 + 1.0))
               / (tf + lit(k1) * (lit(1.0 - b)

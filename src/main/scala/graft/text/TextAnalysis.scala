@@ -141,6 +141,29 @@ object TextAnalysis {
     * references, re-hashing the whole document per position. */
   def winnowingPickArrays(docs: DataFrame, shingleWidth: Int = 3,
                           window: Int = 4): DataFrame = {
+    // ONE codegen'd pass (r21, graftshim.WinnowMins): hash the shingle
+    // sequence with the salt-0 md5, slide the window-min frame, distinct
+    // the picks — the nested `transform(array(hashes), ... array_min(
+    // slice(...)))` HOF lattice was CodegenFallback, an interpreted
+    // O(tokens·window) lambda walk per document; value-identical
+    // (TextOpsShimSpec pins it against the HOF form)
+    val wmins = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.WinnowMins(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          TextOps.shingles(TextOps.tokens(col("text")), shingleWidth)),
+        window))
+    docs.select(col("doc_id"), wmins.as("wmins"))
+  }
+
+  /** The pre-r21 HOF form of [[winnowingPickArrays]] — kept as the
+    * equivalence baseline TextOpsShimSpec pins the codegen'd expression
+    * against. (The hash array is bound as a lambda variable —
+    * `transform` over a single-element array — because a named
+    * projection column would be INLINED by projection collapse into
+    * every one of the O(tokens) frame references.) */
+  private[graft] def winnowingPickArraysHof(docs: DataFrame,
+                                            shingleWidth: Int = 3,
+                                            window: Int = 4): DataFrame = {
     val hashes = transform(
       TextOps.shingles(TextOps.tokens(col("text")), shingleWidth),
       s => TextOps.saltedHash(0, s))
@@ -795,14 +818,19 @@ object TextAnalysis {
     }
     weights.foreach(w => require(w.length == nBuckets,
       s"weight table ${w.length} != $nBuckets"))
-    val w = typedlit(weights.map(_.toSeq)
-      .getOrElse((0 until nBuckets).map(b => hex8(s"w:$b") % 2001 - 1000L)))
     val mult = if (weights.isDefined) 1.0 else 1000.0
     val toks = TextOps.tokens(col("text"))
-    val sw = aggregate(toks, lit(0L), (acc, t) =>
-      acc + element_at(w,
-        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % nBuckets + 1)
-          .cast("int")))
+    // codegen'd one-pass fold (r21, graftshim.BucketWeightSums): the
+    // `aggregate(toks, 0L, acc + element_at(w, md5-bucket))` HOF was a
+    // CodegenFallback lambda interpreter per token per row on the
+    // streaming ingest path; value-identical (TextOpsShimSpec)
+    val wArr = weights.getOrElse(
+      (0 until nBuckets).map(b => hex8(s"w:$b") % 2001 - 1000L).toArray)
+    val sw = element_at(
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        org.apache.spark.sql.graftshim.BucketWeightSums(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(toks),
+          Array(wArr))), 1)
     docs.filter(col("text").isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("logit", microLogit(sw, col("n_tokens"), mult))
@@ -2197,18 +2225,23 @@ object TextAnalysis {
                              nBuckets: Int = LangIdBuckets,
                              weights: Map[String, Array[Long]]): DataFrame = {
     val tris = charTrigrams(col("text"))
-    val bucketOf = (t: Column) =>
-      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % nBuckets + 1)
-        .cast("int")
     val n = size(tris)
-    val withM = langs.foldLeft(docs.select(col("doc_id"), col("text"))) {
-      (d, l) =>
-        val wlit = typedlit(weights(l).toVector)
+    // ONE codegen'd pass over the trigram array computes every
+    // language's Σ w_l[bucket] (r21, graftshim.BucketWeightSums): the
+    // per-language `aggregate(...)` HOFs each re-hashed every trigram
+    // through an interpreted lambda per row per microbatch; the md5 now
+    // runs once per trigram for all |langs| tables, value-identically
+    weights.foreach { case (l, w) => require(w.length == nBuckets,
+      s"weight table for $l has ${w.length} buckets != $nBuckets") }
+    val sums = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.BucketWeightSums(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(tris),
+        langs.map(weights(_)).toArray))
+    val withM = langs.zipWithIndex.foldLeft(
+      docs.select(col("doc_id"), col("text"))) { case (d, (l, i)) =>
         d.withColumn(s"__m_$l",
           when(col("text").isNotNull && n > 0,
-            floor(aggregate(tris, lit(0L),
-              (acc, t) => acc + element_at(wlit, bucketOf(t))).cast("double")
-              / n + 0.5)))
+            floor(element_at(sums, i + 1).cast("double") / n + 0.5)))
     }
     val best = langs.foldRight(lit("und")) { (l, alt) =>
       val m = col(s"__m_$l")

@@ -102,6 +102,56 @@ class TextOpsShimSpec extends SparkSpec {
     }
   }
 
+  test("BucketWeightSums ≡ per-table aggregate(element_at(md5-bucket)) fold") {
+    val rnd = new scala.util.Random(7)
+    val nBuckets = 64
+    val tables = Array.fill(3)(Array.fill(nBuckets)(rnd.nextLong() % 1000L))
+    val toks = TextOps.tokens(col("text"))
+    def hofSum(w: Array[Long]): Column =
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + element_at(typedLit(w.toVector),
+          (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % nBuckets + 1)
+            .cast("int")))
+    val fast = ColumnShim.column(org.apache.spark.sql.graftshim
+      .BucketWeightSums(ColumnShim.expression(toks), tables))
+    val cols = Seq(col("doc_id")) ++
+      (0 until 3).map(t => element_at(fast, t + 1).as(s"f$t")) ++
+      (0 until 3).map(t => hofSum(tables(t)).as(s"s$t"))
+    val rows = df.select(cols: _*).collect()
+    rows.foreach { r =>
+      for (t <- 0 until 3) {
+        assert(r.isNullAt(1 + t) == r.isNullAt(4 + t),
+          s"null split doc ${r.get(0)} table $t")
+        if (!r.isNullAt(1 + t))
+          assert(r.getLong(1 + t) == r.getLong(4 + t),
+            s"doc ${r.get(0)} table $t")
+      }
+    }
+  }
+
+  test("MinHashLanes ≡ HOF per-base transform + per-lane array_min lattice") {
+    val sh = graft.text.Dedup.shingleArrays(df, 3)
+    for (k <- Seq(3, 8)) {
+      val fast = graft.text.Dedup.minhashSignature(sh, k)
+        .collect().map(r => r.getLong(0) ->
+          (1 to k).map(i => r.getString(i)).toList).toMap
+      val slow = graft.text.Dedup.minhashSignatureHof(sh, k)
+        .collect().map(r => r.getLong(0) ->
+          (1 to k).map(i => r.getString(i)).toList).toMap
+      assert(fast == slow, s"k=$k")
+    }
+  }
+
+  test("WinnowMins ≡ HOF nested window-min lattice (order + distinct)") {
+    for ((sw, w) <- Seq((3, 4), (2, 2), (3, 1))) {
+      val fast = graft.text.TextAnalysis.winnowingPickArrays(df, sw, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val slow = graft.text.TextAnalysis.winnowingPickArraysHof(df, sw, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(fast == slow, s"shingleWidth=$sw window=$w")
+    }
+  }
+
   test("interpreted eval path agrees with codegen (null-element poison)") {
     // a null ELEMENT (never produced by split, but part of the contract)
     val arr = typedLit(Seq[String]("a", null, "bb"))
