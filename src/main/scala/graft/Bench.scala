@@ -15,6 +15,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Let AQE coalesce shuffles that feed cached plans (r21, guide
+      // §2.2): the session memos persist shuffle outputs, and with the
+      // upstream default (false) every cached frame pins its full
+      // spark.sql.shuffle.partitions fan-out — downstream stages launch
+      // |partitions| tasks to read kilobyte caches locally, and at
+      // cluster scale caches hold however many partitions the static
+      // config said rather than what the DATA needs. Coalescing is
+      // size-based (advisory partition bytes), so the knob is
+      // scale-adaptive, not a local[32] tune. Env-knobbed like AQE
+      // itself so the driver's lower-core re-run stays comparable.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first-action JVM/codegen/parquet-footer overhead is
