@@ -419,12 +419,18 @@ object DataPipelineQueries {
   /** DSIR importance weights over the shared token frame. The target
     * slice is the 'en' half of one source — standing in for the small
     * curated reference corpus (wiki/books) a production run would pass.
-    * Model tables are bucket-grain and broadcast; no memo needed. */
+    * Memoized since r21: `dsir_weights` and `dsir_select`'s admission
+    * both consume the scored frame (doc-grain, four narrow columns),
+    * so the two model fits + scoring joins run once per session. */
+  private def dsirWeightsShared(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFrames.memo(spark, sfDir, "dsirWeights")(
+      TextAnalysis.dsirWeights(docs(spark, sfDir),
+        docs(spark, sfDir)
+          .filter("lang = 'en' AND source = 'src0'"),
+        sharedTf = Some(docTokenCounts(spark, sfDir))))
+
   def dsirWeightsQ(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.dsirWeights(docs(spark, sfDir),
-      docs(spark, sfDir)
-        .filter("lang = 'en' AND source = 'src0'"),
-      sharedTf = Some(docTokenCounts(spark, sfDir)))
+    dsirWeightsShared(spark, sfDir)
 
   /** DSIR-prioritized token-budget selection (r19): the importance-fill
     * admission over the same target slice as `dsir_weights` — most
@@ -434,7 +440,8 @@ object DataPipelineQueries {
     memoized("dsirSelect") { (spark, sfDir) =>
       TextAnalysis.dsirSelectTokenBudget(docs(spark, sfDir),
         docs(spark, sfDir).filter("lang = 'en' AND source = 'src0'"),
-        sharedTf = Some(docTokenCounts(spark, sfDir)))
+        sharedTf = Some(docTokenCounts(spark, sfDir)),
+        sharedWeights = Some(dsirWeightsShared(spark, sfDir)))
     }
 
   /** Replicates [[graft.text.TextAnalysis.dsirSelectTokenBudget]]: the
@@ -864,9 +871,20 @@ object DataPipelineQueries {
     * shares. */
   val releaseManifestQ: (SparkSession, String) => DataFrame =
     memoized("releaseManifest") { (spark, sfDir) =>
+      // The remainder admission's gate-priority frame is the RAW
+      // corpus's memoized gatedParts filtered to the curated ids (r21):
+      // every gate signal is a pure per-row function, so gating the
+      // curated subset ≡ filtering the raw gated rows, and the two-pass
+      // prefix sum only needs order-compatible partitions — the raw
+      // range partitioning restricted to a subset still is. Saves the
+      // second gate scan + range sampling + shuffle the release chain
+      // used to pay (the curate_funnel build's dominant cost).
+      val curatedIds = curateCorpusSemantic(spark, sfDir).select("doc_id")
       TextAnalysis.materializeEpochs(
-        docs(spark, sfDir).join(
-          curateCorpusSemantic(spark, sfDir).select("doc_id"), "doc_id"))
+        docs(spark, sfDir).join(curatedIds, "doc_id"),
+        sharedParts = Some(gatedParts(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("n_tokens").isNotNull)
+          .join(curatedIds, "doc_id")))
     }
 
   /** [[materializeEpochsOracleFrom]] over the curated-survivor relation

@@ -2514,10 +2514,16 @@ object TextAnalysis {
    */
   def dsirSelectTokenBudget(docs: DataFrame, targetIds: DataFrame,
                             budget: Long = 800L, nBuckets: Int = 1024,
-                            sharedTf: Option[DataFrame] = None): DataFrame = {
+                            sharedTf: Option[DataFrame] = None,
+                            sharedWeights: Option[DataFrame] = None)
+      : DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val W = org.apache.spark.sql.expressions.Window
-    val weighted = dsirWeights(docs, targetIds, nBuckets, sharedTf)
+    // sharedWeights: a caller-memoized [[dsirWeights]] frame over the
+    // SAME (docs, targetIds, nBuckets) — the registry shares one copy
+    // between dsir_weights and this admission (r21, guide §1.2)
+    val weighted = sharedWeights
+      .getOrElse(dsirWeights(docs, targetIds, nBuckets, sharedTf))
       .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     val parts = graft.queries.SharedFrames.aux(
