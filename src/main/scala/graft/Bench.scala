@@ -27,6 +27,17 @@ object Bench {
       // itself so the driver's lower-core re-run stays comparable.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
+      // Let file SIZE alone decide scan splits (r22, guide §2.2/§6): the
+      // upstream default floors scan parallelism at defaultParallelism,
+      // so a kilobyte-scale table fans every scan stage into |cores|
+      // near-empty tasks — pure dispatch overhead that grows with core
+      // count (the r21 scaling block's 32-core penalty). Size-based
+      // splitting (maxPartitionBytes, default 128 MB) is scale-adaptive:
+      // a production-scale table splits into thousands of tasks either
+      // way; only bounded/small inputs stop over-fanning. Env-knobbed so
+      // the driver's lower-core re-run stays comparable.
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTS", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first-action JVM/codegen/parquet-footer overhead is

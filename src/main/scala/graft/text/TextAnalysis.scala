@@ -952,10 +952,12 @@ object TextAnalysis {
     val words = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
-    val pairs = when(length(col("word")) >= 2,
-      transform(sequence(lit(1), length(col("word")) - 1),
-        i => col("word").substr(i, lit(2))))
-      .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
+    // codegen'd 2-gram extraction (graftshim.CharNgrams, r22) — the
+    // interpreted transform(sequence(...), substr) form is kept as the
+    // TextOpsShimSpec equivalence baseline
+    val pairs = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.CharNgrams(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(col("word")), 2))
     words
       .select(col("__wc"), explode(pairs).as("pair"))
       .groupBy(col("pair")).agg(sum(col("__wc")).as("n_occurrences"))
@@ -969,40 +971,68 @@ object TextAnalysis {
                             nOccurrences: Long)
 
   /** Word → initial symbol array (one per character); empty word → empty
-    * array (the `sequence` guard — Spark's sequence counts DOWN on a
-    * non-positive bound, unlike DuckDB's empty `range`). */
+    * array. Codegen'd (graftshim.CharNgrams at n = 1, r22); the HOF
+    * form is kept below as the TextOpsShimSpec equivalence baseline. */
   private def charSyms(word: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.CharNgrams(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(word), 1))
+
+  /** The pre-r22 interpreted form of [[charSyms]] (the `sequence` guard
+    * — Spark's sequence counts DOWN on a non-positive bound, unlike
+    * DuckDB's empty `range`). Equivalence baseline for TextOpsShimSpec. */
+  private[graft] def charSymsHof(word: Column): Column =
     when(length(word) >= 1,
       transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
       .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
 
-  /** Greedy left-to-right non-overlapping application of ONE merge rule
-    * (a, b) → "ab" to a symbol array — the textbook BPE apply step, as a
-    * fold: the current symbol merges into the accumulator's tail exactly
-    * when tail == a and current == b (a freshly-merged "ab" tail never
-    * re-matches a, giving the non-overlap rule: 5×"a" under (a,a) →
-    * [aa, aa, a]). `aggregate` is an interpreted higher-order function —
-    * fine HERE because it only ever runs over the (word, count)
-    * VOCABULARY table (orders of magnitude smaller than the corpus; the
-    * corpus-scale work is the one tokenize+count shuffle), never over
-    * the token stream. DuckDB replays the identical fold via
-    * `list_reduce` over space-prefixed symbols. */
-  private def applyMergeCol(syms: Column, a: String, b: String): Column =
+  /** Greedy left-to-right non-overlapping application of a RANK-ORDERED
+    * merge list to a symbol array — the textbook BPE apply step: for
+    * each merge (a, b) in order, the current symbol merges into the
+    * running tail exactly when tail == a and current == b (a
+    * freshly-merged "ab" tail never re-matches a, giving the
+    * non-overlap rule: 5×"a" under (a,a) → [aa, aa, a]). Codegen'd as
+    * ONE expression over the whole list (graftshim.BpeApplyMerges,
+    * r22) — the pre-r22 form nested one interpreted ~20-node
+    * `aggregate` fold per merge, so plan depth, task-closure bytes and
+    * lambda-interpreter walks all scaled with the merge list. DuckDB
+    * replays the identical fold via `list_reduce` over space-prefixed
+    * symbols. */
+  private def applyMerges(syms: Column, ms: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.BpeApplyMerges(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(syms), ms))
+
+  /** The pre-r22 single-merge interpreted fold — the TextOpsShimSpec
+    * equivalence baseline for [[applyMerges]] (fold the list with this
+    * to replay the nested form). */
+  private[graft] def applyMergeColHof(syms: Column, a: String, b: String): Column =
     aggregate(syms, typedlit(Seq.empty[String]), (acc, s) =>
       when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** (a, b, wc-weighted pair rows) from a (syms, __wc) vocabulary. */
+  /** (a, b, wc-weighted pair rows) from a (syms, __wc) vocabulary.
+    * Adjacent-pair extraction is codegen'd (graftshim.AdjacentPairs,
+    * r22); [[adjacentPairsHof]] keeps the interpreted lattice as the
+    * equivalence baseline. */
   private def vocabPairs(vocab: DataFrame): DataFrame =
     vocab
       .filter(size(col("syms")) >= 2)
       .select(col("__wc"), explode(
-        transform(sequence(lit(1), size(col("syms")) - 1), i =>
-          struct(element_at(col("syms"), i).as("a"),
-            element_at(col("syms"), i + lit(1)).as("b")))).as("p"))
+        org.apache.spark.sql.graftshim.ColumnShim.column(
+          org.apache.spark.sql.graftshim.AdjacentPairs(
+            org.apache.spark.sql.graftshim.ColumnShim.expression(col("syms")))))
+        .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("__wc")).as("c"))
+
+  /** The pre-r22 interpreted adjacent-pair lattice (equivalence
+    * baseline for graftshim.AdjacentPairs in TextOpsShimSpec). */
+  private[graft] def adjacentPairsHof(syms: Column): Column =
+    transform(sequence(lit(1), size(syms) - 1), i =>
+      struct(element_at(syms, i).as("a"),
+        element_at(syms, i + lit(1)).as("b")))
 
   /**
    * BPE tokenizer TRAINING — the iterated loop [[bpeMergeCandidates]] is
@@ -1118,12 +1148,12 @@ object TextAnalysis {
         keep.foreach { case (a, b, c) =>
           merges += BpeMerge(merges.size + 1, a, b, c)
         }
-        // ONE map-side pass applies the whole batch: the rank-ordered
-        // fold of per-merge greedy applications inside a single select —
-        // no action, no shuffle, no extra round-trip per merge
-        val folded = keep.foldLeft(vocab) { case (v, (a, b, _)) =>
-          v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
-        }
+        // ONE map-side pass applies the whole batch: a single codegen'd
+        // expression over the rank-ordered batch — no action, no
+        // shuffle, no extra round-trip per merge
+        val folded = vocab.select(
+          applyMerges(col("syms"), keep.map(m => (m._1, m._2))).as("syms"),
+          col("__wc"))
         foldsSinceCut += keep.size
         vocab =
           if (foldsSinceCut >= cutEveryFolds) {
@@ -1282,9 +1312,9 @@ object TextAnalysis {
                 element_at(col("syms"), (i + lit(1)).cast("int"))),
           lit(false))
         val affected = vocab.filter(adj)
-        val foldedAff = keep.foldLeft(affected) { case (v, (a, b, _)) =>
-          v.select(applyMergeCol(col("syms"), a, b).as("syms"), col("__wc"))
-        }
+        val foldedAff = affected.select(
+          applyMerges(col("syms"), keep.map(m => (m._1, m._2))).as("syms"),
+          col("__wc"))
         val delta = vocabPairs(foldedAff)
           .union(vocabPairs(affected)
             .select(col("a"), col("b"), (-col("c")).as("c")))
@@ -1457,11 +1487,9 @@ object TextAnalysis {
   def bpeDictionary(docs: DataFrame, merges: Seq[BpeMerge],
                     sharedVocab: Option[DataFrame] = None): DataFrame = {
     val words = sharedVocab.getOrElse(wordCounts(docs)).select(col("word"))
-    merges.sortBy(_.rank).foldLeft(
-      words.select(col("word"), charSyms(col("word")).as("syms"))) {
-      case (v, m) =>
-        v.select(col("word"), applyMergeCol(col("syms"), m.symA, m.symB).as("syms"))
-    }
+    words.select(col("word"),
+      applyMerges(charSyms(col("word")),
+        merges.sortBy(_.rank).map(m => (m.symA, m.symB))).as("syms"))
   }
 
   /**
@@ -1543,12 +1571,10 @@ object TextAnalysis {
   def bpeSymbolCounts(docs: DataFrame, merges: Seq[BpeMerge],
                       sharedVocab: Option[DataFrame] = None): DataFrame = {
     val words = sharedVocab.getOrElse(wordCounts(docs))
-    val encoded = merges.sortBy(_.rank).foldLeft(
-      words.select(charSyms(col("word")).as("syms"), col("__wc"))) {
-      case (v, m) =>
-        v.select(applyMergeCol(col("syms"), m.symA, m.symB).as("syms"),
-          col("__wc"))
-    }
+    val encoded = words.select(
+      applyMerges(charSyms(col("word")),
+        merges.sortBy(_.rank).map(m => (m.symA, m.symB))).as("syms"),
+      col("__wc"))
     encoded
       .select(explode(col("syms")).as("sym"), col("__wc"))
       .groupBy(col("sym"))

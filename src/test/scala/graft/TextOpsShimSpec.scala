@@ -152,6 +152,79 @@ class TextOpsShimSpec extends SparkSpec {
     }
   }
 
+  test("CharNgrams ≡ HOF substr lattice for n = 1, 2, 4 on every edge") {
+    def hofNgrams(c: Column, n: Int): Column =
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    for (n <- Seq(1, 2, 4)) {
+      val rows = df.select(col("doc_id"),
+        col2(org.apache.spark.sql.graftshim.CharNgrams(
+          ColumnShim.expression(col("text")), n)).as("fast"),
+        hofNgrams(col("text"), n).as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+          s"n=$n doc ${r.get(0)}")
+      }
+    }
+  }
+
+  test("BpeApplyMerges ≡ nested per-merge aggregate folds") {
+    // merge lists exercising: chained merges whose concat feeds the next,
+    // self-merge non-overlap ((a,a) over runs), and no-op rules
+    val mergeLists = Seq(
+      Seq("a" -> "l", "al" -> "p", "alp" -> "h", "alph" -> "a"),
+      Seq("t" -> "t", "h" -> "é"),
+      Seq("汉" -> "字", "x" -> "y"),
+      Seq("q" -> "q"))
+    val syms = graft.text.TextAnalysis.charSymsHof(col("text"))
+    for (ms <- mergeLists) {
+      val slow = ms.foldLeft(syms) { case (s, (a, b)) =>
+        graft.text.TextAnalysis.applyMergeColHof(s, a, b) }
+      val rows = df.select(col("doc_id"),
+        col2(org.apache.spark.sql.graftshim.BpeApplyMerges(
+          ColumnShim.expression(syms), ms)).as("fast"),
+        slow.as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+          s"merges=$ms doc ${r.get(0)}")
+      }
+    }
+  }
+
+  test("BpeApplyMerges non-overlap rule: 5×a under (a,a) → [aa, aa, a]") {
+    val arr = typedLit(Seq("a", "a", "a", "a", "a"))
+    val out = spark.range(1).select(
+      col2(org.apache.spark.sql.graftshim.BpeApplyMerges(
+        ColumnShim.expression(arr), Seq("a" -> "a"))).as("m"))
+      .collect().head
+    assert(out.getSeq[String](0).toList == List("aa", "aa", "a"))
+  }
+
+  test("AdjacentPairs ≡ HOF struct lattice (incl. null elements)") {
+    val symCols = Seq(
+      graft.text.TextAnalysis.charSymsHof(col("text")),
+      TextOps.tokens(col("text")),
+      typedLit(Seq[String]("a", null, "bb", null)))
+    for ((syms, i) <- symCols.zipWithIndex) {
+      val rows = df.select(col("doc_id"),
+        col2(org.apache.spark.sql.graftshim.AdjacentPairs(
+          ColumnShim.expression(syms))).as("fast"),
+        when(size(syms) >= 2,
+          graft.text.TextAnalysis.adjacentPairsHof(syms))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          .as("slow")).collect()
+      rows.foreach { r =>
+        val f = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (Option(p.getString(0)), Option(p.getString(1)))).toList
+        val s = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (Option(p.getString(0)), Option(p.getString(1)))).toList
+        assert(f == s, s"input $i doc ${r.get(0)}")
+      }
+    }
+  }
+
   test("interpreted eval path agrees with codegen (null-element poison)") {
     // a null ELEMENT (never produced by split, but part of the contract)
     val arr = typedLit(Seq[String]("a", null, "bb"))
