@@ -144,7 +144,14 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"built":$builtJson,"sf":"$sfDir"}""")
+    // The "built" memo-attribution map rides its OWN line: the driver
+    // captures only the tail of stdout and its buffer truncated the
+    // combined line for seven straight rounds (r14–r20) as the registry
+    // grew — the metric line must stay small enough to always fit. The
+    // built line prints FIRST so the metric line is the last line out;
+    // bench_metric_rNN.json archives both per round.
+    println(s"""{"built":$builtJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -187,9 +187,11 @@ object Contracts {
    * `!keep` to the quarantine sink.
    */
   def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val viol = array_compact(array(checks.map(ch =>
-      when(!ch.holds, lit(ch.name)).otherwise(lit(null: String))): _*))
-    df.withColumn("violations", concat_ws(";", viol))
+    // concat_ws skips NULL arguments natively (codegen'd), so the
+    // array_compact(array(...)) wrapper — which plans as an interpreted
+    // ArrayFilter(isnotnull) lambda (r22) — is redundant
+    df.withColumn("violations", concat_ws(";", checks.map(ch =>
+        when(!ch.holds, lit(ch.name)).otherwise(lit(null: String))): _*))
       .withColumn("keep", col("violations") === "")
   }
 
@@ -210,11 +212,15 @@ object Contracts {
                        windowLength: String = "1 minute",
                        tsCol: String = "ingest_time",
                        watermarkDelay: String = "10 seconds"): DataFrame = {
-    val tagged = array_compact(array(checks.map(ch =>
+    // the un-violated checks' NULL tags are dropped AFTER the explode by
+    // a codegen'd isNotNull filter — array_compact plans as an
+    // interpreted ArrayFilter(isnotnull) lambda per row (r22)
+    val tagged = array(checks.map(ch =>
       when(!ch.holds, lit(ch.name)).otherwise(lit(null: String))) :+
-      lit("__rows"): _*))
+      lit("__rows"): _*)
     val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
     src.select(col(tsCol), explode(tagged).as("constraint"))
+      .filter(col("constraint").isNotNull)
       .groupBy(window(col(tsCol), windowLength), col("constraint"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"),

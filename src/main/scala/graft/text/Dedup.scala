@@ -469,10 +469,15 @@ object Dedup {
     * [[stripBoilerplate]] (which maps hits back to token coverage). */
   private def spanWindowsPos(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span window must be >= 2 tokens, got $k")
-    val windows = element_at(
-      transform(array(TextOps.tokens(col("text"))), ts =>
-        transform(sequence(lit(0), size(ts) - k),
-          i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))), 1)
+    // codegen'd window hashing (r22): md5 over each k-shingle —
+    // graftshim.WordShingles builds the windows (concat_ws " " slices,
+    // identical order and null-skip) and graftshim.ArrayMd5 hashes
+    // them; the pre-r22 nested transform lattice was two interpreted
+    // lambdas per document on every span scan
+    val windows = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.ArrayMd5(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          TextOps.shingles(TextOps.tokens(col("text")), k))))
     docs
       .filter(col("text").isNotNull && size(TextOps.tokens(col("text"))) >= k)
       .select(col("doc_id"), posexplode(windows).as(Seq("i", "h")))
@@ -561,9 +566,13 @@ object Dedup {
       .join(cov, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__nk"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("token")))),
-          s => s.getField("token")))).as("__digest"))
+        // codegen'd sorted-token join (r22, graftshim.PosTokenJoin):
+        // array_sort's default comparator plans as an interpreted
+        // lambda, and the getField transform was a second one
+        md5(org.apache.spark.sql.graftshim.ColumnShim.column(
+          org.apache.spark.sql.graftshim.PosTokenJoin(
+            org.apache.spark.sql.graftshim.ColumnShim.expression(
+              collect_list(struct(col("pos"), col("token"))))))).as("__digest"))
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))

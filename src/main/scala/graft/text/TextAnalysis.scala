@@ -117,7 +117,11 @@ object TextAnalysis {
       .filter(size(col("wmins")) > 0)
       .select(col("doc_id"),
         size(col("wmins")).cast("bigint").as("n_fingerprints"),
-        md5(concat_ws("", array_sort(col("wmins")))).as("fingerprint"))
+        // sort_array, not array_sort: SortArray is whole-stage-codegen'd
+        // while ArraySort is a CodegenFallback HOF (its default
+        // comparator plans as a lambda); they differ only in null
+        // placement, which concat_ws skips either way (r22)
+        md5(concat_ws("", sort_array(col("wmins")))).as("fingerprint"))
 
   /** The distinct picked window-min hashes per document — the raw
     * fingerprint SET behind [[winnowingFingerprint]]; two documents
@@ -1295,22 +1299,18 @@ object TextAnalysis {
         keep.foreach { case (a, b, c) =>
           merges += BpeMerge(merges.size + 1, a, b, c)
         }
-        // affected-word predicate: a codegen'd arrays_overlap on the
-        // admitted LEFT symbols prunes the vast non-affected majority
-        // before the interpreted exists runs (HOFs are CodegenFallback);
-        // the exists probes ONE map literal per position (admitted pairs
-        // are symbol-disjoint, so a→b is a well-defined map). coalesce:
-        // exists' three-valued logic can yield NULL (missing map key →
-        // null comparison), and filter(!NULL) would silently DROP the
-        // row from the not-affected side.
-        val abMap = keep.map { case (a, b, _) => a -> b }.toMap
-        val adj = coalesce(
-          size(col("syms")) >= 2 &&
-            arrays_overlap(col("syms"), typedlit(keep.map(_._1))) &&
-            exists(sequence(lit(1), size(col("syms")) - 1), i =>
-              element_at(typedlit(abMap), element_at(col("syms"), i)) ===
-                element_at(col("syms"), (i + lit(1)).cast("int"))),
-          lit(false))
+        // affected-word predicate, fully codegen'd (r22,
+        // graftshim.AdjacentPairInSet): one linear probe over the
+        // word's adjacencies against the admitted batch — the pre-r22
+        // form needed an arrays_overlap prune in front of an
+        // interpreted `exists` lambda plus a coalesce for its
+        // three-valued logic; the native predicate is non-null by
+        // construction (no match → false, exactly what the
+        // coalesce-to-false gave)
+        val adj = org.apache.spark.sql.graftshim.ColumnShim.column(
+          org.apache.spark.sql.graftshim.AdjacentPairInSet(
+            org.apache.spark.sql.graftshim.ColumnShim.expression(col("syms")),
+            keep.map(m => (m._1, m._2))))
         val affected = vocab.filter(adj)
         val foldedAff = affected.select(
           applyMerges(col("syms"), keep.map(m => (m._1, m._2))).as("syms"),
@@ -1708,15 +1708,14 @@ object TextAnalysis {
    * slice reference, re-splitting the document O(chunks) times.
    */
   def tokenChunks(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
-    val cs = chunkSize
-    val chunks = element_at(
-      transform(array(TextOps.tokens(col("text"))), ts =>
-        transform(
-          sequence(lit(0), ceil(size(ts).cast("double") / cs).cast("int") - 1),
-          i => struct(
-            i.as("chunk_no"),
-            size(slice(ts, i * cs + 1, lit(cs))).as("n_chunk_tokens"),
-            md5(concat_ws(" ", slice(ts, i * cs + 1, lit(cs)))).as("checksum")))), 1)
+    // codegen'd chunk lattice (r22, graftshim.TokenChunkStats): one pass
+    // over the token array instead of two interpreted lambdas plus two
+    // slice copies per chunk; the HOF form is kept as tokenChunksHof
+    // for the TextOpsShimSpec equivalence pin
+    val chunks = org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.TokenChunkStats(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          TextOps.tokens(col("text"))), chunkSize))
     // split(text) never yields an empty array for non-null text (minimum
     // [""]), so null-exclusion is the whole row predicate — checking
     // size(tokens) > 0 would tokenize every document a second time
@@ -1727,6 +1726,21 @@ object TextAnalysis {
         col("c.n_chunk_tokens").as("n_chunk_tokens"),
         col("c.checksum").as("checksum"))
   }
+
+  /** The pre-r22 interpreted chunk lattice — equivalence baseline for
+    * graftshim.TokenChunkStats in TextOpsShimSpec. The token array is
+    * bound as a lambda variable (`transform` over a single-element
+    * array) so projection collapse can't re-split the document per
+    * slice reference. */
+  private[graft] def tokenChunksHof(toks: Column, cs: Int): Column =
+    element_at(
+      transform(array(toks), ts =>
+        transform(
+          sequence(lit(0), ceil(size(ts).cast("double") / cs).cast("int") - 1),
+          i => struct(
+            i.as("chunk_no"),
+            size(slice(ts, i * cs + 1, lit(cs))).as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(ts, i * cs + 1, lit(cs)))).as("checksum")))), 1)
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
@@ -2030,8 +2044,14 @@ object TextAnalysis {
     val toks = TextOps.tokens(col("text"))
     val scored = docs.select(
       (col("doc_id") +: markers.map { case (l, ws) =>
-        val arr = array(ws.map(lit): _*)
-        size(filter(toks, t => array_contains(arr, t))).as(s"score_$l")
+        // codegen'd marker count (r22, graftshim.ArrayCountIn — the
+        // stopwordRatio replacement): `size(filter(array_contains))`
+        // was an interpreted lambda per language per document; NULL
+        // text stays NULL through both forms (ANSI size(null))
+        org.apache.spark.sql.graftshim.ColumnShim.column(
+          org.apache.spark.sql.graftshim.ArrayCountIn(
+            org.apache.spark.sql.graftshim.ColumnShim.expression(toks), ws))
+          .as(s"score_$l")
       }): _*)
     // argmax with precedence = declaration order (en beats de on ties, ...)
     val langs = markers.map(_._1)

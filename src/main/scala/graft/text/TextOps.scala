@@ -52,6 +52,18 @@ object TextOps {
    * two tokenizers agree exactly (fuzz-pinned in TextAnalysisSpec).
    */
   def unicodeTokens(text: Column): Column =
+    // the empty-boundary drop is codegen'd (graftshim.ArrayDropEmpty,
+    // r22) — `filter(_, t => t =!= "")` was an interpreted lambda on
+    // every unicode-tokenized scan; the HOF form is kept below as the
+    // TextOpsShimSpec equivalence baseline
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.ArrayDropEmpty(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          split(lower(normalizeNfc(text)), "[^\\p{L}\\p{N}]+", -1))))
+
+  /** The pre-r22 interpreted form of [[unicodeTokens]] (equivalence
+    * baseline for TextOpsShimSpec). */
+  private[graft] def unicodeTokensHof(text: Column): Column =
     filter(split(lower(normalizeNfc(text)), "[^\\p{L}\\p{N}]+", -1),
       t => t =!= "")
 

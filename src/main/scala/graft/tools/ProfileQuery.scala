@@ -30,7 +30,9 @@ object ProfileQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true")) // match Bench (ADVICE r21)
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTS", "1")) // match Bench (r22)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

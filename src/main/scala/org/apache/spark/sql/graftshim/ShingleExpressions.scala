@@ -175,14 +175,20 @@ case class ArrayCharCount(child: Expression)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    var s = 0
+    // long accumulator + explicit overflow throw (ADVICE r21): the
+    // replaced aggregate(...) fold would THROW under Spark 4's default
+    // ANSI mode past Int.MaxValue total chars — an int here would wrap
+    // silently instead. Unreachable at current corpus scales.
+    var s = 0L
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
       s += arr.getUTF8String(i).numChars()
       i += 1
     }
-    s
+    if (s > Int.MaxValue)
+      throw new ArithmeticException("graft_charcount: integer overflow")
+    s.toInt
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -192,12 +198,15 @@ case class ArrayCharCount(child: Expression)
       val s = ctx.freshName("s")
       s"""
          |int $n = $a.numElements();
-         |int $s = 0;
+         |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getUTF8String($i).numChars();
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull} && $s > Integer.MAX_VALUE) {
+         |  throw new ArithmeticException("graft_charcount: integer overflow");
+         |}
+         |${ev.value} = (int) $s;
        """.stripMargin
     })
 

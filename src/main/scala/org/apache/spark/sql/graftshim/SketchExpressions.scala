@@ -51,10 +51,39 @@ case class MinHashLanes(child: Expression, k: Int)
 }
 
 object MinHashLanes {
-  /** The k lane minima; static forwarder target for codegen. */
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+  // per-base salt bytes depend only on b — hoisted out of the element
+  // loop (ADVICE r21); bases past the precomputed table (k > 256)
+  // compute on the fly
+  private val SALTS: Array[Array[Byte]] =
+    Array.tabulate(64)(b => (b + ":").getBytes("UTF-8"))
+  private def salt(b: Int): Array[Byte] =
+    if (b < SALTS.length) SALTS(b) else (b + ":").getBytes("UTF-8")
+  private val MD = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** hex[off..off+8) < cur, both lowercase-hex ASCII (UTF8String
+    * comparison is unsigned-byte; hex bytes are ASCII, so signed
+    * compare is identical). */
+  private def less(hex: Array[Byte], off: Int, cur: UTF8String): Boolean = {
+    var j = 0
+    while (j < 8) {
+      val a = hex(off + j)
+      val c = cur.getByte(j)
+      if (a != c) return a < c
+      j += 1
+    }
+    false
+  }
+
+  /** The k lane minima; static forwarder target for codegen. Allocates
+    * only when a lane's running minimum improves (ADVICE r21 — the
+    * md5Hex → substring → UTF8String chain was per (shingle, lane)). */
   def lanes(sh: ArrayData, k: Int): ArrayData = {
     val nBase = (k + 3) / 4
     val mins = new Array[UTF8String](k)
+    val md = MD.get()
+    val hexBuf = new Array[Byte](32)
     val n = sh.numElements()
     var i = 0
     while (i < n) {
@@ -62,19 +91,24 @@ object MinHashLanes {
         val sBytes = sh.getUTF8String(i).getBytes
         var b = 0
         while (b < nBase) {
-          // md5Hex((b + ":") ++ shingle) — the saltedHash family
-          val salt = (b + ":").getBytes("UTF-8")
-          val buf = new Array[Byte](salt.length + sBytes.length)
-          System.arraycopy(salt, 0, buf, 0, salt.length)
-          System.arraycopy(sBytes, 0, buf, salt.length, sBytes.length)
-          val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
+          // md5((b + ":") ++ shingle) — the saltedHash family
+          md.reset()
+          md.update(salt(b))
+          md.update(sBytes)
+          val dig = md.digest()
+          var d = 0
+          while (d < 16) {
+            hexBuf(2 * d) = HEX((dig(d) >> 4) & 0xf)
+            hexBuf(2 * d + 1) = HEX(dig(d) & 0xf)
+            d += 1
+          }
           var lane = b * 4
           val laneEnd = math.min(lane + 4, k)
           while (lane < laneEnd) {
-            val slice = UTF8String.fromString(
-              hex.substring(8 * (lane % 4), 8 * (lane % 4) + 8))
-            if (mins(lane) == null || slice.compareTo(mins(lane)) < 0)
-              mins(lane) = slice
+            val off = 8 * (lane % 4)
+            if (mins(lane) == null || less(hexBuf, off, mins(lane)))
+              mins(lane) = UTF8String.fromBytes(
+                java.util.Arrays.copyOfRange(hexBuf, off, off + 8), 0, 8)
             lane += 1
           }
           b += 1

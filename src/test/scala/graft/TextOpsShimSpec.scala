@@ -225,6 +225,121 @@ class TextOpsShimSpec extends SparkSpec {
     }
   }
 
+  test("ArrayDropEmpty ≡ filter(t =!= \"\") — unicodeTokens on every edge") {
+    val rows = df.select(col("doc_id"),
+      TextOps.unicodeTokens(col("text")).as("fast"),
+      TextOps.unicodeTokensHof(col("text")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null split doc ${r.get(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+          s"doc ${r.get(0)}")
+    }
+    // null elements are dropped like the filter's three-valued predicate
+    val arr = typedLit(Seq[String]("a", null, "", "bb"))
+    val out = spark.range(1).select(
+      col2(org.apache.spark.sql.graftshim.ArrayDropEmpty(
+        ColumnShim.expression(arr))).as("d")).collect().head
+    assert(out.getSeq[String](0).toList == List("a", "bb"))
+  }
+
+  test("ArrayMd5 ∘ WordShingles ≡ nested transform(md5(concat_ws(slice)))") {
+    val k = 4
+    val toks = TextOps.tokens(col("text"))
+    val hof = transform(sequence(lit(0), size(toks) - k),
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val rows = df.filter(col("text").isNotNull && size(toks) >= k)
+      .select(col("doc_id"),
+        col2(org.apache.spark.sql.graftshim.ArrayMd5(
+          ColumnShim.expression(TextOps.shingles(toks, k)))).as("fast"),
+        hof.as("slow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+        s"doc ${r.get(0)}")
+    }
+  }
+
+  test("TokenChunkStats ≡ HOF chunk lattice (count incl. nulls, md5 join)") {
+    for (cs <- Seq(3, 32)) {
+      val toks = TextOps.tokens(col("text"))
+      val rows = df.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          col2(org.apache.spark.sql.graftshim.TokenChunkStats(
+            ColumnShim.expression(toks), cs)).as("fast"),
+          graft.text.TextAnalysis.tokenChunksHof(toks, cs).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        def norm(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+          .map(c => (c.getInt(0), c.getInt(1), c.getString(2))).toList
+        assert(norm(1) == norm(2), s"cs=$cs doc ${r.get(0)}")
+      }
+    }
+  }
+
+  test("PosTokenJoin ≡ concat_ws(transform(array_sort(collect_list)))") {
+    val toks = df.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val agg = toks.groupBy(col("doc_id")).agg(
+      col2(org.apache.spark.sql.graftshim.PosTokenJoin(
+        ColumnShim.expression(
+          collect_list(struct(col("pos"), col("token")))))).as("fast"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token"))).as("slow")).collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("AdjacentPairInSet ≡ coalesce(overlap && exists(element_at map))") {
+    val pairs = Seq("a" -> "l", "l" -> "p", "汉" -> "字", "t" -> "t")
+    val abMap = pairs.toMap
+    val syms = graft.text.TextAnalysis.charSymsHof(col("text"))
+    val hof = coalesce(
+      size(syms) >= 2 &&
+        arrays_overlap(syms, typedlit(pairs.map(_._1))) &&
+        exists(sequence(lit(1), size(syms) - 1), i =>
+          element_at(typedlit(abMap), element_at(syms, i)) ===
+            element_at(syms, (i + lit(1)).cast("int"))),
+      lit(false))
+    val rows = df.select(col("doc_id"),
+      col2(org.apache.spark.sql.graftshim.AdjacentPairInSet(
+        ColumnShim.expression(syms), pairs)).as("fast"),
+      hof.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("ScalarQuantizeStats ≡ HOF quantization lattice on real vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mns = dims.map(_.getAs[Double]("mn"))
+    val mxs = dims.map(_.getAs[Double]("mx"))
+    for (levels <- Seq(255, 3)) {
+      val rows = e.select(col("vec_id"),
+        col2(org.apache.spark.sql.graftshim.ScalarQuantizeStats(
+          ColumnShim.expression(col("v")), mns, mxs, levels)).as("fast"),
+        graft.similarity.Similarity.scalarQuantizeHof(
+          col("v"), mns, mxs, levels).as("slow")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val f = r.getStruct(1); val s = r.getStruct(2)
+        assert(f.getString(0) == s.getString(0),
+          s"checksum levels=$levels vec ${r.get(0)}")
+        assert(f.getDouble(1) == s.getDouble(1),
+          s"mean_abs_err levels=$levels vec ${r.get(0)}")
+      }
+    }
+  }
+
   test("interpreted eval path agrees with codegen (null-element poison)") {
     // a null ELEMENT (never produced by split, but part of the contract)
     val arr = typedLit(Seq[String]("a", null, "bb"))
