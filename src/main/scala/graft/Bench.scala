@@ -27,6 +27,18 @@ object Bench {
       // itself so the driver's lower-core re-run stays comparable.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
+      // AQE coalescing granularity for SMALL shuffles (r22, guide §2.2):
+      // the coalesce target is max(min(total/minPartitionNum, advisory),
+      // minPartitionSize) — for sub-MB shuffles the 1 MB default floor
+      // dominates, merging every cached frame to ONE partition and
+      // serializing its consumers (the r21 cache-AQE A/B's named losers:
+      // quality_classifier_eval, lang_confusion, dedup_jaccard). A
+      // smaller size floor re-parallelizes exactly the shuffles big
+      // enough to matter locally while changing nothing at scale, where
+      // target = advisory (64 MB) regardless. (minPartitionNum is NOT
+      // the lever: for kilobyte totals the size floor overrides it.)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_MINSIZE", "256k"))
       // Let file SIZE alone decide scan splits (r22, guide §2.2/§6): the
       // upstream default floors scan parallelism at defaultParallelism,
       // so a kilobyte-scale table fans every scan stage into |cores|

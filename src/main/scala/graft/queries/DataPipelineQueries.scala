@@ -694,12 +694,22 @@ object DataPipelineQueries {
        |FROM enc GROUP BY sym
        |ORDER BY n_occurrences DESC, sym LIMIT 40""".stripMargin
 
+  /** Smallest per-source count, memoized per (session, corpus): both
+    * source-mix variants fold the SAME scalar into their quota plans —
+    * one probe job per session instead of one per invocation (r22,
+    * guide §1.2). */
+  private def minSourceN(spark: SparkSession, sfDir: String): Long =
+    SharedFrames.memoValue(spark, sfDir, "minSourceN") {
+      java.lang.Long.valueOf(TextAnalysis.minSourceCount(docs(spark, sfDir)))
+    }.longValue()
+
   def sourceMix(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.uniformSourceMix(docs(spark, sfDir), fraction = 0.8)
+    TextAnalysis.uniformSourceMix(docs(spark, sfDir), fraction = 0.8,
+      sharedMinN = Some(minSourceN(spark, sfDir)))
 
   def sourceMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.temperatureSourceMix(docs(spark, sfDir), alpha = 0.5,
-      fraction = 0.9)
+      fraction = 0.9, sharedMinN = Some(minSourceN(spark, sfDir)))
 
   /** Epoch plan (r18): α=0.5-tempered per-source token targets over a
     * 30k-token training budget, decomposed into exact repeat factors —
@@ -1600,9 +1610,17 @@ object DataPipelineQueries {
           .expr("n_embedded * 1000000 div n_docs").as("coverage_ppm"))
   }
 
+  /** |docs with text|, memoized per (session, corpus) — the tf-idf N
+    * (r22, guide §1.2: one probe job per session). */
+  private def nDocsText(spark: SparkSession, sfDir: String): Long =
+    SharedFrames.memoValue(spark, sfDir, "nDocsText") {
+      java.lang.Long.valueOf(TextAnalysis.nDocsWithText(docs(spark, sfDir)))
+    }.longValue()
+
   def tfidfTopTermsQ(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(spark, sfDir),
-      sharedTf = Some(docTokenCounts(spark, sfDir)))
+      sharedTf = Some(docTokenCounts(spark, sfDir)),
+      sharedN = Some(nDocsText(spark, sfDir)))
 
   def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenEntropy(docs(spark, sfDir),

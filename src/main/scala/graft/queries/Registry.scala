@@ -21,35 +21,58 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Memoized base table, spread to full parallelism: a small
-    * single-row-group parquet arrives as ONE scan split, which would
-    * otherwise run every narrow phase of every consumer query on one
-    * core; the repartition costs one tiny shuffle, the cache build
+  /** Memoized base table, spread to size-proportional parallelism: a
+    * small single-row-group parquet arrives as ONE scan split, which
+    * would otherwise run every narrow phase of every consumer query on
+    * one core; the repartition costs one tiny shuffle, the cache build
     * parallelizes, and all registry queries over the table share one
     * scan (what a production pipeline does with a staging table).
-    * Persistence follows the same test: ONLY the repartitioned
-    * small-input frame is cached — at real scale the scan already yields
-    * >= defaultParallelism splits, the repartition short-circuits, and
-    * the frame stays uncached so each consumer keeps per-query parquet
-    * pushdown/pruning instead of pinning the corpus in executor
+    * The partition count derives from the table's on-disk SIZE (one
+    * partition per SPARK_GRAFT_SPREAD_BYTES of parquet, default 128 KB,
+    * floored at 4, capped at defaultParallelism — r22, guide §2.2):
+    * spreading a kilobyte table to ALL cores made every stage of every
+    * consumer dispatch |cores| near-empty tasks, the scaling block's
+    * broad 32-core penalty. Persistence follows the same test: ONLY the
+    * repartitioned small-input frame is cached — at real scale the scan
+    * already yields >= target splits, the repartition short-circuits,
+    * and the frame stays uncached so each consumer keeps per-query
+    * parquet pushdown/pruning instead of pinning the corpus in executor
     * storage. */
   def spread(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spreadMemo(spark, sfDir, s"$name-spread", table(spark, sfDir, name))
+    spreadMemo(spark, sfDir, s"$name-spread", tableBytes(sfDir, name),
+      table(spark, sfDir, name))
 
   /** `events` (ts-normalized, see [[events]]) spread the same way. */
   def eventsSpread(spark: SparkSession, sfDir: String): DataFrame =
-    spreadMemo(spark, sfDir, "events-spread", events(spark, sfDir))
+    spreadMemo(spark, sfDir, "events-spread", tableBytes(sfDir, "events"),
+      events(spark, sfDir))
+
+  /** On-disk bytes of one testdata table (file or directory-of-files) —
+    * the size the spread target derives from. */
+  private def tableBytes(sfDir: String, name: String): Long = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    if (f.isFile) f.length
+    else if (f.isDirectory)
+      f.listFiles().iterator.filter(_.isFile).map(_.length).sum
+    else 0L
+  }
 
   private def spreadMemo(spark: SparkSession, sfDir: String, tag: String,
-                         d: => DataFrame): DataFrame =
+                         bytes: Long, d: => DataFrame): DataFrame =
     // the whole decision lives inside the by-name build so the parquet
     // read and the physical-planning probe run once per (session, sfDir,
     // tag), not on every registry call
     SharedFrames.memo(spark, sfDir, tag, persist = false) {
       val frame = d
       val par = spark.sparkContext.defaultParallelism
-      if (frame.rdd.getNumPartitions < par)
-        frame.repartition(par)
+      val perPart = sys.env.getOrElse("SPARK_GRAFT_SPREAD_BYTES", "131072")
+        .toLong
+      val target =
+        if (perPart <= 0) par // knob off: the pre-r22 all-cores spread
+        else math.min(par.toLong,
+          math.max(4L, (bytes + perPart - 1) / perPart)).toInt
+      if (frame.rdd.getNumPartitions < target)
+        frame.repartition(target)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else frame
     }

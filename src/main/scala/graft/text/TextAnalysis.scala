@@ -1628,14 +1628,25 @@ object TextAnalysis {
    * one task chain — at real scale swap in a rank-filter via
    * `approx_quantile` of the hash, or salt the window key.
    */
-  def uniformSourceMix(docs: DataFrame, fraction: Double = 1.0,
-                       salt: String = "mix"): DataFrame = {
-    // min over zero groups is a single null row — an empty corpus must
-    // yield an empty frame, not an NPE (the quota is irrelevant: no rows
-    // reach the filter)
+  /** Smallest per-source row count — the quota anchor both source-mix
+    * variants fold into their plans as a driver literal. 0 ⟺ empty
+    * corpus (a groupBy count is never 0 for an existing group). One tiny
+    * job; registry callers memoize it per (session, corpus). */
+  def minSourceCount(docs: DataFrame): Long = {
     val minRow = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
       .agg(min(col("__n"))).first()
-    val minN = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
+    if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
+  }
+
+  def uniformSourceMix(docs: DataFrame, fraction: Double = 1.0,
+                       salt: String = "mix",
+                       sharedMinN: Option[Long] = None): DataFrame = {
+    // min over zero groups is a single null row — an empty corpus must
+    // yield an empty frame, not an NPE (the quota is irrelevant: no rows
+    // reach the filter). sharedMinN lets a caller that already knows the
+    // smallest source's count (the registry memoizes it per corpus —
+    // uniform and temperature mixes probe the SAME scalar) skip the job.
+    val minN = sharedMinN.getOrElse(minSourceCount(docs))
     val quota = math.max(1L, math.floor(minN * fraction).toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("mix_key"), col("doc_id"))
@@ -1667,17 +1678,17 @@ object TextAnalysis {
    */
   def temperatureSourceMix(docs: DataFrame, alpha: Double = 0.5,
                            fraction: Double = 1.0,
-                           salt: String = "tmix"): DataFrame = {
+                           salt: String = "tmix",
+                           sharedMinN: Option[Long] = None): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0,1], got $fraction")
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-    val minRow = counts.agg(min(col("__n"))).first()
-    if (minRow.isNullAt(0))
+    val minN = sharedMinN.getOrElse(minSourceCount(docs))
+    if (minN == 0L)
       return docs.select(col("doc_id"), col("source"),
         lit("").as("mix_key"), lit(0).as("mix_rank"), lit(0L).as("quota"))
         .filter(lit(false))
-    val minN = minRow.getLong(0)
     val quotas = counts.select(col("source"),
       greatest(lit(1L),
         floor(round(pow(col("__n"), alpha) * math.pow(minN.toDouble, 1 - alpha)
@@ -2315,11 +2326,19 @@ object TextAnalysis {
    * total N folds into the plan as a driver literal, the
    * [[unigramLogProb]] idiom.
    */
+  /** Count of documents with non-null text — the tf-idf N. One tiny
+    * job; registry callers memoize it per (session, corpus). */
+  def nDocsWithText(docs: DataFrame): Long = {
+    val nRow = docs.filter(col("text").isNotNull).agg(count(lit(1))).first()
+    if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+  }
+
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3,
-                    sharedTf: Option[DataFrame] = None): DataFrame = {
-    val nRow = docs.filter(col("text").isNotNull)
-      .agg(count(lit(1))).first()
-    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+                    sharedTf: Option[DataFrame] = None,
+                    sharedN: Option[Long] = None): DataFrame = {
+    // sharedN = |docs with text| (the idf numerator), memoized per
+    // corpus by registry callers so repeated invocations skip the job
+    val n = sharedN.getOrElse(nDocsWithText(docs))
     val tf = sharedTf.getOrElse(docTokenCounts(docs))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window

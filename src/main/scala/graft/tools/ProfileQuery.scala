@@ -33,6 +33,8 @@ object ProfileQuery {
         sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true")) // match Bench (ADVICE r21)
       .config("spark.sql.files.minPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTS", "1")) // match Bench (r22)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_MINSIZE", "256k")) // match Bench (r22)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
