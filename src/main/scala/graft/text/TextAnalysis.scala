@@ -1828,9 +1828,23 @@ object TextAnalysis {
    * regexp_split_to_array in DuckDB, with the split class restricted to
    * `[^\p{L}\p{N}]+` — identical semantics in Java regex and RE2.
    */
+  /** HOF baseline for the equivalence spec — the interpreted form
+    * [[latinCount]] replaces (r22, guide §4.1). */
+  private[graft] def latinCountHof(utoks: Column): Column =
+    size(filter(utoks, t => t.rlike("^[a-z0-9]+$")))
+
+  /** Codegen'd count of pure-latin tokens (graftshim.ArrayCountMatching;
+    * the last interpreted HOF on a registered scan path): same RLIKE
+    * semantics, pattern compiled once per plan. */
+  private[graft] def latinCount(utoks: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      org.apache.spark.sql.graftshim.ArrayCountMatching(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(utoks),
+        "^[a-z0-9]+$"))
+
   def unicodeStats(docs: DataFrame): DataFrame = {
     val utoks = TextOps.unicodeTokens(col("text"))
-    val latin = size(filter(utoks, t => t.rlike("^[a-z0-9]+$")))
+    val latin = latinCount(utoks)
     docs.select(
       col("doc_id"),
       length(TextOps.normalizeNfc(col("text"))).as("n_chars_nfc"),

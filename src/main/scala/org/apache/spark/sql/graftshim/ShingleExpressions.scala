@@ -280,3 +280,62 @@ case class ArrayCountIn(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Count of elements of an `ARRAY<STRING>` matching a fixed Java regex —
+ * the codegen'd form of `size(filter(toks, t => t.rlike(regex)))` (the
+ * latin_ratio numerator; r22, the last interpreted HOF on a registered
+ * scan path). Matching is Spark RLIKE's exact semantics
+ * (`Pattern.matcher(s.toString).find(0)` on the codepoint string).
+ * NULL array → NULL; NULL elements are not counted (the filter
+ * predicate's null → excluded semantics). The compiled Pattern rides
+ * into the generated code as a reference object, compiled once per
+ * plan instead of per evaluation.
+ */
+case class ArrayCountMatching(child: Expression, regex: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_countmatching"
+
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(regex)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          pattern.matcher(arr.getUTF8String(i).toString).find(0)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pat = ctx.addReferenceObj("countMatchingPattern", pattern,
+        "java.util.regex.Pattern")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) &&
+         |      $pat.matcher($a.getUTF8String($i).toString()).find(0)) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.TextOps
+import graft.text.{TextAnalysis, TextOps}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{ArrayCharCount, ArrayCountIn, CharTrigrams, ColumnShim}
@@ -338,6 +338,28 @@ class TextOpsShimSpec extends SparkSpec {
           s"mean_abs_err levels=$levels vec ${r.get(0)}")
       }
     }
+  }
+
+  test("ArrayCountMatching ≡ size(filter(rlike)) — latin count on every edge") {
+    val utoks = TextOps.unicodeTokens(col("text"))
+    val rows = df.select(col("doc_id"),
+      TextAnalysis.latinCount(utoks).as("fast"),
+      TextAnalysis.latinCountHof(utoks).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null doc ${r.get(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) == r.getInt(2), s"doc ${r.get(0)}")
+    }
+    // null elements excluded, like the filter predicate's null → dropped;
+    // find(0) semantics: the anchor-free pattern matches substrings
+    val arr = typedLit(Seq[String]("ab1", null, "", "É", "x y", "9"))
+    val out = spark.range(1).select(
+      col2(org.apache.spark.sql.graftshim.ArrayCountMatching(
+        ColumnShim.expression(arr), "^[a-z0-9]+$")).as("c"),
+      col2(org.apache.spark.sql.graftshim.ArrayCountMatching(
+        ColumnShim.expression(arr), "[a-z]")).as("sub")).collect().head
+    assert(out.getInt(0) == 2) // "ab1", "9"
+    assert(out.getInt(1) == 2) // "ab1", "x y" — unanchored find
   }
 
   test("interpreted eval path agrees with codegen (null-element poison)") {
